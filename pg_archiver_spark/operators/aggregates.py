@@ -1,0 +1,238 @@
+"""Aggregation operators.
+
+Reference parity: A8 max() (main.go:194-200 — a manual scan loop) and
+A16 counting (main.go:139). Everything else is the north-star analytic
+surface. All aggregations here are hash aggregations with map-side
+partials (Spark plans partial_X → shuffle-by-key → final_X), so the
+shuffle carries one row per (partition × group), not per input row —
+the property that makes them survive 100 TB.
+
+Money math follows SURVEY.md §8 G2: cast to DECIMAL(18,2) before SUM in
+both engines — exact, order-independent, hash-stable. Averages are
+normalized ROUND(CAST(… AS DOUBLE), k) (G3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "agg_global_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global stats (reference A8/A16 generalized). min/max of doubles
+    select existing values — exact in both engines; the sum is decimal."""
+    return load(spark, sf_dir, "events").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+    )
+
+
+@register(
+    "agg_group_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+           ROUND(CAST(AVG(l_quantity) AS DOUBLE), 2) AS avg_qty,
+           ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 2) AS avg_price,
+           ROUND(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan-heavy grouped aggregation.
+    6M rows/SF collapse to 6 groups — the shuffle is 6 rows per map
+    task, i.e. the plan is scan-bound, exactly what you want at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).alias("sum_qty"),
+            F.sum(price).cast(_DEC).alias("sum_base_price"),
+            # Keep the natural product scales (4 and 6) — lossless, so no
+            # engine-specific tie-rounding on the downcast (see G2).
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("decimal(18,6)")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity").cast("double"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice").cast("double"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount").cast("double"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 67
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group + HAVING. 67 ≈ the mean events-per-user at every scale
+    factor (events and users scale together), so the predicate stays
+    selective-but-nonempty at all sfs."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 67)
+    )
+
+
+@register(
+    "agg_distinct_per_group",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group: Spark plans the 2-phase expand+agg;
+    partial dedup happens map-side before the shuffle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB substitute for exact distinct:
+    fixed-size sketch per group, mergeable, no expand shuffle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; grouping nulls coalesced to 'ALL' in both
+    engines (SURVEY.md §8 G6 — grouping_id numbering is engine-specific).
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_max_timestamp",
+    oracle="SELECT MAX(epoch_ms(ts)) AS max_epoch_ms FROM events",
+)
+def agg_max_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 'latest timestamp' scan (main.go:194-200), as a
+    one-expression aggregate over epoch-ms."""
+    return load(spark, sf_dir, "events").agg(
+        F.max(F.expr("ts_ns DIV 1000000")).alias("max_epoch_ms")
+    )

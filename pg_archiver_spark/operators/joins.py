@@ -1,0 +1,287 @@
+"""Join operators.
+
+The reference has no joins — its delete-behind (main.go:131-145) is the
+only set-complement semantics it ships (anti-join here). The rest is the
+north-star relational surface, each shaped for its 100 TB physical plan:
+
+- fact ⋈ fact  → sort-merge / shuffled-hash on the equi key (Catalyst +
+  AQE choose; AQE also splits skewed partitions),
+- fact ⋈ dim   → explicit ``F.broadcast`` on the dimension side: no
+  shuffle of the fact table at all,
+- theta joins  → always given an equi-prefix (brand, user_id) so the
+  planner hash-partitions on it instead of falling into a full
+  BroadcastNestedLoopJoin cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join. Both sides shuffle on custkey; at
+    scale AQE converts to broadcast if the customer side is small."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension: the lineitem side never shuffles for
+    the join — each task hash-probes the broadcast part table. The only
+    shuffle is the final 25-group aggregation (map-side partials first).
+
+    The decimal product has scale 4; the result keeps scale 4 — a lossy
+    downcast to scale 2 would hit engine-specific tie-rounding (Spark
+    HALF_UP vs DuckDB's cast truncation).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(disc_price).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+@register(
+    "join_star_multiway",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star: both dims broadcast, so the whole join pipeline is one
+    scan of customer with two in-memory hash probes (zero shuffles before
+    the 5-group agg)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count 0 bucket
+    included) — the classic per-entity activity histogram."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 finished order. Semi joins
+    never duplicate the left side — no post-join dedup needed."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the delete-behind complement (reference
+    main.go:132-134 deletes `WHERE timestamp < cutoff`; the correct
+    'rows NOT archived' set is this anti-join — SURVEY.md §4.4 D1).
+
+    Restricted to urgent orders so the result is non-degenerate at
+    every scale factor (with all orders, no customer qualifies)."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p1.p_brand AS brand, COUNT(*) AS n_pairs
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    GROUP BY brand
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta join. The brand equi-key keeps this a hash join with
+    a residual `<` filter — without it the planner degenerates to a
+    nested-loop cross product (quadratic at 100 TB). Within-brand pair
+    counts stay bounded because brands are low-cardinality groups."""
+    part = load(spark, sf_dir, "part")
+    p1 = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size1")
+    )
+    p2 = part.select(
+        F.col("p_brand").alias("brand2"), F.col("p_size").alias("size2")
+    )
+    return (
+        p1.join(p2, (p1.brand == p2.brand2) & (p1.size1 < p2.size2))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT COUNT(*) AS n_matched,
+           ROUND(CAST(AVG(gap_ms) AS DOUBLE) / 60000.0, 2) AS avg_gap_min
+    FROM (
+        SELECT epoch_ms(e.ts) - epoch_ms(s.ts) AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+    )
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the latest prior signup of
+    the same user. Spark has no native as-of on DataFrames; we compose it
+    as range-join → per-left-row max (SURVEY.md §7.3). The user_id
+    equi-key keeps the join hash-partitioned; at 100 TB add a time-bucket
+    band to the key so per-user histories don't fan out quadratically.
+
+    Oracle: DuckDB native ASOF JOIN (≥ semantics on both sides).
+    """
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.expr("ts_ns DIV 1000000").alias("e_ms"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.expr("ts_ns DIV 1000000").alias("s_ms"),
+    )
+    matched = (
+        errors.join(
+            signups, (errors.e_user == signups.s_user) & (errors.e_ms >= signups.s_ms)
+        )
+        .groupBy("e_id", "e_ms")
+        .agg(F.max("s_ms").alias("best_s_ms"))
+        .select((F.col("e_ms") - F.col("best_s_ms")).alias("gap_ms"))
+    )
+    return matched.agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.avg("gap_ms").cast("double") / 60000.0, 2).alias("avg_gap_min"),
+    )
+
+
+@register(
+    "join_interval_pairs",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND ABS(epoch_ms(e1.ts) - epoch_ms(e2.ts)) <= 300000
+    """,
+)
+def join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within a 5-minute interval. user_id is the
+    equi-key (hash join); the interval predicate is a residual filter.
+    At 100 TB: band events into 5-minute buckets and join on
+    (user, bucket) ∪ (user, bucket+1) to bound per-task pair counts."""
+    events = load(spark, sf_dir, "events")
+    e1 = events.select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("id1"),
+        F.expr("ts_ns DIV 1000000").alias("ms1"),
+    )
+    e2 = events.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("id2"),
+        F.expr("ts_ns DIV 1000000").alias("ms2"),
+    )
+    pairs = e1.join(
+        e2,
+        (e1.u1 == e2.u2)
+        & (e1.id1 < e2.id2)
+        & (F.abs(e1.ms1 - e2.ms2) <= 300000),
+    )
+    return pairs.agg(F.count("*").alias("n_pairs"))

@@ -1,0 +1,98 @@
+"""Scan / source / sink operators.
+
+Reference parity: A1 JDBC scan (main.go:88-121), A2 projection
+(main.go:89), A10-A12 partitioned Snappy Parquet sink (main.go:46-85,
+220-241). The reference keys the whole batch on the global max timestamp
+(main.go:194-200) — a defect (SURVEY.md §4.4 D2) we fix with per-row
+``partitionBy``: Spark's dynamic partition insert puts every row in its
+true year=/month= directory, which is what makes downstream partition
+pruning (reference README.md:92) actually correct.
+
+Scale notes: projections and range predicates here reach the Parquet
+reader (ReadSchema / PushedFilters), so a 100 TB scan reads only the
+row-groups and columns the query touches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "scan_parquet_full",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan + projection (reference A1/A2, main.go:88-97)."""
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "scan_filter_prune",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY order_month
+    """,
+)
+def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-restricted scan, monthly profile — models the pruned
+    partition read the reference README documents (README.md:92).
+
+    The two timestamp bounds push down to Parquet row-group min/max
+    stats; on a hive-partitioned archive the same predicate prunes
+    whole directories.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register("sink_parquet_partitioned")  # rows-only: sink op, no SQL oracle
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive sink (reference A10/A11/A12, main.go:46-85,220-223),
+    fixed for per-row partitioning (D2) and unique task files (D4).
+
+    Writes events partitioned by (year, month) derived from each row's
+    own timestamp, Snappy-compressed, then reads the dataset back and
+    returns the per-partition profile. At 100 TB this is the same code:
+    the committer handles task-file uniqueness and S3 upload (s3a://).
+    """
+    events = load(spark, sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "archive_events")
+    (
+        events.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month")
+        .option("compression", "snappy")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("year", "month")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("year", "month")
+    )

@@ -44,6 +44,7 @@ def load_all_operators() -> None:
     # Imports are for their registration side effects.
     from pg_archiver_spark.operators import (  # noqa: F401
         aggregates,
+        filters,
         joins,
         scans,
         setops,
