@@ -1,0 +1,114 @@
+"""Set operators.
+
+Reference parity: A7 multi-table union-all — the reference concatenates
+per-table row slices (main.go:180-187); Spark's ``unionByName`` is the
+same operation as a lazy plan node (zero cost until an action, no
+materialization). A13 delete-behind (main.go:131-145) has EXCEPT/anti
+set semantics — `except_keys` is its relational form.
+
+UNION ALL never shuffles. DISTINCT/INTERSECT/EXCEPT hash-shuffle on the
+full row — at 100 TB prefer key-only projections before them (done here)
+so the shuffle payload is just the key column.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """The reference's append loop (main.go:180-187), Spark-first."""
+    return reduce(DataFrame.unionByName, dfs)
+
+
+@register(
+    "union_all_multi_table",
+    oracle="""
+    SELECT table_name, COUNT(*) AS n_rows
+    FROM (
+        SELECT event_id, 'tbl_click' AS table_name FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, 'tbl_view' AS table_name FROM events WHERE event_type = 'view'
+    )
+    GROUP BY table_name
+    """,
+)
+def union_all_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tagged subsets unioned and profiled — the reference's
+    multi-table archive concat (A6 lineage literal + A7 union)."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("tbl_click").alias("table_name")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", F.lit("tbl_view").alias("table_name")
+    )
+    return (
+        union_all([clicks, views])
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.union(supplier).distinct()
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersect(supplier)
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS orderkey FROM lineitem
+    """,
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — the delete-behind complement set (reference A13
+    semantics, main.go:132-134): keys present upstream minus keys
+    already archived. Catalyst plans it as a left-anti join; the
+    key-only projection keeps the shuffle payload to one column."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return orders.exceptAll(lineitem).distinct()

@@ -1,0 +1,211 @@
+"""Window-function operators.
+
+The reference's per-table ``ORDER BY timestamp DESC LIMIT 100``
+(main.go:92-93) generalizes to per-group top-k — a window row_number,
+not a global sort. All windows here partition by a key, so execution is
+one hash shuffle on the partition key followed by an in-partition sort;
+no global ordering is ever required (the 100 TB-safe property).
+
+Determinism: every orderBy pins a unique total order via a tiebreak id
+(SURVEY.md §8 G5), and time ordering uses epoch-ms (G1). rank/dense_rank
+are value-functions of the sort key, so they stay deterministic even on
+tied keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, epoch_ms
+    FROM (
+        SELECT event_type, event_id, epoch_ms(ts) AS epoch_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_ms(ts) DESC, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 newest events per type — the reference's sorted-limit scan
+    (main.go:92-93) applied per group instead of per table."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("epoch_ms").desc(), F.col("event_id")
+    )
+    return (
+        events.select(
+            "event_type", "event_id", F.expr("ts_ns DIV 1000000").alias("epoch_ms")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS drnk
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    QUALIFY rnk <= 5
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of customers by balance within nation (top 5).
+    Rank values depend only on the sort-key values, so ties don't break
+    determinism of the output set."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc())
+    return (
+        joined.select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(value - LAG(value) OVER w AS DOUBLE), 2) AS delta_prev,
+           ROUND(CAST(LEAD(value) OVER w - value AS DOUBLE), 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Δvalue vs neighboring events (lag/lead)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns DIV 1000000"), F.col("event_id")
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - F.lag("value").over(w)).cast("double"), 2).alias(
+            "delta_prev"
+        ),
+        F.round((F.lead("value").over(w) - F.col("value")).cast("double"), 2).alias(
+            "delta_next"
+        ),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative decimal sum in event order. Decimal keeps the
+    prefix sums exact at any accumulation order (G2)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts_ns DIV 1000000"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, day_int,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY day_int
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS rolling_30d
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               epoch_ms(o_orderdate) // 86400000 AS day_int
+        FROM orders
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day spend per customer — a RANGE frame over integer
+    epoch-days. RANGE frames are value-based, so same-day ties land in
+    the same frame in both engines (deterministic without a tiebreak)."""
+    orders = load(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; datediff against the epoch date is
+    # timezone-free, matching DuckDB's epoch_ms // 86400000.
+    day_int = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_int")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", day_int.alias("day_int")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day_int",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("decimal(18,2)")
+            .alias("rolling_30d"),
+        )
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT tile, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT event_type,
+               NTILE(4) OVER (ORDER BY event_id) AS tile
+        FROM events
+    )
+    GROUP BY tile, event_type
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing by a unique order key, then a per-(tile,type)
+    histogram. Note: an un-partitioned ntile is a single-task sort —
+    fine for bucketing samples, not for 100 TB (use percentile-based
+    bucketing there)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        events.select("event_type", F.ntile(4).over(w).alias("tile"))
+        .groupBy("tile", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
