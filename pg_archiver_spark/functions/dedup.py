@@ -1,0 +1,293 @@
+"""Deduplication operators (LLM training-data pipeline surface).
+
+Five escalating strategies over ``documents`` / ``embeddings``:
+
+  exact            — hash-groupBy on content (or an md5 fingerprint)
+  dropDuplicates   — subset-key dedup
+  n-gram Jaccard   — exact set-similarity pairs (quadratic verify)
+  MinHash + LSH    — shingle→minhash→band→bucket-join: the sub-quadratic
+                     scale path; candidates verified with exact Jaccard
+  SimHash          — 64-bit signature, near-dup = small Hamming distance
+  embedding cosine — near-dup pairs in vector space
+
+Everything is built from built-in Spark expressions (xxhash64, explode,
+groupBy) — no Python row path, no ml-lib dependency — so each stage is
+a plain shuffle whose cost is measurable in .explain. At 100 TB only
+LSH/SimHash bucket-joins survive; the quadratic verifies are confined
+to within-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+# 3-token shingles; SQL-oracle-verified threshold sits in the clean gap
+# of the fixture's pair-similarity distribution (planted near-dups are
+# ≥0.9; the background is ≤0.1 — verified empirically at sf0.01).
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+# MinHash parameters: 12 bands × 2 rows = 24 hashes; P(candidate) at
+# j=0.5 ≈ 1-(1-0.25)^12 ≈ 0.97, at j=0.1 ≈ 0.11 — good separation for
+# the verify step to clean up.
+MINHASH_HASHES = 24
+LSH_BANDS = 12
+LSH_ROWS = 2
+
+
+def _shingles(text_col):
+    """Distinct k-token shingles of a space-tokenized text column."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           COUNT(DISTINCT md5(text)) AS n_distinct_fingerprints
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup profile. At 100 TB, dedup on md5(text) (a
+    16-byte shuffle key) instead of the full text payload — the two
+    distinct-counts agreeing is exactly the property that makes the
+    fingerprint substitution safe."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_distinct_fingerprints"
+        ),
+    )
+
+
+@register(
+    "dedup_dropduplicates",
+    oracle="""
+    SELECT COUNT(*) AS n_rows
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-key dedup (dropDuplicates) — one hash shuffle on the key
+    columns only."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.dropDuplicates(["user_id", "event_type"])
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 3) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — the ground truth the LSH
+    variants approximate. Implemented as shingle-explode → pair join on
+    shared shingles → intersection counts (docs sharing no shingle never
+    meet, unlike a naive cross join; still quadratic in the worst case —
+    the 100 TB path is minhash_neardup below)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("n_sh").alias("n1"),
+        "shingle",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("n_sh").alias("n2"),
+        "shingle",
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", F.round(jaccard, 3))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+@register("minhash_neardup")  # rows-only: LSH banding has no SQL equivalent
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the sub-quadratic scale path.
+
+    shingle → 24 minhashes (xxhash64 with per-hash salt) → 12 bands of 2
+    → band-key bucket join → exact-Jaccard verify of candidates only.
+    At 100 TB the bucket join replaces the all-pairs comparison: cost is
+    Σ bucket_size², bounded by band tuning, and every stage is a plain
+    shuffle (no ml-lib, no Python row path).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    # 24 salted minhashes per doc: min over shingles of xxhash64(salt ⊕ shingle).
+    minhash_cols = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))).alias(
+            f"mh{k}"
+        )
+        for k in range(MINHASH_HASHES)
+    ]
+    sig = ex.groupBy("doc_id").agg(*minhash_cols)
+
+    # Band keys: hash of each band's row-slice of the signature.
+    band_rows = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+
+    # Bucket join → candidate pairs (distinct across bands).
+    left = bands.select("band", "bucket", F.col("doc_id").alias("doc1"))
+    right = bands.select("band", "bucket", F.col("doc_id").alias("doc2"))
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+    # Verify candidates with exact Jaccard (quadratic work confined to
+    # the candidate set).
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    verified = (
+        candidates.join(sh1, "doc1")
+        .join(sh2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round("jaccard", 3).alias("jaccard"))
+    )
+    return verified.orderBy("doc1", "doc2")
+
+
+@register("dedup_simhash")  # rows-only: engine hash functions differ
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 64-bit signature = sign of per-bit
+    weighted sums of token hashes; near-dups have small Hamming distance.
+    Bucketing on the top 16 bits keeps the pair join sub-quadratic (a
+    one-band LSH); Hamming ≤ 6 verifies candidates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+
+    # Per-bit vote: +1 if bit set else -1; signature bit = vote > 0.
+    bit_votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig_expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    sigs = bit_votes.select("doc_id", sig_expr.alias("simhash"))
+
+    # One-band bucket on the high 16 bits, then Hamming verify.
+    bucketed = sigs.withColumn("bucket", F.shiftright("simhash", 48))
+    s1 = bucketed.select(
+        F.col("doc_id").alias("doc1"), F.col("simhash").alias("sig1"), "bucket"
+    )
+    s2 = bucketed.select(
+        F.col("doc_id").alias("doc2"), F.col("simhash").alias("sig2"), "bucket"
+    )
+    pairs = (
+        s1.join(s2, "bucket")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .withColumn("hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))))
+        .filter(F.col("hamming") <= 6)
+        .select("doc1", "doc2", "hamming")
+    )
+    return pairs.orderBy("doc1", "doc2")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine ≥ threshold over a
+    block-nested self-join. Output carries only the pair ids (the
+    cosine value itself is fp-noise-sensitive; the comparison is not).
+    At 100 TB, replace the self-join with the LSH bucketing of
+    sim_ann_lsh and verify within buckets."""
+    from pg_archiver_spark.functions.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .filter(cosine_expr(F.col("e1"), F.col("e2")) >= 0.42)
+        .select("vec1", "vec2")
+    )

@@ -1,0 +1,229 @@
+"""Vector-similarity operators (LLM training-data pipeline surface).
+
+Cosine similarity over ``embeddings.embedding`` (array<float>, 64-dim)
+built from higher-order functions (zip_with + aggregate): the math stays
+inside Tungsten codegen — no Python, no UDF serialization — which is
+the 100 TB-viable form of brute-force scoring.
+
+Search strategies:
+  sim_cosine_topk  — brute-force top-k vs one query vector (the exact
+                     baseline; O(N) per query, embarrassingly parallel)
+  sim_label_avg    — within-group pairwise similarity profile
+  sim_ann_lsh      — random-hyperplane LSH: 16-bit sign sketch, bucket
+                     join, exact re-rank within bucket (sub-linear
+                     candidate set; the per-query scale path)
+  sim_ann_ivf      — IVF-style: deterministic coarse centroids, assign
+                     by nearest centroid, probe the query's cell only
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision via zip_with + aggregate (JVM-side).
+
+    Elements are cast to double BEFORE multiplying: float32 products
+    then differ from DuckDB's double math (SURVEY.md §8 G4)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    SELECT b.vec_id,
+           ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id = 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 — the exact ANN baseline.
+    The 1-row query side broadcasts; scoring is a map over candidates;
+    top-k is TakeOrderedAndProject (no global sort)."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_label_avg",
+    oracle="""
+    SELECT a.label,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(AVG(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE), 3) AS avg_cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def sim_label_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise cosine — cluster-coherence profiling.
+    The label equi-key keeps the self-join hash-partitioned; averaging
+    damps fp noise (rounded to 3)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(
+        F.col("label").alias("label2"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+    )
+    return (
+        a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
+        .select("label", cosine_expr(F.col("e1"), F.col("e2")).alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("cos").cast("double"), 3).alias("avg_cos"),
+        )
+    )
+
+
+# --- ANN scale paths (rows-only: bucketing is engine-specific) --------
+
+_LSH_BITS = 16
+
+
+def _hyperplanes(dim: int = 64, bits: int = _LSH_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed integer
+    recurrence (no RNG dependency, identical across runs/machines)."""
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(bits):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            plane.append(((state >> 16) % 2001 - 1000) / 1000.0)
+        planes.append(plane)
+    return planes
+
+
+def _sketch_expr(emb: Column) -> Column:
+    """16-bit sign sketch: bit b = sign(embedding · hyperplane_b)."""
+    sketch = F.lit(0).cast("long")
+    for b, plane in enumerate(_hyperplanes()):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot_expr(emb, plane_col) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sketch = sketch.bitwiseOR(F.shiftleft(bit, b))
+    return sketch
+
+
+@register("sim_ann_lsh")  # rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: query vec_id=0, candidates = vectors
+    whose 16-bit sketch is within Hamming distance 3 of the query's
+    (multi-probe), exact cosine re-rank of candidates, top-10.
+
+    At 100 TB the sketch column is precomputed once at ingest; a query
+    touches only its probe buckets — the candidate set, not the corpus.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "sketch", _sketch_expr(F.col("embedding"))
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("sketch").alias("q_sketch")
+    )
+    candidates = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .filter(
+            F.bit_count(F.col("sketch").bitwiseXOR(F.col("q_sketch"))) <= 3
+        )
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_IVF_CELLS = 8
+
+
+@register("sim_ann_ivf")  # rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids = the first _IVF_CELLS vectors by
+    vec_id (deterministic 'training'); every vector is assigned to its
+    nearest centroid; the query probes only its own cell, exact re-rank
+    inside. Returns top-10 of the probed cell.
+
+    The assign step is a broadcast join against 8 centroids — a map
+    stage. At 100 TB the cell id becomes a partition column, so a query
+    reads one partition instead of the corpus (partition pruning)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    # Assign: argmax cosine over the 8 broadcast centroids (tiebreak: cell id).
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine_expr(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+    )
+    w_best = F.expr(
+        "max_by(cell, struct(c_cos, -cell))"
+    )  # highest cosine, lowest cell id on ties
+    assigned = scored.groupBy("vec_id").agg(
+        w_best.alias("cell"), F.first("embedding").alias("embedding")
+    )
+    query = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .filter(F.col("cell") == F.col("q_cell"))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,232 @@
+"""Text-analysis operators (LLM training-data pipeline surface).
+
+North-star ops over ``documents``: word counts, per-language stats,
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All built from Catalyst expressions + higher-order
+functions (split/filter/transform/aggregate) — no Python in the row
+path, so the same code runs at 100 TB as a pure map stage (plus one
+shuffle for the final group-bys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "text_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 20
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic explode→count word frequency, top-20 with word tiebreak
+    (G5). At 100 TB this is map-side-combinable: partial counts per
+    partition shuffle one row per (partition, word)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(AVG(n_chars) AS DOUBLE), 2) AS avg_chars,
+           SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_valid
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts + mean length; validates the n_chars
+    metadata column against length(text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars").cast("double"), 2).alias("avg_chars"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("n_valid"),
+    )
+
+
+# Marker-token sets for the language-ID heuristic. With a shared
+# vocabulary corpus (like this fixture) the predictions are mostly
+# 'unknown' — the operator contract is the deterministic scoring
+# function itself, which both engines must evaluate identically.
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "les", "des", "et"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of'))) AS s_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS s_de,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que'))) AS s_es,
+               len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et'))) AS s_fr,
+               len(list_filter(string_split(text,' '), t -> t IN ('de5','shi4','le5','zai4'))) AS s_zh
+        FROM documents
+    )
+    SELECT predicted, COUNT(*) AS n_docs,
+           SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct
+    FROM (
+        SELECT lang,
+               CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'unknown'
+                    WHEN s_en >= greatest(s_de,s_es,s_fr,s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_es,s_fr,s_zh) THEN 'de'
+                    WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted
+        FROM scored
+    )
+    GROUP BY predicted
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via marker-token scoring (n-gram-heuristic family).
+    argmax with a fixed language-priority tiebreak → deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def marker_score(markers):
+        # One-arg lambda (a default arg would make F.filter pass the
+        # element index as the second parameter).
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {
+        lang: marker_score(markers).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*(F.col(f"s_{lang}") for lang in _LANG_MARKERS))
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr", "s_zh"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr", "s_zh"), "de")
+        .when(F.col("s_es") >= F.greatest("s_fr", "s_zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT quality_band, COUNT(*) AS n_docs,
+           ROUND(CAST(AVG(n_tokens) AS DOUBLE), 2) AS avg_tokens
+    FROM (
+        SELECT len(string_split(text,' ')) AS n_tokens,
+               CASE
+                 WHEN len(string_split(text,' ')) < 20 THEN 'short'
+                 WHEN CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / len(string_split(text,' ')) < 0.35 THEN 'repetitive'
+                 ELSE 'ok'
+               END AS quality_band
+        FROM documents
+    )
+    GROUP BY quality_band
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count + type/token (distinct-ratio) bands —
+    the standard cheap pre-filter before expensive dedup/training steps.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    band = (
+        F.when(n_tokens < 20, "short")
+        .when(distinct_ratio < 0.35, "repetitive")
+        .otherwise("ok")
+    )
+    return (
+        docs.select(n_tokens.alias("n_tokens"), band.alias("quality_band"))
+        .groupBy("quality_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens").cast("double"), 2).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "text_tokencount",
+    oracle="""
+    SELECT lang,
+           SUM(len(string_split(text,' '))) AS whitespace_tokens,
+           SUM(list_sum(list_transform(string_split(text,' '),
+                                       t -> CAST(ceil(length(t)/4.0) AS BIGINT)))) AS bpe_ish_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish estimate
+    (⌈len/4⌉ subword pieces per word — the usual ~4-chars-per-token
+    budgeting rule). Per-language totals."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bpe_ish = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(toks)).alias("whitespace_tokens"),
+        F.sum(bpe_ish).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           length(text) % 997 AS rolling_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the exact text (the content-hash
+    key exact dedup joins on) plus a cheap length-mod bucket. md5 is
+    bit-identical across engines, so this is sql-checkable; shingle
+    fingerprints live in the minhash op."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        (F.length("text") % 997).alias("rolling_bucket"),
+    )

@@ -53,6 +53,7 @@ def load_all_operators() -> None:
     )
     from pg_archiver_spark.functions import (  # noqa: F401
         dedup,
+        multimodal,
         scalars,
         similarity,
         text,
