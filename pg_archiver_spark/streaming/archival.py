@@ -1,0 +1,219 @@
+"""The archiver itself — pg-archiver's pipeline, Spark-native.
+
+Reference pipeline (main.go:147-256): per-table cursor read below a
+cutoff → in-memory union → single Parquet file keyed by the batch's max
+timestamp → S3 PutObject → DELETE everything below the cutoff. Four
+defects documented in SURVEY.md §4.4 are fixed here:
+
+  D1 read-limit/delete-all data loss → delete exactly the archived key
+     set (the ledger written per batch), never a blanket cutoff DELETE
+  D2 single-partition misplacement   → per-row partitionBy(year, month)
+  D3 non-atomic archive+delete       → idempotent per-batch-id output
+     dirs: a retried micro-batch overwrites its own output, and the
+     delete ledger is derived from committed archive output only
+  D4 fixed temp path collisions      → committer-managed task files
+  D5 timestamp type erasure          → real TimestampType in the archive
+
+Batch mode = one call; streaming mode = readStream + foreachBatch over
+a growing staging directory (the file-source stand-in for the Postgres
+NOTIFY/LISTEN feed named in README.md:124).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+_WORK_ROOT = "/tmp/pg_archiver_spark"
+
+
+def _fresh_dir(*parts: str) -> str:
+    path = os.path.join(_WORK_ROOT, *parts)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def archive_batch(
+    tagged_sources: dict[str, DataFrame],
+    cutoff_col_expr,
+    archive_dir: str,
+    batch_id: int = 0,
+) -> DataFrame:
+    """One archival batch over pre-loaded source frames.
+
+    The reference's whole run() (main.go:147-256) as one lazy plan:
+    filter-below-cutoff per table → lineage tag (A6) → union (A7) →
+    per-row year/month partitioned Snappy Parquet (A10-A12, D2 fixed).
+    Returns the archived keys ledger (table_name, event_id) — the exact
+    delete set (D1 fixed).
+    """
+    tagged = None
+    for name, df in tagged_sources.items():
+        part = df.filter(cutoff_col_expr(df)).withColumn("table_name", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    out = os.path.join(archive_dir, f"batch_id={batch_id}")
+    # Overwrite of the batch's own directory → a retry of the same batch
+    # is idempotent (D3).
+    (
+        tagged.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month")
+        .option("compression", "snappy")
+        .parquet(out)
+    )
+    spark = tagged.sparkSession
+    return spark.read.parquet(out).select("table_name", "event_id")
+
+
+@register("stream_archival_foreachbatch")  # rows-only: stateful pipeline
+def stream_archival_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental archiver: micro-batch read → cutoff filter →
+    partitioned Parquet append → delete-behind, with D1/D3 fixes.
+
+    Staging parquet files stand in for the Postgres source; foreachBatch
+    is where a JDBC sink would run the ledger-driven DELETE in the same
+    batch function. Output: one summary row asserting the safety
+    invariants (archived ∪ remaining == source, archived ∩ remaining == ∅).
+    """
+    staging = _fresh_dir("archival", "staging")
+    archive = _fresh_dir("archival", "archive")
+    ledger = _fresh_dir("archival", "ledger")
+    checkpoint = _fresh_dir("archival", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    # 4 staging files ≈ 4 source micro-batches.
+    events.repartition(4).write.mode("overwrite").parquet(staging)
+
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        to_archive = (
+            batch_df.filter(F.col("ts") < cutoff)
+            .withColumn("table_name", F.lit("events"))
+            .withColumn("year", F.year("ts"))
+            .withColumn("month", F.month("ts"))
+        )
+        # Idempotent per-batch output (D3): a retried batch overwrites
+        # its own batch_id directory instead of double-appending.
+        (
+            to_archive.write.mode("overwrite")
+            .partitionBy("year", "month")
+            .option("compression", "snappy")
+            .parquet(os.path.join(archive, f"batch_id={batch_id}"))
+        )
+        # Delete ledger = exactly the keys just archived (D1): the JDBC
+        # delete-behind runs `DELETE ... WHERE id IN (ledger)` — never a
+        # blanket `< cutoff` that would drop unarchived rows.
+        (
+            to_archive.select("event_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger, f"batch_id={batch_id}"))
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    archived = spark.read.parquet(archive)
+    ledger_keys = spark.read.parquet(ledger).select("event_id")
+    source = spark.read.parquet(staging)
+    remaining = source.join(ledger_keys, "event_id", "left_anti")
+
+    n_source = source.count()
+    n_archived = archived.count()
+    n_remaining = remaining.count()
+    n_overlap = (
+        archived.select("event_id").join(remaining, "event_id", "inner").count()
+    )
+    n_partitions = archived.select("year", "month").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_source,
+                n_archived,
+                n_remaining,
+                n_partitions,
+                bool(n_archived + n_remaining == n_source and n_overlap == 0),
+            )
+        ],
+        "n_source long, n_archived long, n_remaining long, n_partitions long, invariants_ok boolean",
+    )
+
+
+@register("stream_watermark_late")  # rows-only: incremental semantics
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed count over a file-source replay: three
+    ordered micro-batches — on-time data, watermark-advancing data, then
+    late data older than (max event time − 10 min) which append mode
+    must drop. Returns the finalized per-hour windows the stream emitted.
+    """
+    staging = _fresh_dir("watermark", "staging")
+    checkpoint = _fresh_dir("watermark", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "value")
+    )
+    # Batch 1: first day. Batch 2: a later day (advances the watermark
+    # far past day 1). Batch 3: day-1 rows again — now late, dropped.
+    day1 = events.filter(F.col("ts") < "2024-01-02")
+    day5 = events.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06")
+    )
+    late = events.filter(
+        (F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-03")
+    )
+    for i, part in enumerate([day1, day5, late]):
+        path = os.path.join(staging, f"batch_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        # File-source ordering is by modification time; pin it.
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staging, "batch_*"))
+    )
+    windowed = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("watermark_late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        "SELECT window_start, n_events FROM watermark_late_sink ORDER BY window_start"
+    )
