@@ -1,0 +1,138 @@
+"""UDF / UDAF / UDTF surface.
+
+The escape hatches, in preference order (SURVEY.md §2.B UDF block):
+
+  built-in expression  — always first choice (everything else in this
+                         repo); whole-stage codegen, zero Python cost
+  pandas_udf           — Arrow-batched, vectorized; ~10-100× faster
+                         than row UDFs; for numeric kernels Spark lacks
+  grouped-agg pandas   — custom aggregates over Arrow group batches
+  Python UDTF          — table-generating functions (Spark ≥3.5)
+  row Python UDF       — last resort; kept here only as the contract's
+                         demonstration op
+
+Each op's oracle is the equivalent relational form, proving the UDF
+computes a well-defined function rather than something opaque.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@udf(returnType=T.StringType())
+def _value_category(value: float) -> str:
+    """Row-at-a-time Python UDF (deliberately: the contract op for the
+    slow path — every other operator avoids this)."""
+    if value is None:
+        return "unknown"
+    if value < 50:
+        return "low"
+    if value < 150:
+        return "mid"
+    return "high"
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS category,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY category
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(_value_category("value").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@pandas_udf(T.DoubleType())
+def _double_value(v: pd.Series) -> pd.Series:
+    """Arrow-batched vectorized kernel: whole Series in, whole Series
+    out — one Python call per batch, not per row."""
+    return (v * 2).round(2)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, ROUND(value * 2, 2) AS value_x2
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select("event_id", _double_value("value").alias("value_x2"))
+
+
+@pandas_udf(T.DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg pandas UDF: quantity-weighted mean extendedprice."""
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_avg_price("l_extendedprice", "l_quantity").cast("double"), 2
+        ).alias("weighted_avg_price")
+    )
+
+
+@udtf(returnType="doc_id: bigint, word: string")
+class _SplitWords:
+    """Python UDTF: one document row in, one row per word out — the
+    table-function form of explode(split(...))."""
+
+    def eval(self, doc_id: int, text: str):
+        if text:
+            for word in text.split(" "):
+                yield doc_id, word
+
+
+@register(
+    "udtf_split",
+    oracle="""
+    SELECT COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    """,
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    spark.udtf.register("split_words", _SplitWords)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
+        FROM docs_for_udtf,
+             LATERAL split_words(doc_id, text) AS t(doc_id2, word)
+        """
+    )
