@@ -1,0 +1,81 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is timed as a full action (collect) after a shared warm-up
+so JVM startup is excluded; per-query times are wall-clock end-to-end
+including the Parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from pg_archiver_spark.session import get_spark
+
+# Headline set: the flagship + one representative per operator family,
+# weighted toward scan/join/agg-heavy shapes (what dominates at 100 TB).
+HEADLINE = [
+    "orderby_limit_topk",       # the reference's extraction query
+    "agg_group_pricing",        # TPC-H Q1 shape (scan-bound agg)
+    "join_broadcast_dim",       # fact ⋈ broadcast dim + agg
+    "join_inner_equi",          # fact ⋈ fact shuffle join
+    "join_asof",                # composed as-of join
+    "window_topk_per_group",    # windowed top-k
+    "window_running_sum",       # running aggregate
+    "scan_filter_prune",        # pruned scan
+    "text_wordcount",           # explode-heavy text op
+    "dedup_ngram_jaccard",      # exact near-dup pairs
+    "minhash_neardup",          # LSH near-dup
+    "sim_cosine_topk",          # vector top-k
+    "stream_session",           # session windows
+    "udaf_pandas_grouped",      # Arrow UDAF path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    queries = entry_mod.queries()
+    # Warm-up pass: JVM startup + whole-stage-codegen JIT compilation
+    # (JMH-style steady-state methodology — at real scale the one-time
+    # compile cost is amortized over the data, at sf0.1 it IS the time).
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).collect()
+    # Drop any DataFrame caches the warm-up materialized so the measured
+    # pass re-does the actual data work.
+    spark.catalog.clearCache()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,10 @@ def get_spark(app_name: str = "pg_archiver_spark", shuffle_partitions: int | Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Dimension tables (region/nation/supplier/part) stay broadcast-able.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Small local fixture files would otherwise become one scan task
+        # (default 128m); at cluster scale files are many and this only
+        # caps per-task input.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):

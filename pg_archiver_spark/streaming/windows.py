@@ -93,7 +93,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
         SELECT user_id, ms,
-               CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_session
+               CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ),
     sessions AS (
@@ -117,10 +117,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 30-minute gap — ``F.session_window``, the same
     stateful operator Structured Streaming runs with a state store.
 
-    Boundary semantics (G7): a session extends while the next event is
-    strictly inside [last, last+gap); a gap of exactly 30 minutes starts
-    a new session — mirrored in the oracle's ``>= 1800000``. Both sides
-    compare ms-floored values, so the boundary test is identical.
+    Boundary semantics (G7, verified empirically on PySpark 4.1.2 in
+    tests/test_operators.py::test_session_window_boundary): a gap of
+    EXACTLY the session duration still merges — a new session starts
+    only when gap > duration. The oracle mirrors this with
+    ``ms - prev_ms > 1800000``. Both sides compare ms-floored values,
+    so the boundary test is identical.
     """
     ev = _events_ms(spark, sf_dir)
     per_session = ev.groupBy(

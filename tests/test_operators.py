@@ -1,0 +1,148 @@
+"""Per-operator unit tests on tiny hand-written frames — null/empty/
+boundary cases the sf fixtures don't exercise (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.operators.setops import union_all
+
+
+def test_union_all_multi_frame(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, tag string")
+    b = spark.createDataFrame([(2, "y")], "id long, tag string")
+    c = spark.createDataFrame([(3, "z")], "id long, tag string")
+    assert union_all([a, b, c]).count() == 3
+
+
+def test_union_all_single_frame(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, tag string")
+    assert union_all([a]).count() == 1
+
+
+def test_archive_selection_empty_input(spark, tmp_path):
+    """The reference short-circuits on 0 rows (main.go:189-192); our
+    plan must produce an empty result, not an error."""
+    from pg_archiver_spark.operators import sorts
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events.parquet")
+    empty.write.parquet(path)
+    df = spark.read.parquet(path)
+    out = (
+        df.filter(F.col("ts_ns") < 0)
+        .orderBy(F.col("ts_ns").desc())
+        .limit(100)
+    )
+    assert out.count() == 0
+
+
+def test_topk_ties_break_on_id(spark):
+    """G5: identical sort keys must still produce a unique selection."""
+    rows = [(i, 100) for i in range(10)]  # all same "timestamp"
+    df = spark.createDataFrame(rows, "event_id long, epoch_ms long")
+    top = df.orderBy(F.col("epoch_ms").desc(), F.col("event_id")).limit(3)
+    assert [r.event_id for r in top.collect()] == [0, 1, 2]
+
+
+def test_left_outer_preserves_unmatched(spark):
+    cust = spark.createDataFrame([(1,), (2,)], "custkey long")
+    orders = spark.createDataFrame([(1, 10)], "custkey long, orderkey long")
+    joined = cust.join(orders, "custkey", "left")
+    counts = {
+        r.custkey: r.n
+        for r in joined.groupBy("custkey").agg(F.count("orderkey").alias("n")).collect()
+    }
+    assert counts == {1: 1, 2: 0}
+
+
+def test_null_handling_in_agg(spark):
+    """SUM/AVG skip nulls; COUNT(col) skips, COUNT(*) doesn't."""
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    row = df.agg(
+        F.sum("v").alias("s"), F.count("v").alias("c"), F.count("*").alias("n")
+    ).first()
+    assert (row.s, row.c, row.n) == (4.0, 2, 3)
+
+
+def test_decimal_sum_exact(spark):
+    """G2: decimal sums must be exact regardless of row order."""
+    vals = [(0.1,)] * 10
+    df = spark.createDataFrame(vals, "v double")
+    total = df.agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s")).first().s
+    assert str(total) == "1.00"
+
+
+def test_session_window_boundary(spark):
+    """G7 (verified on PySpark 4.1.2): a gap of EXACTLY the session
+    duration merges; only gap > duration starts a new session. The
+    stream_session oracle mirrors this with `> 1800000`."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 30, 0)),  # gap == 30 min → merges
+        (1, datetime(2024, 1, 1, 1, 0, 1)),  # gap > 30 min → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sessions = df.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).count()
+    assert sessions.count() == 2
+
+
+def test_asof_picks_latest_prior(spark):
+    errors = spark.createDataFrame([(1, 100, 1000)], "e_id long, e_user long, e_ms long")
+    signups = spark.createDataFrame(
+        [(100, 400), (100, 900), (100, 1500)], "s_user long, s_ms long"
+    )
+    matched = (
+        errors.join(signups, (errors.e_user == signups.s_user) & (errors.e_ms >= signups.s_ms))
+        .groupBy("e_id", "e_ms")
+        .agg(F.max("s_ms").alias("best"))
+        .first()
+    )
+    assert matched.best == 900  # not 1500 (future), not 400 (not latest)
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    """Two identical docs must always share every band → candidate pair
+    with jaccard 1.0."""
+    from pg_archiver_spark.functions.dedup import _shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "z y x w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("l.s", "r.s")).cast("double")
+            / F.size(F.array_union("l.s", "r.s")),
+        )
+    )
+    exact = {(r["l.doc_id"] if "l.doc_id" in r else r[0], r[1]): r.j for r in
+             pairs.select(F.col("l.doc_id"), F.col("r.doc_id"), "j").collect()}
+    assert exact[(1, 2)] == 1.0
+    assert exact[(1, 3)] == 0.0
+
+
+def test_cosine_expr_orthogonal_and_identical(spark):
+    from pg_archiver_spark.functions.similarity import cosine_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r.c for r in df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+broadcast, no cross products) must survive refactors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_archiver_spark.plans.inspect import physical_plan
+from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ops():
+    load_all_operators()
+
+
+def test_project_prune_pushes_filter_and_schema(spark, sf_dir):
+    plan = physical_plan(QUERIES["project_prune"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # Column pruning: untouched wide columns must not be read.
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_events_cutoff_pushes_to_scan(spark, sf_dir):
+    plan = physical_plan(QUERIES["orderby_limit_topk"](spark, sf_dir))
+    assert "LessThan(ts_ns" in plan or "LessThan(ts," in plan
+    # Sorted limit must be top-k, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    plan = physical_plan(QUERIES["join_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_has_no_shuffle_joins(spark, sf_dir):
+    plan = physical_plan(QUERIES["join_star_multiway"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_join_keeps_equi_prefix(spark, sf_dir):
+    """The brand equi-key must keep this a hash join, not a nested-loop
+    cross product."""
+    plan = physical_plan(QUERIES["join_theta_range"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_plans(spark, sf_dir):
+    assert "LeftSemi" in physical_plan(QUERIES["join_semi"](spark, sf_dir))
+    assert "LeftAnti" in physical_plan(QUERIES["join_anti"](spark, sf_dir))
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """Grouped agg must map-side combine (partial_*) before the shuffle."""
+    plan = physical_plan(QUERIES["agg_group_pricing"](spark, sf_dir))
+    assert "partial_" in plan
+
+
+def test_no_python_udf_in_builtin_ops(spark, sf_dir):
+    """Core relational ops must stay JVM-side (no Python eval nodes)."""
+    for name in ["agg_group_pricing", "join_inner_equi", "text_wordcount"]:
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
