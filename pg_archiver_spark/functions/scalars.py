@@ -44,6 +44,46 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_levenshtein",
+    oracle="""
+    SELECT levenshtein(p_type, 'STANDARD') AS dist, COUNT(*) AS n_parts
+    FROM part
+    GROUP BY dist
+    """,
+)
+def string_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram vs a reference string (fuzzy matching /
+    typo clustering primitive; identical DP algorithm in both engines)."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy(F.levenshtein(F.col("p_type"), F.lit("STANDARD")).alias("dist"))
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "string_regexp",
+    oracle="""
+    SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+           COUNT(*) AS n_parts,
+           MIN(regexp_replace(p_name, '[aeiou]', '_', 'g')) AS sample_devoweled
+    FROM part
+    GROUP BY brand_num
+    """,
+)
+def string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (capture group → int) + regexp_replace (global).
+    MIN of the devoweled name keeps the output deterministic per group."""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy(
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.min(F.regexp_replace("p_name", "[aeiou]", "_")).alias("sample_devoweled"),
+    )
+
+
+@register(
     "date_parts_format",
     oracle="""
     SELECT year(o_orderdate) AS order_year,

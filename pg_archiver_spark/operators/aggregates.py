@@ -236,3 +236,102 @@ def agg_max_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").agg(
         F.max(F.expr("ts_ns DIV 1000000")).alias("max_epoch_ms")
     )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(median(l_quantity) AS DOUBLE), 4) AS med_qty,
+           ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified on linear-interpolated values). The
+    exact form needs a per-group sort; the 100 TB variant is
+    approx_percentile (t-digest sketch, mergeable, no sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)").cast("double"), 4).alias(
+            "med_qty"
+        ),
+        F.round(F.expr("percentile(l_quantity, 0.9)").cast("double"), 4).alias(
+            "p90_qty"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_PIVOT_PRIORITIES = {
+    "1-URGENT": "urgent",
+    "2-HIGH": "high",
+    "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "notspec",
+    "5-LOW": "low",
+}
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS notspec,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low,
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): priority counts per status. The explicit value
+    list keeps it a single-pass agg (without it Spark needs an extra job
+    to discover the pivot values)."""
+    orders = load(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
+        .count()
+        .na.fill(0)
+    )
+    renamed = wide
+    for raw, clean in _PIVOT_PRIORITIES.items():
+        renamed = renamed.withColumnRenamed(raw, clean)
+    return renamed
+
+
+@register(
+    "agg_time_bucket_rollup",
+    oracle="""
+    SELECT epoch_ms(ts) // 21600000 AS bucket_id,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    GROUP BY bucket_id, event_type
+    """,
+)
+def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: fixed 6-hour
+    buckets (epoch-ms integer division) per event type. The bucket id is
+    a pure function of the row, so the rollup is an ordinary map-side-
+    combinable agg — and at rest the bucket id doubles as a partition
+    key for pruned reads of the materialized rollup."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.expr("ts_ns DIV 1000000 DIV 21600000").alias("bucket_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )

@@ -253,6 +253,113 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides bucketed 8-ways
+    on the join key at write time, so the join needs NO exchange at all
+    (asserted in tests/test_plans.py). This is the 100 TB pattern for a
+    repeatedly-joined key: pay one shuffle at ingest, never again."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "bucketed")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", customer, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    b_orders = spark.table("b_orders")
+    b_customer = spark.table("b_customer")
+    return (
+        b_orders.join(b_customer, b_orders.o_custkey == b_customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT event_id,
+               CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS skew_key,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS skew_key,
+               concat('u', CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END) AS label
+        FROM events
+    )
+    SELECT label,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM fact JOIN dim USING (skew_key)
+    GROUP BY label
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed join keys: half the fact rows share one hot
+    key (synthetic skew). The fact side appends salt = event_id % 8; the
+    dim side explodes ×8; the join runs on (key, salt), spreading the
+    hot key over 8 tasks. Result is identical to the unsalted join (the
+    oracle). At 100 TB this (or AQE skew-join splitting) is what keeps
+    one executor from running the whole hot key alone."""
+    events = load(spark, sf_dir, "events")
+    skew_key = F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = events.select(
+        "event_id",
+        skew_key.alias("skew_key"),
+        "value",
+        (F.col("event_id") % 8).alias("salt"),
+    )
+    dim = (
+        events.select(skew_key.alias("skew_key"))
+        .distinct()
+        .select(
+            "skew_key",
+            F.concat(F.lit("u"), F.col("skew_key")).alias("label"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt"),
+        )
+    )
+    return (
+        fact.join(dim, ["skew_key", "salt"])
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
     "join_interval_pairs",
     oracle="""
     SELECT COUNT(*) AS n_pairs

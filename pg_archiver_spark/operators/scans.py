@@ -70,6 +70,71 @@ def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY l_returnflag
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample via an md5-prefix predicate on the
+    key — unlike TABLESAMPLE/rand(), identical across engines, runs,
+    and partitionings (the reproducible-experiment sampling pattern for
+    training-data pipelines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@register("sink_csv_roundtrip")  # rows-only: sink op
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV output format ('more output formats' — reference future work,
+    README.md:126): header + explicit timestamp format out, schema-pinned
+    read back, count verified against the source."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts_ns DIV 1000000").alias("epoch_ms"), "user_id", "value"
+    )
+    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "csv_events")
+    events.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema("event_id long, epoch_ms long, user_id long, value double").option(
+        "header", "true"
+    ).csv(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("epoch_ms").alias("max_epoch_ms"),
+    )
+
+
+@register("sink_json_roundtrip")  # rows-only: sink op
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines output format round-trip, schema-pinned read back."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "json_docs")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 @register("sink_parquet_partitioned")  # rows-only: sink op, no SQL oracle
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The archive sink (reference A10/A11/A12, main.go:46-85,220-223),

@@ -186,6 +186,61 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_cume_dist",
+    oracle="""
+    SELECT n_name, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — distribution-position functions; like
+    rank they depend only on sort-key values, so tied keys stay
+    deterministic."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy("c_acctbal")
+    return joined.select(
+        "n_name",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id) OVER w AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame: each user's
+    first and last event id in time order (unique tiebreak, G5)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts_ns DIV 1000000"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+    ).distinct()
+
+
+@register(
     "window_ntile",
     oracle="""
     SELECT tile, event_type, COUNT(*) AS n_events

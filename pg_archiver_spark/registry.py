@@ -49,6 +49,7 @@ def load_all_operators() -> None:
         scans,
         setops,
         sorts,
+        subqueries,
         windows,
     )
     from pg_archiver_spark.functions import (  # noqa: F401

@@ -60,6 +60,31 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert "partial_" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located bucketed join must not shuffle either side.
+
+    At fixture size Catalyst correctly prefers a broadcast join, so we
+    disable broadcast to surface the sort-merge path the bucketing is
+    for — that's the 100 TB shape where neither side fits in memory."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # Exactly ONE exchange in the whole plan: the final aggregation.
+        # The join itself reads the bucketed layout — no join-side
+        # shuffles, no broadcast.
+        tree = plan.split("(1) Scan")[0]
+        n_exchanges = sum(
+            "Exchange" in line for line in tree.splitlines()
+        )
+        assert n_exchanges == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_no_python_udf_in_builtin_ops(spark, sf_dir):
     """Core relational ops must stay JVM-side (no Python eval nodes)."""
     for name in ["agg_group_pricing", "join_inner_equi", "text_wordcount"]:
