@@ -166,8 +166,17 @@ def stream_archival_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed count over a file-source replay: three
     ordered micro-batches — on-time data, watermark-advancing data, then
-    late data older than (max event time − 10 min) which append mode
-    must drop. Returns the finalized per-hour windows the stream emitted.
+    late data far below the watermark.
+
+    What the watermark GUARANTEES (verified empirically on 4.1.2, see
+    tests/test_streaming.py): bounded state — finalized window state is
+    evicted once the watermark passes the window end — and at-most-once
+    window emission in append mode. Dropping of late input is
+    best-effort only (Spark's documented caveat): a late row whose
+    window state was already evicted may create fresh state and emit on
+    finalization rather than being counted in numRowsDroppedByWatermark.
+    Returns the emitted per-hour windows (each window start exactly
+    once).
     """
     staging = _fresh_dir("watermark", "staging")
     checkpoint = _fresh_dir("watermark", "checkpoint")
