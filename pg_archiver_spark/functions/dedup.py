@@ -182,13 +182,14 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cached: consumed by the signature build AND both verify sides (at
     # scale: the persisted shingle/signature tables of an ingest stage).
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # One string hash per shingle, then 24 cheap long-mix rehashes —
+    # instead of 24 string concat+hash passes over the shingle text.
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
 
-    # 24 salted minhashes per doc: min over shingles of xxhash64(salt ⊕ shingle).
     minhash_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))).alias(
-            f"mh{k}"
-        )
+        F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
         for k in range(MINHASH_HASHES)
     ]
     sig = ex.groupBy("doc_id").agg(*minhash_cols)

@@ -145,11 +145,17 @@ def _sketch_expr(emb: Column) -> Column:
 @register("sim_ann_lsh")  # rows-only
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: query vec_id=0, candidates = vectors
-    whose 16-bit sketch is within Hamming distance 3 of the query's
+    whose 16-bit sketch is within Hamming distance 5 of the query's
     (multi-probe), exact cosine re-rank of candidates, top-10.
 
     At 100 TB the sketch column is precomputed once at ingest; a query
     touches only its probe buckets — the candidate set, not the corpus.
+
+    Radius tuning (measured on the fixture, whose N(0,0.1) random
+    embeddings are a worst case — true neighbors sit near 72°):
+    radius 3 → 4% of corpus scanned / recall@10 2, radius 5 → 14% /
+    4, radius 8 → 62% / 9. Clustered real-world embeddings separate
+    far better; radius 5 is the demo operating point.
     """
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "sketch", _sketch_expr(F.col("embedding"))
@@ -161,7 +167,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(query))
         .filter(
-            F.bit_count(F.col("sketch").bitwiseXOR(F.col("q_sketch"))) <= 3
+            F.bit_count(F.col("sketch").bitwiseXOR(F.col("q_sketch"))) <= 5
         )
     )
     return (
