@@ -43,14 +43,22 @@ def _shingles(text_col):
     """Distinct k-token shingles of a space-tokenized text column.
 
     Built with element_at rather than slice — O(1) element reads instead
-    of a per-shingle sub-array allocation (~30% faster at sf0.1)."""
+    of a per-shingle sub-array allocation (~30% faster at sf0.1).
+
+    Texts shorter than k tokens yield an empty shingle set (the naive
+    sequence(1, n-k+1) would run DESCENDING for n < k and crash on
+    out-of-bounds element_at)."""
     toks = F.split(text_col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
-            ),
+    return F.when(
+        F.size(toks) < SHINGLE_K, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
+                ),
+            )
         )
     )
 

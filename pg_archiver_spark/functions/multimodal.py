@@ -28,13 +28,14 @@ from pg_archiver_spark.registry import register
     oracle="""
     SELECT d.lang, e.label,
            COUNT(*) AS n_docs,
-           ROUND(CAST(AVG(d.n_chars) AS DOUBLE), 2) AS avg_chars
+           (SUM(d.n_chars) * 1000) // COUNT(*) AS avg_chars_milli
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.lang, e.label
     """,
 )
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text ⋈ vector modalities in one frame (doc_id = vec_id)."""
+    """Text ⋈ vector modalities in one frame (doc_id = vec_id). Mean
+    length in exact milli-units (int-ratio ROUND ties, G11)."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     return (
@@ -42,7 +43,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "label")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars").cast("double"), 2).alias("avg_chars"),
+            F.expr("(SUM(n_chars) * 1000) DIV COUNT(*)").alias("avg_chars_milli"),
         )
     )
 

@@ -46,7 +46,7 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(CAST(AVG(n_chars) AS DOUBLE), 2) AS avg_chars,
+           (SUM(n_chars) * 1000) // COUNT(*) AS avg_chars_milli,
            SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_valid
     FROM documents
     GROUP BY lang
@@ -54,11 +54,15 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language doc counts + mean length; validates the n_chars
-    metadata column against length(text)."""
+    metadata column against length(text).
+
+    Mean length in exact milli-chars (integer floor division): a
+    ROUND(avg, k) of an int/int ratio ties whenever the group count
+    divides cleanly, and the engines break ties differently (G11)."""
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars").cast("double"), 2).alias("avg_chars"),
+        F.expr("(SUM(n_chars) * 1000) DIV COUNT(*)").alias("avg_chars_milli"),
         F.sum(
             F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
         ).alias("n_valid"),
@@ -146,7 +150,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle="""
     SELECT quality_band, COUNT(*) AS n_docs,
-           ROUND(CAST(AVG(n_tokens) AS DOUBLE), 2) AS avg_tokens
+           (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_milli
     FROM (
         SELECT len(string_split(text,' ')) AS n_tokens,
                CASE
@@ -178,7 +182,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quality_band")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens").cast("double"), 2).alias("avg_tokens"),
+            F.expr("(SUM(n_tokens) * 1000) DIV COUNT(*)").alias("avg_tokens_milli"),
         )
     )
 

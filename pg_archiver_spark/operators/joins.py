@@ -210,7 +210,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
     SELECT COUNT(*) AS n_matched,
-           ROUND(CAST(AVG(gap_ms) AS DOUBLE) / 60000.0, 2) AS avg_gap_min
+           SUM(gap_ms) // (COUNT(*) * 60) AS avg_gap_millimin
     FROM (
         SELECT epoch_ms(e.ts) - epoch_ms(s.ts) AS gap_ms
         FROM (SELECT * FROM events WHERE event_type = 'error') e
@@ -246,9 +246,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("s_ms").alias("best_s_ms"))
         .select((F.col("e_ms") - F.col("best_s_ms")).alias("gap_ms"))
     )
+    # Mean gap in exact milli-minutes: Σgap_ms / (n·60) floor-divided —
+    # int-ratio ROUND ties resolve differently across engines (G11).
     return matched.agg(
         F.count("*").alias("n_matched"),
-        F.round(F.avg("gap_ms").cast("double") / 60000.0, 2).alias("avg_gap_min"),
+        F.expr("SUM(gap_ms) DIV (COUNT(*) * 60)").alias("avg_gap_millimin"),
     )
 
 

@@ -189,8 +189,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cume_dist",
     oracle="""
     SELECT n_name, c_custkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal)
     """,
@@ -198,7 +198,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist — distribution-position functions; like
     rank they depend only on sort-key values, so tied keys stay
-    deterministic."""
+    deterministic.
+
+    Deliberately NOT rounded: k/n divisions are IEEE-identical in both
+    engines, while ROUND(x, 6) resolves exact-tie values (e.g.
+    0.5046875) differently (Spark HALF_UP on the decimal repr vs
+    DuckDB rounding the binary value) — observed at sf0.1."""
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     joined = customer.join(
@@ -208,8 +213,8 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "n_name",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

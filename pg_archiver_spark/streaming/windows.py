@@ -108,7 +108,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           ROUND(CAST(AVG(session_size) AS DOUBLE), 2) AS avg_session_size
+           (SUM(session_size) * 1000) // COUNT(*) AS avg_size_milli
     FROM sized
     GROUP BY user_id
     """,
@@ -123,6 +123,11 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     only when gap > duration. The oracle mirrors this with
     ``ms - prev_ms > 1800000``. Both sides compare ms-floored values,
     so the boundary test is identical.
+
+    The mean session size is reported in exact milli-units via integer
+    floor division — a ROUND(avg, 2) ties when a user's session count
+    divides cleanly (e.g. 82/80 events = 1.025) and Spark/DuckDB break
+    such ties differently (observed at sf0.1).
     """
     ev = _events_ms(spark, sf_dir)
     per_session = ev.groupBy(
@@ -130,5 +135,5 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("session_size"))
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
-        F.round(F.avg("session_size").cast("double"), 2).alias("avg_session_size"),
+        F.expr("(SUM(session_size) * 1000) DIV COUNT(*)").alias("avg_size_milli"),
     )

@@ -136,6 +136,20 @@ def test_minhash_finds_exact_duplicates(spark):
     assert exact[(1, 3)] == 0.0
 
 
+def test_shingles_short_text_is_empty_not_error(spark):
+    """Texts with < k tokens must produce an empty shingle set — the
+    unguarded sequence(1, n-k+1) runs descending for n < k and crashes
+    on out-of-bounds element_at."""
+    from pg_archiver_spark.functions.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.s for r in df.select("doc_id", _shingles(F.col("text")).alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c", "b c d"]
+
+
 def test_cosine_expr_orthogonal_and_identical(spark):
     from pg_archiver_spark.functions.similarity import cosine_expr
 
