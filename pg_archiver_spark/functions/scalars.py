@@ -233,6 +233,37 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_higher_order",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           SUM(len(list_filter(embedding, x -> x > 0))) AS n_positive,
+           ROUND(CAST(MAX(list_sum(list_transform(embedding,
+                 x -> CAST(abs(x) AS DOUBLE)))) AS DOUBLE), 4) AS max_l1_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform / fold) over the
+    embedding vectors: positive-component counts and max L1 norm per
+    label. All JVM-side lambda evaluation — the same machinery the
+    similarity ops build on."""
+    emb = load(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(n_pos).alias("n_positive"),
+        F.round(F.max(l1).cast("double"), 4).alias("max_l1_norm"),
+    )
+
+
+@register(
     "struct_nested",
     oracle="""
     SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
