@@ -104,6 +104,38 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one user's events in, z-scored values out.
+    ddof=1 matches SQL stddev_samp."""
+    sd = pdf["value"].std(ddof=1)
+    mean = pdf["value"].mean()
+    out = pdf[["event_id", "user_id"]].copy()
+    out["zscore"] = ((pdf["value"] - mean) / sd).round(4) if sd and sd > 0 else 0.0
+    return out
+
+
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score normalization. Each
+    group arrives as one Arrow-backed pandas frame — the pattern for
+    per-entity kernels Spark expressions can't write (model scoring,
+    signal processing). The oracle is the relational equivalent
+    (windowed mean/stddev), proving the Python kernel computes a
+    well-defined function."""
+    events = load(spark, sf_dir, "events")
+    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, schema="event_id long, user_id long, zscore double"
+    )
+
+
 @udtf(returnType="doc_id: bigint, word: string")
 class _SplitWords:
     """Python UDTF: one document row in, one row per word out — the

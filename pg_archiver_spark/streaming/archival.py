@@ -162,6 +162,76 @@ def stream_archival_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_stateful_count")  # rows-only: custom state machine
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter whose state (count, last epoch-ms)
+    survives across micro-batches — the primitive behind custom session
+    logic, CDC reconciliation, or online feature aggregation that the
+    built-in window operators can't express.
+
+    The state store holds one row per user (bounded by key cardinality);
+    each micro-batch touches only the keys it contains.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staging = _fresh_dir("stateful", "staging")
+    checkpoint = _fresh_dir("stateful", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("epoch_ms", F.expr("ts_ns DIV 1000000"))
+        .select("event_id", "epoch_ms", "user_id")
+    )
+    events.repartition(3).write.mode("overwrite").parquet(staging)
+
+    def count_events(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            count, last_ms = state.get
+        else:
+            count, last_ms = 0, 0
+        for pdf in pdfs:
+            count += len(pdf)
+            last_ms = max(last_ms, int(pdf["epoch_ms"].max()))
+        state.update((count, last_ms))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "last_epoch_ms": [last_ms]}
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long, last_epoch_ms long",
+        stateStructType="count long, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_count_sink")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # Update mode emits a row per (batch, key); keep each user's final
+    # state — which must equal the batch-mode per-user profile.
+    final = spark.sql(
+        """
+        SELECT user_id, MAX(n_events) AS n_events, MAX(last_epoch_ms) AS last_epoch_ms
+        FROM stateful_count_sink GROUP BY user_id
+        """
+    )
+    return final.orderBy("user_id")
+
+
 @register("stream_watermark_late")  # rows-only: incremental semantics
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed count over a file-source replay: three

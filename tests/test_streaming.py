@@ -80,6 +80,23 @@ def test_watermark_emits_each_window_at_most_once(spark, sf_dir):
     assert all(r.window_start.date().isoformat() <= "2024-01-05" for r in rows)
 
 
+def test_stateful_count_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState running counter's final state must
+    equal the batch-mode per-user profile."""
+    expected = {
+        (r.user_id, r.n)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.user_id, r.n_events)
+        for r in QUERIES["stream_stateful_count"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_cli_archiver_runs(spark, sf_dir, tmp_path, monkeypatch):
     """python -m pg_archiver_spark end-to-end with an explicit cutoff."""
     from pg_archiver_spark.archiver import run
