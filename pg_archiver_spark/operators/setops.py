@@ -57,6 +57,53 @@ def union_all_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT event_id, user_id, value * 2 AS value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT
+        COUNT(*) AS n_rows,
+        SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS n_updated,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM (
+        SELECT u.event_id, u.value, TRUE AS updated
+        FROM updates u
+        UNION ALL
+        SELECT e.event_id, e.value, FALSE AS updated
+        FROM events e
+        WHERE e.event_id NOT IN (SELECT event_id FROM updates)
+    )
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert: a batch of updates (error events with
+    doubled values) merged into the base table — matched rows replaced,
+    unmatched preserved. Composed as update ∪ (base ⟕̸ update-keys), the
+    relational core of a lakehouse MERGE INTO. At 100 TB both sides
+    hash-partition on the merge key; with a bucketed base table the
+    anti-join side is co-located and shuffle-free."""
+    events = load(spark, sf_dir, "events")
+    updates = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    kept = events.join(updates.select("event_id"), "event_id", "left_anti").select(
+        "event_id", "value", F.lit(False).alias("updated")
+    )
+    merged = updates.select(
+        "event_id", "value", F.lit(True).alias("updated")
+    ).unionByName(kept)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("updated"), 1).otherwise(0)).alias("n_updated"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+
+
+@register(
     "union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
