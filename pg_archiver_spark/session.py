@@ -49,6 +49,8 @@ def get_spark(app_name: str = "pg_archiver_spark", shuffle_partitions: int | Non
         # (default 128m); at cluster scale files are many and this only
         # caps per-task input.
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # Keep catalog-managed table metadata out of the repo cwd.
+        .config("spark.sql.warehouse.dir", "/tmp/pg_archiver_spark/warehouse")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
