@@ -372,25 +372,45 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-user event pairs within a 5-minute interval. user_id is the
-    equi-key (hash join); the interval predicate is a residual filter.
-    At 100 TB: band events into 5-minute buckets and join on
-    (user, bucket) ∪ (user, bucket+1) to bound per-task pair counts."""
+    """Same-user event pairs within a 5-minute interval — BANDED range
+    join: each left event joins on (user, bucket) for its own 5-minute
+    bucket and the two adjacent ones, so the equi-key is (user, bucket)
+    and every candidate pair is within one band of the true interval.
+    The exact |Δms| ≤ 300000 predicate filters residually.
+
+    Vs a plain user-only equi-join, this bounds per-task pair counts by
+    events-per-(user, 5-min-bucket)² instead of events-per-user² — the
+    difference between a stable shuffle join and a hot-key blowup when a
+    user has millions of events at 100 TB. Each pair is found exactly
+    once: the right side keeps its true bucket; only the left explodes
+    to the 3 probe buckets.
+    """
     events = load(spark, sf_dir, "events")
-    e1 = events.select(
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        F.expr("ts_ns DIV 1000000 DIV 300000").alias("bucket"),
+    )
+    left = base.select(
         F.col("user_id").alias("u1"),
         F.col("event_id").alias("id1"),
-        F.expr("ts_ns DIV 1000000").alias("ms1"),
+        F.col("ms").alias("ms1"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe_bucket"),
     )
-    e2 = events.select(
+    right = base.select(
         F.col("user_id").alias("u2"),
         F.col("event_id").alias("id2"),
-        F.expr("ts_ns DIV 1000000").alias("ms2"),
+        F.col("ms").alias("ms2"),
+        F.col("bucket").alias("probe_bucket"),
     )
-    pairs = e1.join(
-        e2,
-        (e1.u1 == e2.u2)
-        & (e1.id1 < e2.id2)
-        & (F.abs(e1.ms1 - e2.ms2) <= 300000),
+    pairs = left.join(
+        right,
+        (left.u1 == right.u2)
+        & (left.probe_bucket == right.probe_bucket)
+        & (left.id1 < right.id2)
+        & (F.abs(left.ms1 - right.ms2) <= 300000),
     )
     return pairs.agg(F.count("*").alias("n_pairs"))
