@@ -47,8 +47,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # Runtime-settable; needed even when the caller built the session
-        # (the driver harness passes its own SparkSession).
+        # (the driver harness passes its own SparkSession). UTC pins the
+        # window/day-boundary math of downstream ops to the oracle's
+        # timezone-naive arithmetic regardless of the host JVM zone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
