@@ -1,0 +1,121 @@
+"""End-to-end training-data preparation pipeline — the capstone op.
+
+Composes the engine's LLM-pipeline pieces into the canonical pre-training
+data flow over ``documents``:
+
+    quality filter → near-duplicate removal → token accounting →
+    deterministic sampling → per-language yield report
+
+Every stage is a pure DataFrame transformation, so Catalyst fuses the
+whole pipeline into a handful of stages; at 100 TB the near-dup stage
+swaps in minhash_neardup's LSH candidates with no change to the
+surrounding plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.functions.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_K,
+    _shingles,
+)
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text,' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 20
+          AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')) >= 0.35
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM quality
+    ),
+    dup_losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    ),
+    surviving AS (
+        SELECT q.* FROM quality q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+    ),
+    sampled AS (
+        SELECT * FROM surviving
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_milli
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prep flow: (1) quality gate — ≥20 tokens and type/token
+    ratio ≥0.35; (2) near-dup removal — of each duplicate pair keep the
+    lower doc_id (exact shingle-Jaccard here; minhash_neardup is the
+    drop-in LSH form at scale); (3) deterministic md5 ~25% sample;
+    (4) per-language token yield report."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+
+    quality = docs.filter((n_tokens >= 20) & (distinct_ratio >= 0.35)).select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    )
+
+    # Pair generation via the shared-shingle equi-join (docs sharing no
+    # shingle never meet — sub-quadratic, same pattern as
+    # dedup_ngram_jaccard; swap in minhash banding at 100 TB).
+    sh = quality.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
+    b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    losers = (
+        inter.filter(jaccard >= JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    surviving = quality.join(losers, "doc_id", "left_anti")
+
+    sampled = surviving.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("(SUM(n_tokens) * 1000) DIV COUNT(*)").alias("avg_tokens_milli"),
+    )

@@ -55,6 +55,7 @@ def load_all_operators() -> None:
     from pg_archiver_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         scalars,
         similarity,
         text,

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures. Example counts are kept small — each
+example is a Spark job."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=Decimal("-9999.99"),
+            max_value=Decimal("9999.99"),
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_decimal_sum_matches_python_exact(spark, vals):
+    """G2: a decimal sum must equal Python's exact Decimal sum for any
+    values and any partitioning — order-independence is the point."""
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string").repartition(4)
+    got = df.agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("s")
+    ).first().s
+    assert got == sum(vals)
+
+
+@given(
+    gaps_min=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=15)
+)
+@settings(max_examples=10, deadline=None)
+def test_session_window_count_matches_reference_model(spark, gaps_min):
+    """session_window session count == the gaps-and-islands reference
+    model with the empirically-verified boundary (new session iff
+    gap > duration) for arbitrary gap sequences — including exact
+    30-minute boundary gaps."""
+    ts, times = 0, []
+    for g in gaps_min:
+        ts += g * 60_000
+        times.append(ts)
+    expected = 1 + sum(1 for g in gaps_min[1:] if g * 60 > 1800)
+
+    df = spark.createDataFrame(
+        [(1, t) for t in times], "user_id long, epoch_ms long"
+    ).select("user_id", F.timestamp_millis("epoch_ms").alias("ts"))
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert got == expected, (gaps_min, got, expected)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_topk_per_group_matches_python_model(spark, rows):
+    """Window top-k per group == the obvious Python model (sort by
+    (-value, id), take 3 per group) for arbitrary data incl. ties."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v int, id long"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    got = {
+        (r.g, r.v, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    model = set()
+    by_group: dict[int, list] = {}
+    for i, (g, v) in enumerate(rows):
+        by_group.setdefault(g, []).append((-v, i, g))
+    for g, items in by_group.items():
+        for negv, i, _ in sorted(items)[:3]:
+            model.add((g, -negv, i))
+    assert got == model
