@@ -39,6 +39,7 @@ HEADLINE = [
     "sim_cosine_topk",          # vector top-k
     "stream_session",           # session windows
     "udaf_pandas_grouped",      # Arrow UDAF path
+    "pipeline_training_prep",   # composed quality→dedup→sample pipeline
 ]
 
 

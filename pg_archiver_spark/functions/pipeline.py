@@ -75,22 +75,31 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower doc_id (exact shingle-Jaccard here; minhash_neardup is the
     drop-in LSH form at scale); (3) deterministic md5 ~25% sample;
     (4) per-language token yield report."""
-    docs = load(spark, sf_dir, "documents")
+    # Spread tokenize/shingle CPU across cores (single small source file).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
 
-    quality = docs.filter((n_tokens >= 20) & (distinct_ratio >= 0.35)).select(
-        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    # Cached: the gate feeds the dedup pair-join (both sides), the
+    # survivors join, and the final agg — without it the tokenization
+    # expressions re-run once per consumer.
+    quality = (
+        docs.filter((n_tokens >= 20) & (distinct_ratio >= 0.35))
+        .select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        .cache()
     )
 
     # Pair generation via the shared-shingle equi-join (docs sharing no
     # shingle never meet — sub-quadratic, same pattern as
     # dedup_ngram_jaccard; swap in minhash banding at 100 TB).
-    sh = quality.select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
-    ).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    ex = (
+        quality.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+        .cache()
+    )
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
     b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
     inter = (

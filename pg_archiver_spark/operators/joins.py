@@ -222,29 +222,37 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event matched to the latest prior signup of
     the same user. Spark has no native as-of on DataFrames; we compose it
-    as range-join → per-left-row max (SURVEY.md §7.3). The user_id
-    equi-key keeps the join hash-partitioned; at 100 TB add a time-bucket
-    band to the key so per-user histories don't fan out quadratically.
+    as union + last(ignorenulls) over a per-user time-ordered window
+    (SURVEY.md §7.3): one shuffle on user_id, one in-partition sort,
+    O(events) work — no error×signup pair materialization, so a user
+    with millions of events costs millions of rows, not trillions of
+    pairs. `is_error` sorts signups before errors at equal timestamps,
+    giving the ASOF `e.ts >= s.ts` inclusive boundary.
 
     Oracle: DuckDB native ASOF JOIN (≥ semantics on both sides).
     """
+    from pyspark.sql import Window
+
     events = load(spark, sf_dir, "events")
-    errors = events.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("e_id"),
-        F.col("user_id").alias("e_user"),
-        F.expr("ts_ns DIV 1000000").alias("e_ms"),
+    tagged = events.filter(
+        F.col("event_type").isin("error", "signup")
+    ).select(
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
     )
-    signups = events.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"),
-        F.expr("ts_ns DIV 1000000").alias("s_ms"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "is_error")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_signup_ms = F.last(
+        F.when(F.col("is_error") == 0, F.col("ms")), ignorenulls=True
+    ).over(w)
     matched = (
-        errors.join(
-            signups, (errors.e_user == signups.s_user) & (errors.e_ms >= signups.s_ms)
-        )
-        .groupBy("e_id", "e_ms")
-        .agg(F.max("s_ms").alias("best_s_ms"))
-        .select((F.col("e_ms") - F.col("best_s_ms")).alias("gap_ms"))
+        tagged.withColumn("last_s_ms", last_signup_ms)
+        .filter((F.col("is_error") == 1) & F.col("last_s_ms").isNotNull())
+        .select((F.col("ms") - F.col("last_s_ms")).alias("gap_ms"))
     )
     # Mean gap in exact milli-minutes: Σgap_ms / (n·60) floor-divided —
     # int-ratio ROUND ties resolve differently across engines (G11).
