@@ -28,7 +28,7 @@ from pg_archiver_spark.registry import register
     oracle="""
     SELECT d.lang, e.label,
            COUNT(*) AS n_docs,
-           (SUM(d.n_chars) * 1000) // COUNT(*) AS avg_chars_milli
+           CAST((SUM(d.n_chars) * 1000) // COUNT(*) AS BIGINT) AS avg_chars_milli
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.lang, e.label
     """,

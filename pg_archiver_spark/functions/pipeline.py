@@ -63,8 +63,8 @@ from pg_archiver_spark.registry import register
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_milli
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) * 1000) // COUNT(*) AS BIGINT) AS avg_tokens_milli
     FROM sampled
     GROUP BY lang
     """,

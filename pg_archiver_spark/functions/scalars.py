@@ -136,8 +136,8 @@ def date_arith_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS price_r1,
-           ceil(l_extendedprice) AS price_ceil,
-           floor(l_extendedprice) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(abs(l_discount - 0.05), 4) AS disc_dev,
            round(sqrt(l_quantity), 4) AS qty_sqrt,
            round(pow(l_quantity, 2), 1) AS qty_sq
@@ -192,7 +192,7 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -237,7 +237,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           SUM(len(list_filter(embedding, x -> x > 0))) AS n_positive,
+           CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS n_positive,
            ROUND(CAST(MAX(list_sum(list_transform(embedding,
                  x -> CAST(abs(x) AS DOUBLE)))) AS DOUBLE), 4) AS max_l1_norm
     FROM embeddings

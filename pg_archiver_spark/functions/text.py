@@ -46,8 +46,8 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           (SUM(n_chars) * 1000) // COUNT(*) AS avg_chars_milli,
-           SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_valid
+           CAST((SUM(n_chars) * 1000) // COUNT(*) AS BIGINT) AS avg_chars_milli,
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM documents
     GROUP BY lang
     """,
@@ -95,7 +95,7 @@ _LANG_MARKERS = {
         FROM documents
     )
     SELECT predicted, COUNT(*) AS n_docs,
-           SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct
+           CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
     FROM (
         SELECT lang,
                CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'unknown'
@@ -150,7 +150,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle="""
     SELECT quality_band, COUNT(*) AS n_docs,
-           (SUM(n_tokens) * 1000) // COUNT(*) AS avg_tokens_milli
+           CAST((SUM(n_tokens) * 1000) // COUNT(*) AS BIGINT) AS avg_tokens_milli
     FROM (
         SELECT len(string_split(text,' ')) AS n_tokens,
                CASE
@@ -191,9 +191,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tokencount",
     oracle="""
     SELECT lang,
-           SUM(len(string_split(text,' '))) AS whitespace_tokens,
-           SUM(list_sum(list_transform(string_split(text,' '),
-                                       t -> CAST(ceil(length(t)/4.0) AS BIGINT)))) AS bpe_ish_tokens
+           CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(list_sum(list_transform(string_split(text,' '),
+                                       t -> CAST(ceil(length(t)/4.0) AS BIGINT)))) AS BIGINT) AS bpe_ish_tokens
     FROM documents
     GROUP BY lang
     """,

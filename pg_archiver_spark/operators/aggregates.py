@@ -10,6 +10,15 @@ the property that makes them survive 100 TB.
 Money math follows SURVEY.md §8 G2: cast to DECIMAL(18,2) before SUM in
 both engines — exact, order-independent, hash-stable. Averages are
 normalized ROUND(CAST(… AS DOUBLE), k) (G3).
+
+G13 (round-2): final output schemas are pandas-stable — BIGINT, DOUBLE,
+or VARCHAR only. The driver fetches the DuckDB oracle via ``.df()``,
+which coerces DECIMAL and HUGEINT to float64; a Decimal('147.30') then
+string-compares unequal to 147.3. So every decimal aggregate keeps its
+exact decimal arithmetic internally (order-independent) and takes ONE
+final CAST(... AS DOUBLE) in both engines; integer aggregates that
+DuckDB would promote to HUGEINT (SUM of ints, ``//``) get a final
+CAST(... AS BIGINT) in the oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ _DEC = "decimal(18,2)"
            COUNT(DISTINCT user_id) AS n_users,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     """,
 )
@@ -42,7 +51,7 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
     )
 
 
@@ -51,13 +60,13 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
            ROUND(CAST(AVG(l_quantity) AS DOUBLE), 2) AS avg_qty,
            ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 2) AS avg_price,
            ROUND(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
@@ -80,13 +89,13 @@ def agg_group_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).alias("sum_qty"),
-            F.sum(price).cast(_DEC).alias("sum_base_price"),
-            # Keep the natural product scales (4 and 6) — lossless, so no
-            # engine-specific tie-rounding on the downcast (see G2).
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # Exact decimal sums at the natural product scales, then one
+            # final lossy-but-deterministic cast to double (G2 + G13).
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
             F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("decimal(18,6)")
+            .cast("double")
             .alias("sum_charge"),
             F.round(F.avg("l_quantity").cast("double"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice").cast("double"), 2).alias("avg_price"),
@@ -208,7 +217,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,
            COALESCE(l_linestatus, 'ALL') AS status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -219,7 +228,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS flag,
                COALESCE(l_linestatus, 'ALL') AS status,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -363,7 +372,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_ms(ts) // 21600000 AS bucket_id,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY bucket_id, event_type
     """,
@@ -383,7 +392,7 @@ def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
     )

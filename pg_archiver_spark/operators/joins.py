@@ -27,7 +27,7 @@ from pg_archiver_spark.registry import register
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -43,7 +43,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_price"),
         )
     )
@@ -54,7 +54,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -64,9 +64,10 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join — each task hash-probes the broadcast part table. The only
     shuffle is the final 25-group aggregation (map-side partials first).
 
-    The decimal product has scale 4; the result keeps scale 4 — a lossy
-    downcast to scale 2 would hit engine-specific tie-rounding (Spark
-    HALF_UP vs DuckDB's cast truncation).
+    The decimal product sums exactly at scale 4, then takes one final
+    deterministic cast to DOUBLE (G13: pandas-stable output schema; a
+    lossy downcast to scale 2 would also hit engine-specific
+    tie-rounding — Spark HALF_UP vs DuckDB's cast truncation).
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
@@ -76,7 +77,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(disc_price).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
 
 
@@ -210,7 +211,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
     SELECT COUNT(*) AS n_matched,
-           SUM(gap_ms) // (COUNT(*) * 60) AS avg_gap_millimin
+           CAST(SUM(gap_ms) // (COUNT(*) * 60) AS BIGINT) AS avg_gap_millimin
     FROM (
         SELECT epoch_ms(e.ts) - epoch_ms(s.ts) AS gap_ms
         FROM (SELECT * FROM events WHERE event_type = 'error') e
@@ -267,7 +268,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderstatus = 'F'
     GROUP BY c_mktsegment
@@ -304,7 +305,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_price"),
         )
     )
@@ -326,7 +327,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM fact JOIN dim USING (skew_key)
     GROUP BY label
     """,
@@ -363,7 +364,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
     )

@@ -39,7 +39,7 @@ def scan_parquet_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <  TIMESTAMP '1998-01-01'
@@ -64,7 +64,7 @@ def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_price"),
         )
     )
@@ -75,7 +75,7 @@ def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
     GROUP BY l_returnflag
@@ -95,7 +95,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
     )

@@ -65,8 +65,8 @@ def union_all_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         COUNT(*) AS n_rows,
-        SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS n_updated,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM (
         SELECT u.event_id, u.value, TRUE AS updated
         FROM updates u
@@ -98,7 +98,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("updated"), 1).otherwise(0)).alias("n_updated"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_value"),
     )
 

@@ -73,7 +73,7 @@ def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
            o_orderstatus
     FROM orders
     ORDER BY totalprice DESC, o_orderkey
@@ -86,7 +86,7 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
             "o_orderstatus",
         )
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))

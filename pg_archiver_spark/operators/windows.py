@@ -85,14 +85,18 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(CAST(value - LAG(value) OVER w AS DOUBLE), 2) AS delta_prev,
-           ROUND(CAST(LEAD(value) OVER w - value AS DOUBLE), 2) AS delta_next
+           COALESCE(ROUND(CAST(value - LAG(value) OVER w AS DOUBLE), 2), 0.0) AS delta_prev,
+           COALESCE(ROUND(CAST(LEAD(value) OVER w - value AS DOUBLE), 2), 0.0) AS delta_next
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Δvalue vs neighboring events (lag/lead)."""
+    """Per-user Δvalue vs neighboring events (lag/lead). Partition
+    boundary rows (no prev/next) emit 0.0, not NULL — a nullable double
+    turns into NaN under the driver's pandas oracle fetch while Spark's
+    collect keeps None, so nullable numerics are banned from final
+    schemas (G13)."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.expr("ts_ns DIV 1000000"), F.col("event_id")
@@ -100,12 +104,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round((F.col("value") - F.lag("value").over(w)).cast("double"), 2).alias(
-            "delta_prev"
-        ),
-        F.round((F.lead("value").over(w) - F.col("value")).cast("double"), 2).alias(
-            "delta_next"
-        ),
+        F.coalesce(
+            F.round((F.col("value") - F.lag("value").over(w)).cast("double"), 2),
+            F.lit(0.0),
+        ).alias("delta_prev"),
+        F.coalesce(
+            F.round((F.lead("value").over(w) - F.col("value")).cast("double"), 2),
+            F.lit(0.0),
+        ).alias("delta_next"),
     )
 
 
@@ -116,13 +122,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_value
+           ) AS DOUBLE) AS running_value
     FROM events
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative decimal sum in event order. Decimal keeps the
-    prefix sums exact at any accumulation order (G2)."""
+    prefix sums exact at any accumulation order (G2); the per-row result
+    takes one final deterministic cast to double (G13)."""
     events = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -134,7 +141,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_value"),
     )
 
@@ -146,7 +153,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY day_int
                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS rolling_30d
+           ) AS DOUBLE) AS rolling_30d
     FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
                epoch_ms(o_orderdate) // 86400000 AS day_int
@@ -179,7 +186,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_int",
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("rolling_30d"),
         )
     )

@@ -34,9 +34,9 @@ def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_tumbling_daily",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY day
     """,
@@ -50,17 +50,25 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
-        .select(F.col("w.start").cast("date").alias("day"), "n_events", "sum_value")
+        # Day as a STRING: a DATE column round-trips through the
+        # driver's pandas fetch as midnight Timestamp on the oracle side
+        # but datetime.date from Spark collect — strings compare stably
+        # in both (G13).
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
 @register(
     "stream_sliding",
     oracle="""
-    SELECT CAST(window_start AS DATE) AS window_day,
+    SELECT strftime(window_start, '%Y-%m-%d') AS window_day,
            COUNT(*) AS n_events
     FROM (
         SELECT unnest([
@@ -79,7 +87,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts_ms", "2 days", "1 day").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").cast("date").alias("window_day"), "n_events")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_day"), "n_events"
+        )
     )
 
 
@@ -108,7 +118,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           (SUM(session_size) * 1000) // COUNT(*) AS avg_size_milli
+           CAST((SUM(session_size) * 1000) // COUNT(*) AS BIGINT) AS avg_size_milli
     FROM sized
     GROUP BY user_id
     """,

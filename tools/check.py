@@ -5,6 +5,16 @@ DuckDB oracle: row count, schema (column names, sorted), and an
 order-insensitive value hash (columns sorted by name, rows sorted,
 values normalized). Exit code 1 if anything mismatches.
 
+DRIVER-FAITHFUL COMPARATOR (SURVEY.md §8 G13): the driver fetches the
+DuckDB side via pandas (``.df()``), which coerces DECIMAL → float64 and
+HUGEINT (integer SUM / ``//``) → float64, and it does NOT fold
+integer-valued floats back to ints. So this gate does the same: the
+oracle is fetched via ``.df()``, Decimals are stringified with trailing
+zeros intact, and floats never compare equal to ints. A query whose
+final schema contains DECIMAL, HUGEINT, or a nullable numeric will fail
+here exactly as it fails in the driver. Round 1 shipped a lenient
+normalizer that hid 9 driver failures — do not loosen this again.
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -26,22 +36,64 @@ from pg_archiver_spark.session import get_spark
 
 
 def _norm(v):
-    """Normalize a cell so Spark and DuckDB hash identically."""
+    """Normalize a cell the way the driver's pandas-based comparator
+    sees it: type-faithful, no cross-type folding."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
+        # Trailing zeros intact: Decimal('147.30') must NOT equal 147.3.
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)
+
+
+def _oracle_rows_pandas(res):
+    """Fetch a DuckDB result the way the driver does: through pandas.
+
+    ``.df()`` applies the dtype coercions the driver sees (DECIMAL and
+    HUGEINT → float64, nullable ints → float64, NULL → NaN/NaT/None).
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = res.df()
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is pd.NaT:
+                row.append(None)
+            elif isinstance(v, np.generic):
+                row.append(v.item())
+            elif isinstance(v, pd.Timestamp):
+                row.append(v.to_pydatetime())
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return list(pdf.columns), rows
+
+
+def _risk_audit(name: str, scols, srows, orows) -> list[str]:
+    """Flag schema shapes that diverge under the driver's pandas fetch."""
+    warns = []
+    for rows, side in ((srows, "spark"), (orows, "oracle")):
+        for r in rows[:100]:
+            for i, v in enumerate(r):
+                if isinstance(v, Decimal):
+                    col = scols[i] if i < len(scols) else f"#{i}"
+                    warns.append(f"{side} col {col}: DECIMAL in final schema")
+                    break
+            else:
+                continue
+            break
+    return sorted(set(warns))
 
 
 def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, tuple, str]:
@@ -82,14 +134,15 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = _oracle_rows_pandas(res)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         sn, sschema, shash = frame_fingerprint(scols, srows)
         on, oschema, ohash = frame_fingerprint(ocols, orows)
+        for w in _risk_audit(name, scols, srows, orows):
+            print(f"  WARN {name}: {w}")
         if (sn, sschema, shash) == (on, oschema, ohash):
             print(f"{'ok':>14} {name}: rows={sn} hash={shash} [{time.time()-t0:.1f}s]")
         else:
