@@ -39,8 +39,48 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
+# Names the correctness driver should reach FIRST. The driver checks
+# only the first 50 registered queries per round (SURVEY.md §9), so
+# registration order is a verification budget. Round 1 spent all 50
+# slots on the basic operator modules and left every window / scalar /
+# text / dedup / similarity / streaming / UDF operator unchecked. This
+# list front-loads (a) the 9 round-1 hash failures, to prove the G13
+# schema fixes, then (b) every oracle-backed operator with no driver
+# evidence yet. Exactly 50 names. Everything else follows in module
+# registration order and rotates into later rounds.
+_DRIVER_PRIORITY = [
+    # round-1 hash_match failures, now fixed (G13):
+    "agg_group_pricing", "agg_grouping_sets", "agg_time_bucket_rollup",
+    "join_broadcast_dim", "join_asof", "join_bucketed_colocated",
+    "join_skew_salted", "sample_deterministic", "merge_upsert",
+    # never driver-checked, oracle-backed — §2.B contract first:
+    "window_topk_per_group", "window_rank", "window_lag_lead",
+    "window_running_sum", "window_range_frame", "window_ntile",
+    "dedup_exact", "dedup_dropduplicates", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "multimodal_join", "multimodal_frame_sample",
+    "pipeline_training_prep",
+    "string_funcs", "string_levenshtein", "string_regexp",
+    "date_parts_format", "date_arith_retention", "math_funcs",
+    "case_when", "json_extract", "array_funcs", "array_higher_order",
+    "struct_nested", "map_funcs",
+    "sim_cosine_topk", "sim_label_avg",
+    "text_wordcount", "text_stats", "text_langid", "text_quality",
+    "text_tokencount", "text_fingerprint",
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udf_apply_in_pandas", "udtf_split",
+    "stream_tumbling_daily", "stream_sliding", "stream_session",
+    # slots 51+: never driver-checked rows-only ops — get evidence
+    # before re-checking already-green basics if the cap ever rises:
+    "minhash_neardup", "dedup_simhash", "multimodal_binary_features",
+    "sim_ann_lsh", "sim_ann_ivf", "stream_archival_foreachbatch",
+    "stream_stateful_count", "stream_watermark_late", "source_jdbc",
+    "window_cume_dist", "window_first_last",
+]
+
+
 def load_all_operators() -> None:
-    """Import every module that registers operators (idempotent)."""
+    """Import every module that registers operators (idempotent), then
+    order the registry so ``_DRIVER_PRIORITY`` names come first."""
     # Imports are for their registration side effects.
     from pg_archiver_spark.operators import (  # noqa: F401
         aggregates,
@@ -64,3 +104,11 @@ def load_all_operators() -> None:
     from pg_archiver_spark.streaming import windows as stream_windows  # noqa: F401
     from pg_archiver_spark.streaming import archival  # noqa: F401
     from pg_archiver_spark.sources import jdbc  # noqa: F401
+
+    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _DRIVER_PRIORITY
+    ]
+    for mapping in (QUERIES, ORACLES):
+        items = {n: mapping[n] for n in ordered if n in mapping}
+        mapping.clear()
+        mapping.update(items)
