@@ -293,6 +293,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc1", "doc2")
 
 
+EMB_BLOCKS = 8
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""
@@ -303,18 +306,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs: cosine ≥ threshold over a
-    block-nested self-join. Output carries only the pair ids (the
+    """Embedding-space near-dup pairs: cosine ≥ threshold, EXACT, via a
+    block-partitioned pair join. Output carries only the pair ids (the
     cosine value itself is fp-noise-sensitive; the comparison is not).
-    At 100 TB, replace the self-join with the LSH bucketing of
-    sim_ann_lsh and verify within buckets."""
+
+    Round 1 shipped this as ``a.join(b, vec1 < vec2)`` — a pure
+    non-equi condition that plans as BroadcastNestedLoopJoin: the whole
+    table broadcast to every task, the scale-killer flagged in review.
+    An LSH sketch-bucket cover was measured and REJECTED for this exact
+    op: the fixture's qualifying pairs sit at cosine 0.42–0.51 with
+    16-bit sign-sketch Hamming distances up to 12/16, so any
+    sub-quadratic bucket scheme drops pairs (the approximate scale path
+    is ``sim_ann_lsh``/``minhash_neardup``; this operator is their
+    exact ground-truth twin and must return every pair).
+
+    Instead: the classic triangle/block pair join. Each vector lands in
+    block b = vec_id % B; the LEFT replica stream emits it for keys
+    (b, j) for j ≥ b, the RIGHT stream for keys (i, b) for i ≤ b, so
+    every unordered vector pair meets on EXACTLY one block-pair key
+    (same-block pairs dedup on id order). The join is a shuffled
+    EQUI-join on the key — no broadcast of the corpus, no BNLJ — and
+    per-task work is capped at (N/B)² cosines over B(B+1)/2 evenly
+    sized tasks. At 100 TB, B scales with cluster size (B ≈ √tasks) and
+    N² cost is the price of exactness, paid with bounded memory and
+    full parallelism.
+    """
     from pg_archiver_spark.functions.similarity import cosine_expr
 
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % EMB_BLOCKS).alias("blk")
+    )
+    left = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("blk").alias("ki"),
+        F.explode(
+            F.sequence(F.col("blk"), F.lit(EMB_BLOCKS - 1))
+        ).alias("kj"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ki"),
+        F.col("blk").alias("kj"),
+    )
+    pairs = left.join(right, ["ki", "kj"]).filter(
+        # Cross-block keys (ki<kj) pair distinct blocks — every match is
+        # a unique pair. Same-block keys see both orderings — keep one.
+        (F.col("ki") < F.col("kj")) | (F.col("va") < F.col("vb"))
+    )
     return (
-        a.join(b, F.col("vec1") < F.col("vec2"))
-        .filter(cosine_expr(F.col("e1"), F.col("e2")) >= 0.42)
-        .select("vec1", "vec2")
+        pairs.filter(cosine_expr(F.col("ea"), F.col("eb")) >= 0.42)
+        .select(
+            F.least("va", "vb").alias("vec1"),
+            F.greatest("va", "vb").alias("vec2"),
+        )
     )

@@ -54,6 +54,16 @@ def test_semi_anti_plans(spark, sf_dir):
     assert "LeftAnti" in physical_plan(QUERIES["join_anti"](spark, sf_dir))
 
 
+def test_embedding_cosine_has_no_nested_loop(spark, sf_dir):
+    """The exact cosine pair join must stay a block-partitioned
+    EQUI-join; a pure `vec1 < vec2` condition regresses to
+    BroadcastNestedLoopJoin (all-pairs broadcast — the 100 TB killer)."""
+    plan = physical_plan(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_agg_has_partial_aggregation(spark, sf_dir):
     """Grouped agg must map-side combine (partial_*) before the shuffle."""
     plan = physical_plan(QUERIES["agg_group_pricing"](spark, sf_dir))
