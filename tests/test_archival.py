@@ -89,3 +89,113 @@ def test_flagship_matches_reference_shape(spark, sf_dir):
     assert all(r.table_name == "iot_data" for r in out)
     ms = [r.epoch_ms for r in out]
     assert ms == sorted(ms, reverse=True)
+
+
+# --- JDBC delete-behind (reference main.go:131-145, D1-fixed) ---------
+
+
+class _FakeCursor:
+    def __init__(self, log):
+        self._log = log
+        self.rowcount = 0
+
+    def execute(self, sql, params):
+        (keys,) = params
+        self._log.append((sql, list(keys)))
+        self.rowcount = len(keys)
+
+
+class _FakeConnection:
+    def __init__(self, log, state):
+        self._log = log
+        self._state = state
+
+    def cursor(self):
+        return _FakeCursor(self._log)
+
+    def commit(self):
+        self._state["commits"] = self._state.get("commits", 0) + 1
+
+    def close(self):
+        self._state["closed"] = True
+
+
+def test_delete_kernel_deletes_exact_keys_in_chunks():
+    """D1: delete EXACTLY the archived key set — chunked, one commit."""
+    from pg_archiver_spark.sources.jdbc import _delete_partition_kernel
+
+    log, state = [], {}
+    n = _delete_partition_kernel(
+        iter(range(8)),
+        "iot_data",
+        "event_id",
+        lambda: _FakeConnection(log, state),
+        batch_size=3,
+    )
+    assert n == 8
+    assert [len(keys) for _, keys in log] == [3, 3, 2]
+    assert sorted(k for _, keys in log for k in keys) == list(range(8))
+    assert all(
+        sql == "DELETE FROM iot_data WHERE event_id = ANY(%s)" for sql, _ in log
+    )
+    assert state == {"commits": 1, "closed": True}
+
+
+def test_delete_archived_distributes_exact_key_set(spark, tmp_path):
+    """The distributed path deletes each archived key exactly once,
+    partition-wise, with no driver-side collect of the key frame."""
+    from pg_archiver_spark.sources.jdbc import delete_archived
+
+    sink = str(tmp_path / "deleted")
+    import os
+
+    os.makedirs(sink, exist_ok=True)
+
+    def factory(sink=sink):
+        import os
+        import uuid
+
+        class Cursor:
+            rowcount = 0
+
+            def execute(self, sql, params):
+                assert sql == "DELETE FROM iot_data WHERE event_id = ANY(%s)"
+                (keys,) = params
+                path = os.path.join(sink, uuid.uuid4().hex)
+                with open(path, "w") as f:
+                    f.write("\n".join(str(k) for k in keys))
+                self.rowcount = len(keys)
+
+        class Conn:
+            def cursor(self):
+                return Cursor()
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    keys = spark.range(0, 100).select(F.col("id").alias("event_id")).repartition(4)
+    n = delete_archived(
+        spark, "iot_data", keys, key_col="event_id",
+        connection_factory=factory, batch_size=16,
+    )
+    assert n == 100
+    import os as _os
+
+    written = []
+    for name in _os.listdir(sink):
+        with open(_os.path.join(sink, name)) as f:
+            written += [int(line) for line in f.read().splitlines() if line]
+    assert sorted(written) == list(range(100))
+
+
+def test_delete_archived_noop_without_database(spark):
+    """Without a configured database the delete path is a clean no-op."""
+    from pg_archiver_spark.sources.jdbc import delete_archived
+
+    keys = spark.range(0, 5).select(F.col("id").alias("event_id"))
+    assert delete_archived(spark, "iot_data", keys, key_col="event_id") == 0
