@@ -106,7 +106,13 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one user's events in, z-scored values out.
-    ddof=1 matches SQL stddev_samp."""
+    ddof=1 matches SQL stddev_samp.
+
+    Degenerate groups (single row → std NaN; constant values → std 0)
+    emit 0.0, and the ORACLE coalesces its NULL stddev path to 0.0 to
+    match — both engines must agree on a concrete sentinel because
+    nullable numeric outputs are banned by G13 (the driver's pandas
+    fetch turns oracle NULL into NaN while Spark collect keeps None)."""
     sd = pdf["value"].std(ddof=1)
     mean = pdf["value"].mean()
     out = pdf[["event_id", "user_id"]].copy()
@@ -118,7 +124,11 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "udf_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id,
-           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+           CASE WHEN stddev_samp(value) OVER w > 0
+                THEN ROUND((value - AVG(value) OVER w)
+                           / stddev_samp(value) OVER w, 4)
+                ELSE 0.0
+           END AS zscore
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,

@@ -151,11 +151,17 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT — the delete-behind complement set (reference A13
     semantics, main.go:132-134): keys present upstream minus keys
     already archived. Catalyst plans it as a left-anti join; the
-    key-only projection keeps the shuffle payload to one column."""
+    key-only projection keeps the shuffle payload to one column.
+
+    ``subtract`` IS SQL EXCEPT (distinct semantics). The round-1 form
+    ``exceptAll(...).distinct()`` diverges on multiset inputs: with
+    left=[k,k], right=[k], exceptAll leaves one k and distinct keeps
+    it, while EXCEPT returns none — masked by the fixture's unique
+    keys, caught in review."""
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey")
     )
     lineitem = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey")
     )
-    return orders.exceptAll(lineitem).distinct()
+    return orders.subtract(lineitem)

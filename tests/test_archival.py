@@ -199,3 +199,38 @@ def test_delete_archived_noop_without_database(spark):
 
     keys = spark.range(0, 5).select(F.col("id").alias("event_id"))
     assert delete_archived(spark, "iot_data", keys, key_col="event_id") == 0
+
+
+def test_archive_sink_accepts_scheme_qualified_uri(spark, tmp_path):
+    """Object-store path abstraction (reference main.go:211-241 uploads
+    to S3): the sink must accept scheme-qualified URIs, so pointing it
+    at s3a:// is a config change, not a code change. file:// exercises
+    the same Hadoop FileSystem resolution path in this sandbox."""
+    rows = [(1, datetime(2024, 1, 10), 1, 1.0), (2, datetime(2024, 2, 3), 2, 2.0)]
+    df = _mk_events(spark, rows)
+    archive_uri = "file://" + str(tmp_path / "uri_archive")
+    ledger = archive_batch(
+        {"iot_data": df},
+        lambda d: F.lit(True),
+        archive_uri,
+    )
+    assert sorted(r.event_id for r in ledger.collect()) == [1, 2]
+    back = spark.read.parquet(archive_uri + "/batch_id=0")
+    assert back.count() == 2
+    assert sorted(r.month for r in back.select("month").collect()) == [1, 2]
+
+
+def test_zscore_kernel_degenerate_groups():
+    """Single-row and constant-value groups emit the 0.0 sentinel (G13:
+    no nullable numerics), matching the oracle's stddev > 0 guard."""
+    import pandas as pd
+
+    from pg_archiver_spark.functions.udfs import _zscore_group
+
+    single = pd.DataFrame({"event_id": [1], "user_id": [7], "value": [3.5]})
+    assert _zscore_group(single)["zscore"].tolist() == [0.0]
+
+    constant = pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [7, 7], "value": [2.0, 2.0]}
+    )
+    assert _zscore_group(constant)["zscore"].tolist() == [0.0, 0.0]
