@@ -40,7 +40,16 @@ LSH_ROWS = 2
 
 
 def _shingles(text_col):
-    """Distinct k-token shingles of a space-tokenized text column.
+    """Distinct k-token shingles of a space-tokenized text column,
+    HASHED to 64-bit longs (xxhash64 over the k token values).
+
+    Hashing at construction — instead of materializing "tok tok tok"
+    strings — keeps every downstream stage on fixed-width longs: the
+    explode/equi-join shuffle carries 8-byte keys instead of text,
+    array_distinct / array_intersect compare longs, and minhash skips a
+    separate string-hash pass. This is also the at-scale shape: the
+    shingle table an ingest pipeline persists stores hashes, not text.
+    Set semantics survive w.h.p. (64-bit collisions are ~N²/2⁶⁵).
 
     Built with element_at rather than slice — O(1) element reads instead
     of a per-shingle sub-array allocation (~30% faster at sf0.1).
@@ -50,13 +59,13 @@ def _shingles(text_col):
     out-of-bounds element_at)."""
     toks = F.split(text_col, " ")
     return F.when(
-        F.size(toks) < SHINGLE_K, F.array().cast("array<string>")
+        F.size(toks) < SHINGLE_K, F.array().cast("array<bigint>")
     ).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
                 ),
             )
         )
@@ -190,11 +199,10 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cached: consumed by the signature build AND both verify sides (at
     # scale: the persisted shingle/signature tables of an ingest stage).
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
-    # One string hash per shingle, then 24 cheap long-mix rehashes —
-    # instead of 24 string concat+hash passes over the shingle text.
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
+    # Shingles are already 64-bit hashes; the 24 minhash functions are
+    # cheap long-mix rehashes of that one value — no per-hash pass over
+    # the shingle text.
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
 
     minhash_cols = [
         F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")

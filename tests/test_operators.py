@@ -147,7 +147,9 @@ def test_shingles_short_text_is_empty_not_error(spark):
     )
     rows = {r.doc_id: r.s for r in df.select("doc_id", _shingles(F.col("text")).alias("s")).collect()}
     assert rows[1] == [] and rows[2] == []
-    assert rows[3] == ["a b c", "b c d"]
+    # Shingles are xxhash64 longs (2 distinct 3-grams of "a b c d").
+    assert len(rows[3]) == 2 and len(set(rows[3])) == 2
+    assert all(isinstance(v, int) for v in rows[3])
 
 
 def test_cosine_expr_orthogonal_and_identical(spark):
