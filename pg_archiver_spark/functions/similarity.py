@@ -83,7 +83,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.label,
            COUNT(*) AS n_pairs,
-           ROUND(CAST(AVG(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE), 3) AS avg_cos
+           ROUND(CAST(AVG(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE), 3) + 0.0 AS avg_cos
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     GROUP BY a.label
@@ -92,7 +92,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_label_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean pairwise cosine — cluster-coherence profiling.
     The label equi-key keeps the self-join hash-partitioned; averaging
-    damps fp noise (rounded to 3)."""
+    damps fp noise (rounded to 3).
+
+    ``+ 0.0`` after the round on BOTH sides: a tiny negative mean
+    rounds to -0.0 in DuckDB but 0.0 in Spark (observed at sf0.1), and
+    repr('-0.0') breaks the string compare; IEEE -0.0 + 0.0 = +0.0
+    normalizes it (G13)."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = emb.select(
@@ -106,7 +111,7 @@ def sim_label_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("cos").cast("double"), 3).alias("avg_cos"),
+            (F.round(F.avg("cos").cast("double"), 3) + F.lit(0.0)).alias("avg_cos"),
         )
     )
 

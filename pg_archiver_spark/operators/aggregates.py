@@ -281,7 +281,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -296,7 +296,10 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        # + 0.0 normalizes a potential -0.0 round (engines disagree; G13).
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
         F.count("*").alias("n_rows"),
     )
 

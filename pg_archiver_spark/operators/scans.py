@@ -101,11 +101,22 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_csv_roundtrip")  # rows-only: sink op
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MAX(epoch_ms(ts)) AS max_epoch_ms
+    FROM events
+    """,
+)
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV output format ('more output formats' — reference future work,
     README.md:126): header + explicit timestamp format out, schema-pinned
-    read back, count verified against the source."""
+    read back, count verified against the source.
+
+    The oracle profiles the SOURCE table — matching proves the
+    write+read round-trip lost nothing."""
     events = load(spark, sf_dir, "events").select(
         "event_id", F.expr("ts_ns DIV 1000000").alias("epoch_ms"), "user_id", "value"
     )
@@ -121,9 +132,20 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_json_roundtrip")  # rows-only: sink op
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines output format round-trip, schema-pinned read back."""
+    """JSON-lines output format round-trip, schema-pinned read back;
+    oracle = the same profile on the source table (round-trip fidelity).
+    """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "json_docs")
     docs.write.mode("overwrite").json(out)
@@ -135,11 +157,18 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_orc_roundtrip")  # rows-only: sink op
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC output format round-trip ('more output formats', README.md:126
     future work) — columnar like Parquet, with the same pushdown/pruning
-    behavior under Catalyst."""
+    behavior under Catalyst. Oracle = source-table profile."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
@@ -153,7 +182,15 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_sorted")  # rows-only: sink op
+@register(
+    "sink_parquet_sorted",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms
+    FROM events
+    """,
+)
 def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioned, sorted Parquet ingest: repartitionByRange on
     the time key + sortWithinPartitions before the write gives every
@@ -171,15 +208,24 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(out)
     # A cutoff filter on the sorted layout touches only the files whose
-    # range overlaps — verify the data survived and profile it.
+    # range overlaps — verify the data survived and profile it. The
+    # range profile is reported in ms: DuckDB truncates the ns parquet
+    # timestamp to µs on read, so ns-precision endpoints can't oracle.
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.min("ts_ns").alias("min_ts_ns"),
-        F.max("ts_ns").alias("max_ts_ns"),
+        F.min(F.expr("ts_ns DIV 1000000")).alias("min_ts_ms"),
+        F.max(F.expr("ts_ns DIV 1000000")).alias("max_ts_ms"),
     )
 
 
-@register("sink_parquet_partitioned")  # rows-only: sink op, no SQL oracle
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT year(ts) AS year, month(ts) AS month, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY year, month
+    """,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The archive sink (reference A10/A11/A12, main.go:46-85,220-223),
     fixed for per-row partitioning (D2) and unique task files (D4).

@@ -69,8 +69,12 @@ _DRIVER_PRIORITY = [
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
     "udf_apply_in_pandas", "udtf_split",
     "stream_tumbling_daily", "stream_sliding", "stream_session",
-    # slots 51+: never driver-checked rows-only ops — get evidence
-    # before re-checking already-green basics if the cap ever rises:
+    # slots 51+: new round-2 oracle-backed ops, then never-checked
+    # rows-only ops — evidence before re-checking already-green basics
+    # if the cap ever rises:
+    "stream_dedup_watermark", "stream_rate_trigger",
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+    "sink_parquet_sorted", "sink_parquet_partitioned",
     "minhash_neardup", "dedup_simhash", "multimodal_binary_features",
     "sim_ann_lsh", "sim_ann_ivf", "stream_archival_foreachbatch",
     "stream_stateful_count", "stream_watermark_late", "source_jdbc",

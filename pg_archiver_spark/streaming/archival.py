@@ -296,3 +296,120 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT window_start, n_events FROM watermark_late_sink ORDER BY window_start"
     )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT COUNT(*) AS n_deduped,
+           CAST(COUNT(*) + SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fed
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup — the training-data ingest primitive
+    (at-least-once feeds ALWAYS re-deliver; dedup keys the state store).
+
+    Every event with event_id % 10 == 0 is fed TWICE, in different
+    micro-batches (maxFilesPerTrigger=1), so the dedup state must
+    survive across batches. ``withWatermark + dropDuplicates`` keeps one
+    state-store row per key; the watermark bounds that state at scale —
+    keys older than the delay are evicted instead of accumulating
+    forever (with a 100 TB feed, unbounded dedup state is a slow OOM).
+
+    SQL-checked: the deduped stream must profile exactly like the
+    source table, and the fed-row count proves the duplicates were
+    actually injected (n_fed > n_deduped).
+    """
+    staging = _fresh_dir("streamdedup", "staging")
+    checkpoint = _fresh_dir("streamdedup", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "value")
+    )
+    dupes = events.filter(F.col("event_id") % 10 == 0)
+    # Two staging files: the full feed, then the re-delivered subset —
+    # duplicates arrive in a LATER micro-batch than their originals.
+    for i, part in enumerate([events, dupes]):
+        path = os.path.join(staging, f"feed_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1700000000 + i, 1700000000 + i))
+
+    n_fed = events.count() + dupes.count()
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staging, "feed_*"))
+    )
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql("SELECT COUNT(*) AS n_deduped FROM stream_dedup_sink").select(
+        "n_deduped", F.lit(n_fed).cast("long").alias("n_fed")
+    )
+
+
+@register(
+    "stream_rate_trigger",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_batches, COUNT(*) AS n_rows FROM events
+    """,
+)
+def stream_rate_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited trigger ingestion — the Spark form of the
+    reference's intended NOTIFY/LISTEN live feed (README.md:124): the
+    source drains under an admission limit (maxFilesPerTrigger=1, the
+    file-source analog of maxOffsetsPerTrigger), so a backlog becomes N
+    bounded micro-batches instead of one giant catch-up batch that OOMs
+    the cluster after downtime.
+
+    SQL-checked: exactly 4 staged files must yield exactly 4 rate-
+    limited micro-batches, and no row may be lost or duplicated.
+    """
+    staging = _fresh_dir("ratetrigger", "staging")
+    checkpoint = _fresh_dir("ratetrigger", "checkpoint")
+    sink = _fresh_dir("ratetrigger", "sink")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "value")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(staging)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    return out.agg(
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.count("*").alias("n_rows"),
+    )
