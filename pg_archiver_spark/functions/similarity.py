@@ -238,3 +238,58 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register("sim_ann_ivf_partitioned")  # rows-only: bucketing is engine-specific
+def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the cell id as a PHYSICAL partition column — the at-rest
+    form of sim_ann_ivf's pruning story, demonstrated for real: the
+    assigned corpus is written `partitionBy("cell")`, and the query's
+    cell filter prunes the read to ONE directory (PartitionFilters in
+    the scan, asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning the corpus and scanning corpus/n_cells
+    per query; the index build (assign + write) is paid once at ingest.
+    """
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_expr(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(c_cos, -cell))").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "pg_archiver_spark", "ivf_index"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+
+    index = spark.read.parquet(index_dir)
+    query = index.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")
+    )
+    q_cell, q_emb = query.first()
+    # The literal cell filter is what prunes partitions at the source.
+    return (
+        index.filter((F.col("cell") == q_cell) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding"), F.array(*[F.lit(float(v)) for v in q_emb])),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -100,3 +100,11 @@ def test_no_python_udf_in_builtin_ops(spark, sf_dir):
     for name in ["agg_group_pricing", "join_inner_equi", "text_wordcount"]:
         plan = physical_plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
+    """The IVF index read must prune to the query's cell partition —
+    PartitionFilters on `cell`, not a full-index scan."""
+    plan = physical_plan(QUERIES["sim_ann_ivf_partitioned"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
