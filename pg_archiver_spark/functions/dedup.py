@@ -339,14 +339,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     N² cost is the price of exactness, paid with bounded memory and
     full parallelism.
     """
-    from pg_archiver_spark.functions.similarity import cosine_expr
+    from pg_archiver_spark.functions.similarity import dot_expr, norm_expr
 
+    # Norms are per-VECTOR — compute them once before the pair join.
+    # cosine_expr per pair re-folds each 64-float array 3× (dot + two
+    # norms); with N²/2 pairs the norm folds dominate. dot/(na·nb) with
+    # precomputed na, nb is bit-identical (same op order: sqrt, then
+    # multiply) at one-third the interpreted-HOF work.
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", (F.col("vec_id") % EMB_BLOCKS).alias("blk")
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % EMB_BLOCKS).alias("blk"),
+        norm_expr(F.col("embedding")).alias("nrm"),
     )
     left = emb.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
         F.col("blk").alias("ki"),
         F.explode(
             F.sequence(F.col("blk"), F.lit(EMB_BLOCKS - 1))
@@ -355,6 +364,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ki"),
         F.col("blk").alias("kj"),
     )
@@ -364,7 +374,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ki") < F.col("kj")) | (F.col("va") < F.col("vb"))
     )
     return (
-        pairs.filter(cosine_expr(F.col("ea"), F.col("eb")) >= 0.42)
+        pairs.filter(
+            dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= 0.42
+        )
         .select(
             F.least("va", "vb").alias("vec1"),
             F.greatest("va", "vb").alias("vec2"),

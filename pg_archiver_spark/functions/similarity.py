@@ -98,16 +98,33 @@ def sim_label_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to -0.0 in DuckDB but 0.0 in Spark (observed at sf0.1), and
     repr('-0.0') breaks the string compare; IEEE -0.0 + 0.0 = +0.0
     normalizes it (G13)."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    # Per-vector norms precomputed BEFORE the pair join: cosine per pair
+    # then costs one dot fold instead of three (bit-identical result —
+    # same sqrt-then-multiply op order as cosine_expr).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
     b = emb.select(
         F.col("label").alias("label2"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
     )
     return (
         a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
-        .select("label", cosine_expr(F.col("e1"), F.col("e2")).alias("cos"))
+        .select(
+            "label",
+            (
+                dot_expr(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
         .groupBy("label")
         .agg(
             F.count("*").alias("n_pairs"),
