@@ -58,10 +58,12 @@ def main() -> None:
     # pass re-does the actual data work.
     spark.catalog.clearCache()
 
-    # Min of two measured passes — the shared test box is noisy, and min
-    # is the standard low-variance estimator of achievable latency.
+    # Min of three measured passes — the shared test box shows sporadic
+    # ambient load (same code measured 10.3s and 14.9s minutes apart),
+    # and min is the standard low-variance estimator of achievable
+    # latency under asymmetric noise.
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
