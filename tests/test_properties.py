@@ -92,3 +92,37 @@ def test_topk_per_group_matches_python_model(spark, rows):
         for negv, i, _ in sorted(items)[:3]:
             model.add((g, -negv, i))
     assert got == model
+
+
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    b=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_block_pair_join_meets_every_pair_exactly_once(spark, n, b):
+    """The triangle block-pair replication behind dedup_embedding_cosine:
+    for ANY corpus size and block count, every unordered id pair must
+    meet on exactly one block-pair key — no lost pairs (the correctness
+    half) and no double-counted pairs (the dedup half)."""
+    ids = spark.range(n).select(
+        F.col("id").alias("v"), (F.col("id") % b).alias("blk")
+    )
+    left = ids.select(
+        F.col("v").alias("va"),
+        F.col("blk").alias("ki"),
+        F.explode(F.sequence(F.col("blk"), F.lit(b - 1))).alias("kj"),
+    )
+    right = ids.select(
+        F.col("v").alias("vb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ki"),
+        F.col("blk").alias("kj"),
+    )
+    pairs = (
+        left.join(right, ["ki", "kj"])
+        .filter((F.col("ki") < F.col("kj")) | (F.col("va") < F.col("vb")))
+        .select(F.least("va", "vb").alias("p1"), F.greatest("va", "vb").alias("p2"))
+        .filter(F.col("p1") != F.col("p2"))
+    )
+    got = sorted((r.p1, r.p2) for r in pairs.collect())
+    want = sorted((i, j) for i in range(n) for j in range(i + 1, n))
+    assert got == want
