@@ -383,3 +383,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("va", "vb").alias("vec2"),
         )
     )
+
+
+CC_MAX_ITERS = 8
+
+
+def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components over (doc1, doc2) pair edges via iterative
+    min-label propagation: each doc starts labeled with its own id and
+    repeatedly takes the minimum label in its neighborhood; fixpoint =
+    one label per component (its smallest doc_id). Returns
+    (doc_id, label). Rounds are plain shuffle joins; lineage is cut per
+    round with localCheckpoint so the plan stays flat."""
+    edges = pairs.select("doc1", "doc2").unionByName(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(edges.doc1.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_cluster_cc")  # rows-only: iterative algorithm, no SQL form
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS via iterative min-label propagation —
+    the step real dedup pipelines need after pair detection: A≈B and
+    B≈C must collapse to ONE surviving document even when A≉C directly.
+
+    Edges = the LSH-verified near-dup pairs (minhash_neardup); the
+    propagation fixpoint labels every component by its smallest doc_id
+    (the canonical survivor). The iteration count is the graph diameter
+    — for near-dup clusters that's tiny (duplicates of one source form
+    near-cliques), so at 100 TB this is a handful of bounded shuffles,
+    not a long chain.
+
+    Returns one row per multi-doc cluster: (cluster_rep, n_docs).
+    """
+    pairs = minhash_neardup(spark, sf_dir).select("doc1", "doc2")
+    labels = propagate_min_labels(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("cluster_rep")
+    )

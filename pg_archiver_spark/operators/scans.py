@@ -251,3 +251,46 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("year", "month")
     )
+
+
+@register("maintenance_compact")  # rows-only: filesystem profile
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the archive-maintenance job every
+    long-running ingest needs: streaming/micro-batch writers leave
+    thousands of KB-scale files per partition, and at 100 TB the
+    resulting task-scheduling and open() overhead dominates scans.
+    Rewrites a deliberately fragmented copy of events (64 files) into
+    ~`maxRecordsPerFile`-bounded files via a single coalesced pass,
+    preserving every row. Returns (n_files_before, n_files_after,
+    n_rows_before, n_rows_after)."""
+    frag = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "frag_events")
+    compact = os.path.join(
+        tempfile.gettempdir(), "pg_archiver_spark", "compact_events"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def n_parquet_files(path: str) -> int:
+        return sum(
+            1
+            for _, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = spark.read.parquet(frag)
+    before.coalesce(4).write.mode("overwrite").parquet(compact)
+    after = spark.read.parquet(compact)
+    return spark.createDataFrame(
+        [
+            (
+                n_parquet_files(frag),
+                n_parquet_files(compact),
+                before.count(),
+                after.count(),
+            )
+        ],
+        "n_files_before long, n_files_after long, n_rows_before long, n_rows_after long",
+    )

@@ -276,3 +276,42 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tile", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "window_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           epoch_ms(ts) AS valid_from_ms,
+           COALESCE(
+               LEAD(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ),
+               CAST(253402300800000 AS BIGINT)
+           ) AS valid_to_ms
+    FROM events
+    """,
+)
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) interval construction: each
+    per-user state change becomes a [valid_from, valid_to) row, the
+    history-table form every warehouse keeps for time-travel joins. One
+    shuffle on user_id + an in-partition sort — same cost envelope as
+    any per-entity window at 100 TB.
+
+    The open interval's end is the year-9999 sentinel, not NULL (G13:
+    nullable numerics are banned from final schemas)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns DIV 1000000"), F.col("event_id")
+    )
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("ts_ns DIV 1000000").alias("valid_from_ms"),
+        F.coalesce(
+            F.lead(F.expr("ts_ns DIV 1000000")).over(w),
+            F.lit(253402300800000).cast("long"),
+        ).alias("valid_to_ms"),
+    )

@@ -72,9 +72,10 @@ _DRIVER_PRIORITY = [
     # slots 51+: new round-2 oracle-backed ops, then never-checked
     # rows-only ops — evidence before re-checking already-green basics
     # if the cap ever rises:
-    "stream_dedup_watermark", "stream_rate_trigger",
+    "stream_dedup_watermark", "stream_rate_trigger", "window_scd2_intervals",
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
     "sink_parquet_sorted", "sink_parquet_partitioned",
+    "dedup_cluster_cc", "sim_ann_ivf_partitioned", "maintenance_compact",
     "minhash_neardup", "dedup_simhash", "multimodal_binary_features",
     "sim_ann_lsh", "sim_ann_ivf", "stream_archival_foreachbatch",
     "stream_stateful_count", "stream_watermark_late", "source_jdbc",

@@ -162,3 +162,36 @@ def test_cosine_expr_orthogonal_and_identical(spark):
     vals = [r.c for r in df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
     assert abs(vals[0]) < 1e-12
     assert abs(vals[1] - 1.0) < 1e-12
+
+
+def test_label_propagation_transitive_closure(spark):
+    """A-B and B-C (no direct A-C edge) must collapse to one cluster
+    labeled by the smallest id; disconnected pairs stay separate."""
+    from pg_archiver_spark.functions.dedup import propagate_min_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc1 long, doc2 long",
+    )
+    labels = {r.doc_id: r.label for r in propagate_min_labels(pairs).collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_cluster_cc_covers_all_paired_docs(spark, sf_dir):
+    """Every doc that appears in a near-dup pair lands in exactly one
+    cluster of size >= 2, and transitive merging can only reduce the
+    cluster count below the pair count."""
+    from pg_archiver_spark.functions.dedup import dedup_cluster_cc, minhash_neardup
+
+    pairs = minhash_neardup(spark, sf_dir)
+    paired_docs = set()
+    for r in pairs.collect():
+        paired_docs |= {r.doc1, r.doc2}
+    clusters = dedup_cluster_cc(spark, sf_dir).collect()
+    assert sum(c.n_docs for c in clusters) == len(paired_docs)
+    assert all(c.n_docs >= 2 for c in clusters)
+    assert len(clusters) <= pairs.count()
