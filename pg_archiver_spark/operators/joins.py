@@ -282,7 +282,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "bucketed")
+    base = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "bucketed")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     customer = load(spark, sf_dir, "customer")
     for name, df, key in (

@@ -120,7 +120,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "event_id", F.expr("ts_ns DIV 1000000").alias("epoch_ms"), "user_id", "value"
     )
-    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "csv_events")
+    out = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "csv_events")
     events.write.mode("overwrite").option("header", "true").csv(out)
     back = spark.read.schema("event_id long, epoch_ms long, user_id long, value double").option(
         "header", "true"
@@ -147,7 +147,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = the same profile on the source table (round-trip fidelity).
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "json_docs")
+    out = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "json_docs")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
     return (
@@ -172,7 +172,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "orc_orders")
+    out = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "orc_orders")
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (
@@ -199,7 +199,7 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingest-side half of the archive's query performance at 100 TB.
     Returns the read-back per-file-range profile."""
     events = load(spark, sf_dir, "events").select("event_id", "ts_ns", "user_id", "value")
-    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "sorted_events")
+    out = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "sorted_events")
     (
         events.repartitionByRange(8, "ts_ns")
         .sortWithinPartitions("ts_ns")
@@ -236,7 +236,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the committer handles task-file uniqueness and S3 upload (s3a://).
     """
     events = load(spark, sf_dir, "events")
-    out = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "archive_events")
+    out = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "archive_events")
     (
         events.withColumn("year", F.year("ts"))
         .withColumn("month", F.month("ts"))
@@ -263,9 +263,9 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~`maxRecordsPerFile`-bounded files via a single coalesced pass,
     preserving every row. Returns (n_files_before, n_files_after,
     n_rows_before, n_rows_after)."""
-    frag = os.path.join(tempfile.gettempdir(), "pg_archiver_spark", "frag_events")
+    frag = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "frag_events")
     compact = os.path.join(
-        tempfile.gettempdir(), "pg_archiver_spark", "compact_events"
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "compact_events"
     )
     events = load(spark, sf_dir, "events").select(
         "event_id", "ts_ns", "user_id", "event_type", "value"

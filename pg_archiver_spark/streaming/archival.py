@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
 
-_WORK_ROOT = "/tmp/pg_archiver_spark"
+# Process-unique root: concurrent runs (pytest alongside tools/check.py,
+# or the driver alongside anything) must not rmtree each other's staging
+# or checkpoint dirs mid-stream.
+_WORK_ROOT = f"/tmp/pg_archiver_spark-{os.getpid()}"
 
 
 def _fresh_dir(*parts: str) -> str:
