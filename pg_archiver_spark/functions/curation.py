@@ -1,0 +1,422 @@
+"""Data-curation operators — the training-data governance surface.
+
+Rounds out the pipeline family (functions/pipeline.py) with the
+curation steps a pre-training corpus build runs between raw ingest and
+tokenization:
+
+  benchmark contamination  — flag training docs whose shingle set is
+                             substantially contained in an eval doc
+  token-budget sampling    — deterministic prefix of the corpus up to a
+                             global token budget (two-phase scan, no
+                             single-partition cumsum)
+  per-domain quotas        — cap documents per source deterministically
+  PII redaction            — regex scrub with per-language audit counts
+  train/val/test split     — stratified deterministic hash split
+  repetition scoring       — duplicate-token ratio per language
+
+All stages are built-in Spark expressions (no Python row path); each
+op's oracle re-states the semantics in ANSI SQL over the same parquet.
+Generalizes the reference's single extract query (main.go:99-129) the
+same way the rest of the §2.B surface does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.functions.dedup import _shingles
+from pg_archiver_spark.registry import register
+
+# Benchmark membership: md5(doc_id) first hex char c-f (a deterministic
+# ~25% slice standing in for an eval suite). Containment ≥ 0.5 sits in
+# the fixture's similarity gap (planted near-dup pairs ≥0.9, background
+# ≤~0.2 — same gap dedup_ngram_jaccard uses).
+_BENCH_CHARS = ("c", "d", "e", "f")
+CONTAINMENT_THRESHOLD = 0.5
+
+TOKEN_BUDGET = 12_000
+DOMAIN_QUOTA = 15
+
+_MD5 = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "pipeline_contamination",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substring({_MD5}, 1, 1) IN ('c','d','e','f') AS is_bench,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - 2),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+               )) AS shingles
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM d t, d b
+        WHERE NOT t.is_bench AND b.is_bench
+          AND CAST(len(list_intersect(t.shingles, b.shingles)) AS DOUBLE)
+              / len(t.shingles) >= {CONTAINMENT_THRESHOLD}
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE NOT is_bench) AS n_train,
+           COUNT(*) FILTER (WHERE is_bench) AS n_benchmark,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contaminated))
+               AS n_contaminated
+    FROM d
+    GROUP BY lang
+    """,
+)
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: a training document is
+    contaminated when ≥50% of its 3-token shingles appear in some
+    benchmark document (n-gram containment, the standard eval-leak
+    test). Pairs meet through a shared-shingle equi-join — train and
+    benchmark docs with no common shingle never meet, and the benchmark
+    side is a small fraction of the corpus, so the join is bipartite
+    and bounded (at 100 TB the benchmark side's exploded shingles are a
+    broadcast- or bloom-filter-sized table, not a shuffle)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .isin(*_BENCH_CHARS)
+            .alias("is_bench"),
+            _shingles(F.col("text")).alias("shingles"),
+        )
+        .cache()
+    )
+    ex = d.select(
+        "doc_id",
+        "is_bench",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    train = ex.filter(~F.col("is_bench")).select(
+        F.col("doc_id").alias("t_id"), F.col("n_sh").alias("t_n"), "shingle"
+    )
+    bench = ex.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("b_id"), "shingle"
+    )
+    contaminated = (
+        train.join(bench, "shingle")
+        .groupBy("t_id", "b_id", "t_n")
+        .agg(F.count("*").alias("n_common"))
+        .filter(
+            F.col("n_common").cast("double") / F.col("t_n")
+            >= CONTAINMENT_THRESHOLD
+        )
+        .select(F.col("t_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = d.join(contaminated.withColumn("hit", F.lit(True)), "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count_if(~F.col("is_bench")).alias("n_train"),
+        F.count_if(F.col("is_bench")).alias("n_benchmark"),
+        F.count_if(F.col("hit").isNotNull()).alias("n_contaminated"),
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT lang, len(string_split(text,' ')) AS n_tokens,
+               SUM(len(string_split(text,' ')))
+                   OVER (ORDER BY {_MD5}, doc_id) AS running
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM ordered WHERE running <= {TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling: shuffle the corpus by
+    md5(doc_id) and keep the prefix whose running token count stays
+    within the budget.
+
+    A naive ``SUM() OVER (ORDER BY md5)`` is a single-partition global
+    sort — the classic scale-killer. This is the two-phase scan
+    instead: (1) per-bucket token subtotals over the md5's first two
+    hex chars (256 buckets), prefix-summed on a 256-row frame; (2) the
+    within-bucket running sum, offset by the bucket's prefix — the same
+    result as the global cumsum, but every partition-sized piece of
+    work is bounded by corpus/256. The bucket order equals the global
+    md5 order because the bucket IS the md5 prefix."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("m"),
+    )
+    docs = docs.withColumn("bucket", F.substring("m", 1, 2))
+
+    # Phase 1: 256 bucket subtotals; the prefix sum over them is a
+    # 256-row window — driver-trivial at any corpus size.
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_total").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    # Phase 2: within-bucket cumsum (parallel across 256 buckets),
+    # shifted by the bucket offset = the exact global running sum.
+    w = Window.partitionBy("bucket").orderBy("m", "doc_id")
+    running = (
+        docs.join(F.broadcast(offsets), "bucket")
+        .withColumn("running", F.sum("n_tokens").over(w) + F.col("offset"))
+    )
+    return (
+        running.filter(F.col("running") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, lang, len(string_split(text,' ')) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_MD5}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE rk <= {DOMAIN_QUOTA}) AS n_kept,
+           COUNT(*) AS n_total,
+           CAST(SUM(n_tokens) FILTER (WHERE rk <= {DOMAIN_QUOTA}) AS BIGINT)
+               AS kept_tokens
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep a deterministic md5-ordered head
+    of at most DOMAIN_QUOTA documents per source — how a corpus build
+    stops one crawl domain from dominating the mix. One shuffle on
+    source; the rank window is per-source, so parallelism is the domain
+    count (salt the rank's order key *within* source if one domain is
+    huge — the quota head is order-stable under any within-source
+    split)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("m"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("m", "doc_id")
+    )
+    kept = F.col("rk") <= DOMAIN_QUOTA
+    return (
+        docs.withColumn("rk", rk)
+        .groupBy("source")
+        .agg(
+            F.count_if(kept).alias("n_kept"),
+            F.count("*").alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "pipeline_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN doc_id % 10 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+                 WHEN doc_id % 10 = 1 THEN
+                   text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                 ELSE text
+               END AS text
+        FROM documents
+    ),
+    redacted AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM injected
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_email + n_phone > 0) AS n_docs_redacted,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0
+                         THEN len(clean) ELSE 0 END) AS BIGINT)
+               AS redacted_chars
+    FROM redacted
+    GROUP BY lang
+    """,
+)
+def pipeline_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with an audit trail: match emails and 555-prefixed
+    phone numbers, replace with typed placeholders, report per-language
+    counts. The fixture corpus is synthetic vocabulary with no PII, so
+    the op deterministically injects tokens into doc_id%10∈{0,1} first
+    — the regex machinery under test is the real surface (a pure
+    narrow map: no shuffle until the final small agg). Patterns stay in
+    the portable subset shared by Java regex and RE2 so both engines
+    match identically."""
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    redacted = injected.select(
+        "lang",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    hit = F.col("n_email") + F.col("n_phone") > 0
+    return redacted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(hit).alias("n_docs_redacted"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum(F.when(hit, F.length("clean")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("redacted_chars"),
+    )
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN substring({_MD5}, 1, 1) IN ('e','f') THEN 'test'
+             WHEN substring({_MD5}, 1, 1) IN ('c','d') THEN 'val'
+             ELSE 'train'
+           END AS split,
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split on the md5 hex
+    prefix, reported per (split, language) so stratification is
+    auditable. Hash-based membership means any worker can route any
+    document with no coordination or lookup table — the only shuffle
+    is the final small agg. The same expression works as a
+    partitionBy() column when materializing the splits."""
+    docs = load(spark, sf_dir, "documents")
+    c1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c1.isin("e", "f"), "test")
+        .when(c1.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text,' ')) AS n_tok,
+               len(list_distinct(string_split(text,' '))) AS n_uniq
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok - n_uniq) AS BIGINT) AS repeated_tokens,
+           CAST(SUM(n_tok - n_uniq) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+               AS repetition_ratio
+    FROM t
+    GROUP BY lang
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the duplicate-token fraction per language,
+    a standard low-quality-text signal (boilerplate and keyword-stuffed
+    pages repeat). The ratio is one double division of two exact
+    integer sums, so it is bit-identical across engines regardless of
+    aggregation order (a double-typed AVG would not be)."""
+    toks = F.split("text", " ")
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    total = F.sum("n_tok").cast("bigint")
+    repeated = F.sum(F.col("n_tok") - F.col("n_uniq")).cast("bigint")
+    return t.groupBy("lang").agg(
+        total.alias("total_tokens"),
+        repeated.alias("repeated_tokens"),
+        (repeated.cast("double") / total.cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )

@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = [
     "sim_ann_lsh", "sim_ann_ivf", "stream_archival_foreachbatch",
     "stream_stateful_count", "stream_watermark_late", "source_jdbc",
     "window_cume_dist", "window_first_last",
+    "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
+    "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
 ]
 
 
@@ -98,6 +100,7 @@ def load_all_operators() -> None:
         windows,
     )
     from pg_archiver_spark.functions import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         pipeline,
