@@ -13,6 +13,10 @@ tokenization:
   PII redaction            — regex scrub with per-language audit counts
   train/val/test split     — stratified deterministic hash split
   repetition scoring       — duplicate-token ratio per language
+  document chunking        — fixed-size token windows with stride
+  sequence packing         — assign docs to fixed-length training
+                             sequences by global token cumsum
+  source-mixture sampling  — per-source weighted keep rates
 
 All stages are built-in Spark expressions (no Python row path); each
 op's oracle re-states the semantics in ANSI SQL over the same parquet.
@@ -39,8 +43,45 @@ CONTAINMENT_THRESHOLD = 0.5
 
 TOKEN_BUDGET = 12_000
 DOMAIN_QUOTA = 15
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+SEQ_LEN = 512
 
 _MD5 = "md5(CAST(doc_id AS VARCHAR))"
+
+
+def _with_global_running(docs: DataFrame) -> DataFrame:
+    """Add a ``running`` column: the exact global cumulative sum of
+    ``n_tokens`` in ``(m, doc_id)`` order, where ``m`` is the doc's md5
+    hex — WITHOUT a single-partition global window.
+
+    Two-phase scan: (1) per-bucket token subtotals over the md5's first
+    two hex chars (256 buckets), prefix-summed on a 256-row frame;
+    (2) the within-bucket running sum, offset by the bucket's prefix.
+    Equal to the global cumsum because the bucket IS the md5 prefix, so
+    bucket order == global order; every partition-sized piece of work
+    is bounded by corpus/256."""
+    docs = docs.withColumn("bucket", F.substring("m", 1, 2))
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_total").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    w = Window.partitionBy("bucket").orderBy("m", "doc_id")
+    return docs.join(F.broadcast(offsets), "bucket").withColumn(
+        "running", F.sum("n_tokens").over(w) + F.col("offset")
+    )
 
 
 @register(
@@ -148,46 +189,17 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the budget.
 
     A naive ``SUM() OVER (ORDER BY md5)`` is a single-partition global
-    sort — the classic scale-killer. This is the two-phase scan
-    instead: (1) per-bucket token subtotals over the md5's first two
-    hex chars (256 buckets), prefix-summed on a 256-row frame; (2) the
-    within-bucket running sum, offset by the bucket's prefix — the same
-    result as the global cumsum, but every partition-sized piece of
-    work is bounded by corpus/256. The bucket order equals the global
-    md5 order because the bucket IS the md5 prefix."""
+    sort — the classic scale-killer. ``_with_global_running`` is the
+    two-phase 256-bucket scan instead: same result as the global
+    cumsum, but every partition-sized piece of work is bounded by
+    corpus/256."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("m"),
     )
-    docs = docs.withColumn("bucket", F.substring("m", 1, 2))
-
-    # Phase 1: 256 bucket subtotals; the prefix sum over them is a
-    # 256-row window — driver-trivial at any corpus size.
-    offsets = (
-        docs.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bucket_total").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "offset")
-    )
-    # Phase 2: within-bucket cumsum (parallel across 256 buckets),
-    # shifted by the bucket offset = the exact global running sum.
-    w = Window.partitionBy("bucket").orderBy("m", "doc_id")
-    running = (
-        docs.join(F.broadcast(offsets), "bucket")
-        .withColumn("running", F.sum("n_tokens").over(w) + F.col("offset"))
-    )
+    running = _with_global_running(docs)
     return (
         running.filter(F.col("running") <= TOKEN_BUDGET)
         .groupBy("lang")
@@ -419,4 +431,169 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (repeated.cast("double") / total.cast("double")).alias(
             "repetition_ratio"
         ),
+    )
+
+
+@register(
+    "pipeline_doc_chunking",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text,' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range((len(toks)-1)//{CHUNK_STRIDE} + 1)) AS chunk_id
+        FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id*{CHUNK_STRIDE}+1
+                         : chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_id*{CHUNK_STRIDE}+1
+                                    : chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM c
+    """,
+)
+def pipeline_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap — split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (the standard
+    context-window prep for embedding or next-token training). A pure
+    narrow map — sequence→explode→slice per document, zero shuffles —
+    so it scales linearly with corpus bytes. chunk_md5 fingerprints the
+    chunk text so the oracle proves content equality, not just counts
+    (and is what a chunk-level dedup downstream would key on)."""
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) DIV {CHUNK_STRIDE}"))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        "toks",
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "pipeline_seq_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT len(string_split(text,' ')) AS n_tokens,
+               SUM(len(string_split(text,' ')))
+                   OVER (ORDER BY {_MD5}, doc_id) AS running
+        FROM documents
+    )
+    SELECT CAST((running - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_started,
+           COUNT(*) FILTER (WHERE (running - 1) // {SEQ_LEN}
+                                  != (running - n_tokens) // {SEQ_LEN})
+               AS n_crossing
+    FROM d GROUP BY 1
+    """,
+)
+def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the md5-shuffled corpus and assign
+    every document to the fixed-length SEQ_LEN training sequence its
+    first token lands in (concat-and-chunk packing — zero padding
+    waste; n_crossing counts docs that straddle a sequence boundary,
+    the attention-masking cost of this scheme). The global token
+    cumsum reuses ``_with_global_running`` (two-phase 256-bucket scan),
+    so no single-partition window exists at any corpus size; the
+    oracle states the same semantics as one global window, which is
+    fine for DuckDB at fixture scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("m"),
+    )
+    r = _with_global_running(docs).select(
+        F.expr(f"(running - n_tokens) DIV {SEQ_LEN}").alias("seq_id"),
+        F.expr(f"(running - 1) DIV {SEQ_LEN}").alias("end_seq"),
+        "n_tokens",
+    )
+    return r.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_started"),
+        F.count_if(F.col("end_seq") != F.col("seq_id")).alias("n_crossing"),
+    )
+
+
+# Mixture weights: source srcN gets keep rate (N % 4 + 1)/4 — a
+# deterministic stand-in for tuned per-domain mixture weights (à la
+# DoReMi / The Pile). Membership is an md5-hex-prefix threshold, so the
+# keep decision is a pure function of doc_id: hex first char < '4'
+# keeps ~25%, < '8' ~50%, < 'c' ~75%, < 'g' all (ASCII orders 0-9 < a-f).
+_MIX_THRESHOLDS = ("4", "8", "c", "g")
+
+
+@register(
+    "pipeline_source_mix",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               CAST(substring(source, 4) AS INT) % 4 AS g,
+               substring({_MD5}, 1, 1) AS c1,
+               len(string_split(text,' ')) AS n_tokens
+        FROM documents
+    ),
+    k AS (
+        SELECT source, g, n_tokens,
+               c1 < CASE g WHEN 0 THEN '4' WHEN 1 THEN '8'
+                           WHEN 2 THEN 'c' ELSE 'g' END AS kept
+        FROM d
+    )
+    SELECT source,
+           CAST(g + 1 AS DOUBLE) / 4 AS target_rate,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE kept) AS n_kept,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
+               AS kept_tokens
+    FROM k GROUP BY source, g
+    """,
+)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling: downsample each source to its target
+    mixture weight with a deterministic hash threshold — how a corpus
+    build hits tuned per-domain proportions without a shuffle or a
+    coordination table (any worker can route any row; the only shuffle
+    is the final per-source audit agg). Reported per source so the
+    achieved rate is auditable against the target."""
+    docs = load(spark, sf_dir, "documents")
+    g = (F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("g")
+    d = docs.select(
+        "source",
+        g,
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("c1"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    thresh = F.element_at(
+        F.array(*[F.lit(t) for t in _MIX_THRESHOLDS]), F.col("g") + 1
+    )
+    k = d.withColumn("kept", F.col("c1") < thresh)
+    return k.groupBy("source", "g").agg(
+        F.count("*").alias("n_total"),
+        F.count_if("kept").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    ).select(
+        "source",
+        ((F.col("g") + 1).cast("double") / 4).alias("target_rate"),
+        "n_total",
+        "n_kept",
+        "kept_tokens",
     )

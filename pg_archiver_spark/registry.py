@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "window_cume_dist", "window_first_last",
     "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
     "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
+    "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
 ]
 
 

@@ -130,3 +130,74 @@ def test_repetition_ratio_bounds(spark, sf_dir):
     for r in out:
         assert 0.0 <= r.repetition_ratio < 1.0
         assert r.repeated_tokens <= r.total_tokens
+
+
+def test_doc_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each document exactly: the last chunk
+    ends at the final token, non-final chunks carry more than a stride
+    (so consecutive windows overlap), and chunk ids are dense from 0."""
+    from pg_archiver_spark.functions.curation import CHUNK_STRIDE, CHUNK_TOKENS
+
+    chunks = QUERIES["pipeline_doc_chunking"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max("chunk_id").alias("max_id"),
+            F.count("*").alias("n_chunks"),
+            F.max(F.col("chunk_id") * CHUNK_STRIDE + F.col("n_chunk_tokens")).alias(
+                "last_token"
+            ),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r.n_chunks == r.max_id + 1  # dense ids 0..max
+        assert r.n_chunks == (r.n - 1) // CHUNK_STRIDE + 1
+        assert r.last_token == r.n  # final chunk reaches the last token
+    non_final = chunks.join(
+        chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("max_id")), "doc_id"
+    ).filter(F.col("chunk_id") < F.col("max_id"))
+    # A non-final window always holds stride+1..CHUNK_TOKENS tokens.
+    bad = non_final.filter(
+        (F.col("n_chunk_tokens") <= CHUNK_STRIDE)
+        | (F.col("n_chunk_tokens") > CHUNK_TOKENS)
+    ).count()
+    assert bad == 0
+
+
+def test_seq_packing_conserves_docs_and_tokens(spark, sf_dir):
+    from pg_archiver_spark.functions.curation import SEQ_LEN
+
+    out = QUERIES["pipeline_seq_packing"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    total_docs = docs.count()
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r.n_docs for r in out) == total_docs
+    assert sum(r.n_tokens_started for r in out) == total_tokens
+    # Sequence ids live in [0, total_tokens // SEQ_LEN].
+    assert all(0 <= r.seq_id <= total_tokens // SEQ_LEN for r in out)
+    # At most one doc can straddle each sequence's end boundary.
+    assert all(r.n_crossing <= 1 for r in out)
+
+
+def test_source_mix_rates_and_determinism(spark, sf_dir):
+    out = {r.source: r for r in QUERIES["pipeline_source_mix"](spark, sf_dir).collect()}
+    again = {
+        r.source: r for r in QUERIES["pipeline_source_mix"](spark, sf_dir).collect()
+    }
+    assert out.keys() == again.keys()
+    for src, r in out.items():
+        assert r.n_kept <= r.n_total
+        assert 0.25 <= r.target_rate <= 1.0
+        # Hash membership is a pure function of doc_id: re-running the
+        # sample yields the identical kept set (count + token mass).
+        assert (r.n_kept, r.kept_tokens) == (again[src].n_kept, again[src].kept_tokens)
+        if r.target_rate == 1.0:
+            assert r.n_kept == r.n_total
