@@ -310,3 +310,48 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register("sim_cosine_topk_arrow")  # rows-only: BLAS sum order != SQL fold order
+def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 through the Arrow/NumPy
+    fast path: `mapInPandas` streams Arrow batches, each scored with
+    one vectorized matmul (`M @ q / |M|·|q|`) instead of per-row
+    zip_with/aggregate folds — Spark's higher-order functions are
+    interpreted (not codegen'd), so at 64-dim this kernel does the
+    same exact math ~10× cheaper per row. Same plan shape as
+    sim_cosine_topk: scan → map → TakeOrderedAndProject; the Python
+    boundary is per-batch, never per-row.
+
+    Rows-only: BLAS pairwise summation reorders the double adds vs the
+    sequential SQL fold, so bit-equality with a DuckDB oracle is not
+    guaranteed (≈1e-15 relative; id-parity with the exact operator is
+    asserted in tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    # One-row driver fetch of the query vector (same pattern as the
+    # partitioned-IVF probe) — broadcast to workers via the closure.
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    q_unit = q / np.linalg.norm(q)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (m @ q_unit) / np.linalg.norm(m, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cos_sim": np.round(sims, 4)}
+            )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "vec_id bigint, cos_sim double")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)

@@ -40,3 +40,15 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     }
     lsh = {(r.doc1, r.doc2) for r in QUERIES["minhash_neardup"](spark, sf_dir).collect()}
     assert lsh == exact
+
+
+def test_arrow_cosine_matches_exact_operator(spark, sf_dir):
+    """The NumPy-matmul fast path must reproduce the interpreted
+    zip_with/aggregate baseline: same top-10 ids in the same order,
+    same similarities at the rounded precision (BLAS reordering sits
+    ~1e-15 below the 4-decimal round)."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    arrow = QUERIES["sim_cosine_topk_arrow"](spark, sf_dir).collect()
+    assert [r.vec_id for r in arrow] == [r.vec_id for r in exact]
+    for e, a in zip(exact, arrow):
+        assert abs(e.cos_sim - a.cos_sim) < 1e-9, (e, a)
