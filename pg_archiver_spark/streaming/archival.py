@@ -416,3 +416,100 @@ def stream_rate_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("batch_id").alias("n_batches"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.user_id) AS n_users,
+           CAST(COALESCE(SUM(c.c_id + p.p_id), 0) AS BIGINT) AS id_checksum
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.p_ms > c.c_ms
+                 AND p.p_ms <= c.c_ms + 3600000
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — click→purchase attribution: each
+    purchase matches the same user's clicks from the preceding hour.
+    Two live streams, both watermarked, joined on an equi-key PLUS an
+    event-time range — the canonical Structured Streaming join: the
+    time bound is what lets the engine expire join state (a click older
+    than watermark + 1h can never match a future purchase and is
+    evicted), so state stays bounded on an unbounded feed. The
+    watermark here is generous (30 days > the fixture's span) so the
+    availableNow run is lossless and the batch oracle matches exactly.
+
+    SQL-checked: pair count, matched-user count, and an id checksum
+    against the equivalent batch join in DuckDB.
+    """
+    staging_c = _fresh_dir("streamjoin", "clicks")
+    staging_p = _fresh_dir("streamjoin", "purchases")
+    checkpoint = _fresh_dir("streamjoin", "checkpoint")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    ev.filter(F.col("event_type") == "click").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(staging_c)
+    ev.filter(F.col("event_type") == "purchase").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(staging_p)
+    schema = ev.drop("event_type").schema
+
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(staging_c)
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(staging_p)
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("stream_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_pairs,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(COALESCE(SUM(c_id + p_id), 0) AS BIGINT) AS id_checksum
+        FROM stream_join_sink
+        """
+    )

@@ -109,3 +109,41 @@ def test_cli_archiver_runs(spark, sf_dir, tmp_path, monkeypatch):
     back = spark.read.parquet(str(tmp_path / "archive"))
     assert back.count() == stats["archived_rows"]
     assert dict(back.dtypes)["ts"].startswith("timestamp")
+
+
+def test_stream_stream_join_equals_batch_join(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pair set (the 30-day watermark exceeds the
+    fixture's span, so no state is evicted mid-run and the availableNow
+    drain is lossless)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"), "user_id"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(F.sum(F.col("c_id") + F.col("p_id")), F.lit(0)).alias(
+            "id_checksum"
+        ),
+    ).collect()[0]
+    streamed = QUERIES["stream_stream_join"](spark, sf_dir).collect()[0]
+    assert (streamed.n_pairs, streamed.n_users, streamed.id_checksum) == (
+        batch.n_pairs,
+        batch.n_users,
+        batch.id_checksum,
+    )
