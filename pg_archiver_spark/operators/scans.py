@@ -294,3 +294,51 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_files_before long, n_files_after long, n_rows_before long, n_rows_after long",
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_v1_rows,
+           CAST(COALESCE(SUM(CASE WHEN event_id % 2 = 1
+                                  THEN CAST(floor(value*100) AS BIGINT) END), 0)
+                AS BIGINT) AS v2_value_cents
+    FROM events
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read ('more column types / custom schemas' —
+    reference future work, README.md:125,128): a long-lived archive
+    accumulates files written under different schema versions. Half the
+    events are written with the v1 schema (event_id, user_id), half
+    with v2 (adds value); `mergeSchema` unifies them at scan time and
+    backfills the missing column with NULL — no rewrite of the old
+    files, which at 100 TB is the difference between a metadata change
+    and a full-corpus compaction.
+
+    SQL-checked: total rows, v1 rows (those whose value is NULL after
+    the merge), and the v2 value mass (integer cents) must match the
+    source-table profile."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "evolved_events"
+    )
+    events.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "v1"))
+    events.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(out, "v2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("n_v1_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNotNull(),
+                         F.floor(F.col("value") * 100))),
+            F.lit(0),
+        ).cast("bigint").alias("v2_value_cents"),
+    )

@@ -83,7 +83,7 @@ _DRIVER_PRIORITY = [
     "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
     "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
     "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
-    "stream_stream_join", "sim_cosine_topk_arrow",
+    "stream_stream_join", "sim_cosine_topk_arrow", "source_schema_evolution",
 ]
 
 
