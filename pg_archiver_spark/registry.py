@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
     "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
     "stream_stream_join", "sim_cosine_topk_arrow", "source_schema_evolution",
+    "composed_q5_local_supplier",
 ]
 
 
