@@ -108,3 +108,31 @@ def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
     plan = physical_plan(QUERIES["sim_ann_ivf_partitioned"](spark, sf_dir))
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_q5_pushes_date_range_and_broadcasts_dims(spark, sf_dir):
+    """The composed Q5 plan must push the o_orderdate range into the
+    orders scan (a scan reading the full table then filtering is wrong
+    at 100 TB) and probe supplier/nation/region as broadcasts — no
+    nested-loop or cartesian shapes anywhere."""
+    plan = physical_plan(QUERIES["composed_q5_local_supplier"](spark, sf_dir))
+    # o_orderdate exists only in the orders scan, so plan-wide matches
+    # pin that scan's PushedFilters (the formatted plan splits a scan's
+    # path and filters across lines).
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_schema_evolution_backfills_nulls(spark, sf_dir):
+    """mergeSchema must surface the v2-only column as NULL for v1 rows
+    (n_v1_rows == the even-event_id half of the table)."""
+    from pg_archiver_spark.catalog import load
+
+    row = QUERIES["source_schema_evolution"](spark, sf_dir).collect()[0]
+    total = load(spark, sf_dir, "events").count()
+    assert row.n_rows == total
+    assert 0 < row.n_v1_rows < total
+    assert row.v2_value_cents > 0
