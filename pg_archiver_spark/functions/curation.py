@@ -86,6 +86,15 @@ def _with_global_running(docs: DataFrame) -> DataFrame:
 
 @register(
     "pipeline_contamination",
+    # Oracle-contract note: the Spark side intersects xxhash64-hashed
+    # shingles (dedup._shingles) while DuckDB (no xxhash64 built-in)
+    # intersects the string shingles. Equality of n_common/t_n therefore
+    # assumes zero 64-bit collisions WITHIN one document pair's shingle
+    # sets — w.h.p. true (a pair has ≲10^2 shingles; P[collision]
+    # ≈ k²/2^65 ≈ 1e-16), and a collision could only flip a doc across
+    # the 0.5 threshold if its true containment were exactly at the
+    # boundary, which the fixture's similarity gap (≥0.9 planted vs
+    # ≤0.2 background) keeps far away.
     oracle=f"""
     WITH d AS (
         SELECT doc_id, lang,

@@ -390,11 +390,20 @@ CC_MAX_ITERS = 8
 
 def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Connected components over (doc1, doc2) pair edges via iterative
-    min-label propagation: each doc starts labeled with its own id and
-    repeatedly takes the minimum label in its neighborhood; fixpoint =
-    one label per component (its smallest doc_id). Returns
-    (doc_id, label). Rounds are plain shuffle joins; lineage is cut per
-    round with localCheckpoint so the plan stays flat."""
+    min-label propagation with pointer jumping: each doc starts labeled
+    with its own id, repeatedly takes the minimum label in its
+    neighborhood, then replaces its label with its label's label (path
+    halving). Fixpoint = one label per component (its smallest doc_id).
+    Returns (doc_id, label). Rounds are plain shuffle joins; lineage is
+    cut per round with localCheckpoint so the plan stays flat.
+
+    Min-propagation alone needs diameter rounds; the jump step chases
+    label chains so the rounds needed drop to O(log diameter) — 8
+    rounds cover components of diameter ~2^8, far beyond any real
+    near-dup cluster. If a pathological graph still fails to converge
+    the function RAISES instead of returning silently under-merged
+    labels (a split cluster would violate the one-survivor contract
+    downstream with no other signal)."""
     edges = pairs.select("doc1", "doc2").unionByName(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).cache()
@@ -405,19 +414,31 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.doc_id)
             .groupBy(edges.doc1.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: label <- label's label. Every label value is
+        # itself a doc_id in the frame, and at fixpoint the component
+        # min is self-labeled, so the jump is the identity there — the
+        # changed==0 convergence test below stays valid.
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.join(parent, propagated.label == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                F.coalesce("p_label", "label").alias("label"),
             )
             .localCheckpoint()
         )
@@ -429,7 +450,14 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels: not converged after {max_iters} rounds; "
+            "component diameter exceeds 2^rounds — raise max_iters rather "
+            "than accept silently split clusters"
+        )
     return labels
 
 

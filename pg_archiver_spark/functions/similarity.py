@@ -287,8 +287,11 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("embedding"),
     )
 
+    # pid-isolated like every other tmp write (scans/joins/archival):
+    # pytest and tools/check.py run concurrently and must not overwrite
+    # each other's index mid-query.
     index_dir = os.path.join(
-        tempfile.gettempdir(), "pg_archiver_spark", "ivf_index"
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "ivf_index"
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
 

@@ -104,7 +104,16 @@ def _delete_partition_kernel(
     deleted = 0
     conn = connection_factory()
     if conn is None:
-        return 0
+        # The driver-side configured check already passed, so a None
+        # connection HERE means the executor environment is broken
+        # (env var or psycopg2 missing on workers). Returning 0 would
+        # be indistinguishable from a successful no-op delete — fail
+        # the task instead so the delete-behind contract is never
+        # silently skipped.
+        raise RuntimeError(
+            "delete-behind: connection_factory returned None on an "
+            "executor after the driver-side configuration check passed"
+        )
     try:
         cur = conn.cursor()
         it = iter(keys)
@@ -115,7 +124,10 @@ def _delete_partition_kernel(
             cur.execute(
                 f"DELETE FROM {table} WHERE {key_col} = ANY(%s)", (batch,)
             )
-            deleted += cur.rowcount if cur.rowcount is not None else 0
+            # DB-API allows rowcount == -1 ("unknown"); only positive
+            # counts are real deletions.
+            if cur.rowcount and cur.rowcount > 0:
+                deleted += cur.rowcount
         conn.commit()
     finally:
         conn.close()

@@ -193,6 +193,47 @@ def test_delete_archived_distributes_exact_key_set(spark, tmp_path):
     assert sorted(written) == list(range(100))
 
 
+def test_delete_kernel_rejects_missing_connection():
+    """A factory that yields no connection inside the distributed path
+    (env/driver check already passed) must FAIL the task, not report 0
+    deletions that read as a successful no-op."""
+    import pytest
+
+    from pg_archiver_spark.sources.jdbc import _delete_partition_kernel
+
+    with pytest.raises(RuntimeError, match="connection_factory returned None"):
+        _delete_partition_kernel(
+            iter(range(3)), "iot_data", "event_id", lambda: None, batch_size=8
+        )
+
+
+def test_delete_kernel_ignores_unknown_rowcount():
+    """DB-API rowcount == -1 means 'unknown' and must not be summed
+    into the reported delete count."""
+    from pg_archiver_spark.sources.jdbc import _delete_partition_kernel
+
+    log, state = [], {}
+
+    class _UnknownCursor(_FakeCursor):
+        def execute(self, sql, params):
+            super().execute(sql, params)
+            self.rowcount = -1
+
+    class _UnknownConn(_FakeConnection):
+        def cursor(self):
+            return _UnknownCursor(self._log)
+
+    n = _delete_partition_kernel(
+        iter(range(5)),
+        "iot_data",
+        "event_id",
+        lambda: _UnknownConn(log, state),
+        batch_size=2,
+    )
+    assert n == 0
+    assert sorted(k for _, keys in log for k in keys) == list(range(5))
+
+
 def test_delete_archived_noop_without_database(spark):
     """Without a configured database the delete path is a clean no-op."""
     from pg_archiver_spark.sources.jdbc import delete_archived

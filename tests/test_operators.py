@@ -181,6 +181,20 @@ def test_label_propagation_transitive_closure(spark):
     }
 
 
+def test_label_propagation_long_chain_converges(spark):
+    """A 41-node path graph (diameter 40 >> CC_MAX_ITERS=8) still
+    converges: pointer jumping makes rounds O(log diameter), so the
+    default budget must handle chains min-propagation alone could not —
+    and under-merge now raises instead of returning silently."""
+    from pg_archiver_spark.functions.dedup import propagate_min_labels
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc1 long, doc2 long"
+    )
+    labels = {r.doc_id: r.label for r in propagate_min_labels(pairs).collect()}
+    assert labels == {i: 0 for i in range(41)}
+
+
 def test_cluster_cc_covers_all_paired_docs(spark, sf_dir):
     """Every doc that appears in a near-dup pair lands in exactly one
     cluster of size >= 2, and transitive merging can only reduce the
