@@ -279,6 +279,78 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_scalable",
+    oracle="""
+    SELECT tile, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT event_type,
+               NTILE(4) OVER (ORDER BY event_id) AS tile
+        FROM events
+    )
+    GROUP BY tile, event_type
+    """,
+)
+def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_ntile's 100 TB twin: IDENTICAL output (NTILE(4) by
+    event_id, then a per-(tile,type) histogram) with no single-task
+    global sort. Same oracle as window_ntile — the driver proves the
+    two agree.
+
+    Two-phase global rank (the pipeline_token_budget trick, applied to
+    a numeric order key): `width_bucket(event_id, min, max+1, 256)` is
+    monotone in event_id, so bucket order == global order; per-bucket
+    row_number (a window PARTITIONED by bucket) plus the 256-row
+    prefix-sum offset frame reconstructs the exact global rank. The
+    tile is then closed-form from (rank, total): NTILE gives the first
+    `total mod 4` tiles one extra row. Every partition-sized sort is
+    bounded by corpus/256 — bucket balance follows the key
+    distribution (swap in percentile_approx cutpoints if it's skewed);
+    the only global windows run on the 256-row offset frame."""
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    n_buckets = 256
+    mm = events.agg(
+        F.min("event_id").alias("lo"),
+        (F.max("event_id") + F.lit(1)).alias("hi"),
+    )
+    bucketed = events.crossJoin(F.broadcast(mm)).withColumn(
+        "bucket",
+        F.width_bucket(F.col("event_id"), F.col("lo"), F.col("hi"), F.lit(n_buckets)),
+    )
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("n").over(w_prefix), F.lit(0)).alias("offset"),
+            F.sum("n").over(w_total).alias("total"),
+        )
+    )
+    w_bucket = Window.partitionBy("bucket").orderBy("event_id")
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
+        "r", F.row_number().over(w_bucket) + F.col("offset")
+    )
+    base = F.expr("total DIV 4")
+    rem = F.col("total") % 4
+    cut = rem * (base + 1)
+    tile = F.when(
+        F.col("r") <= cut, F.expr("(r - 1) DIV (total DIV 4 + 1) + 1")
+    ).otherwise(
+        rem + F.expr("(r - (total % 4) * (total DIV 4 + 1) - 1) DIV (total DIV 4)") + 1
+    )
+    return (
+        ranked.select(tile.cast("int").alias("tile"), "event_type")
+        .groupBy("tile", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
     "window_scd2_intervals",
     oracle="""
     SELECT user_id,

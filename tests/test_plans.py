@@ -136,3 +136,20 @@ def test_schema_evolution_backfills_nulls(spark, sf_dir):
     assert row.n_rows == total
     assert 0 < row.n_v1_rows < total
     assert row.v2_value_cents > 0
+
+
+def test_ntile_scalable_matches_and_avoids_global_sort(spark, sf_dir):
+    """The scalable twin returns exactly window_ntile's result, and its
+    event-sized window runs partitioned by bucket — the only
+    unpartitioned windows operate on the 256-row offset frame."""
+    baseline = {
+        (r.tile, r.event_type): r.n_events
+        for r in QUERIES["window_ntile"](spark, sf_dir).collect()
+    }
+    scalable = {
+        (r.tile, r.event_type): r.n_events
+        for r in QUERIES["window_ntile_scalable"](spark, sf_dir).collect()
+    }
+    assert scalable == baseline
+    plan = physical_plan(QUERIES["window_ntile_scalable"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
