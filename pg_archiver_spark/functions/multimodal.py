@@ -3,10 +3,10 @@
 Pattern: media (image/audio/video) travels as an opaque ``binary``
 column with a typed metadata struct alongside; decode / feature-extract
 runs as Arrow-batched ``mapInPandas`` so the Python boundary is paid per
-batch, not per row. The container has no image/audio codecs, so the
-decode kernel is a clearly-marked deterministic stub — the Spark-side
-plumbing (schema, batching, partitioning) is real and is what the
-operator contract tests.
+batch, not per row. PNG and WAV are decoded FOR REAL with the standard
+library (zlib inflate + scanline de-filter; `wave` frame parse) — no
+PIL/ffmpeg needed; formats with no codec raise unless the env-gated
+deterministic fake is enabled (PG_ARCHIVER_FAKE_DECODE=1).
 """
 
 from __future__ import annotations
@@ -48,27 +48,177 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> dict:
-    """Media decode kernel — STUB.
+# --- real codecs (stdlib-only: zlib/struct for PNG, wave for WAV) -----
+#
+# The container ships no PIL/ffmpeg, but PNG and WAV are simple enough
+# to encode AND decode with the standard library alone — so the decode
+# kernel is a real parser (signature sniff, chunk walk, inflate,
+# scanline de-filter), not a fake. The deterministic-fake path survives
+# only behind PG_ARCHIVER_FAKE_DECODE=1 for payloads no codec claims.
 
-    Real deployments plug a codec (PIL/ffmpeg/torchaudio) in here; this
-    container ships none, so we return a deterministic fake derived from
-    the payload bytes. The surrounding Spark plumbing (binary column →
-    Arrow batch → feature columns) is the real, tested part.
-    """
-    if payload is None:
-        raise NotImplementedError("real decoder not available in this container")
-    checksum = 0
-    for i, byte in enumerate(payload[:64]):
-        checksum = (checksum * 31 + byte + i) % 1_000_000_007
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (zlib + struct + crc32).
+    `pixels` is row-major, len == width*height. Produces a spec-valid
+    file any PNG reader accepts."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode: chunk walk → IHDR dims → inflate IDAT →
+    per-scanline de-filter (all five filter types) → pixel stats.
+    Supports 8-bit grayscale / RGB / RGBA (what a feature-extract
+    stage needs; indexed/16-bit raise)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8:
+        raise NotImplementedError(
+            f"unsupported PNG (color_type={color_type}, depth={bit_depth})"
+        )
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out += line
+        prev = line
+    mean_milli = (sum(out) * 1000) // len(out) if out else 0
     return {
-        "n_bytes": len(payload),
-        "checksum": checksum,
-        # A real decoder would return pixels; the fake "dimensions" are a
-        # deterministic function of the payload, standing in for them.
-        "width": 16 + (checksum % 64),
-        "height": 16 + ((checksum // 64) % 64),
+        "width": width,
+        "height": height,
+        "duration_ms": 0,
+        "mean_milli": mean_milli,
     }
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV via the stdlib `wave` module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real WAV decode via `wave`: frame count → duration, struct-parse
+    of the PCM samples → mean |amplitude| (the audio analogue of pixel
+    stats)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        n_chan = w.getnchannels()
+        frames = w.readframes(n_frames)
+    samples = struct.unpack(f"<{n_frames * n_chan}h", frames)
+    mean_milli = (
+        (sum(abs(s) for s in samples) * 1000) // len(samples) if samples else 0
+    )
+    return {
+        "width": n_frames,
+        "height": n_chan,
+        "duration_ms": (n_frames * 1000) // rate,
+        "mean_milli": mean_milli,
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Dispatch on magic bytes — PNG signature or RIFF/WAVE header.
+    Unknown formats raise NotImplementedError unless the deterministic
+    fake is explicitly enabled (PG_ARCHIVER_FAKE_DECODE=1), mirroring
+    how a real pipeline quarantines undecodable media."""
+    import os
+
+    if payload is None:
+        raise NotImplementedError("null media payload")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if os.environ.get("PG_ARCHIVER_FAKE_DECODE") == "1":
+        checksum = 0
+        for i, byte in enumerate(payload[:64]):
+            checksum = (checksum * 31 + byte + i) % 1_000_000_007
+        return {
+            "width": 16 + (checksum % 64),
+            "height": 16 + ((checksum // 64) % 64),
+            "duration_ms": 0,
+            "mean_milli": checksum % 256_000,
+        }
+    raise NotImplementedError("no codec for payload (unknown magic bytes)")
 
 
 _FEATURE_SCHEMA = T.StructType(
@@ -76,40 +226,70 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("checksum", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_milli", T.LongType()),
     ]
 )
+
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _synthesize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture ingest kernel: the testdata ships no media files, so each
+    document's text bytes are rendered into a REAL payload — even
+    doc_ids become a grayscale PNG (text bytes as pixels), odd ones a
+    16-bit PCM WAV (text bytes as amplitudes). Deterministic per doc;
+    every byte that leaves here is spec-valid and round-trips through
+    any standard decoder."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            if doc_id % 2 == 0:
+                width = 8 + (doc_id % 9)
+                npix = max(1, (len(data) // width)) * width
+                pixels = (data * (npix // max(1, len(data)) + 1))[:npix]
+                payload = encode_png(width, npix // width, bytes(pixels))
+                rows.append((doc_id, "image/png", payload))
+            else:
+                samples = [((b - 128) * 256) for b in data[:256]] or [0]
+                payload = encode_wav(samples)
+                rows.append((doc_id, "audio/wav", payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch in, one feature frame out."""
     for pdf in batches:
-        feats = [decode_image(p) for p in pdf["payload"]]
+        feats = [decode_media(p) for p in pdf["payload"]]
         out = pd.DataFrame(feats)
+        out.insert(0, "n_bytes", [len(p) for p in pdf["payload"]])
         out.insert(0, "media_type", pdf["media_type"].values)
         out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out
+        yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
 
 
 @register("multimodal_binary_features")  # rows-only: Python kernel, no SQL form
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → decode → typed features via mapInPandas.
+    """Binary media column → REAL decode → typed features, both hops as
+    Arrow-batched mapInPandas (the Python boundary is per batch, never
+    per row).
 
-    The fixture has no real media, so the binary payload is the UTF-8
-    text bytes tagged with a media_type — the schema shape (binary +
-    metadata struct) and the Arrow batch path are identical to a real
-    image pipeline. Output: per-(media_type) feature profile.
-    """
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.col("text").cast("binary").alias("payload"),
-        F.when(F.col("doc_id") % 2 == 0, "image/png")
-        .otherwise("audio/wav")
-        .alias("media_type"),
-    )
+    Ingest synthesizes spec-valid PNG/WAV payloads from the fixture's
+    text (the testdata ships no media); the decode kernel then parses
+    them for real — PNG chunk walk + inflate + de-filter, WAV frame
+    parse — so dimensions/duration in the output are decoded, not
+    fabricated. Output: per-media_type feature profile."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
     feats = media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
     return (
         feats.groupBy("media_type")
@@ -118,6 +298,8 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
             F.min("width").alias("min_width"),
             F.max("height").alias("max_height"),
+            F.max("duration_ms").alias("max_duration_ms"),
+            F.expr("(SUM(mean_milli)) DIV COUNT(*)").alias("avg_mean_milli"),
         )
         .orderBy("media_type")
     )
