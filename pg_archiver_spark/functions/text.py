@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -233,4 +234,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fingerprint"),
         (F.length("text") % 997).alias("rolling_bucket"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, term,
+               COUNT(*) AS tf,
+               COUNT(DISTINCT doc_id) AS df,
+               COUNT(*) * 1000000 // COUNT(DISTINCT doc_id) AS score_micro
+        FROM terms
+        WHERE term <> ''
+        GROUP BY lang, term
+    )
+    SELECT lang, term, tf, df, score_micro, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY score_micro DESC, term
+               ) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 distinguishing terms by tf-idf — the log-free
+    integer variant score = tf·10⁶ ÷ df (idf = 1/df instead of
+    ln(N/df)): same ranking intent, but exact integer arithmetic, so
+    both engines agree bit-for-bit where a float ln() could flip
+    near-tied ranks (G13). One explode + one combined tf/df aggregate
+    (map-side combinable) + a per-language top-k window over the
+    vocabulary-sized frame — at 100 TB the heavy frame is the term
+    explosion, and it reduces in one shuffle keyed by (lang, term)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "lang", "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .withColumn("score_micro", F.expr("tf * 1000000 DIV df"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "score_micro", "rank")
     )

@@ -1,0 +1,251 @@
+"""Event-analytics operators: sessionization, funnels, cohort
+retention, and the binned band-join pattern.
+
+These are the product-analytics queries every event warehouse runs over
+an append-only events table — the natural read-side complement to the
+reference's archival extract (main.go:99-129 moves events; these are
+what you run on them once archived). All are single-key-shuffle plans:
+sessionize/funnel/cohort shuffle on user_id (the entity key), and the
+band join turns an inequality predicate into an equi-join on a derived
+bin key — each correct and bounded at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+SESSION_GAP_MS = 3_600_000  # 1 h
+
+
+@register(
+    "analytics_sessionize",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_ms(ts) AS ms,
+               event_id,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w
+                         > {SESSION_GAP_MS}
+                    OR LAG(epoch_ms(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ms,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           session_seq,
+           COUNT(*) AS n_events,
+           MAX(ms) - MIN(ms) AS duration_ms
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+)
+def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session breaks when a user
+    is idle longer than SESSION_GAP_MS. lag() marks the breaks, a
+    running sum numbers the sessions — the standard two-window idiom,
+    entirely per-user, so the whole plan is ONE shuffle on user_id and
+    in-partition sorts: the same cost envelope at 100 TB as any
+    per-entity window. (Streaming twin: stream_session uses
+    session_window over the same gap.)"""
+    events = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = events.select(
+        "user_id", ms.alias("ms"), "event_id"
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | (F.col("ms") - F.lag("ms").over(w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    tagged = seq.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+    )
+
+
+@register(
+    "analytics_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS ms1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS ms2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND epoch_ms(e.ts) > t1.ms1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS ms3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > t2.ms2
+        GROUP BY e.user_id
+    )
+    SELECT step, n_users FROM (
+        SELECT '1_view' AS step, COUNT(*) AS n_users FROM t1
+        UNION ALL SELECT '2_click', COUNT(*) FROM t2
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+    )
+    """,
+)
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user counts
+    at step k only with an event strictly AFTER their step-(k-1) time —
+    the time-ordering is what separates a funnel from three filters.
+    Implemented as a cascade of min-timestamp aggregates re-joined on
+    user_id: k shuffles on the entity key for a k-step funnel, each
+    stage's frame shrinking monotonically. The step tables are
+    users-sized (≪ events), so at 100 TB stages 2+ are broadcast- or
+    bloom-joinable; Catalyst/AQE picks that up from the size estimate.
+    """
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000000").alias("ms")
+    )
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("ms1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ms") > F.col("ms1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("ms2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ms") > F.col("ms2"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("ms3"))
+    )
+    return (
+        t1.agg(F.lit("1_view").alias("step"), F.count("*").alias("n_users"))
+        .unionByName(
+            t2.agg(F.lit("2_click").alias("step"), F.count("*").alias("n_users"))
+        )
+        .unionByName(
+            t3.agg(
+                F.lit("3_purchase").alias("step"), F.count("*").alias("n_users")
+            )
+        )
+    )
+
+
+@register(
+    "analytics_retention_cohort",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, e.day) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    again at each later week offset — the table behind every retention
+    curve. Two shuffles on user_id (first-seen agg, then the re-join)
+    plus the final small group-by; the firsts frame is users-sized, so
+    at 100 TB the re-join broadcasts or bloom-filters. Cohort day
+    travels as a formatted string, not DATE (G13: pandas DATE coercion
+    diverges between the two engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.expr("datediff(day, cohort) DIV 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT a.event_type, COUNT(*) AS n_close_pairs
+    FROM c a JOIN c b
+      ON abs(a.cents - b.cents) <= 1 AND a.event_id < b.event_id
+    GROUP BY a.event_type
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join WITHOUT a nested loop: |a.value − b.value| ≤ δ becomes
+    an equi-join on a derived bin key. The probe side fans out to its
+    bin and both neighbors (one explode, 3×), the build side keeps one
+    bin per row, and the residual |Δ| ≤ δ filter runs post-join — every
+    qualifying pair meets in exactly the probe-bin = build-bin bucket.
+    This is the general translation of range predicates Spark would
+    otherwise BNLJ: shuffle cost is Σ bin², bounded by the bin width,
+    vs N² for the nested loop. Values are compared in exact integer
+    cents so both engines agree bit-for-bit."""
+    events = load(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    probe = c.select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("cents").alias("a_cents"),
+        F.explode(
+            F.array(F.col("cents") - 1, F.col("cents"), F.col("cents") + 1)
+        ).alias("bin"),
+    )
+    build = c.select(
+        F.col("event_id").alias("b_id"),
+        F.col("cents").alias("b_cents"),
+        F.col("cents").alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.abs(F.col("a_cents") - F.col("b_cents")) <= 1)
+            & (F.col("a_id") < F.col("b_id"))
+        )
+        # no dedup needed: the build side holds ONE bin per row, so a
+        # qualifying pair meets in exactly one bucket
+        .select(F.col("a_type").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_close_pairs"))
+    )

@@ -94,6 +94,7 @@ def load_all_operators() -> None:
     # Imports are for their registration side effects.
     from pg_archiver_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         filters,
         joins,
         scans,

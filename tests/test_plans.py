@@ -153,3 +153,19 @@ def test_ntile_scalable_matches_and_avoids_global_sort(spark, sf_dir):
     assert scalable == baseline
     plan = physical_plan(QUERIES["window_ntile_scalable"](spark, sf_dir))
     assert "hashpartitioning(bucket" in plan
+
+
+def test_range_binned_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The band join must hit the derived-bin equi-join path — a
+    BroadcastNestedLoopJoin/CartesianProduct here means the inequality
+    predicate leaked into the join condition."""
+    plan = physical_plan(QUERIES["join_range_binned"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_funnel_stages_join_on_user_key(spark, sf_dir):
+    plan = physical_plan(QUERIES["analytics_funnel"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
