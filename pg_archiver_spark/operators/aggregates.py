@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -397,5 +398,46 @@ def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_mode_stats",
+    oracle="""
+    SELECT event_type, user_id AS mode_user_id, n AS n_occurrences
+    FROM (
+        SELECT event_type, user_id, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY COUNT(*) DESC, user_id
+               ) AS rn
+        FROM events
+        GROUP BY event_type, user_id
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent user per event type,
+    smallest id on ties — G5 determinism). Two-level shape: the
+    (type, user) count is map-side combinable and reduces the frame to
+    group-cardinality before the top-1 window, so the window's input is
+    tiny no matter how large events is — mode at 100 TB without
+    mode()'s single-reducer trap."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user_id"),
+            F.col("n").alias("n_occurrences"),
         )
     )

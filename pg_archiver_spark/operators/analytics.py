@@ -249,3 +249,46 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_close_pairs"))
     )
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    fanned AS (
+        SELECT user_id, day + CAST(off AS INTEGER) AS wday
+        FROM pairs, (SELECT unnest(range(7)) AS off)
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS day_str,
+           COUNT(DISTINCT user_id) AS users_7d
+    FROM fanned
+    GROUP BY 1
+    """,
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric a naive
+    plan computes with COUNT(DISTINCT) over a RANGE window, which no
+    engine does scalably. Fan-out formulation instead: dedup to
+    (user, day) pairs (bounded by users×days, map-side combinable),
+    explode each pair into the 7 window-end days it contributes to,
+    then one exact distinct-count per day. Shuffle volume is
+    7×|pairs|, independent of raw event count — the standard exact
+    sliding-distinct shape at 100 TB. (Approximate twin at higher k:
+    HLL sketches per day, merged across the window.)"""
+    events = load(spark, sf_dir, "events")
+    pairs = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    fanned = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.expr("date_add(day, off)").alias("wday")
+    )
+    return fanned.groupBy(
+        F.date_format("wday", "yyyy-MM-dd").alias("day_str")
+    ).agg(F.countDistinct("user_id").alias("users_7d"))

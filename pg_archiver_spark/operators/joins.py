@@ -478,3 +478,77 @@ def composed_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, epoch_ms(ts) AS ms
+        FROM events WHERE event_type = 'view'
+    ),
+    g AS (
+        SELECT p.event_id, p.ms, MAX(v.ms) AS v_ms
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.ms <= p.ms AND v.ms >= p.ms - 600000
+        GROUP BY p.event_id, p.ms
+    )
+    SELECT COUNT(*) AS n_purchases,
+           COUNT(v_ms) AS n_matched,
+           CAST(SUM(ms - v_ms) // (COUNT(v_ms) * 60) AS BIGINT)
+               AS avg_gap_millimin
+    FROM g
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a tolerance bound: each purchase matched to the
+    latest prior view of the same user, but only if it happened within
+    the last 10 minutes — the attribution-window semantics ad/product
+    analytics actually needs (`join_asof` is the unbounded form).
+
+    Same linearization as join_asof — union both event kinds, ONE
+    shuffle on user_id, last(ignorenulls) over the time-ordered window
+    — then the tolerance is a plain filter on the recovered gap. Still
+    O(events) with no pair materialization; the oracle's LEFT JOIN +
+    MAX formulation is the quadratic spelling of the same contract.
+    """
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view_ms = F.last(
+        F.when(F.col("is_p") == 0, F.col("ms")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        tagged.withColumn("last_v_ms", last_view_ms)
+        .filter(F.col("is_p") == 1)
+        .withColumn(
+            "matched",
+            F.col("last_v_ms").isNotNull()
+            & (F.col("ms") - F.col("last_v_ms") <= 600000),
+        )
+    )
+    return purchases.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        F.expr(
+            "SUM(CASE WHEN matched THEN ms - last_v_ms END)"
+            " DIV (SUM(CASE WHEN matched THEN 1 END) * 60)"
+        ).alias("avg_gap_millimin"),
+    )

@@ -41,50 +41,53 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
-# registration order is a verification budget. Round 1 spent all 50
-# slots on the basic operator modules and left every window / scalar /
-# text / dedup / similarity / streaming / UDF operator unchecked. This
-# list front-loads (a) the 9 round-1 hash failures, to prove the G13
-# schema fixes, then (b) every oracle-backed operator with no driver
-# evidence yet. Exactly 50 names. Everything else follows in module
-# registration order and rotates into later rounds.
+# registration order is a verification budget that must be RE-PINNED
+# every round (the list does not rotate by itself). Round-3 spend:
+#   slots 1-30  — the 30 operators with NO driver evidence after
+#                 rounds 1+2 (CORRECTNESS_r01 ∪ r02): the 4 rows-only
+#                 §2.B contract ops first, then every oracle-backed
+#                 extension (each can earn full hash-green), then the
+#                 rows-only ANN/stream/multimodal extensions;
+#   slots 31-41 — regression re-proof: r1-greens whose function or
+#                 oracle text changed after their last driver check
+#                 (except_keys multiset fix, the G13 decimal→double
+#                 sweep, sink tmp isolation);
+#   slots 42-50 — operators added in round 3, all oracle-backed.
+# Everything else follows in module registration order; re-pin again
+# next round.
 _DRIVER_PRIORITY = [
-    # round-1 hash_match failures, now fixed (G13):
-    "agg_group_pricing", "agg_grouping_sets", "agg_time_bucket_rollup",
-    "join_broadcast_dim", "join_asof", "join_bucketed_colocated",
-    "join_skew_salted", "sample_deterministic", "merge_upsert",
-    # never driver-checked, oracle-backed — §2.B contract first:
-    "window_topk_per_group", "window_rank", "window_lag_lead",
-    "window_running_sum", "window_range_frame", "window_ntile",
-    "dedup_exact", "dedup_dropduplicates", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "multimodal_join", "multimodal_frame_sample",
-    "pipeline_training_prep",
-    "string_funcs", "string_levenshtein", "string_regexp",
-    "date_parts_format", "date_arith_retention", "math_funcs",
-    "case_when", "json_extract", "array_funcs", "array_higher_order",
-    "struct_nested", "map_funcs",
-    "sim_cosine_topk", "sim_label_avg",
-    "text_wordcount", "text_stats", "text_langid", "text_quality",
-    "text_tokencount", "text_fingerprint",
-    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
-    "udf_apply_in_pandas", "udtf_split",
-    "stream_tumbling_daily", "stream_sliding", "stream_session",
-    # slots 51+: new round-2 oracle-backed ops, then never-checked
-    # rows-only ops — evidence before re-checking already-green basics
-    # if the cap ever rises:
+    # -- 1-4: §2.B contract ops, rows-only by design, never run ------
+    "minhash_neardup", "source_jdbc", "stream_watermark_late",
+    "stream_archival_foreachbatch",
+    # -- 5-21: oracle-backed, never checked ---------------------------
     "stream_dedup_watermark", "stream_rate_trigger", "window_scd2_intervals",
-    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
-    "sink_parquet_sorted", "sink_parquet_partitioned",
-    "dedup_cluster_cc", "sim_ann_ivf_partitioned", "maintenance_compact",
-    "minhash_neardup", "dedup_simhash", "multimodal_binary_features",
-    "sim_ann_lsh", "sim_ann_ivf", "stream_archival_foreachbatch",
-    "stream_stateful_count", "stream_watermark_late", "source_jdbc",
     "window_cume_dist", "window_first_last",
     "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
     "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
     "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
-    "stream_stream_join", "sim_cosine_topk_arrow", "source_schema_evolution",
+    "stream_stream_join", "source_schema_evolution",
     "composed_q5_local_supplier",
+    # -- 22-30: rows-only extensions, never run -----------------------
+    "dedup_cluster_cc", "sim_ann_ivf_partitioned", "maintenance_compact",
+    "dedup_simhash", "multimodal_binary_features", "sim_ann_lsh",
+    "sim_ann_ivf", "stream_stateful_count", "sim_cosine_topk_arrow",
+    # -- 31-41: re-proof of r1-greens whose code changed since r1 -----
+    "except_keys", "agg_global_stats", "agg_stats_moments",
+    "global_topk_orders", "join_inner_equi", "scan_filter_prune",
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+    "sink_parquet_sorted", "sink_parquet_partitioned",
+    # -- 42-50: new in round 3, oracle-backed -------------------------
+    "window_ntile_scalable", "analytics_sessionize", "analytics_funnel",
+    "analytics_retention_cohort", "join_range_binned", "text_tfidf",
+    "join_asof_tolerance", "agg_mode_stats", "window_rolling_distinct",
+    # -- 51+: cumulative greens, most-load-bearing first, for rotation
+    # if the cap ever rises ------------------------------------------
+    "orderby_limit_topk", "agg_group_pricing", "join_broadcast_dim",
+    "join_asof", "window_topk_per_group", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
+    "pipeline_training_prep", "multimodal_join", "stream_tumbling_daily",
+    "stream_sliding", "stream_session", "udf_python_scalar",
+    "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_split",
 ]
 
 
