@@ -441,3 +441,88 @@ def agg_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM w
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt), the inverse of agg_pivot: one metrics
+    row per group becomes one row per (group, metric) — the shape
+    metric stores and plotting layers want. Spark's native `unpivot`
+    is a zero-shuffle expression over the already-aggregated frame, so
+    the whole plan costs exactly the one agg shuffle; the oracle's
+    UNION ALL re-scan spelling is the same contract."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+@register("agg_hll_partial_merge")  # rows-only: sketch estimates are
+# implementation-specific (Apache DataSketches HLL); no cross-engine
+# oracle can reproduce them. tests/test_operators.py pins the error
+# bound against the exact count instead.
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch distinct story for 100 TB: per-day HLL
+    sketches of user_id built in ONE map-side-combinable agg, then
+    merged with hll_union_agg — the two-level shape that lets a
+    materialized per-partition rollup answer any-range COUNT DISTINCT
+    later WITHOUT re-touching raw data (exact distinct cannot merge;
+    sketches can). Output compares the merged estimate to the exact
+    count so the error contract is visible in the result itself."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    merged = daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch")
+        ).alias("merged_estimate"),
+        F.sum("exact_day").alias("sum_daily_exact"),
+    )
+    exact_total = events.agg(
+        F.countDistinct("user_id").alias("exact_total")
+    )
+    return merged.crossJoin(exact_total).select(
+        "n_days",
+        "merged_estimate",
+        "exact_total",
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_total"))
+            / F.col("exact_total")
+        ).alias("rel_error"),
+        "sum_daily_exact",
+    )

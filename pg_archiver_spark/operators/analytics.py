@@ -292,3 +292,113 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanned.groupBy(
         F.date_format("wday", "yyyy-MM-dd").alias("day_str")
     ).agg(F.countDistinct("user_id").alias("users_7d"))
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS streak_len
+        FROM isl GROUP BY user_id, anchor
+    )
+    SELECT streak_len,
+           COUNT(*) AS n_streaks,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM streaks
+    GROUP BY streak_len
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user, summarized as a streak-length histogram. The classic trick —
+    day minus per-user row_number is constant exactly within a
+    consecutive run — turns streak detection into a plain groupBy, so
+    the whole plan is one user_id shuffle over the (user, day) dedup
+    (bounded by users×days, not raw events) plus a histogram agg. No
+    self-join, no iteration: the 100 TB streak query."""
+    events = load(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count("*").alias("n_streaks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+@register("graph_pagerank")  # rows-only: 5-round power iteration is a
+# loop, not a SQL expression; DuckDB would need the same imperative
+# driver. tests pin rank-mass conservation and top-node stability.
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier↔part graph induced by
+    lineitem (edge = 'supplier ships part'), 5 power iterations —
+    the iterative-algorithm pattern (like dedup_cluster_cc) expressed
+    as pure DataFrame ops. Per round: one equi-join of the edge list
+    with current ranks + one groupBy — both shuffle on node id, so a
+    round costs two bounded shuffles regardless of scale; edges are
+    deduped ONCE up front (bounded by |suppliers|×|parts|, not raw
+    lineitem), cached, and ranks are localCheckpoint'ed per round to
+    keep the lineage flat (same discipline as dedup.py's CC loop).
+    Output: top-20 nodes by rank, deterministic id tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    edges = (
+        sp.select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        )
+        .union(
+            sp.select(
+                F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(out_deg, "src").cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    n_nodes = nodes.count()  # scalar: sizes the teleport term
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        # bipartite + undirected ⇒ every node has out-edges, so no
+        # dangling-mass term; teleport keeps the total mass at 1.
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - PR_DAMPING) / n_nodes)
+                + F.lit(PR_DAMPING) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint()
+    return ranks.orderBy(F.desc("rank"), "node").limit(20).select(
+        "node", F.round("rank", 9).alias("rank")
+    )

@@ -552,3 +552,55 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (SUM(CASE WHEN matched THEN 1 END) * 60)"
         ).alias("avg_gap_millimin"),
     )
+
+@register(
+    "composed_q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_shipdate  > TIMESTAMP '1997-07-01'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def composed_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — top-10 unshipped BUILDING-segment orders by
+    open revenue. Composition check for filter pushdown + join + agg +
+    global top-k in one plan: both date predicates push into the
+    Parquet scans, customer prunes to one segment BEFORE its join, the
+    agg shuffles on o_orderkey once, and the final top-10 is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Revenue is exact decimal internally, cast to DOUBLE once (G13);
+    the o_orderkey tiebreak makes the top-10 selection deterministic
+    across engines."""
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )

@@ -342,3 +342,121 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("v2_value_cents"),
     )
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) <
+          CASE l_returnflag
+               WHEN 'A' THEN '80'
+               WHEN 'N' THEN '40'
+               ELSE '20' END
+    GROUP BY l_returnflag
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a DIFFERENT keep-rate per
+    stratum (A 50%, N 25%, R 12.5%) from one md5-prefix threshold per
+    class — the class-rebalancing sampler training-data pipelines need
+    (downsample the over-represented class, keep the rare one). Like
+    sample_deterministic it is a pure per-row predicate: reproducible
+    across engines, runs, and partitionings, no sampleBy()/rand()
+    nondeterminism, and it pipelines into the scan with zero extra
+    shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    threshold = (
+        F.when(F.col("l_returnflag") == "A", "80")
+        .when(F.col("l_returnflag") == "N", "40")
+        .otherwise("20")
+    )
+    return (
+        li.filter(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
+            < threshold
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+@register(
+    "scan_dpp_partition_pruned",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m')
+          IN ('1997-01', '1997-03', '1997-05')
+    GROUP BY order_month
+    """,
+)
+def scan_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    hive-partitioned by month, the months to read come from a FILTERED
+    DIM TABLE known only at run time, and Spark turns the dim filter
+    into a runtime subquery that prunes fact partitions BEFORE the scan
+    (plan shows `dynamicpruning#N` on the fact's PartitionFilters).
+    At 100 TB this is the difference between scanning 3 months and
+    scanning 7 years — static predicates can't do it when the month
+    list comes from data.
+
+    Two Catalyst subtleties make the demo honest: the dim filter is an
+    int `flag = 1` comparison because (a) PartitionPruning only fires
+    on a "likely selective" dim predicate and a bare boolean column is
+    not one, and (b) the predicate must not be on the join key itself,
+    or InferFiltersFromConstraints turns it into a STATIC partition
+    filter and there is nothing dynamic left to prune."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "dpp"
+    )
+    orders = load(spark, sf_dir, "orders")
+    fact_path = os.path.join(base, "orders_by_month")
+    (
+        orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("order_month")
+        .parquet(fact_path)
+    )
+    dim_path = os.path.join(base, "month_dim")
+    (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m")
+        )
+        .distinct()
+        .withColumn(
+            "flag",
+            F.col("m")
+            .isin("1997-01", "1997-03", "1997-05")
+            .cast("int"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("flag") == 1)
+        .select("m")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.order_month == dim.m)
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -209,3 +209,96 @@ def test_cluster_cc_covers_all_paired_docs(spark, sf_dir):
     assert sum(c.n_docs for c in clusters) == len(paired_docs)
     assert all(c.n_docs >= 2 for c in clusters)
     assert len(clusters) <= pairs.count()
+
+
+def test_gaps_islands_mass_conservation(spark, sf_dir):
+    """Every distinct (user, day) pair belongs to exactly one streak, so
+    sum(streak_len * n_streaks) over the histogram must equal the pair
+    count — the invariant that catches an off-by-one in the island
+    anchor."""
+    from pg_archiver_spark.operators.analytics import window_gaps_islands
+    from pg_archiver_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    hist = window_gaps_islands(spark, sf_dir).collect()
+    n_pairs = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.streak_len * r.n_streaks for r in hist) == n_pairs
+    assert all(r.n_users <= r.n_streaks for r in hist)
+
+
+def test_unpivot_matches_wide_sums(spark, sf_dir):
+    """Long output must carry exactly the wide aggregate values: 3
+    metric rows per return flag, no nulls, values keyed correctly."""
+    from pg_archiver_spark.operators.aggregates import agg_unpivot
+
+    rows = agg_unpivot(spark, sf_dir).collect()
+    flags = {r.l_returnflag for r in rows}
+    assert len(rows) == 3 * len(flags)
+    by_flag_metric = {(r.l_returnflag, r.metric): r.value for r in rows}
+    assert all(v is not None for v in by_flag_metric.values())
+    for f in flags:
+        assert by_flag_metric[(f, "sum_price")] > by_flag_metric[(f, "sum_qty")]
+
+
+def test_q3_topk_is_ordered_and_deterministic(spark, sf_dir):
+    from pg_archiver_spark.operators.joins import composed_q3_shipping_priority
+
+    rows = composed_q3_shipping_priority(spark, sf_dir).collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    again = composed_q3_shipping_priority(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Keep-rates must track the per-stratum thresholds (1/2, 1/4, 1/8
+    of the md5-uniform key space) within binomial slack."""
+    from pg_archiver_spark.operators.scans import sample_stratified
+    from pg_archiver_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.l_returnflag: r.n
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {r.l_returnflag: r.n_rows for r in sample_stratified(spark, sf_dir).collect()}
+    expected = {"A": 0.5, "N": 0.25, "R": 0.125}
+    for flag, rate in expected.items():
+        observed = kept[flag] / totals[flag]
+        assert abs(observed - rate) < 0.06, (flag, observed)
+
+
+def test_hll_merge_error_bound(spark, sf_dir):
+    """The merged per-day sketches must estimate the global distinct
+    count within HLL's error envelope (default lgK=12 → ~1.6% rse; 5%
+    is a generous 3-sigma gate), and daily exact counts must sum to at
+    least the global distinct."""
+    from pg_archiver_spark.operators.aggregates import agg_hll_partial_merge
+
+    row = agg_hll_partial_merge(spark, sf_dir).collect()[0]
+    assert row.n_days > 0
+    assert row.rel_error < 0.05
+    assert row.sum_daily_exact >= row.exact_total
+
+
+def test_pagerank_ranks_sane(spark, sf_dir):
+    """Top-20 ranks must be positive, descending, above the teleport
+    floor, carry the bipartite node tag, and be reproducible."""
+    from pg_archiver_spark.operators.analytics import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 for r in rows)
+    assert all(r.node[:2] in ("s:", "p:") for r in rows)
+    assert rows == graph_pagerank(spark, sf_dir).collect()

@@ -169,3 +169,23 @@ def test_funnel_stages_join_on_user_key(spark, sf_dir):
     plan = physical_plan(QUERIES["analytics_funnel"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The month-dim filter must become a runtime partition-pruning
+    subquery on the fact scan — NOT a static filter (that would mean
+    constraint propagation ate the demo) and NOT a full scan."""
+    plan = physical_plan(QUERIES["scan_dpp_partition_pruned"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    plan = physical_plan(QUERIES["composed_q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unpivot_single_shuffle(spark, sf_dir):
+    """Expand over the aggregated frame must not add exchanges beyond
+    the one agg shuffle."""
+    plan = physical_plan(QUERIES["agg_unpivot"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial->final agg only
