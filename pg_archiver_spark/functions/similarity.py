@@ -358,3 +358,95 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(score, "vec_id bigint, cos_sim double")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest centroid — a PURE map stage.
+
+    The K current centroids are inlined as a literal array-of-arrays
+    (K·dim = 512 doubles), so assignment is whole-stage-codegen'd
+    per-row arithmetic: no join, no shuffle, nothing sent anywhere.
+    At 1000 executors this is exactly what you want — the only data
+    movement in a Lloyd round is the K·dim-sized partial-mean shuffle."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("v"), c, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return emb.withColumn("dists", dists).select(
+        "vec_id",
+        "v",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.array_min("dists").alias("dist"),
+    )
+
+
+def _kmeans_step(
+    assigned: DataFrame, centroids: list[list[float]]
+) -> list[list[float]]:
+    """New centroids = per-cluster elementwise means via posexplode →
+    groupBy (cid, pos) avg. Map-side partial aggregation bounds the
+    shuffle at K·dim rows PER PARTITION regardless of data size; the
+    driver collects only K·dim values to re-literalize. Empty clusters
+    keep their old centroid."""
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    new = [list(c) for c in centroids]
+    for r in means:
+        new[r.cid][r.pos] = r.m
+    return new
+
+
+@register("ml_kmeans_lloyd")  # rows-only: Lloyd's algorithm is an
+# iterative fixpoint, not a SQL expression; tests pin monotone inertia,
+# determinism, and full point coverage instead.
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding table — the
+    semantic-clustering step (topic bucketing, cluster-balanced
+    sampling, semantic dedup) of a training-data pipeline, as pure
+    DataFrame ops. Per round: one codegen'd map for assignment
+    (centroids inlined as literals — see `_kmeans_assign`) and one
+    partial-agg shuffle of K·dim rows per partition for the means; the
+    driver never holds more than K·dim floats. Initialization is the K
+    lowest vec_ids — deterministic across runs and engines, which the
+    reproducibility tests rely on (kmeans++ would need a seeded random
+    source). Output: per-cluster size and mean within-cluster squared
+    distance, plus total inertia on every row (G5: deterministic)."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    centroids = [
+        r.v for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, centroids)
+        centroids = _kmeans_step(assigned, centroids)
+    final = _kmeans_assign(emb, centroids)
+    per_cluster = final.groupBy("cid").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("dist"), 6).alias("mean_sq_dist"),
+    )
+    total = final.agg(
+        F.round(F.sum("dist"), 4).alias("total_inertia")
+    )
+    return per_cluster.crossJoin(total).orderBy("cid")

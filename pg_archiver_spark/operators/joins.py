@@ -604,3 +604,125 @@ def composed_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the shuffle-reduction story
+    for fact ⋈ fact at 100 TB. When the build side of a shuffle join is
+    selectively filtered but too big (or too late) to broadcast,
+    Catalyst's `InjectRuntimeFilter` builds a bloom filter of its join
+    keys as a runtime subquery and applies `might_contain` to the probe
+    side BEFORE its shuffle: lineitem rows whose order can't survive
+    the orders filter are dropped at the scan, so the big side's
+    exchange carries only ~matching keys. Plan-asserted in tests
+    (`might_contain` + `bloom_filter_agg`).
+
+    The thresholds that gate injection are sized for real clusters
+    (probe-side scan ≥ 10 GB), so at fixture scale the op runs on an
+    isolated `spark.newSession()` — same SparkContext, private SQLConf
+    — with the probe threshold dropped and broadcast disabled to force
+    the shuffle-join shape. The parent session's conf is untouched
+    (tests pin this), so the driver's other queries keep their plans."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    orders = load(s2, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(s2, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q18_QTY_THRESHOLD = 200
+
+
+@register(
+    "composed_q18_large_orders",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY o_custkey, o_orderkey, order_date, total_price
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def composed_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the 100 largest orders by total quantity over
+    a HAVING-filtered grouped subquery. The classic formulation scans
+    lineitem twice (once for the IN-subquery, once for the outer agg);
+    here the per-order quantity agg is computed ONCE, HAVING-filtered,
+    and joined back to orders — at 100 TB that halves the biggest scan
+    and replaces the IN with an equi-join on an already-aggregated
+    (small) side, which AQE can broadcast. Top-100 is
+    TakeOrderedAndProject with a (price, orderkey) deterministic
+    tiebreak. The oracle keeps the textbook double-scan spelling to
+    prove the rewrite is semantics-preserving."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )

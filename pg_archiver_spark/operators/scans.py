@@ -460,3 +460,156 @@ def scan_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "maintenance_incremental_agg",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY order_month
+    """,
+)
+def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: yesterday's rollup
+    state (partial SUM/COUNT per month over orders before a cutoff) is
+    merged with a delta batch's partials instead of recomputing over
+    the full history — the incremental-view-maintenance shape that
+    keeps a 100 TB continuous aggregate affordable. The merge works
+    because SUM/COUNT are commutative monoids: re-aggregating the
+    unioned partials is exact, and algebraic aggregates (AVG) are
+    derived from the merged sums at the end, never averaged across
+    partials. At scale the base partial is a stored table and only the
+    delta touches raw data; sums stay exact DECIMAL until one final
+    DOUBLE cast (G13). Oracle proves merged == full recompute."""
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    orders = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count("*").alias("p_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_sum"),
+        )
+
+    base_state = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base_state.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.sum("p_sum").cast("double").alias("sum_price"),
+        )
+    )
+    return merged.select(
+        "order_month",
+        "n_orders",
+        "sum_price",
+        (F.col("sum_price") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+ZORDER_BITS = 8
+ZORDER_FILES = 16
+
+
+def _zorder_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "zorder",
+        "orders_z",
+    )
+
+
+def _interleave_bits(x, y):
+    """64-bit Morton code of two ZORDER_BITS-wide int columns: x takes
+    the odd (higher) bit positions, y the even — a pure JVM expression
+    chain (shift/and/add), unrolled at plan-build time."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        z = (
+            z
+            + F.shiftleft(xbit, 2 * i + 1).cast("long")
+            + F.shiftleft(ybit, 2 * i).cast("long")
+        )
+    return z
+
+
+@register(
+    "layout_zorder_scan",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 20 AND 100
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY order_month
+    """,
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout for MULTI-dimension
+    pruning: single-key sorting gives tight file/row-group min-max
+    stats on ONE column only; interleaving the bits of two bucketed
+    dimensions (customer, month) and range-partitioning + sorting on
+    the Morton code bounds BOTH dimensions per file — so a
+    2-predicate query (custkey band × date range) skips most files on
+    either predicate alone. This is the layout trick behind
+    lakehouse OPTIMIZE ZORDER, built from public Spark primitives:
+    the code is a pure shift/and expression, the layout is
+    `repartitionByRange(z).sortWithinPartitions(z)`, and pruning is
+    ordinary Parquet min-max skipping on the ORIGINAL columns (tests
+    read the footers and pin per-file span ratios on both dims vs a
+    single-key-sorted control). Query results are layout-independent
+    — the oracle runs on the unclustered table."""
+    orders = load(spark, sf_dir, "orders")
+    # One tiny scalar agg scales BOTH dims' bucket maps to the data's
+    # actual ranges — a dim that occupies a fraction of bucket space
+    # would leave its high interleave bits constant and degrade the
+    # curve to a single-key sort.
+    b = orders.agg(
+        F.max("o_custkey").alias("ck"),
+        F.min("o_orderdate").alias("d0"),
+        F.max("o_orderdate").alias("d1"),
+    ).first()
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    m0 = b.d0.year * 12 + b.d0.month
+    n_months = b.d1.year * 12 + b.d1.month - m0 + 1
+    n_buckets = 1 << ZORDER_BITS
+    xb = F.floor(F.col("o_custkey") * n_buckets / (b.ck + 1)).cast("int")
+    yb = F.floor((month_idx - m0) * n_buckets / n_months).cast("int")
+    path = _zorder_dir()
+    (
+        orders.withColumn("z", _interleave_bits(xb, yb))
+        .repartitionByRange(ZORDER_FILES, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(
+            F.col("o_custkey").between(20, 100)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -97,3 +97,49 @@ def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    """,
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY … LIMIT — the
+    'top 2 orders for EACH customer' spelling SQL users reach for.
+    Catalyst's DecorrelateInnerQuery rewrites the per-customer re-scan
+    into one join plus a per-key rank filter, so the plan is the same
+    shuffle-once shape as `window_topk_per_group` — no N re-executions
+    of the inner query (the lateral is syntax, not execution strategy;
+    that is the whole 100 TB point). Inner customers with no orders
+    drop out (inner lateral), matching the oracle."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS total_price
+        FROM customer_lat c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        """
+    )

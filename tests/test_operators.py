@@ -302,3 +302,180 @@ def test_pagerank_ranks_sane(spark, sf_dir):
     assert all(r.rank > 0 for r in rows)
     assert all(r.node[:2] in ("s:", "p:") for r in rows)
     assert rows == graph_pagerank(spark, sf_dir).collect()
+
+
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    """Merging base+delta partials must reproduce the full-history
+    rollup bit-for-bit (monoid merge is exact, no drift)."""
+    from pg_archiver_spark.operators.scans import maintenance_incremental_agg
+    from pg_archiver_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    merged = {
+        r.order_month: (r.n_orders, r.sum_price, r.avg_price)
+        for r in maintenance_incremental_agg(spark, sf_dir).collect()
+    }
+    full = {
+        r.order_month: (r.n_orders, r.sum_price)
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for m, (n, s, avg) in merged.items():
+        assert (n, s) == full[m]
+        assert avg == s / n
+
+
+def test_q18_threshold_and_determinism(spark, sf_dir):
+    from pg_archiver_spark.operators.joins import (
+        Q18_QTY_THRESHOLD,
+        composed_q18_large_orders,
+    )
+
+    rows = composed_q18_large_orders(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.total_qty > Q18_QTY_THRESHOLD for r in rows)
+    prices = [r.total_price for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert rows == composed_q18_large_orders(spark, sf_dir).collect()
+
+
+def _parquet_file_spans(path, col):
+    """Per-file (min, max) of a column from Parquet footer statistics —
+    the exact metadata a scan's file/row-group skipping reads."""
+    import glob
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    st = c.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_layout_bounds_both_dims(spark, sf_dir):
+    """The Morton layout must give tight per-file min-max spans on BOTH
+    clustered dimensions, where a single-key-sorted control layout can
+    only bound its sort key — the property multi-dim file skipping
+    rides on."""
+    import os
+    import tempfile
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.operators.scans import (
+        _zorder_dir,
+        layout_zorder_scan,
+    )
+    from pyspark.sql import functions as F
+
+    layout_zorder_scan(spark, sf_dir).collect()  # writes the z layout
+
+    def mean_ratio(spans, as_ts=False):
+        los = [s[0] for s in spans]
+        his = [s[1] for s in spans]
+        glo, ghi = min(los), max(his)
+        width = (ghi - glo).total_seconds() if as_ts else ghi - glo
+        assert width > 0
+        ratios = [
+            ((hi - lo).total_seconds() if as_ts else hi - lo) / width
+            for lo, hi in spans
+        ]
+        return sum(ratios) / len(ratios)
+
+    zdir = _zorder_dir()
+    z_ck = mean_ratio(_parquet_file_spans(zdir, "o_custkey"))
+    z_dt = mean_ratio(_parquet_file_spans(zdir, "o_orderdate"), as_ts=True)
+
+    # Control: same data, same file count, sorted on the DATE only.
+    control = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "zorder",
+        "orders_datesorted",
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(control)
+    )
+    c_ck = mean_ratio(_parquet_file_spans(control, "o_custkey"))
+
+    assert z_ck < 0.6, z_ck  # z bounds the custkey dim…
+    assert z_dt < 0.6, z_dt  # …and the date dim at once,
+    assert c_ck > 0.8, c_ck  # while date-sort leaves custkey unbounded.
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd's update can never increase inertia; with the fixed
+    lowest-vec_id init the whole run must also be reproducible, and
+    every vector must land in exactly one cluster."""
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        KMEANS_K,
+        _kmeans_assign,
+        _kmeans_step,
+        ml_kmeans_lloyd,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    cent = [r.v for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()]
+    inertias = []
+    for _ in range(4):
+        assigned = _kmeans_assign(emb, cent)
+        inertias.append(assigned.agg(F.sum("dist")).first()[0])
+        cent = _kmeans_step(assigned, cent)
+    assert all(
+        b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])
+    ), inertias
+
+    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert sum(r.n_points for r in rows) == emb.count()
+    assert len({r.total_inertia for r in rows}) == 1
+    assert rows == ml_kmeans_lloyd(spark, sf_dir).collect()
+
+
+def test_lateral_topn_matches_window_topk(spark, sf_dir):
+    """The lateral spelling must agree row-for-row with the window-rank
+    spelling of 'top 2 orders per customer'."""
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.operators.subqueries import subquery_lateral_topn
+    from pyspark.sql import Window, functions as F
+
+    lateral = {
+        (r.c_custkey, r.o_orderkey)
+        for r in subquery_lateral_topn(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    windowed = {
+        (r.o_custkey, r.o_orderkey)
+        for r in load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert lateral == windowed

@@ -189,3 +189,39 @@ def test_unpivot_single_shuffle(spark, sf_dir):
     the one agg shuffle."""
     plan = physical_plan(QUERIES["agg_unpivot"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_bloom_runtime_filter_injected_and_conf_isolated(spark, sf_dir):
+    """The probe side must carry a runtime bloom-filter subquery
+    (`might_contain` over `bloom_filter_agg`), and the op's threshold
+    overrides must stay on its cloned session — the caller's conf (the
+    driver's session) must keep the stock 10 GB probe threshold."""
+    before = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    plan = physical_plan(QUERIES["join_bloom_runtime_filter"](spark, sf_dir))
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    assert after == before != "0"
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """The rewrite's point: one lineitem scan feeding the HAVING agg,
+    not the textbook two (outer agg + IN-subquery), and a top-k final."""
+    plan = physical_plan(QUERIES["composed_q18_large_orders"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_agg_prunes_both_branches(spark, sf_dir):
+    """Base and delta partials must each push their cutoff predicate
+    into the orders scan — the delta branch touching only new data is
+    what makes the maintenance incremental."""
+    plan = physical_plan(QUERIES["maintenance_incremental_agg"](spark, sf_dir))
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
