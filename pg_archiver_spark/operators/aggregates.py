@@ -526,3 +526,55 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_error"),
         "sum_daily_exact",
     )
+
+
+HIST_BUCKETS = 20
+HIST_WIDTH = 30_000.0  # o_totalprice ∈ [~850, ~560k] at every SF
+
+
+@register(
+    "analytics_histogram",
+    oracle="""
+    SELECT LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT))
+               AS bucket,
+           LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT))
+               * 30000.0 AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def analytics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value — the distribution profile
+    behind every dashboard and data-quality monitor. Bucketing is a
+    pure per-row expression (floor-divide, clamp to the top bucket), so
+    the whole plan is one partial+final hash agg over at most 20 keys:
+    the map-side combine collapses each partition to ≤20 rows and the
+    shuffle is bytes, not data — the same plan at 100 TB. Fixed edges
+    (not data-dependent quantiles) keep the op a single pass;
+    `agg_percentile`/`agg_approx_percentile` are the data-dependent
+    twins. Empty buckets are absent rather than zero-filled in both
+    engines."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor(F.col("o_totalprice") / HIST_WIDTH),
+    ).cast("bigint")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
+            "n_orders",
+            "sum_price",
+        )
+    )

@@ -402,3 +402,135 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), "node").limit(20).select(
         "node", F.round("rank", 9).alias("rank")
     )
+
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 8
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, value,
+               epoch_ms(ts) AS ms, event_id
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_type,
+               {" + ".join(
+                   f"COALESCE({0.3 * (0.7 ** k)!r} * LAG(value, {k}) OVER w, 0.0)"
+                   for k in range(9)
+               )} AS num,
+               {" + ".join(
+                   f"CASE WHEN LAG(value, {k}) OVER w IS NULL THEN 0.0 "
+                   f"ELSE {0.3 * (0.7 ** k)!r} END"
+                   for k in range(9)
+               )} AS den
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(num / den), 4) AS avg_ewma,
+           ROUND(MAX(num / den), 4) AS max_ewma
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the time-series
+    smoother behind anomaly scores and trend features. True EWMA is a
+    sequential recurrence (y_t depends on y_{t-1}), which distributes
+    badly; the standard scale answer is the TRUNCATED form: with
+    α=0.3, weights decay to <2% of the head by lag 8, so a fixed
+    9-term lag stack (renormalized over the lags that exist at each
+    row's history head) is numerically indistinguishable from the
+    recurrence and is a PURE window expression — one user_id shuffle,
+    in-partition sort, no iteration, no Python. The lag stack shares
+    ONE window spec, so Catalyst evaluates all 9 lags in a single
+    window pass."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    base = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+    )
+    weights = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_LAGS + 1)]
+    num = sum(
+        (
+            F.coalesce(F.lit(wk) * F.lag("value", k).over(w), F.lit(0.0))
+            for k, wk in enumerate(weights)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", k).over(w).isNull(), 0.0).otherwise(F.lit(wk))
+            for k, wk in enumerate(weights)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        base.withColumn("ewma", num / den)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("ewma"), 4).alias("avg_ewma"),
+            F.round(F.max("ewma"), 4).alias("max_ewma"),
+        )
+    )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@register(
+    "analytics_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_outliers,
+           ROUND(MIN((e.value - s.mu) / s.sigma), 4) AS min_z,
+           ROUND(MAX((e.value - s.mu) / s.sigma), 4) AS max_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+    GROUP BY e.event_type
+    """,
+)
+def analytics_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: each event scored against
+    its type's mean/stddev, kept when |z| > 3 — the anomaly screen a
+    metrics warehouse runs continuously. Two-pass shape: a tiny
+    per-type stats aggregate (map-side partials, a handful of rows)
+    broadcast back onto the events scan, so the full pass over events
+    is a map stage — no window sort, no second shuffle of the fact.
+    Outlier membership depends on double-precision μ/σ agreeing across
+    engines; at any realistic scale values sit ≫1e-9 away from the
+    threshold, and the oracle gate has the same contract as the other
+    double-aggregate ops (G13)."""
+    events = load(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs("z") > ZSCORE_THRESHOLD)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.min("z"), 4).alias("min_z"),
+            F.round(F.max("z"), 4).alias("max_z"),
+        )
+    )

@@ -479,3 +479,58 @@ def test_lateral_topn_matches_window_topk(spark, sf_dir):
         .collect()
     }
     assert lateral == windowed
+
+
+def test_histogram_mass_and_bounds(spark, sf_dir):
+    from pg_archiver_spark.operators.aggregates import analytics_histogram
+    from pg_archiver_spark.catalog import load
+
+    rows = analytics_histogram(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+    assert all(0 <= r.bucket <= 19 for r in rows)
+    assert all(r.bucket_lo == r.bucket * 30000.0 for r in rows)
+
+
+def test_zscore_outliers_exceed_threshold(spark, sf_dir):
+    from pg_archiver_spark.operators.analytics import (
+        ZSCORE_THRESHOLD,
+        analytics_zscore_outliers,
+    )
+
+    rows = analytics_zscore_outliers(spark, sf_dir).collect()
+    assert rows, "fixture should contain some |z|>3 outliers"
+    for r in rows:
+        assert r.min_z < -ZSCORE_THRESHOLD or r.max_z > ZSCORE_THRESHOLD
+        assert r.n_outliers > 0
+
+
+def test_ewma_constant_series_is_identity(spark, sf_dir):
+    """Renormalized truncated EWMA of a constant series must equal the
+    constant at every row — the invariant that catches a wrong weight
+    or a broken renormalization denominator."""
+    from pg_archiver_spark.operators.analytics import EWMA_ALPHA, EWMA_LAGS
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(1, i, 7.5) for i in range(20)], "user_id int, seq int, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    weights = [
+        EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_LAGS + 1)
+    ]
+    num = sum(
+        (
+            F.coalesce(F.lit(wk) * F.lag("value", k).over(w), F.lit(0.0))
+            for k, wk in enumerate(weights)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", k).over(w).isNull(), 0.0).otherwise(F.lit(wk))
+            for k, wk in enumerate(weights)
+        ),
+        F.lit(0.0),
+    )
+    vals = [r.e for r in df.withColumn("e", num / den).collect()]
+    assert all(abs(v - 7.5) < 1e-9 for v in vals), vals

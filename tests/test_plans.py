@@ -225,3 +225,19 @@ def test_incremental_agg_prunes_both_branches(spark, sf_dir):
     plan = physical_plan(QUERIES["maintenance_incremental_agg"](spark, sf_dir))
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ewma_lag_stack_single_window_pass(spark, sf_dir):
+    """All 9 lags share one window spec — the plan must contain exactly
+    one Window node (one sort, one pass), not nine."""
+    import re
+
+    plan = physical_plan(QUERIES["window_ewma"](spark, sf_dir))
+    # The formatted plan names each node twice (tree + detail section);
+    # count distinct Window node ids instead of raw substrings.
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_zscore_stats_join_is_broadcast(spark, sf_dir):
+    plan = physical_plan(QUERIES["analytics_zscore_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
