@@ -32,39 +32,78 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+def _pin_timestamp_confs(spark: SparkSession) -> None:
+    """Pin one timestamp regime for the whole session, runtime-settable
+    because the driver harness passes its own SparkSession:
+
+    - session UTC — naive fixture timestamps and DuckDB's timezone-less
+      arithmetic agree numerically regardless of the host JVM zone;
+    - inferTimestampNTZ=false — the fixtures' ``timestamp[us]``
+      (isAdjustedToUTC=false) columns read as classic TIMESTAMP (LTZ)
+      attributes, so every op sees ONE timestamp type and predicates on
+      them stay pushdown-eligible scan attributes;
+    - outputTimestampType=TIMESTAMP_MICROS — our own sinks write INT64
+      µs (with row-group min/max stats, so re-reads prune) instead of
+      the deprecated stats-less INT96 default;
+    - nanosAsLong — only fires on legacy ``timestamp[ns]`` fixture
+      files (the driver has shipped both precisions across rounds).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Lazy — no I/O until an action runs.
 
-    ``events.ts`` is Parquet ``timestamp[ns]``, which Spark cannot
-    represent — we read it as a long (ns since epoch) and expose BOTH:
-      - ``ts_ns`` long — the raw value; range predicates on it push down
-        to Parquet row-group min/max stats (filter on this for pruning),
-      - ``ts`` TimestampType — µs-floored, for window/date functions.
+    ``events`` exposes a two-column timestamp contract regardless of the
+    physical Parquet type (the driver has shipped BOTH ``timestamp[ns]``
+    and ``timestamp[us]`` fixtures across rounds, so this adapts to the
+    footer instead of assuming):
+      - ``ts`` TimestampType (µs) — the scan attribute when the file is
+        timestamp-typed, so range predicates on it reach Parquet
+        row-group min/max stats (``PushedFilters``),
+      - ``ts_ns`` long — epoch-nanoseconds, for integer epoch math
+        (``ts_ns DIV 1000000`` = epoch-ms, matching DuckDB ``epoch_ms``).
     Floor(ns→µs)∘floor(µs→ms) == floor(ns→ms), so epoch-ms derived from
     either column matches DuckDB's ``epoch_ms`` exactly (SURVEY.md §8 G1).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_timestamp_confs(spark)
     if name == "events":
-        # Runtime-settable; needed even when the caller built the session
-        # (the driver harness passes its own SparkSession). UTC pins the
-        # window/day-boundary math of downstream ops to the oracle's
-        # timezone-naive arithmetic regardless of the host JVM zone.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # Legacy fixture: ts is raw epoch-nanos.
+            return df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+            )
+        # Current fixture: ts is a µs timestamp. Normalize NTZ→LTZ (no-op
+        # when inferTimestampNTZ=false took effect) and derive ts_ns.
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def ts_ns_literal(cutoff: str) -> int:
     """Epoch-nanoseconds of a 'YYYY-MM-DD[ HH:MM:SS]' UTC literal, for
-    pushdown-friendly predicates on events.ts_ns."""
+    integer epoch math on events.ts_ns."""
     fmt = "%Y-%m-%d %H:%M:%S" if " " in cutoff else "%Y-%m-%d"
     dt = datetime.strptime(cutoff, fmt).replace(tzinfo=timezone.utc)
     return int(dt.timestamp()) * 1_000_000_000
+
+
+def ts_literal(cutoff: str) -> datetime:
+    """Naive datetime of a 'YYYY-MM-DD[ HH:MM:SS]' literal for predicates
+    on events.ts. The session timezone is pinned to UTC by ``load``, so
+    the naive literal is interpreted as UTC — and because ``ts`` is a
+    scan attribute (not a derived column), ``ts < lit`` reaches the
+    Parquet row-group stats as a PushedFilter."""
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in cutoff else "%Y-%m-%d"
+    return datetime.strptime(cutoff, fmt)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg_archiver_spark.catalog import load, ts_ns_literal
+from pg_archiver_spark.catalog import load, ts_literal
 from pg_archiver_spark.registry import register
 
 
@@ -70,12 +70,12 @@ def select_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_range_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The archival cutoff predicate (reference A3, main.go:91).
 
-    Filter is on the raw ns long so Parquet row-group stats prune; the
-    ns literal comparison is exactly DuckDB's ns-precision comparison.
+    Filter is on the ``ts`` scan attribute so Parquet row-group stats
+    prune; both engines compare the same µs-precision values.
     """
     events = load(spark, sf_dir, "events")
     return events.filter(
-        F.col("ts_ns") < F.lit(ts_ns_literal("2024-01-15 00:00:00"))
+        F.col("ts") < F.lit(ts_literal("2024-01-15 00:00:00"))
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -98,7 +98,7 @@ def filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(
         (F.col("event_type") == "purchase")
         & (F.col("value") >= 100)
-        & (F.col("ts_ns") >= F.lit(ts_ns_literal("2024-01-10 00:00:00")))
+        & (F.col("ts") >= F.lit(ts_literal("2024-01-10 00:00:00")))
     ).select("event_id")
 
 

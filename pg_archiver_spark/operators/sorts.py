@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg_archiver_spark.catalog import load, ts_ns_literal
+from pg_archiver_spark.catalog import load, ts_literal
 from pg_archiver_spark.registry import register
 
 # Archival cutoff anchored to a literal inside the events data range
@@ -30,13 +30,13 @@ def archive_selection(spark: SparkSession, sf_dir: str, limit: int = 100) -> Dat
     """The pg-archiver extraction query, Spark-first (main.go:88-93,114).
 
     filter < cutoff → order by (epoch-ms desc, event_id) → limit →
-    project → tag lineage literal. The cutoff predicate is on the raw
-    ts_ns long so it reaches the Parquet row-group stats; sort+limit
+    project → tag lineage literal. The cutoff predicate is on the ``ts``
+    scan attribute so it reaches the Parquet row-group stats; sort+limit
     become TakeOrderedAndProject (per-partition top-k, no global sort).
     """
     events = load(spark, sf_dir, "events")
     return (
-        events.filter(F.col("ts_ns") < F.lit(ts_ns_literal(CUTOFF)))
+        events.filter(F.col("ts") < F.lit(ts_literal(CUTOFF)))
         .withColumn("epoch_ms", F.expr("ts_ns DIV 1000000"))
         .orderBy(F.col("epoch_ms").desc(), F.col("event_id"))
         .limit(limit)

@@ -42,52 +42,56 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
-# every round (the list does not rotate by itself). Round-3 spend:
-#   slots 1-30  — the 30 operators with NO driver evidence after
-#                 rounds 1+2 (CORRECTNESS_r01 ∪ r02): the 4 rows-only
-#                 §2.B contract ops first, then every oracle-backed
-#                 extension (each can earn full hash-green), then the
-#                 rows-only ANN/stream/multimodal extensions;
-#   slots 31-41 — regression re-proof: r1-greens whose function or
-#                 oracle text changed after their last driver check
-#                 (except_keys multiset fix, the G13 decimal→double
-#                 sweep, sink tmp isolation);
-#   slots 42-50 — operators added in round 3, all oracle-backed.
+# every round (the list does not rotate by itself). Round-4 spend:
+# the driver regenerated /root/testdata between the round-3 build and
+# its evaluation (events.ts went timestamp[ns] → timestamp[us]), which
+# crashed every events-reading op in CORRECTNESS_r03 at catalog.load.
+# catalog.load is now schema-adaptive, so:
+#   slots 1-23  — the 23 ops that ERRORED in r3 (all events-based;
+#                 §2.B contract ops first, then oracle-backed
+#                 extensions, then rows-only streaming);
+#   slots 24-39 — the 16 round-3 additions that have never appeared
+#                 in any driver round (registered past slot 50);
+#   slots 40-50 — re-proof of §2.B events-based greens: their r1/r2
+#                 hashes were earned on the OLD ns fixtures, so they
+#                 need one green on the regenerated data (flagship
+#                 first).
 # Everything else follows in module registration order; re-pin again
 # next round.
 _DRIVER_PRIORITY = [
-    # -- 1-4: §2.B contract ops, rows-only by design, never run ------
-    "minhash_neardup", "source_jdbc", "stream_watermark_late",
-    "stream_archival_foreachbatch",
-    # -- 5-21: oracle-backed, never checked ---------------------------
-    "stream_dedup_watermark", "stream_rate_trigger", "window_scd2_intervals",
-    "window_cume_dist", "window_first_last",
-    "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
-    "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
-    "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
-    "stream_stream_join", "source_schema_evolution",
-    "composed_q5_local_supplier",
-    # -- 22-30: rows-only extensions, never run -----------------------
-    "dedup_cluster_cc", "sim_ann_ivf_partitioned", "maintenance_compact",
-    "dedup_simhash", "multimodal_binary_features", "sim_ann_lsh",
-    "sim_ann_ivf", "stream_stateful_count", "sim_cosine_topk_arrow",
-    # -- 31-41: re-proof of r1-greens whose code changed since r1 -----
-    "except_keys", "agg_global_stats", "agg_stats_moments",
-    "global_topk_orders", "join_inner_equi", "scan_filter_prune",
-    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
-    "sink_parquet_sorted", "sink_parquet_partitioned",
-    # -- 42-50: new in round 3, oracle-backed -------------------------
-    "window_ntile_scalable", "analytics_sessionize", "analytics_funnel",
-    "analytics_retention_cohort", "join_range_binned", "text_tfidf",
-    "join_asof_tolerance", "agg_mode_stats", "window_rolling_distinct",
-    # -- 51+: cumulative greens, most-load-bearing first, for rotation
-    # if the cap ever rises ------------------------------------------
-    "orderby_limit_topk", "agg_group_pricing", "join_broadcast_dim",
-    "join_asof", "window_topk_per_group", "dedup_exact",
+    # -- 1-23: errored in r3 on the regenerated fixtures --------------
+    "source_jdbc", "stream_watermark_late", "stream_archival_foreachbatch",
+    "sink_parquet_partitioned", "agg_global_stats",
+    "sink_csv_roundtrip", "sink_parquet_sorted",
+    "window_scd2_intervals", "window_first_last",
+    "stream_dedup_watermark", "stream_rate_trigger", "stream_stream_join",
+    "source_schema_evolution", "window_ntile_scalable",
+    "analytics_sessionize", "analytics_funnel", "analytics_retention_cohort",
+    "join_range_binned", "join_asof_tolerance", "agg_mode_stats",
+    "window_rolling_distinct", "maintenance_compact", "stream_stateful_count",
+    # -- 24-39: round-3 additions never reached by a driver window ----
+    "agg_unpivot", "window_gaps_islands", "composed_q3_shipping_priority",
+    "sample_stratified", "scan_dpp_partition_pruned",
+    "join_bloom_runtime_filter", "composed_q18_large_orders",
+    "maintenance_incremental_agg", "layout_zorder_scan",
+    "subquery_lateral_topn", "window_ewma", "analytics_zscore_outliers",
+    "analytics_histogram", "agg_hll_partial_merge", "graph_pagerank",
+    "ml_kmeans_lloyd",
+    # -- 40-50: events-based §2.B greens re-proven on the new data ----
+    "orderby_limit_topk", "filter_range_cutoff", "filter_conjunction",
+    "cast_epoch_ms", "agg_max_timestamp", "window_topk_per_group",
+    "window_lag_lead", "window_running_sum", "join_asof",
+    "join_interval_pairs", "stream_tumbling_daily",
+    # -- 51+: remaining events-dependent ops first (stale-data greens,
+    # for rotation if the cap ever rises), then cumulative greens -----
+    "stream_sliding", "stream_session", "select_literal", "agg_having",
+    "agg_distinct_per_group", "json_extract", "dedup_dropduplicates",
+    "sample_deterministic", "agg_time_bucket_rollup", "window_cume_dist",
+    "agg_group_pricing", "join_broadcast_dim", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
-    "pipeline_training_prep", "multimodal_join", "stream_tumbling_daily",
-    "stream_sliding", "stream_session", "udf_python_scalar",
+    "pipeline_training_prep", "multimodal_join", "udf_python_scalar",
     "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_split",
+    "minhash_neardup",
 ]
 
 
