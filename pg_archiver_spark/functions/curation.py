@@ -606,3 +606,60 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         "kept_tokens",
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+        SELECT source, lang, n_chars,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(median(n_chars) AS DOUBLE), 4) AS median_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM d
+    GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile: the per-source summary block a corpus
+    release ships (doc/token/char volumes, language spread, length
+    distribution) — the audit artifact every training-data build ends
+    with, here as one declarative pass so the card is always computed
+    from the shipped data, never hand-maintained.
+
+    One shuffle on source; token counts are a pure map expression
+    (size-of-split, no explode — the cardinality never leaves the row),
+    and the exact median is per-group `percentile` (== DuckDB `median`
+    on even counts via linear interpolation, parity proven by
+    agg_percentile). At 100 TB swap `percentile` for the mergeable
+    `approx_percentile` sketch; every other column is already a
+    partial-aggregable monoid."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)").cast("double"), 4).alias(
+            "median_chars"
+        ),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

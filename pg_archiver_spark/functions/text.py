@@ -293,3 +293,76 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "term", "tf", "df", "score_micro", "rank")
     )
+
+
+@register(
+    "text_entropy_quality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, lang, word, COUNT(*) AS c
+        FROM tok WHERE word <> '' GROUP BY doc_id, lang, word
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT wc.doc_id, wc.lang, tot.n,
+               -SUM((CAST(c AS DOUBLE) / tot.n)
+                    * log2(CAST(c AS DOUBLE) / tot.n)) AS h
+        FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+        GROUP BY wc.doc_id, wc.lang, tot.n
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(h), 2) + 0.0 AS avg_entropy_bits,
+           ROUND(AVG(h / log2(CAST(n AS DOUBLE))), 2) + 0.0
+               AS avg_entropy_norm
+    FROM ent
+    GROUP BY lang
+    """,
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-entropy quality signal: per-document Shannon entropy of
+    the word distribution (bits), plus the length-normalized form
+    (entropy / log2 n_tokens ∈ [0,1]) — the cheap LM-free repetition
+    and "burstiness" screen corpus builds run before perplexity
+    filtering: near-0 normalized entropy means a degenerate/repeated
+    document, near-1 means every token distinct.
+
+    Plan shape: explode → two-level groupBy (doc,word → doc), all
+    Catalyst expressions; the per-doc word-count frame is the SAME
+    intermediate the TF-IDF and fingerprint ops use, and each doc's
+    entropy is a purely local aggregate after one shuffle on doc_id.
+    Determinism: fp sums differ between engines at ~1e-15; averaging
+    per lang and rounding ONCE, late and coarse (2dp), damps it (G4),
+    and `+ 0.0` normalizes any -0.0 (G13)."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n_over = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n_over
+    ent = wc.select(
+        "doc_id",
+        "lang",
+        n_over.alias("n"),
+        (-(p * F.log2(p))).alias("term"),
+    ).groupBy("doc_id", "lang", "n").agg(F.sum("term").alias("h"))
+    return ent.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.round(F.avg("h"), 2) + F.lit(0.0)).alias("avg_entropy_bits"),
+        (
+            F.round(F.avg(F.col("h") / F.log2(F.col("n").cast("double"))), 2)
+            + F.lit(0.0)
+        ).alias("avg_entropy_norm"),
+    )

@@ -726,3 +726,116 @@ def composed_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "composed_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders   o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation  n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation  n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def composed_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-border trade volume between two nations by
+    ship year: the nation-pair self-role composition (nation joined
+    TWICE, once for the supplier side, once for the customer side).
+
+    100 TB strategy: the two facts (lineitem, orders) shuffle on their
+    join keys once each; supplier, customer-side nation, and
+    supplier-side nation broadcast (DIM_TABLES-fixed size), so both
+    nation-name predicates become in-memory hash probes and Catalyst
+    pushes the residual pair-disjunction below the aggregate. Customer
+    is the only mid-size build side; AQE picks broadcast vs shuffle by
+    its runtime stats. Decimal-exact revenue, one final DOUBLE cast
+    (G13)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(l_returnflag, 'N') AS flag, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY flag
+    ),
+    b AS (
+        SELECT nullif(l_returnflag, 'N') AS flag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_linestatus = 'F' GROUP BY flag
+    )
+    SELECT COALESCE(CAST(a.flag AS VARCHAR), 'NULL') AS flag,
+           a.n_lines,
+           COALESCE(b.qty, 0.0) AS qty
+    FROM a JOIN b ON a.flag IS NOT DISTINCT FROM b.flag
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    ingest needs when a "key" is an optional attribute. Spark plans
+    `eqNullSafe` as an ordinary hash join (NULL hashes like any other
+    key value), so the shape stays shuffle-or-broadcast hash, never a
+    fallback NLJ. Output coalesces the NULL key to a sentinel and the
+    null-side aggregate to 0.0 (G13c: no nullable numeric outputs)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.groupBy(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag")
+    ).agg(F.count("*").alias("n_lines"))
+    b = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("bflag"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    return a.join(b, a.flag.eqNullSafe(b.bflag)).select(
+        F.coalesce(F.col("flag"), F.lit("NULL")).alias("flag"),
+        "n_lines",
+        F.coalesce(F.col("qty"), F.lit(0.0)).alias("qty"),
+    )

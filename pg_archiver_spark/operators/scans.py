@@ -613,3 +613,37 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "scan_metadata_columns",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name`): per-file
+    row accounting straight from the scan, no extra pass — the lineage
+    primitive behind ingest audits ("which file contributed which
+    rows") and incremental re-processing (group by source file, compare
+    against a processed-file ledger). The reference tags lineage with a
+    constant (main.go:25,114); `_metadata` generalizes it to real
+    per-file provenance at any fan-in. At sf fixtures each table is one
+    file, so the oracle pins the known name; on a 100 TB multi-file
+    dataset the same query yields one row per file with zero shuffle
+    beyond the 1-row-per-file aggregate."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "user_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -387,3 +387,50 @@ def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(253402300800000).cast("long"),
         ).alias("valid_to_ms"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(18,2))) AS user_value
+        FROM events
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id,
+           CAST(user_value AS DOUBLE) AS user_value,
+           CAST(user_value AS DOUBLE)
+               / CAST(SUM(user_value) OVER (PARTITION BY event_type)
+                      AS DOUBLE) AS share
+    FROM per_user
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each user's share of their event type's total
+    value — the unbounded-window pattern done the 100 TB-safe way:
+    AGGREGATE FIRST (one shuffle collapses events to |users × types|
+    rows), then the unbounded window runs over the already-small frame,
+    partitioned by event_type so there is no single-task global sort.
+    The naive spelling (window directly over raw events) would carry
+    every event row through the window state; this shape's window input
+    is bounded by the user population regardless of event volume.
+
+    Determinism: sums are exact DECIMAL (order-independent, G2), both
+    engines cast the SAME exact decimals to DOUBLE before the division,
+    and IEEE division is bit-identical — so the raw double `share` needs
+    no rounding (G11: avoid ROUND on ratios entirely)."""
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("user_value")
+    )
+    w = Window.partitionBy("event_type")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        F.col("user_value").cast("double").alias("user_value"),
+        (
+            F.col("user_value").cast("double")
+            / F.sum("user_value").over(w).cast("double")
+        ).alias("share"),
+    )

@@ -534,3 +534,109 @@ def test_ewma_constant_series_is_identity(spark, sf_dir):
     )
     vals = [r.e for r in df.withColumn("e", num / den).collect()]
     assert all(abs(v - 7.5) < 1e-9 for v in vals), vals
+
+
+def test_q7_plan_broadcasts_dims_no_nlj(spark, sf_dir):
+    """Q7's nation-pair composition must stay all-hash-join: the dims
+    broadcast and the pair disjunction is a residual/probe condition,
+    never a BroadcastNestedLoopJoin or CartesianProduct."""
+    from pg_archiver_spark.operators.joins import composed_q7_volume_shipping
+
+    df = composed_q7_volume_shipping(spark, sf_dir)
+    # Pre-AQE physical plan: at tiny sfs the nation pair can be empty
+    # and AQE collapses everything to EmptyRelation, which would hide
+    # the join strategy under test.
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    # pair constraint holds on every output row
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+
+
+def test_ratio_to_report_shares_sum_to_one(spark, sf_dir):
+    """Per event_type the user shares must sum to 1 (decimal-exact
+    internal sums), and the window must run over the aggregated frame,
+    not raw events."""
+    from pg_archiver_spark.operators.windows import window_ratio_to_report
+
+    df = window_ratio_to_report(spark, sf_dir)
+    sums = {
+        r.event_type: r.s
+        for r in df.groupBy("event_type").agg(F.sum("share").alias("s")).collect()
+    }
+    for et, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, (et, s)
+    # the window input is the post-aggregation frame: its plan has an
+    # aggregate BELOW the window operator
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_null_safe_join_matches_null_keys(spark):
+    """eqNullSafe must pair NULL with NULL (plain equi-join drops them)."""
+    a = spark.createDataFrame([(None, 1), ("A", 2)], "k string, x long")
+    b = spark.createDataFrame([(None, 10), ("A", 20)], "k string, y long")
+    strict = a.join(b, a.k == b.k).count()
+    nullsafe = a.join(b, a.k.eqNullSafe(b.k)).count()
+    assert strict == 1
+    assert nullsafe == 2
+
+
+def test_entropy_bounds_and_degenerate_doc(spark):
+    """Normalized entropy must be ~0 for a fully-repeated doc and ~1
+    for an all-distinct doc; bits must be >= 0."""
+    from pg_archiver_spark.functions.text import text_entropy_quality  # noqa: F401
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x x x x x", "rep"),
+            (2, "a b c d e f g h", "uniq"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    wc = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    n_over = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n_over
+    ent = (
+        wc.select("doc_id", "lang", n_over.alias("n"), (-(p * F.log2(p))).alias("t"))
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.sum("t").alias("h"))
+        .collect()
+    )
+    by_lang = {r.lang: r for r in ent}
+    assert abs(by_lang["rep"].h - 0.0) < 1e-12
+    assert abs(by_lang["uniq"].h - 3.0) < 1e-12  # log2(8) bits
+    assert abs(by_lang["uniq"].h / math.log2(by_lang["uniq"].n) - 1.0) < 1e-12
+
+
+def test_metadata_file_name_survives_catalog_projection(spark, sf_dir):
+    """_metadata must still resolve through catalog.load's derived
+    columns (it rides the file-source relation, not the projection)."""
+    from pg_archiver_spark.operators.scans import scan_metadata_columns
+
+    rows = scan_metadata_columns(spark, sf_dir).collect()
+    assert [r.file_name for r in rows] == ["events.parquet"]
+    assert rows[0].n_rows > 0
+
+
+def test_dataset_card_totals_consistent(spark, sf_dir):
+    """Card totals must reconcile with direct corpus-level counts."""
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.curation import pipeline_dataset_card
+
+    card = pipeline_dataset_card(spark, sf_dir)
+    agg = card.agg(F.sum("n_docs"), F.sum("total_chars")).first()
+    direct = (
+        load(spark, sf_dir, "documents").agg(F.count("*"), F.sum("n_chars")).first()
+    )
+    assert agg[0] == direct[0]
+    assert agg[1] == direct[1]
