@@ -534,3 +534,70 @@ def analytics_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("z"), 4).alias("max_z"),
         )
     )
+
+
+@register(
+    "analytics_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               m.med,
+               median(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           ROUND(CAST(m.med AS DOUBLE), 4) AS med,
+           ROUND(CAST(m.mad AS DOUBLE), 4) AS mad,
+           COUNT(*) FILTER (
+               WHERE ABS(e.value - m.med) > 3 * 1.4826 * m.mad
+           ) AS n_outliers,
+           COUNT(*) AS n_total
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def analytics_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation: the
+    z-score twin (`analytics_zscore_outliers`) breaks when the
+    contamination itself inflates μ/σ; MAD's 50% breakdown point
+    doesn't. Score = |v − median| > 3·1.4826·MAD (1.4826 rescales MAD
+    to σ under normality).
+
+    Three passes, all cheap: per-type exact median (tiny result),
+    broadcast back for per-type MAD (tiny result), broadcast again for
+    the counting pass — the fact table is never shuffled, only scanned;
+    each stats frame is |event types| rows. At 100 TB swap the exact
+    medians for `approx_percentile` sketches and the shape is
+    unchanged. Exact-percentile parity with DuckDB `median` is pinned
+    by agg_percentile; outlier membership sits ≫1e-9 from the
+    threshold at any realistic scale (same contract as the z twin)."""
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(dev > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("med").cast("double"), 4).alias("med"),
+            F.round(F.col("mad").cast("double"), 4).alias("mad"),
+            "n_outliers",
+            "n_total",
+        )
+    )

@@ -640,3 +640,25 @@ def test_dataset_card_totals_consistent(spark, sf_dir):
     )
     assert agg[0] == direct[0]
     assert agg[1] == direct[1]
+
+
+def test_mad_robust_to_contamination(spark):
+    """MAD must not move when a huge outlier contaminates the sample
+    (the property the z-score screen lacks)."""
+    clean = [(1, "t", float(v)) for v, _ in enumerate(range(9))]
+    rows = clean + [(99, "t", 1e9)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .first()
+    )
+    # median of 0..8 plus one 1e9 outlier stays near the middle; MAD
+    # stays O(1) — the outlier lands far beyond 3 * 1.4826 * mad
+    assert mad.med < 10
+    assert mad.mad < 5
+    assert abs(1e9 - mad.med) > 3 * 1.4826 * mad.mad
