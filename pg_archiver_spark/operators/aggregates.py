@@ -578,3 +578,53 @@ def analytics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH per_day AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY day
+    )
+    SELECT day, n_users FROM per_day
+    UNION ALL
+    SELECT 'ALL' AS day, COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting from mergeable bitmap partials
+    (`bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_or_agg`):
+    per (day, bucket) each task builds a 32k-bit bitmap of the user ids
+    it saw — a fixed-size monoid, so per-day counts AND the global
+    count both come from OR-merging the SAME partials, never rescanning
+    the fact. This is the exact-arithmetic sibling of the HLL sketch op
+    (`agg_hll_partial_merge`): linear memory in the key universe
+    instead of the sketch's fixed error, the right trade when the id
+    domain is dense and bounded (user ids, item ids). The 'ALL' row is
+    computed from the day-level bitmaps — the re-aggregation a
+    COUNT(DISTINCT) could never do without a second pass."""
+    events = load(spark, sf_dir, "events")
+    partials = (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("day", F.expr("bitmap_bucket_number(user_id)").alias("bucket"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+    )
+    per_day = partials.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    global_row = (
+        partials.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .select(F.lit("ALL").alias("day"), "n_users")
+    )
+    return per_day.unionByName(global_row)

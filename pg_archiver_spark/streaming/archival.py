@@ -513,3 +513,96 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stream_join_sink
         """
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'consumer' ELSE 'business' END AS segment
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT d.segment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.segment, e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch of the event
+    stream joined against a slowly-changing dimension (user → segment),
+    the lookup-table pattern live pipelines run constantly (enrich
+    clickstream with account tier, device registry, geo table…).
+
+    The static side re-broadcasts per micro-batch — no stream-side
+    state at all (contrast stream_stream_join, which must keep
+    watermark-bounded buffers on both sides). Complete-mode aggregation
+    over the enriched stream then proves end-to-end equivalence: after
+    an availableNow drain over two staged files the result must equal
+    the one-shot batch join, which is exactly the SQL oracle.
+
+    The segment is a deterministic md5 bucket of user_id (engine-
+    identical, proven by sample_deterministic), standing in for a real
+    dimension table the fixtures don't ship."""
+    staging = _fresh_dir("staticenrich", "staging")
+    checkpoint = _fresh_dir("staticenrich", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+                "consumer",
+            ).otherwise("business"),
+        )
+    )
+    # Two micro-batches so the per-batch re-join actually recurs.
+    for i, part in enumerate(
+        [events.filter(F.col("event_id") % 2 == 0),
+         events.filter(F.col("event_id") % 2 == 1)]
+    ):
+        path = os.path.join(staging, f"feed_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staging, "feed_*"))
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_enrich_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        "SELECT segment, event_type, n_events, total_value "
+        "FROM stream_static_enrich_sink"
+    )
