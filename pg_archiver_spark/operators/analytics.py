@@ -601,3 +601,59 @@ def analytics_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next event type | current) — the behavioral model behind
+    next-action prediction, anomaly screens ("this transition never
+    happens"), and funnel leak analysis.
+
+    Shape: one shuffle on user_id for the per-user lag, then the pair
+    counts collapse to ≤ |types|² rows — the probability window runs
+    over that tiny frame, not the events. Determinism: transition
+    counts are exact integers; p is one bigint/bigint → IEEE division,
+    bit-identical across engines with no rounding (G11)."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns DIV 1000000"), F.col("event_id")
+    )
+    seq = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double")
+        ).alias("p"),
+    )

@@ -165,3 +165,81 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("orderkey")
     )
     return orders.subtract(lineitem)
+
+
+@register(
+    "merge_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               epoch_ms(ts) AS ms,
+               event_id,
+               CASE event_type WHEN 'error' THEN 'D'
+                               WHEN 'purchase' THEN 'U'
+                               ELSE 'I' END AS op,
+               value
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ms DESC, event_id DESC
+               ) AS rn
+        FROM log
+    )
+    SELECT COUNT(*) FILTER (WHERE op <> 'D') AS n_live,
+           COUNT(*) FILTER (WHERE op = 'D') AS n_deleted,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                         FILTER (WHERE op <> 'D'), 0) AS DOUBLE)
+               AS live_value
+    FROM latest WHERE rn = 1
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: collapse an ordered
+    insert/update/delete log to current state — latest operation per
+    key wins, a trailing delete erases the key. This is the snapshot
+    rebuild every CDC consumer (Debezium→lakehouse, PG logical
+    replication) runs, and the ordered generalization of
+    `merge_upsert` (which has no deletes and no per-key ordering).
+
+    ONE shuffle on the key, then a per-key top-1 window — state size
+    |keys|, independent of changelog length, so a 100 TB log compacts
+    to a keys-sized snapshot in a single pass. Deterministic total
+    order per key: (epoch-ms, event_id) DESC (G5). The op codes are
+    derived from event_type so the fixture stands in for a real
+    changelog."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "purchase", "U")
+        .otherwise("I")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ms").desc(), F.col("event_id").desc()
+    )
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return latest.agg(
+        F.count_if(F.col("op") != "D").alias("n_live"),
+        F.count_if(F.col("op") == "D").alias("n_deleted"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("op") != "D", F.col("value").cast("decimal(18,2)")
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("live_value"),
+    )
