@@ -450,3 +450,68 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dist"), 4).alias("total_inertia")
     )
     return per_cluster.crossJoin(total).orderBy("cid")
+
+
+@register(
+    "sim_batch_knn_join",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.q_id, b.vec_id,
+               ROUND(CAST(list_cosine_similarity(q.q_emb, b.embedding)
+                          AS DOUBLE), 4) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY ROUND(CAST(list_cosine_similarity(
+                       q.q_emb, b.embedding) AS DOUBLE), 4) DESC, b.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings b ON b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def sim_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 neighbors for EVERY query in a batch —
+    the serving shape of retrieval (a request batch, not one probe;
+    `sim_cosine_topk` is the 1-query special case). The query batch
+    (every 100th vector) broadcasts, scoring is one map pass over the
+    corpus (|Q|·N scores, embarrassingly parallel, no shuffle of the
+    corpus), and per-query top-k is a window over the scored frame
+    partitioned by query id — no global sort, state k per query.
+
+    At 100 TB the same plan holds while |Q|·dim fits a broadcast
+    (~thousands of queries); beyond that, or to cut the N-scan, swap
+    the corpus side for the IVF/LSH-pruned candidate set
+    (`sim_ann_ivf_partitioned` / `sim_ann_lsh`) and keep this exact
+    join as the re-rank stage. Determinism: round(4) BEFORE ranking in
+    BOTH engines with vec_id tiebreak, so the selected sets agree
+    (G4/G5)."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
