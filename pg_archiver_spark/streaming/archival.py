@@ -606,3 +606,73 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT segment, event_type, n_events, total_value "
         "FROM stream_static_enrich_sink"
     )
+
+
+@register("stream_progress_metrics")  # rows-only: engine instrumentation
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability — the reference names monitoring/metrics
+    as unimplemented future work (README.md:127); Structured Streaming
+    ships it built-in. Drain a rate-limited availableNow run and
+    surface each micro-batch's engine-reported progress (rows read,
+    processing time, state metrics) as a queryable DataFrame — the feed
+    a metrics warehouse tails for lag/throughput alerting.
+
+    The metrics come from ``StreamingQuery.recentProgress`` (the
+    engine's own JSON telemetry), not hand-counted rows; the assertable
+    contract is conservation: Σ numInputRows over batches == staged
+    row count, one progress row per micro-batch."""
+    import json
+
+    staging = _fresh_dir("progressmetrics", "staging")
+    checkpoint = _fresh_dir("progressmetrics", "checkpoint")
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "value")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("stream_progress_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    rows = []
+    for p in (
+        json.loads(x if isinstance(x, str) else x.json)
+        for x in query.recentProgress
+    ):
+        if p.get("numInputRows", 0) == 0 and not p.get("sources"):
+            continue
+        state = (p.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p.get("numInputRows", 0)),
+                float(p.get("durationMs", {}).get("triggerExecution", 0)),
+                int(state.get("numRowsTotal", 0)),
+                int(state.get("numRowsUpdated", 0)),
+            )
+        )
+    out = spark.createDataFrame(
+        rows,
+        "batch_id long, num_input_rows long, trigger_ms double, "
+        "state_rows long, state_updated long",
+    )
+    total = load(spark, sf_dir, "events").count()
+    assert out.agg(F.sum("num_input_rows")).first()[0] == total, (
+        "progress metrics must conserve the staged row count"
+    )
+    return out.orderBy("batch_id")
