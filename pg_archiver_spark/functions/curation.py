@@ -663,3 +663,79 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "pipeline_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS c FROM tok WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+        SELECT word, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk,
+               SUM(c) OVER (ORDER BY c DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM counts
+    ),
+    tot AS (SELECT SUM(c) AS total FROM counts)
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(MAX(cum_c) FILTER (WHERE rnk <= v) AS BIGINT)
+               AS covered_tokens,
+           CAST(MAX(cum_c) FILTER (WHERE rnk <= v) AS DOUBLE)
+               / CAST((SELECT total FROM tot) AS DOUBLE) AS coverage
+    FROM ranked, (VALUES (10), (20), (50), (100)) AS sizes(v)
+    WHERE rnk <= v
+    GROUP BY v
+    """,
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: what fraction of all corpus tokens a
+    top-N vocabulary covers, at several N — the sizing study run before
+    fixing a tokenizer vocab (the knee of this curve IS the vocab-size
+    decision; everything past it becomes UNK/byte-fallback traffic).
+
+    Plan shape: one explode+groupBy builds the term counts (the same
+    frame wordcount/TF-IDF reuse), then the cumulative ranking runs
+    over |vocabulary| rows — corpus-size-independent, so the
+    ROWS-UNBOUNDED window is over thousands of terms, not billions of
+    tokens. At a truly huge vocab the two-phase bucketed cumsum
+    (`pipeline_token_budget`'s trick) applies verbatim. Determinism:
+    counts are exact integers; coverage is one bigint/bigint IEEE
+    division (G11: no rounding)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("word")))
+        .alias("rnk"),
+        F.sum("c").over(w).alias("cum_c"),
+    )
+    total = counts.agg(F.sum("c")).first()[0]
+    sizes = spark.createDataFrame([(10,), (20,), (50,), (100,)], "v long")
+    return (
+        ranked.join(F.broadcast(sizes), ranked.rnk <= sizes.v)
+        .groupBy("v")
+        .agg(F.max("cum_c").alias("covered"))
+        .select(
+            F.col("v").cast("bigint").alias("vocab_size"),
+            F.col("covered").cast("bigint").alias("covered_tokens"),
+            (
+                F.col("covered").cast("double")
+                / F.lit(int(total)).cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -657,3 +657,63 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wt).cast("double")
         ).alias("p"),
     )
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_ms(ts)) AS last_ms,
+               COUNT(*) AS freq,
+               SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    tiles AS (
+        SELECT user_id,
+               NTILE(4) OVER (ORDER BY last_ms DESC, user_id) AS r_tile,
+               NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+               NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+        FROM per_user
+    )
+    SELECT r_tile, f_tile, m_tile,
+           COUNT(*) AS n_users
+    FROM tiles
+    GROUP BY r_tile, f_tile, m_tile
+    """,
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user quartiled on Recency / Frequency /
+    Monetary value, then counted per (R,F,M) cell — the classic
+    customer-base map (1,1,1 = best customers, 4,4,4 = churned).
+
+    The windows run over the AGGREGATED per-user frame (|users| rows,
+    one shuffle collapses events first), not raw events — same
+    discipline as window_ratio_to_report. The partition-less NTILEs
+    over that small frame are the documented small-frame case; at a
+    user population too big for one task, window_ntile_scalable's
+    two-phase bucket-offset rewrite applies to each dimension
+    unchanged. Determinism: every NTILE pins a unique total order with
+    the user_id tiebreak (G5); counts and decimal sums are exact."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.expr("ts_ns DIV 1000000")).alias("last_ms"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+    )
+    tiles = per_user.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_ms").desc(), F.col("user_id")))
+        .alias("r_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .alias("f_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_tile"),
+    )
+    return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count("*").alias("n_users")
+    )
