@@ -662,3 +662,36 @@ def test_mad_robust_to_contamination(spark):
     assert mad.med < 10
     assert mad.mad < 5
     assert abs(1e9 - mad.med) > 3 * 1.4826 * mad.mad
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    """Coverage must be monotone nondecreasing in vocab size and within
+    (0, 1]; covered_tokens must never exceed the corpus token count."""
+    from pg_archiver_spark.functions.curation import pipeline_vocab_coverage
+
+    rows = sorted(
+        pipeline_vocab_coverage(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [10, 20, 50, 100]
+    covs = [r.coverage for r in rows]
+    assert all(0 < c <= 1.0 for c in covs)
+    assert covs == sorted(covs)
+    assert all(
+        a.covered_tokens <= b.covered_tokens for a, b in zip(rows, rows[1:])
+    )
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    """Every RFM dimension's quartiles must partition the user base into
+    near-equal parts (NTILE guarantee: sizes differ by at most 1)."""
+    from pg_archiver_spark.operators.analytics import analytics_rfm_segments
+
+    df = analytics_rfm_segments(spark, sf_dir)
+    for dim in ("r_tile", "f_tile", "m_tile"):
+        per = {
+            r[dim]: r.s
+            for r in df.groupBy(dim).agg(F.sum("n_users").alias("s")).collect()
+        }
+        assert set(per) == {1, 2, 3, 4}
+        assert max(per.values()) - min(per.values()) <= 1
