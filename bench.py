@@ -58,12 +58,14 @@ def main() -> None:
     # pass re-does the actual data work.
     spark.catalog.clearCache()
 
-    # Min of three measured passes — the shared test box shows sporadic
-    # ambient load (same code measured 10.3s and 14.9s minutes apart),
-    # and min is the standard low-variance estimator of achievable
-    # latency under asymmetric noise.
+    # Min of five measured passes — the shared test box shows sporadic
+    # ambient load lasting whole minutes (same code measured 12.6s and
+    # 16.1s back-to-back in round 4), and min is the standard
+    # low-variance estimator of achievable latency under asymmetric
+    # noise; five passes make it likely at least one pass per query
+    # lands outside a load burst.
     times: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(5):
         for name in HEADLINE:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
