@@ -647,3 +647,48 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "scan_partition_pruned_static",
+    oracle="""
+    SELECT CAST(day(ts) AS BIGINT) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE day(ts) BETWEEN 5 AND 9
+    GROUP BY day
+    """,
+)
+def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning on the archive's own hive layout — the
+    README's downstream promise made checkable (README.md:92: query
+    `year=2024/month=11/*.parquet` and touch only that slice). The
+    events are laid out `day=DD/` by each row's own timestamp (D2
+    fixed), and a literal day-range predicate must be satisfied from
+    DIRECTORY NAMES alone: the plan shows it under `PartitionFilters`
+    (tests assert this), so 25 of 30 partitions are never opened — at
+    100 TB that is the difference between scanning a day and scanning
+    three years. Complements `scan_dpp_partition_pruned`, where the
+    pruning value arrives at RUNTIME from a joined dim."""
+    events = load(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "daily_events",
+    )
+    (
+        events.withColumn("day", F.dayofmonth("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("day").between(5, 9))
+        .groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

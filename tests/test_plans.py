@@ -241,3 +241,16 @@ def test_ewma_lag_stack_single_window_pass(spark, sf_dir):
 def test_zscore_stats_join_is_broadcast(spark, sf_dir):
     plan = physical_plan(QUERIES["analytics_zscore_outliers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_static_partition_pruning_from_directory_names(spark, sf_dir):
+    """The day-range predicate must be satisfied from the hive layout's
+    directory names (PartitionFilters), not from row-group stats of
+    opened files — the README.md:92 downstream pattern."""
+    from pg_archiver_spark.operators.scans import scan_partition_pruned_static
+
+    df = scan_partition_pruned_static(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:250]
+    assert "day" in seg and ("5" in seg and "9" in seg)
