@@ -42,56 +42,59 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
-# every round (the list does not rotate by itself). Round-4 spend:
-# the driver regenerated /root/testdata between the round-3 build and
-# its evaluation (events.ts went timestamp[ns] → timestamp[us]), which
-# crashed every events-reading op in CORRECTNESS_r03 at catalog.load.
-# catalog.load is now schema-adaptive, so:
-#   slots 1-23  — the 23 ops that ERRORED in r3 (all events-based;
-#                 §2.B contract ops first, then oracle-backed
-#                 extensions, then rows-only streaming);
-#   slots 24-39 — the 16 round-3 additions that have never appeared
-#                 in any driver round (registered past slot 50);
-#   slots 40-50 — re-proof of §2.B events-based greens: their r1/r2
-#                 hashes were earned on the OLD ns fixtures, so they
-#                 need one green on the regenerated data (flagship
-#                 first).
-# Everything else follows in module registration order; re-pin again
-# next round.
+# every round (the list does not rotate by itself). Round-5 spend
+# (CORRECTNESS_r04 was 50/50 green, so the window moves on):
+#   slots 1-16  — the 16 round-4 additions that have never appeared
+#                 in ANY driver round (they were registered past
+#                 slot 50 in r4);
+#   slots 17-39 — events-based r1/r2 greens whose driver hashes were
+#                 earned on the OLD timestamp[ns] fixtures (the
+#                 driver regenerated /root/testdata to timestamp[us]
+#                 before r4; these all pass locally on the current
+#                 fixtures but need driver evidence);
+#   slots 40-50 — §2.B contract greens over TPC-H tables, whose date
+#                 columns also changed precision (ms→µs) since their
+#                 last driver check.
+# Everything else follows in rotation order (remaining stale greens,
+# then r4-fresh greens); re-pin again next round.
 _DRIVER_PRIORITY = [
-    # -- 1-23: errored in r3 on the regenerated fixtures --------------
-    "source_jdbc", "stream_watermark_late", "stream_archival_foreachbatch",
-    "sink_parquet_partitioned", "agg_global_stats",
-    "sink_csv_roundtrip", "sink_parquet_sorted",
-    "window_scd2_intervals", "window_first_last",
-    "stream_dedup_watermark", "stream_rate_trigger", "stream_stream_join",
-    "source_schema_evolution", "window_ntile_scalable",
-    "analytics_sessionize", "analytics_funnel", "analytics_retention_cohort",
-    "join_range_binned", "join_asof_tolerance", "agg_mode_stats",
-    "window_rolling_distinct", "maintenance_compact", "stream_stateful_count",
-    # -- 24-39: round-3 additions never reached by a driver window ----
-    "agg_unpivot", "window_gaps_islands", "composed_q3_shipping_priority",
-    "sample_stratified", "scan_dpp_partition_pruned",
-    "join_bloom_runtime_filter", "composed_q18_large_orders",
-    "maintenance_incremental_agg", "layout_zorder_scan",
-    "subquery_lateral_topn", "window_ewma", "analytics_zscore_outliers",
-    "analytics_histogram", "agg_hll_partial_merge", "graph_pagerank",
-    "ml_kmeans_lloyd",
-    # -- 40-50: events-based §2.B greens re-proven on the new data ----
-    "orderby_limit_topk", "filter_range_cutoff", "filter_conjunction",
-    "cast_epoch_ms", "agg_max_timestamp", "window_topk_per_group",
-    "window_lag_lead", "window_running_sum", "join_asof",
-    "join_interval_pairs", "stream_tumbling_daily",
-    # -- 51+: remaining events-dependent ops first (stale-data greens,
-    # for rotation if the cap ever rises), then cumulative greens -----
+    # -- 1-16: round-4 additions never reached by a driver window -----
+    "agg_bitmap_distinct", "analytics_mad_outliers",
+    "analytics_markov_transitions", "analytics_rfm_segments",
+    "composed_q7_volume_shipping", "join_null_safe_eq",
+    "merge_cdc_apply", "pipeline_dataset_card", "pipeline_vocab_coverage",
+    "scan_metadata_columns", "scan_partition_pruned_static",
+    "sim_batch_knn_join", "stream_progress_metrics", "stream_static_enrich",
+    "text_entropy_quality", "window_ratio_to_report",
+    # -- 17-39: events-based stale greens (ns→µs re-proof) ------------
     "stream_sliding", "stream_session", "select_literal", "agg_having",
     "agg_distinct_per_group", "json_extract", "dedup_dropduplicates",
-    "sample_deterministic", "agg_time_bucket_rollup", "window_cume_dist",
+    "sample_deterministic", "agg_time_bucket_rollup",
     "agg_group_pricing", "join_broadcast_dim", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
     "pipeline_training_prep", "multimodal_join", "udf_python_scalar",
     "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_split",
-    "minhash_neardup",
+    "minhash_neardup", "sim_label_avg",
+    # -- 40-50: §2.B TPC-H contract greens (date ms→µs re-proof) ------
+    "scan_parquet_full", "scan_filter_prune", "project_prune",
+    "filter_in_list", "filter_null_safe", "join_inner_equi",
+    "join_star_multiway", "join_left_outer", "join_semi", "join_anti",
+    "join_theta_range",
+    # -- 51+: remaining stale greens in rotation order (if the cap
+    # ever rises), then the r4-fresh block ----------------------------
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_approx_distinct",
+    "agg_percentile", "agg_approx_percentile", "agg_stats_moments",
+    "agg_pivot", "union_all_multi_table", "union_distinct",
+    "intersect_keys", "except_keys", "global_topk_orders",
+    "merge_upsert", "subquery_scalar", "subquery_exists_correlated",
+    "subquery_not_in", "window_rank", "window_range_frame", "window_ntile",
+    "string_funcs", "string_levenshtein", "string_regexp",
+    "date_parts_format", "date_arith_retention", "math_funcs", "case_when",
+    "array_funcs", "array_higher_order", "struct_nested", "map_funcs",
+    "text_wordcount", "text_stats", "text_langid", "text_quality",
+    "text_tokencount", "text_fingerprint", "udf_apply_in_pandas",
+    "multimodal_frame_sample", "join_bucketed_colocated",
+    "join_skew_salted", "sink_json_roundtrip", "sink_orc_roundtrip",
 ]
 
 
