@@ -97,13 +97,16 @@ def ts_ns_literal(cutoff: str) -> int:
 
 
 def ts_literal(cutoff: str) -> datetime:
-    """Naive datetime of a 'YYYY-MM-DD[ HH:MM:SS]' literal for predicates
-    on events.ts. The session timezone is pinned to UTC by ``load``, so
-    the naive literal is interpreted as UTC — and because ``ts`` is a
-    scan attribute (not a derived column), ``ts < lit`` reaches the
-    Parquet row-group stats as a PushedFilter."""
+    """TZ-AWARE UTC datetime of a 'YYYY-MM-DD[ HH:MM:SS]' literal for
+    predicates on events.ts. Aware datetimes cross py4j via
+    ``calendar.timegm`` — the exact UTC instant on ANY host timezone —
+    whereas a naive datetime would go through ``time.mktime`` (host
+    local time), silently shifting cutoffs on non-UTC hosts relative
+    to the DuckDB oracle's naive-UTC comparison. Because ``ts`` is a
+    scan attribute (not a derived column), ``ts < lit`` still reaches
+    the Parquet row-group stats as a PushedFilter."""
     fmt = "%Y-%m-%d %H:%M:%S" if " " in cutoff else "%Y-%m-%d"
-    return datetime.strptime(cutoff, fmt)
+    return datetime.strptime(cutoff, fmt).replace(tzinfo=timezone.utc)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

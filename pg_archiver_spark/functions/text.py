@@ -320,7 +320,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(h), 2) + 0.0 AS avg_entropy_bits,
-           ROUND(AVG(h / log2(CAST(n AS DOUBLE))), 2) + 0.0
+           ROUND(AVG(h / nullif(log2(CAST(n AS DOUBLE)), 0)), 2) + 0.0
                AS avg_entropy_norm
     FROM ent
     GROUP BY lang
@@ -340,7 +340,10 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy is a purely local aggregate after one shuffle on doc_id.
     Determinism: fp sums differ between engines at ~1e-15; averaging
     per lang and rounding ONCE, late and coarse (2dp), damps it (G4),
-    and `+ 0.0` normalizes any -0.0 (G13)."""
+    and `+ 0.0` normalizes any -0.0 (G13). A 1-token document has
+    log2(n)=0; Spark's 0/0 is NULL but DuckDB's is NaN (which poisons
+    AVG), so BOTH sides nullify the zero divisor (`nullif`) and let
+    AVG skip that doc symmetrically."""
     docs = load(spark, sf_dir, "documents")
     wc = (
         docs.select(
@@ -362,7 +365,13 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.round(F.avg("h"), 2) + F.lit(0.0)).alias("avg_entropy_bits"),
         (
-            F.round(F.avg(F.col("h") / F.log2(F.col("n").cast("double"))), 2)
+            F.round(
+                F.avg(
+                    F.col("h")
+                    / F.nullif(F.log2(F.col("n").cast("double")), F.lit(0.0))
+                ),
+                2,
+            )
             + F.lit(0.0)
         ).alias("avg_entropy_norm"),
     )

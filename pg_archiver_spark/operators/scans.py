@@ -15,8 +15,11 @@ row-groups and columns the query touches.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -649,6 +652,35 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hive-layout staging for scan_partition_pruned_static: written ONCE per
+# (process, sf_dir) — not per invocation — under a run-unique (uuid) root
+# so a recycled pid after restart can never silently reuse a stale
+# directory; the whole root is removed at interpreter exit.
+_HIVE_LAYOUT_ROOT = os.path.join(
+    tempfile.gettempdir(), f"pg_archiver_spark-hive-{uuid.uuid4().hex[:12]}"
+)
+_HIVE_LAYOUT_CACHE: dict[str, str] = {}
+atexit.register(shutil.rmtree, _HIVE_LAYOUT_ROOT, ignore_errors=True)
+
+
+def _hive_events_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events hive-partitioned by ``day=DD/``, memoized per sf_dir."""
+    path = _HIVE_LAYOUT_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _HIVE_LAYOUT_ROOT, f"daily_events_{len(_HIVE_LAYOUT_CACHE)}"
+        )
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("day", F.dayofmonth("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        _HIVE_LAYOUT_CACHE[sf_dir] = path
+    return path
+
+
 @register(
     "scan_partition_pruned_static",
     oracle="""
@@ -671,18 +703,7 @@ def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that is the difference between scanning a day and scanning
     three years. Complements `scan_dpp_partition_pruned`, where the
     pruning value arrives at RUNTIME from a joined dim."""
-    events = load(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pg_archiver_spark-{os.getpid()}",
-        "daily_events",
-    )
-    (
-        events.withColumn("day", F.dayofmonth("ts"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(out)
-    )
+    out = _hive_events_layout(spark, sf_dir)
     back = spark.read.parquet(out)
     return (
         back.filter(F.col("day").between(5, 9))

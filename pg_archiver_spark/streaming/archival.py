@@ -672,7 +672,12 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_rows long, state_updated long",
     )
     total = load(spark, sf_dir, "events").count()
-    assert out.agg(F.sum("num_input_rows")).first()[0] == total, (
-        "progress metrics must conserve the staged row count"
-    )
+    seen = out.agg(F.sum("num_input_rows")).first()[0]
+    if seen != total:
+        # Not a bare assert: survives python -O, and names the numbers
+        # so a driver-side ERROR row is diagnosable.
+        raise RuntimeError(
+            "progress metrics must conserve the staged row count: "
+            f"sum(numInputRows)={seen} != staged={total}"
+        )
     return out.orderBy("batch_id")
