@@ -452,12 +452,21 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cluster.crossJoin(total).orderBy("cid")
 
 
+# The request batch for the batch-kNN ops: FIXED-SIZE (16 literal ids,
+# present at every fixture SF), so the broadcast side is O(16·dim) —
+# constant in the corpus. The previous form (`vec_id % 100 = 0`) made
+# the batch 1% OF THE CORPUS: a broadcast that grows linearly with the
+# data and OOMs executors at 100× (round-4 verdict, "What's wrong" #1).
+_KNN_BATCH_IDS = tuple(range(0, 400, 25))  # 16 ids: 0, 25, ..., 375
+_KNN_NPROBE = 3  # IVF cells probed per query in sim_batch_knn_ivf
+
+
 @register(
     "sim_batch_knn_join",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id % 100 = 0
+        FROM embeddings WHERE vec_id IN {tuple(_KNN_BATCH_IDS)}
     ),
     scored AS (
         SELECT q.q_id, b.vec_id,
@@ -475,25 +484,25 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch k-NN join: top-3 neighbors for EVERY query in a batch —
-    the serving shape of retrieval (a request batch, not one probe;
-    `sim_cosine_topk` is the 1-query special case). The query batch
-    (every 100th vector) broadcasts, scoring is one map pass over the
-    corpus (|Q|·N scores, embarrassingly parallel, no shuffle of the
-    corpus), and per-query top-k is a window over the scored frame
-    partitioned by query id — no global sort, state k per query.
+    """Batch k-NN join: EXACT top-3 neighbors for every query in a
+    fixed request batch — the serving shape of retrieval (a request
+    batch, not one probe; `sim_cosine_topk` is the 1-query special
+    case). The 16-query batch broadcasts (O(16·dim), constant in the
+    corpus), scoring is one map pass over the corpus (16·N scores,
+    embarrassingly parallel, no shuffle of the corpus), and per-query
+    top-k is a window partitioned by query id — no global sort, state
+    k per query.
 
-    At 100 TB the same plan holds while |Q|·dim fits a broadcast
-    (~thousands of queries); beyond that, or to cut the N-scan, swap
-    the corpus side for the IVF/LSH-pruned candidate set
-    (`sim_ann_ivf_partitioned` / `sim_ann_lsh`) and keep this exact
-    join as the re-rank stage. Determinism: round(4) BEFORE ranking in
-    BOTH engines with vec_id tiebreak, so the selected sets agree
-    (G4/G5)."""
+    At 100 TB this exact form stays linear in N with a constant
+    broadcast; to go sub-linear, `sim_batch_knn_ivf` routes the SAME
+    batch through the IVF cell-probe so scored pairs are |Q|·(N/cells)
+    and this plan becomes the re-rank stage over candidates.
+    Determinism: round(4) BEFORE ranking in BOTH engines with vec_id
+    tiebreak, so the selected sets agree (G4/G5)."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
@@ -514,4 +523,76 @@ def sim_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@register("sim_batch_knn_ivf")  # rows-only: IVF cell assignment is engine-specific
+def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN through the IVF cell-probe: the sub-linear scale path
+    for `sim_batch_knn_join`. Corpus and queries are both assigned to
+    coarse cells (same centroids/assignment as `sim_ann_ivf`), then the
+    candidate set is an EQUI-JOIN on cell against the 16-row broadcast
+    batch — scored pairs drop from |Q|·N to |Q|·(N/cells) on average,
+    and nothing corpus-sized ever broadcasts or shuffles. Per-query
+    top-3 over candidates is the same fixed-state window as the exact
+    op, which doubles as the re-rank stage.
+
+    Approximation contract (pinned in tests/test_similarity.py):
+    neighbors returned always share one of the query's probed cells,
+    every query gets rows, and recall@3 vs the exact op stays above
+    the pinned floor — the standard IVF trade (nprobe=_KNN_NPROBE of
+    _IVF_CELLS cells; more probes = recall knob).
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_expr(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(c_cos, -cell))").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    # Queries probe their top-_KNN_NPROBE cells (16·nprobe rows total).
+    cw = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("q_cell")
+    )
+    q = (
+        scored.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+            "c_cos",
+        )
+        .withColumn("probe_rnk", F.row_number().over(cw))
+        .filter(F.col("probe_rnk") <= _KNN_NPROBE)
+        .drop("c_cos", "probe_rnk")
+    )
+    cand = assigned.join(
+        F.broadcast(q), on=F.col("cell") == F.col("q_cell"), how="inner"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.select(
+            "q_id",
+            "vec_id",
+            F.col("cell"),
+            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "cell", "cos_sim", "rnk")
     )
