@@ -699,15 +699,20 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision; everything past it becomes UNK/byte-fallback traffic).
 
     Plan shape: one explode+groupBy builds the term counts (the same
-    frame wordcount/TF-IDF reuse), then the cumulative ranking runs
-    over |vocabulary| rows — corpus-size-independent, so the
-    ROWS-UNBOUNDED window is over thousands of terms, not billions of
-    tokens. At a truly huge vocab the two-phase bucketed cumsum
-    (`pipeline_token_budget`'s trick) applies verbatim. Determinism:
-    counts are exact integers; coverage is one bigint/bigint IEEE
-    division (G11: no rounding)."""
-    from pyspark.sql import Window
-
+    frame wordcount/TF-IDF reuse); the curve only needs ranks ≤
+    max(v)=100, so a `TakeOrderedAndProject` top-100 runs FIRST — the
+    ranking never sees more than 100 rows no matter how large the
+    vocabulary grows (the r4 form windowed the FULL vocab in one task:
+    10⁸⁺ rows at 100 TB). Rank and cumulative count over the bounded
+    frame come from a 100×100 broadcast triangle join (count/sum of
+    predecessors) — no window at all, so no `WindowExec: No Partition
+    Defined` single-task sort exists anywhere in the plan (asserted in
+    tests/test_plans.py). The corpus-wide token total is a per-row
+    `size(split)` sum — identical to SUM(c) but with no second
+    explode+groupBy pass — carried as a 1-row broadcast crossJoin
+    instead of a driver `.first()`. Determinism: counts are exact
+    integers; coverage is one bigint/bigint IEEE division (G11: no
+    rounding)."""
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -715,27 +720,34 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("word")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    top = counts.orderBy(F.col("c").desc(), F.col("word")).limit(100)
+    a = top.select(F.col("word").alias("a_word"), F.col("c").alias("a_c"))
+    b = top.select(F.col("word").alias("b_word"), F.col("c").alias("b_c"))
+    # (rank, cumsum) of each term = (count, sum) of terms at-or-above
+    # it in (c DESC, word ASC) order; ≤100 rows per side by construction.
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_c") > F.col("a_c"))
+            | ((F.col("b_c") == F.col("a_c")) & (F.col("b_word") <= F.col("a_word"))),
+        )
+        .groupBy("a_word")
+        .agg(F.count("*").alias("rnk"), F.sum("b_c").alias("cum_c"))
     )
-    ranked = counts.select(
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("word")))
-        .alias("rnk"),
-        F.sum("c").over(w).alias("cum_c"),
-    )
-    total = counts.agg(F.sum("c")).first()[0]
+    total = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n")
+    ).agg(F.sum("n").cast("bigint").alias("total"))
     sizes = spark.createDataFrame([(10,), (20,), (50,), (100,)], "v long")
     return (
         ranked.join(F.broadcast(sizes), ranked.rnk <= sizes.v)
         .groupBy("v")
         .agg(F.max("cum_c").alias("covered"))
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("v").cast("bigint").alias("vocab_size"),
             F.col("covered").cast("bigint").alias("covered_tokens"),
             (
-                F.col("covered").cast("double")
-                / F.lit(int(total)).cast("double")
+                F.col("covered").cast("double") / F.col("total").cast("double")
             ).alias("coverage"),
         )
     )

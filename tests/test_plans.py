@@ -254,3 +254,15 @@ def test_static_partition_pruning_from_directory_names(spark, sf_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:250]
     assert "day" in seg and ("5" in seg and "9" in seg)
+
+
+def test_vocab_coverage_topk_no_window(spark, sf_dir):
+    """The coverage curve must rank only the top-100 terms, never the
+    full vocabulary: the plan shows TakeOrderedAndProject bounding the
+    frame, contains NO window operator at all (the r4 form moved the
+    whole vocab to one task via an unpartitioned window), and the
+    total arrives via broadcast, not a driver .first()."""
+    plan = physical_plan(QUERIES["pipeline_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan and "WindowExec" not in plan
+    assert "BroadcastExchange" in plan
