@@ -19,7 +19,7 @@ to within-bucket candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
@@ -30,6 +30,18 @@ from pg_archiver_spark.registry import register
 # ≥0.9; the background is ≤0.1 — verified empirically at sf0.01).
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+
+# Hot-shingle doc-frequency cap for the shared-shingle pair joins. The
+# equi-join on shingle is sub-quadratic only while per-shingle doc
+# frequency is bounded: one stop-word shingle shared by 10⁶ docs alone
+# yields 10¹² pairs. Shingles above this df carry ~no Jaccard signal
+# (they are corpus boilerplate, present in "everything"), so dropping
+# them before the join bounds worst-case fan-out at df²·|hot shingles|
+# while leaving informative shingles untouched. The cap sits far above
+# every fixture's max df (25 at sf0.1 — pinned in tests/test_dedup
+# so the DuckDB oracle stays EXACT on fixtures), and at 100 TB it is
+# the knob that keeps the join sub-quadratic.
+MAX_SHINGLE_DF = 1000
 
 # MinHash parameters: 12 bands × 2 rows = 24 hashes; P(candidate) at
 # j=0.5 ≈ 1-(1-0.25)^12 ≈ 0.97, at j=0.1 ≈ 0.11 — good separation for
@@ -139,10 +151,14 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — the ground truth the LSH
-    variants approximate. Implemented as shingle-explode → pair join on
-    shared shingles → intersection counts (docs sharing no shingle never
-    meet, unlike a naive cross join; still quadratic in the worst case —
-    the 100 TB path is minhash_neardup below)."""
+    variants approximate. Implemented as shingle-explode → hot-shingle
+    df cap (MAX_SHINGLE_DF; a no-op on fixtures, the sub-quadratic
+    guarantee at scale) → pair join on shared shingles → intersection
+    counts (docs sharing no shingle never meet, unlike a naive cross
+    join; the fully sub-quadratic 100 TB path is minhash_neardup
+    below). The df window partitions by shingle — the SAME key the
+    pair join hashes on, so the join reuses the exchange instead of
+    adding one."""
     # Spread the CPU-heavy shingle construction across all cores (the
     # fixture is a single small parquet file → one scan task otherwise).
     docs = load(spark, sf_dir, "documents").repartition(
@@ -156,7 +172,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
         .cache()
     )
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    ex = (
+        sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
     a = ex.select(
         F.col("doc_id").alias("doc1"),
         F.col("n_sh").alias("n1"),

@@ -14,12 +14,13 @@ surrounding plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.functions.dedup import (
     JACCARD_THRESHOLD,
+    MAX_SHINGLE_DF,
     SHINGLE_K,
     _shingles,
 )
@@ -94,10 +95,17 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Pair generation via the shared-shingle equi-join (docs sharing no
     # shingle never meet — sub-quadratic, same pattern as
-    # dedup_ngram_jaccard; swap in minhash banding at 100 TB).
+    # dedup_ngram_jaccard; swap in minhash banding at 100 TB). The
+    # hot-shingle df cap bounds worst-case fan-out: a boilerplate
+    # shingle shared by 10⁶ docs would alone yield 10¹² pairs; above
+    # MAX_SHINGLE_DF it carries ~no Jaccard signal and is dropped
+    # BEFORE the join (no-op on fixtures — cap >> fixture max df).
     ex = (
         quality.select("doc_id", _shingles(F.col("text")).alias("shingles"))
         .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
         .cache()
     )
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")

@@ -86,3 +86,60 @@ def test_batch_knn_broadcast_is_fixed_size(spark, sf_dir):
     assert "BroadcastExchange" in plan
     q_ids = {r.q_id for r in df.select("q_id").distinct().collect()}
     assert len(q_ids) == 16
+
+
+def test_shingle_df_cap_is_noop_on_fixture(spark, sf_dir):
+    """The hot-shingle doc-frequency cap must be a NO-OP on fixtures —
+    that is what keeps the DuckDB oracle exact while the cap bounds
+    worst-case pair fan-out at scale. Pins (a) fixture max df strictly
+    below MAX_SHINGLE_DF and (b) pair-set equality between the capped
+    operator and an uncapped inline pair join."""
+    from pyspark.sql import functions as F
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_SHINGLE_DF,
+        _shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    max_df = ex.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert max_df < MAX_SHINGLE_DF, (
+        f"fixture max shingle df {max_df} >= cap {MAX_SHINGLE_DF}: "
+        "the cap would drop shingles and the oracle would diverge"
+    )
+
+    sh = docs.select(
+        "doc_id",
+        _shingles(F.col("text")).alias("shingles"),
+    ).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    e = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = e.select(
+        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    uncapped = {
+        (r.doc1, r.doc2)
+        for r in (
+            a.join(b, "shingle")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .groupBy("doc1", "doc2", "n1", "n2")
+            .agg(F.count("*").alias("n_common"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .collect()
+        )
+    }
+    capped = {
+        (r.doc1, r.doc2)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert capped == uncapped
