@@ -8,9 +8,13 @@ the limit all execute inside the remote database — exactly what the
 reference achieves by writing its SQL string by hand, but across
 ``numPartitions`` concurrent range-split cursors.
 
-No database ships in this harness, so ``read_table`` degrades to the
-staging-parquet path when no URL is configured; the op reports which
-path ran (SURVEY.md §7.4 #5: must not fail the suite).
+No external database ships in this harness, but Spark's own classpath
+carries embedded Apache Derby — so when no URL is configured,
+``source_jdbc`` stages the fixture into `jdbc:derby:memory:` and the
+real JDBC branch (pushdown, range-partitioned cursors, live chunked
+DELETE) still executes (see sources/derby.py); the parquet path remains
+only as the degraded fallback (SURVEY.md §7.4 #5: must not fail the
+suite).
 """
 
 from __future__ import annotations
@@ -33,6 +37,8 @@ def read_table(
     sf_dir: str,
     partition_column: str | None = None,
     num_partitions: int = 8,
+    url: str | None = None,
+    driver: str | None = None,
 ) -> tuple[DataFrame, str]:
     """Read one source table via JDBC when configured, else parquet.
 
@@ -40,12 +46,20 @@ def read_table(
     enabled and, when a numeric partition column is given, range-split
     parallel cursors (lowerBound/upperBound probed with one min/max
     round-trip — the scale replacement for the single cursor loop).
+    Identifiers in the probe are double-quoted (SQL standard): Spark's
+    JDBC writer quote-creates columns, so unquoted names resolve in
+    Postgres but not in case-sensitive engines like Derby; the bounds
+    row is read positionally for the same reason (unquoted aliases
+    fold to upper case there).
     """
-    url = os.environ.get(_URL_ENV)
+    url = url or os.environ.get(_URL_ENV)
     if not url:
         return load(spark, sf_dir, table), "parquet-fallback"
 
-    reader = (
+    def _with_driver(reader):
+        return reader.option("driver", driver) if driver else reader
+
+    reader = _with_driver(
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
@@ -54,19 +68,19 @@ def read_table(
     )
     if partition_column:
         bounds = (
-            spark.read.format("jdbc")
-            .option("url", url)
+            _with_driver(spark.read.format("jdbc").option("url", url))
             .option(
                 "query",
-                f"SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}",
+                f'SELECT MIN("{partition_column}") lo,'
+                f' MAX("{partition_column}") hi FROM {table}',
             )
             .load()
             .first()
         )
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(bounds["lo"]))
-            .option("upperBound", str(bounds["hi"]))
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
             .option("numPartitions", str(num_partitions))
         )
     return reader.load(), "jdbc"
@@ -91,14 +105,22 @@ def _default_connection_factory():
 
 
 def _delete_partition_kernel(
-    keys, table: str, key_col: str, connection_factory, batch_size: int
+    keys,
+    table: str,
+    key_col: str,
+    connection_factory,
+    batch_size: int,
+    dialect: str = "postgres",
 ) -> int:
     """Delete one partition's archived keys over a fresh connection.
 
-    `DELETE FROM t WHERE k = ANY(%s)` in `batch_size` chunks — one
-    round-trip per chunk instead of per key (the reference's loop is
-    row-at-a-time, main.go:131-145), committed once per partition so a
-    task retry re-deletes idempotently rather than half-committing.
+    Chunked deletes — one round-trip per `batch_size` keys instead of
+    per key (the reference's loop is row-at-a-time, main.go:131-145),
+    committed once per partition so a task retry re-deletes
+    idempotently rather than half-committing. Dialects:
+    ``postgres`` — `DELETE ... WHERE k = ANY(%s)` (one array bind);
+    ``standard`` — `DELETE ... WHERE "k" IN (?, ..)` (positional binds,
+    quoted identifier) for engines without array parameters (Derby).
     """
     batch = []
     deleted = 0
@@ -121,9 +143,17 @@ def _delete_partition_kernel(
             batch = [k for _, k in zip(range(batch_size), it)]
             if not batch:
                 break
-            cur.execute(
-                f"DELETE FROM {table} WHERE {key_col} = ANY(%s)", (batch,)
-            )
+            if dialect == "postgres":
+                cur.execute(
+                    f"DELETE FROM {table} WHERE {key_col} = ANY(%s)", (batch,)
+                )
+            else:
+                placeholders = ",".join("?" * len(batch))
+                cur.execute(
+                    f'DELETE FROM {table} WHERE "{key_col}"'
+                    f" IN ({placeholders})",
+                    batch,
+                )
             # DB-API allows rowcount == -1 ("unknown"); only positive
             # counts are real deletions.
             if cur.rowcount and cur.rowcount > 0:
@@ -141,6 +171,7 @@ def delete_archived(
     key_col: str = "id",
     connection_factory=None,
     batch_size: int = 1000,
+    dialect: str = "postgres",
 ) -> int:
     """Delete-behind (reference A13, main.go:131-145) — D1-fixed contract.
 
@@ -162,10 +193,29 @@ def delete_archived(
         connection_factory = _default_connection_factory
 
     keys_only = key_df.select(F.col(key_col))
+    if getattr(connection_factory, "driver_side", False):
+        # Single-writer path for connections that cannot ship to
+        # executors (an embedded database's py4j-wrapped java.sql
+        # connection). Keys stream through toLocalIterator — bounded
+        # driver memory, one partition at a time — but throughput is
+        # one writer; the mapPartitions path below is the scale path.
+        return _delete_partition_kernel(
+            (r[0] for r in keys_only.toLocalIterator()),
+            table,
+            key_col,
+            connection_factory,
+            batch_size,
+            dialect,
+        )
     counts = keys_only.rdd.mapPartitions(
         lambda rows: [
             _delete_partition_kernel(
-                (r[0] for r in rows), table, key_col, connection_factory, batch_size
+                (r[0] for r in rows),
+                table,
+                key_col,
+                connection_factory,
+                batch_size,
+                dialect,
             )
         ]
     )
@@ -174,15 +224,40 @@ def delete_archived(
 
 @register("source_jdbc")  # rows-only: environment-dependent source
 def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JDBC round-trip profile: reads events through read_table (JDBC
-    when PG_ARCHIVER_JDBC_URL is set, else the parquet fallback) and
-    runs the reference's extraction shape over it."""
-    df, mode = read_table(spark, "events", sf_dir, partition_column="event_id")
+    """JDBC round-trip profile over a LIVE database in every
+    environment: an external one when PG_ARCHIVER_JDBC_URL is set, else
+    the events fixture staged into embedded in-memory Derby (shipped in
+    Spark's own classpath) — so the real ``spark.read.format("jdbc")``
+    branch with range-partitioned parallel cursors executes (reference
+    extraction main.go:88-121), not the parquet stand-in. The parquet
+    fallback survives only as the degraded path when even the embedded
+    staging fails."""
+    url = os.environ.get(_URL_ENV)
+    driver = None
+    backend = "external"
+    if not url:
+        from pg_archiver_spark.sources import derby
+
+        try:
+            url = derby.stage_events(spark, sf_dir)
+            driver = derby.DERBY_DRIVER
+            backend = "derby-embedded"
+        except Exception:  # staging write failed: degrade, don't error
+            url, backend = None, "parquet-fallback"
+    df, mode = read_table(
+        spark,
+        "events",
+        sf_dir,
+        partition_column="event_id",
+        url=url,
+        driver=driver,
+    )
     extracted = df.filter(
         F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
     return extracted.agg(
         F.lit(mode).alias("source_mode"),
+        F.lit(backend).alias("backend"),
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     )
