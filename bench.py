@@ -40,6 +40,11 @@ HEADLINE = [
     "stream_session",           # session windows
     "udaf_pandas_grouped",      # Arrow UDAF path
     "pipeline_training_prep",   # composed quality→dedup→sample pipeline
+    # Round-4 operator families (added r5 so regressions in them are
+    # caught by BENCH deltas, not just correctness):
+    "merge_cdc_apply",          # CDC merge (latest-wins upsert+delete)
+    "sim_batch_knn_join",       # batch kNN (fixed-batch broadcast scoring)
+    "agg_bitmap_distinct",      # bitmap-based exact distinct rollup
 ]
 
 

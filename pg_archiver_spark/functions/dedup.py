@@ -19,7 +19,7 @@ to within-bucket candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
@@ -156,9 +156,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee at scale) → pair join on shared shingles → intersection
     counts (docs sharing no shingle never meet, unlike a naive cross
     join; the fully sub-quadratic 100 TB path is minhash_neardup
-    below). The df window partitions by shingle — the SAME key the
-    pair join hashes on, so the join reuses the exchange instead of
-    adding one."""
+    below). The cap is applied as a broadcast ANTI-join against the
+    hot-shingle set: the set is tiny by construction (≤ one shingle
+    per MAX_SHINGLE_DF occurrences, so ≤ |occurrences|/1000 — always
+    broadcastable), its aggregation gets map-side partial combine, and
+    the exploded frame itself is never re-shuffled just to learn df
+    (a df window would re-shuffle it in full). Measured cost of the
+    guard at sf0.1: ~0.5 s (one extra agg stage + broadcast barrier,
+    A/B'd 1.33 s→1.82 s) — fixed overhead that amortizes at scale,
+    where the uncapped form instead risks a 10¹²-pair stage."""
     # Spread the CPU-heavy shingle construction across all cores (the
     # fixture is a single small parquet file → one scan task otherwise).
     docs = load(spark, sf_dir, "documents").repartition(
@@ -172,14 +178,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
         .cache()
     )
-    ex = (
-        sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-        .withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
     )
+    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.select(
         F.col("doc_id").alias("doc1"),
         F.col("n_sh").alias("n1"),

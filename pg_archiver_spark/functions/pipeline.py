@@ -14,7 +14,7 @@ surrounding plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
@@ -99,15 +99,22 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-shingle df cap bounds worst-case fan-out: a boilerplate
     # shingle shared by 10⁶ docs would alone yield 10¹² pairs; above
     # MAX_SHINGLE_DF it carries ~no Jaccard signal and is dropped
-    # BEFORE the join (no-op on fixtures — cap >> fixture max df).
-    ex = (
-        quality.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
-        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-        .cache()
+    # BEFORE the join via a broadcast anti-join against the tiny hot
+    # set (no-op on fixtures — cap >> fixture max df).
+    exploded = quality.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex = exploded.join(F.broadcast(hot), "shingle", "left_anti").cache()
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
     b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
     inter = (
