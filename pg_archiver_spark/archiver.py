@@ -10,7 +10,10 @@ Env configuration mirrors the reference's getEnv defaults
                             for a live database via sources.jdbc)
   ARCHIVER_DEST_DIR         archive root (local path or s3a:// URI —
                             the committer handles the upload the
-                            reference did by hand, main.go:211-241)
+                            reference did by hand, main.go:211-241; an
+                            s3a:// value makes session.get_spark wire
+                            the S3A magic committer confs, see
+                            session.s3a_committer_confs)
   ARCHIVER_CUTOFF           optional explicit 'YYYY-MM-DD[ HH:MM:SS]'
                             cutoff; wall-clock retention otherwise
   ARCHIVER_TS_COLUMN        event-time column (default "ts")

@@ -695,3 +695,17 @@ def test_rfm_quartiles_balanced(spark, sf_dir):
         }
         assert set(per) == {1, 2, 3, 4}
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_s3a_committer_confs_shape():
+    """The object-store sink config block must wire the magic committer
+    (commit-by-multipart-completion; S3 has no atomic rename) through
+    Spark's cloud commit protocol — and must never embed credentials."""
+    from pg_archiver_spark.session import s3a_committer_confs
+
+    confs = s3a_committer_confs()
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert confs["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert "PathOutputCommitProtocol" in confs["spark.sql.sources.commitProtocolClass"]
+    joined = " ".join(confs) + " ".join(confs.values())
+    assert "secret" not in joined.lower() and "key.id" not in joined.lower()
