@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     "composed_q7_volume_shipping", "join_null_safe_eq",
     "merge_cdc_apply", "pipeline_dataset_card", "pipeline_vocab_coverage",
     "scan_metadata_columns", "scan_partition_pruned_static",
-    "sim_batch_knn_join", "sim_batch_knn_ivf",
+    "sim_batch_knn_join", "sim_batch_knn_ivf", "source_jdbc_poll",
     "stream_progress_metrics", "stream_static_enrich",
     "text_entropy_quality", "window_ratio_to_report",
     # -- 17-39: events-based stale greens (ns→µs re-proof) ------------

@@ -35,6 +35,26 @@ _STAGED: dict[tuple[str, str], str] = {}
 _EVENT_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value")
 
 
+_FRESH_SEQ = iter(range(1_000_000_000))
+
+
+def stage_frame(spark: SparkSession, df, table: str) -> str:
+    """Write an arbitrary DataFrame into a FRESH in-memory Derby
+    database (unique name — callers that mutate the table afterwards
+    must not share the memoized fixture staging). Returns the URL."""
+    db = f"pgarch_fresh_{os.getpid()}_{next(_FRESH_SEQ)}"
+    url = f"jdbc:derby:memory:{db}"
+    (
+        df.write.format("jdbc")
+        .option("url", f"{url};create=true")
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
 def stage_events(spark: SparkSession, sf_dir: str) -> str:
     """Write the events fixture into an in-memory Derby table once per
     (process, sf_dir); returns the JDBC URL of the staged database."""

@@ -108,3 +108,13 @@ def test_delete_behind_live_roundtrip(spark, sf_dir):
     )
     # Restore for other tests sharing the memoized staging DB.
     derby._STAGED.pop((sf_dir, "events"), None)
+
+
+def test_jdbc_poll_loop_partitions_arrivals(spark, sf_dir):
+    """Two polls around a live JDBC append must partition the fixture:
+    first poll sees the staged half, second poll exactly the appended
+    rows (the op itself raises on loss/duplication)."""
+    rows = {r.poll: r for r in QUERIES["source_jdbc_poll"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_new_rows > 0 and rows[2].n_new_rows > 0
+    assert rows[2].watermark > rows[1].watermark
