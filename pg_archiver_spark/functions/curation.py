@@ -751,3 +751,71 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               source,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), 1, 50), ' '))
+                   AS content_hash,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY content_hash
+                   ORDER BY n_tokens DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY content_hash) AS group_size
+        FROM scored
+    )
+    SELECT doc_id, source, content_hash, n_tokens, group_size
+    FROM ranked
+    WHERE rn = 1 AND group_size > 1
+    ORDER BY doc_id
+    """,
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection dedup: among each duplicate content group —
+    keyed by a 50-token PREFIX fingerprint, the boilerplate-prefix
+    dedup real corpus builds use (exact-hash groups are its special
+    case; the fixture's planted near-dups share prefixes, not full
+    text) — keep ONE representative chosen by quality (longest doc,
+    doc_id tiebreak) instead of dropDuplicates' arbitrary first-seen
+    row. Output is the kept representative of every non-trivial group
+    with its cluster size.
+
+    Plan shape: one scan; md5 content hash JVM-side; ONE shuffle on
+    content_hash serves both window functions (row_number + count share
+    the partition spec, Catalyst plans a single WindowExec after a
+    single exchange). Hash-partitioned — no global sort, no driver
+    state; at 100 TB the dup-group histogram is bounded by cluster
+    sizes, never corpus size. Deterministic: (n_tokens DESC, doc_id)
+    is a total order within a group (G11)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 50))).alias(
+            "content_hash"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_tokens"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("group_size"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .drop("rn")
+        .orderBy("doc_id")
+    )

@@ -375,3 +375,73 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("avg_entropy_norm"),
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS wc,
+               list_sum(list_transform(string_split(text, ' '),
+                                       t -> length(t))) AS total_chars
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               wc,
+               (total_chars * 1000) // wc AS mwl_milli
+        FROM m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pass_wordcount,
+           CAST(SUM(CASE WHEN mwl_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pass_meanwordlen,
+           CAST(SUM(CASE WHEN wc BETWEEN 50 AND 100000
+                     AND mwl_milli BETWEEN 3000 AND 10000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM r
+    GROUP BY lang
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics every large-corpus build applies before training):
+    word-count bounds [50, 100k] and mean-word-length bounds [3, 10]
+    chars, reported as per-language pass counts. Extends the reference's
+    archival pipeline with the pre-training quality gate its downstream
+    consumers would run on the archived text (north-star: text analysis).
+
+    Plan shape: one scan of documents; per-doc metrics are pure Catalyst
+    expressions (split/size/aggregate — no UDF, whole-stage codegen),
+    then a 5-group partial+final hash agg: map-side combine means the
+    shuffle carries one row per (partition, lang). Mean word length is
+    exact integer milli-chars (total_chars*1000 DIV wc) so the band
+    comparison can't tie-break differently across engines (G11); all
+    outputs are integer counts (G13)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wc = F.size(toks)
+    mwl_milli = F.expr(
+        "(aggregate(transform(split(text, ' '), t -> CAST(length(t) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000) DIV size(split(text, ' '))"
+    )
+    pass_wc = wc.between(50, 100000)
+    pass_mwl = mwl_milli.between(3000, 10000)
+    return (
+        docs.select(
+            "lang",
+            pass_wc.alias("p_wc"),
+            pass_mwl.alias("p_mwl"),
+            (pass_wc & pass_mwl).alias("p_all"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("p_wc"), 1).otherwise(0)).alias("pass_wordcount"),
+            F.sum(F.when(F.col("p_mwl"), 1).otherwise(0)).alias("pass_meanwordlen"),
+            F.sum(F.when(F.col("p_all"), 1).otherwise(0)).alias("pass_all"),
+        )
+    )

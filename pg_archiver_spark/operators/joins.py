@@ -839,3 +839,116 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.coalesce(F.col("qty"), F.lit(0.0)).alias("qty"),
     )
+
+
+@register(
+    "composed_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders   o ON c.c_custkey   = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def composed_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    items in one quarter (the reference's downstream users run exactly
+    this class of "who/what drove the archive's rows" report over the
+    hive-partitioned store, README.md:88-102).
+
+    100 TB strategy: both date bounds and the returnflag predicate sit
+    BELOW the joins so the Parquet scans prune row groups first
+    (quarter selectivity ~1/24 on orders, flag ~1/3 on lineitem);
+    nation broadcasts (25 rows); orders⋈lineitem shuffles on orderkey
+    and the customer join keys on custkey — AQE broadcasts the
+    quarter-filtered orders side when its runtime size permits. Final
+    top-20 is TakeOrderedAndProject (no global sort materialization),
+    revenue decimal-exact with one final DOUBLE cast and c_custkey as
+    the deterministic tiebreak (G11/G13)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "composed_q12_priority_shipmode",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+           COUNT(*) AS n_lines
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def composed_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional (CASE-WHEN) counts of high- vs
+    low-priority orders per line status for one ship year. The fixture
+    lineitem has no l_shipmode column, so l_linestatus plays the
+    category role; the contract shape — fact⋈fact join with the
+    selective date range on the PROBE side and a two-way conditional
+    aggregation — is Q12's exactly.
+
+    100 TB strategy: the ship-year range prunes lineitem row groups
+    before the join (the filter reaches PushedFilters); the join
+    shuffles both facts on orderkey (sort-merge; AQE re-plans if the
+    filtered side collapses); the CASE-WHEN pair aggregates map-side
+    (partial hash agg) so the final shuffle carries 2 groups, not
+    600M rows. Integer counts only — no float hash risk (G13)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+    )

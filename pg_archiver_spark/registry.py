@@ -58,7 +58,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Everything else follows in rotation order (remaining stale greens,
 # then r4-fresh greens); re-pin again next round.
 _DRIVER_PRIORITY = [
-    # -- 1-16: round-4 additions never reached by a driver window -----
+    # -- round-5 additions (no driver evidence yet) -------------------
+    "composed_q10_returned_items", "composed_q12_priority_shipmode",
+    "text_gopher_rules", "pipeline_dedup_keep_best",
+    # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",
     "composed_q7_volume_shipping", "join_null_safe_eq",

@@ -1,0 +1,97 @@
+"""Semantics tests for the round-5 operators.
+
+The driver gate (tools/check.py) proves Spark↔DuckDB hash equality;
+these pin the internal invariants equality alone would not catch —
+ordering/limit discipline in Q10, the conditional-count partition in
+Q12, rule monotonicity in the Gopher filters, and the keep-best
+survivor properties of the prefix-fingerprint dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def test_q10_topk_ordering_and_flag(spark, sf_dir):
+    rows = QUERIES["composed_q10_returned_items"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # every revenue is positive (returned-item lines exist per customer)
+    assert all(r.revenue > 0 for r in rows)
+    assert all(r.n_lines >= 1 for r in rows)
+
+
+def test_q10_plan_is_take_ordered_with_pushed_filters(spark, sf_dir):
+    plan = (
+        QUERIES["composed_q10_returned_items"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q12_high_low_partition_counts(spark, sf_dir):
+    rows = QUERIES["composed_q12_priority_shipmode"](spark, sf_dir).collect()
+    assert len(rows) == 2  # l_linestatus ∈ {F, O}
+    for r in rows:
+        assert r.high_line_count + r.low_line_count == r.n_lines
+        assert r.high_line_count >= 0 and r.low_line_count >= 0
+
+
+def test_gopher_rules_monotone_and_total(spark, sf_dir):
+    df = QUERIES["text_gopher_rules"](spark, sf_dir)
+    rows = df.collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.pass_all <= min(r.pass_wordcount, r.pass_meanwordlen)
+        assert r.pass_wordcount <= r.n_docs
+        assert r.pass_meanwordlen <= r.n_docs
+
+
+def test_dedup_keep_best_survivor_properties(spark, sf_dir):
+    kept = QUERIES["pipeline_dedup_keep_best"](spark, sf_dir)
+    rows = kept.collect()
+    assert len(rows) > 0
+    # one survivor per content_hash
+    hashes = [r.content_hash for r in rows]
+    assert len(hashes) == len(set(hashes))
+    # every survivor's group really has >1 member, and the survivor is
+    # the (n_tokens DESC, doc_id ASC)-max of its group
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 50))).alias(
+            "content_hash"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    groups = {
+        r.content_hash: r
+        for r in docs.groupBy("content_hash")
+        .agg(F.count("*").alias("n"), F.max("n_tokens").alias("max_tok"))
+        .collect()
+    }
+    for r in rows:
+        g = groups[r.content_hash]
+        assert g.n == r.group_size > 1
+        assert r.n_tokens == g.max_tok
+
+
+def test_dedup_keep_best_single_window_exchange(spark, sf_dir):
+    """row_number and count share one partition spec — the plan must
+    contain exactly one hashpartitioning exchange on content_hash."""
+    plan = (
+        QUERIES["pipeline_dedup_keep_best"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(content_hash") == 1
