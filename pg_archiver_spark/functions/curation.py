@@ -819,3 +819,68 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS wc,
+               substring({_MD5}, 1, 2) AS h2
+        FROM documents
+    ),
+    decided AS (
+        SELECT lang, wc,
+               CASE
+                 WHEN wc >= 200 THEN TRUE          -- weight 1.0
+                 WHEN wc >= 100 THEN h2 < '80'     -- weight 0.5
+                 ELSE               h2 < '40'      -- weight 0.25
+               END AS keep
+        FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN wc ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM decided
+    GROUP BY lang
+    """,
+)
+def pipeline_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: long (high-quality-proxy) docs
+    are always kept, medium docs kept at 50%, short docs at 25% — the
+    standard quality-upweighting step of a pre-training data mix,
+    made DETERMINISTIC by hashing doc_id instead of drawing randoms:
+    the keep decision is `hex_prefix(md5(doc_id)) < band`, so re-runs
+    (and retried tasks — critical for exactly-once semantics on a
+    1000-executor cluster where stragglers re-execute) select the
+    SAME sample. Lowercase-hex prefixes compare lexicographically in
+    numeric order in both engines, so the band check is a plain string
+    comparison — no hex→int conversion divergence.
+
+    Plan shape: one scan, all decisions per-row Catalyst expressions,
+    5-group partial+final hash agg. No shuffle other than the final
+    5-row exchange; integer-only outputs (G13)."""
+    docs = load(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " "))
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = (
+        F.when(wc >= 200, F.lit(True))
+        .when(wc >= 100, h2 < "80")
+        .otherwise(h2 < "40")
+    )
+    return (
+        docs.select(
+            "lang", wc.alias("wc"), keep.alias("keep")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("wc")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )

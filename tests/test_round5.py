@@ -95,3 +95,30 @@ def test_dedup_keep_best_single_window_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("hashpartitioning(content_hash") == 1
+
+
+def test_quality_weighted_sample_invariants(spark, sf_dir):
+    rows = QUERIES["pipeline_quality_weighted_sample"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+    # every long doc (wc >= 200) is kept: kept_tokens must cover at
+    # least the total tokens of long docs per lang
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("wc")
+    )
+    long_tokens = {
+        r.lang: r.t
+        for r in docs.filter(F.col("wc") >= 200)
+        .groupBy("lang")
+        .agg(F.sum("wc").alias("t"))
+        .collect()
+    }
+    for r in rows:
+        assert r.kept_tokens >= long_tokens.get(r.lang, 0)
+
+
+def test_quality_weighted_sample_deterministic(spark, sf_dir):
+    a = QUERIES["pipeline_quality_weighted_sample"](spark, sf_dir).collect()
+    b = QUERIES["pipeline_quality_weighted_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
