@@ -17,6 +17,10 @@ tokenization:
   sequence packing         — assign docs to fixed-length training
                              sequences by global token cumsum
   source-mixture sampling  — per-source weighted keep rates
+  keep-best dedup          — prefix-fingerprint groups keep their
+                             highest-quality member, not an arbitrary one
+  quality-weighted sample  — deterministic hash-band keep rates by
+                             document-quality tier
 
 All stages are built-in Spark expressions (no Python row path); each
 op's oracle re-states the semantics in ANSI SQL over the same parquet.

@@ -717,3 +717,67 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "analytics_linreg_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               (epoch_ms(ts) // 86400000) - 19723 AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               SUM(y) AS sy,
+               SUM(y * x) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_per_day
+    FROM s
+    """,
+)
+def analytics_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: the OLS slope of event value over
+    day index for each event type — the drift/trend screen a metrics
+    warehouse runs over its archived fact table (is 'purchase' value
+    trending up?). Computed from the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with EXACT arithmetic:
+    x is an integer day index, y a DECIMAL(18,2), so all five sufficient
+    statistics are exact integers/decimals in both engines and the only
+    float op is the final division of two identical exact values —
+    no fp-summation-order divergence (G4/G13), unlike regr_slope whose
+    streaming update is accumulation-order-dependent.
+
+    Plan shape: one scan, map-side partial agg of 5 sufficient
+    statistics, 5-group final agg — the shuffle carries one row per
+    (partition, event_type). The sufficient-statistic formulation IS the
+    distributed-OLS pattern: at 100 TB each executor reduces its split
+    to 5 numbers, and the merge is associative."""
+    events = load(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        (F.expr("(ts_ns DIV 1000000) DIV 86400000") - F.lit(19723)).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / den, 4).alias("slope_per_day"),
+    )

@@ -136,6 +136,56 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_csv_permissive",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-tolerant CSV ingestion: the events table is
+    written to CSV, three deliberately corrupt lines are injected into
+    the directory, and the read-back uses PERMISSIVE mode with a
+    corrupt-record column — the ingestion contract a real lake needs
+    (a 100 TB drop of vendor CSVs ALWAYS contains bad lines, and
+    failing the job or silently dropping them are both wrong; quarantine
+    + account is the production pattern). The oracle pins the exact
+    partition: every source row parses clean, exactly the 3 injected
+    lines are quarantined.
+
+    Plan shape: schema-pinned read (no inference pass), per-row parse
+    is data-parallel, the corrupt-record audit is one map-side-combined
+    count. The one-pass cache below is required by Spark's
+    corrupt-record rule (queries on only the corrupt column over raw
+    files are disallowed) and bounded: at scale you'd land the parsed
+    frame to bronze storage in the same pass anyway."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").alias("value")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "csv_permissive"
+    )
+    events.write.mode("overwrite").csv(base)
+    with open(os.path.join(base, "part-99999-injected-bad.csv"), "w") as fh:
+        fh.write("notanint,alsobad,NaNope\n" "12.5.7,x,y\n" ",,,too,many,cols\n")
+    back = spark.read.schema(
+        "event_id long, user_id long, value double, _corrupt_record string"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").option(
+        "mode", "PERMISSIVE"
+    ).csv(base)
+    back = back.cache()
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.count_distinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))
+        ).alias("n_users"),
+    )
+
+
+@register(
     "sink_json_roundtrip",
     oracle="""
     SELECT lang,

@@ -61,7 +61,8 @@ _DRIVER_PRIORITY = [
     # -- round-5 additions (no driver evidence yet) -------------------
     "composed_q10_returned_items", "composed_q12_priority_shipmode",
     "text_gopher_rules", "pipeline_dedup_keep_best",
-    "pipeline_quality_weighted_sample",
+    "pipeline_quality_weighted_sample", "analytics_linreg_trend",
+    "source_csv_permissive",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

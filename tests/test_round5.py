@@ -122,3 +122,38 @@ def test_quality_weighted_sample_deterministic(spark, sf_dir):
     a = QUERIES["pipeline_quality_weighted_sample"](spark, sf_dir).collect()
     b = QUERIES["pipeline_quality_weighted_sample"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_linreg_trend_exact_on_synthetic_line(spark):
+    """Slope of a perfect line y = 2x + 1 must be exactly 2.0."""
+    from pg_archiver_spark.operators.analytics import analytics_linreg_trend  # noqa: F401
+
+    # build a tiny frame shaped like the operator's internals and
+    # evaluate the same closed form
+    rows = [("t", x, float(2 * x + 1)) for x in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, x long, y double")
+    s = df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).alias("sy"),
+        F.sum(F.col("y").cast("decimal(18,2)") * F.col("x")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    out = s.select((num / den).alias("slope")).collect()
+    assert out[0].slope == 2.0
+
+
+def test_linreg_trend_covers_all_event_types(spark, sf_dir):
+    rows = QUERIES["analytics_linreg_trend"](spark, sf_dir).collect()
+    types = {r.event_type for r in rows}
+    assert types == {"click", "error", "purchase", "signup", "view"}
+    assert all(r.n > 0 for r in rows)
+
+
+def test_csv_permissive_quarantines_exactly_injected(spark, sf_dir):
+    row = QUERIES["source_csv_permissive"](spark, sf_dir).collect()[0]
+    n_events = load(spark, sf_dir, "events").count()
+    assert row.n_good == n_events
+    assert row.n_corrupt == 3
