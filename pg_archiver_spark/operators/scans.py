@@ -763,3 +763,105 @@ def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "composed_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def composed_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical scan-bound aggregate: revenue
+    increase if small-quantity discounted lines had shipped full-price.
+    No join, no group key: the entire query is predicate evaluation +
+    one global sum, so it measures pure scan+filter throughput.
+
+    100 TB strategy: all three predicates reach the Parquet reader
+    (shipdate and quantity as min/max row-group pruning, discount as a
+    page-level filter), the projection is 3 columns out of 11
+    (ReadSchema pruning), and the aggregate is a partial/final pair
+    whose shuffle carries one row per task. This is the query shape
+    where columnar pruning matters most — reading only ~27% of columns
+    and ~1/5 of row groups at the 7-year fixture span. Decimal-exact
+    product, one final DOUBLE cast (G2/G13)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "maintenance_retention_drop_partitions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) >= 1998
+    GROUP BY year
+    ORDER BY year
+    """,
+)
+def maintenance_retention_drop_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """File-level retention: drop whole hive partitions older than the
+    cutoff — the storage-layer form of the reference's delete-behind
+    (main.go:131-145 deletes archived rows from Postgres; a partitioned
+    lake applies the same policy by REMOVING partition directories, an
+    O(partitions) metadata operation instead of an O(rows) delete).
+
+    Writes orders partitioned by order year, drops every year < 1998
+    at the filesystem level, then proves via read-back that partition
+    discovery sees exactly the surviving years — the oracle is the
+    retention predicate applied relationally to the source. At 100 TB
+    dropping a partition directory is the ONLY sane retention
+    mechanism: no scan, no rewrite, no tombstones; the s3a analogue is
+    a prefix delete."""
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        f"retention_orders-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("year")
+        .parquet(base)
+    )
+    for entry in os.listdir(base):
+        if entry.startswith("year=") and int(entry.split("=", 1)[1]) < 1998:
+            shutil.rmtree(os.path.join(base, entry))
+    back = spark.read.parquet(base)
+    result = (
+        back.groupBy(F.col("year").cast("long").alias("year"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("year")
+    )
+    # Materialize before cleanup: the plan lazily re-reads `base`.
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -62,7 +62,8 @@ _DRIVER_PRIORITY = [
     "composed_q10_returned_items", "composed_q12_priority_shipmode",
     "text_gopher_rules", "pipeline_dedup_keep_best",
     "pipeline_quality_weighted_sample", "analytics_linreg_trend",
-    "source_csv_permissive",
+    "source_csv_permissive", "composed_q6_forecast_revenue",
+    "maintenance_retention_drop_partitions",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

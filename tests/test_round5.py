@@ -157,3 +157,34 @@ def test_csv_permissive_quarantines_exactly_injected(spark, sf_dir):
     n_events = load(spark, sf_dir, "events").count()
     assert row.n_good == n_events
     assert row.n_corrupt == 3
+
+
+def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
+    plan = (
+        QUERIES["composed_q6_forecast_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400]
+    # projection pruned to the 3 referenced columns
+    read = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_retention_drop_partitions_removes_old_years(spark, sf_dir):
+    rows = QUERIES["maintenance_retention_drop_partitions"](spark, sf_dir).collect()
+    years = {r.year for r in rows}
+    assert years and all(y >= 1998 for y in years)
+    # surviving counts match the relational retention predicate
+    expected = {
+        r.year: r.n
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") >= 1998)
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.year: r.n_orders for r in rows} == expected
