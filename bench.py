@@ -45,6 +45,9 @@ HEADLINE = [
     "merge_cdc_apply",          # CDC merge (latest-wins upsert+delete)
     "sim_batch_knn_join",       # batch kNN (fixed-batch broadcast scoring)
     "agg_bitmap_distinct",      # bitmap-based exact distinct rollup
+    # Round-5 representative: pure scan+filter throughput (pushdown
+    # and column pruning dominate — the 100 TB-critical path).
+    "composed_q6_forecast_revenue",
 ]
 
 
