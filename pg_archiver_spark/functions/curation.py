@@ -888,3 +888,56 @@ def pipeline_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
     )
+
+
+@register(
+    "pipeline_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, length(w)),
+                   i -> substring(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration (Sennrich et al. 2016): corpus-wide
+    adjacent character-pair frequencies, top-20 — the inner loop of
+    tokenizer training, which any pre-training data platform runs over
+    its own corpus rather than shipping text to a separate system.
+
+    Plan shape: two generator stages (word explode, then in-word pair
+    explode via sequence+substr — all Catalyst expressions, no Python),
+    then a groupBy on a key space bounded by |alphabet|² — map-side
+    partial combine collapses each task's pairs to ≤ a few thousand
+    rows, so the shuffle is alphabet-sized no matter the corpus, and
+    top-20 is TakeOrderedAndProject with the pair string as tiebreak
+    (G5). A full BPE train iterates this with a merge table; the
+    per-iteration plan is exactly this one."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

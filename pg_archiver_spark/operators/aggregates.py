@@ -201,6 +201,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2² grouping combinations in one
+    pass — Spark plans a single Expand (4× row multiplier BEFORE the
+    shuffle, partial-agg combined map-side), not four scans; NULL
+    grouping markers coalesced to 'ALL' for a NULL-free output (G13c)."""
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -224,6 +228,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status), ()) via the SQL surface:
+    three independent rollup levels from ONE lineitem scan (Expand 3×,
+    map-side partial agg) — the hand-picked-subsets sibling of
+    rollup/cube, exact decimal sums with one final DOUBLE cast."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql(
         """

@@ -781,3 +781,54 @@ def analytics_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 4).alias("slope_per_day"),
     )
+
+
+@register(
+    "analytics_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(epoch_ms(ts) // 86400000) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT CAST(first_day - 19723 AS BIGINT) AS day_idx,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT)
+               AS cum_users
+    FROM daily
+    ORDER BY day_idx
+    """,
+)
+def analytics_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve every event
+    warehouse reports — computed WITHOUT a cumulative-distinct scan:
+    distinct-over-an-expanding-window is rewritten as min(first_seen)
+    per user (one shuffle on user_id), a per-day count of first
+    appearances, and a running sum over the per-DAY frame. The
+    unpartitioned window is over rows bounded by the calendar (≤31 on
+    fixtures; ~3,650 for a decade at 100 TB) — time-bounded, not
+    corpus-bounded, so the single-task window stage is O(days) while
+    all corpus-sized work stays hash-partitioned. Integer-only output
+    (G13); day index anchored to 2024-01-01 (epoch day 19723)."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.expr("(ts_ns DIV 1000000) DIV 86400000")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.select(
+            (F.col("first_day") - F.lit(19723)).alias("day_idx"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day_idx")
+    )

@@ -188,3 +188,30 @@ def test_retention_drop_partitions_removes_old_years(spark, sf_dir):
         .collect()
     }
     assert {r.year: r.n_orders for r in rows} == expected
+
+
+def test_bpe_pair_counts_match_python_reference(spark, sf_dir):
+    """Top-20 pair counts equal a driver-side Python recount."""
+    rows = QUERIES["pipeline_bpe_pair_counts"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    from collections import Counter
+
+    counts = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.pair, r.n) for r in rows] == expected
+
+
+def test_cumulative_users_monotone_and_totals(spark, sf_dir):
+    rows = QUERIES["analytics_cumulative_users"](spark, sf_dir).collect()
+    assert rows
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r.new_users for r in rows) == cums[-1]
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert cums[-1] == n_users
