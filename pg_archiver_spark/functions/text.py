@@ -445,3 +445,68 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("p_all"), 1).otherwise(0)).alias("pass_all"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    freq AS (
+        SELECT word, COUNT(*) AS cw FROM tok GROUP BY word
+    ),
+    tot AS (
+        SELECT COUNT(*) AS t FROM tok
+    ),
+    surprise AS (
+        SELECT tok.doc_id, tok.lang,
+               AVG(-log2(CAST(cw AS DOUBLE) / t)) AS bits_per_token
+        FROM tok JOIN freq USING (word), tot
+        GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(bits_per_token), 2) + 0.0 AS avg_bits_per_token
+    FROM surprise
+    GROUP BY lang
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability scoring: each document's mean
+    -log₂ p(token) under the corpus's OWN unigram distribution — the
+    LM-free stand-in for the perplexity filter of CCNet-style pipelines
+    (docs full of rare tokens score high = surprising; boilerplate
+    scores low), built without shipping text to an external LM.
+
+    Plan shape (two-pass, both distributed): pass 1 builds the unigram
+    table (explode → groupBy(word), map-side combined — vocabulary-
+    sized, NOT corpus-sized); the corpus token total rides along as a
+    1-row broadcast crossJoin (no driver .first()). Pass 2 re-joins
+    tokens to frequencies on `word` — AQE broadcasts the freq table
+    when it fits, else a plain shuffle join — then aggregates per doc
+    and per lang. Determinism: identical IEEE divisions/log2 on exact
+    integer inputs; the only fp summations are the two AVGs, rounded
+    once, late and coarse (2dp), same contract as
+    text_entropy_quality (G4)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = tok.groupBy("word").agg(F.count("*").alias("cw"))
+    total = tok.agg(F.count("*").alias("t"))
+    bits = -F.log2(F.col("cw").cast("double") / F.col("t"))
+    surprise = (
+        tok.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(bits).alias("bits_per_token"))
+    )
+    return surprise.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.round(F.avg("bits_per_token"), 2) + F.lit(0.0)).alias(
+            "avg_bits_per_token"
+        ),
+    )

@@ -865,3 +865,42 @@ def maintenance_retention_drop_partitions(
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "source_jsonl_schema_infer",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           'event_id:bigint,user_id:bigint,value:double' AS schema_sig
+    FROM events
+    """,
+)
+def source_jsonl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema INFERENCE on JSON-lines ingest — the reference names
+    'custom table schemas support' as unimplemented future work
+    (README.md:128); its Go struct is the only schema it has. Here the
+    engine derives the schema from the data: events are written as
+    JSON-lines, read back with NO schema, and the op's output pins the
+    inferred (name:type) signature alongside a row/user profile — the
+    oracle hard-codes the signature Spark must infer (long → bigint,
+    fractional → double), so a silent inference regression
+    hash-fails.
+
+    Plan shape: inference costs one extra sampling pass over the files
+    (at 100 TB you bound it with samplingRatio or land the inferred
+    schema into a catalog after first contact — both documented
+    options); the profile agg is map-side combined. The JSON round-trip
+    itself is the sink_json_roundtrip contract; this op is its
+    schema-on-read sibling."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "jsonl_infer"
+    )
+    events.write.mode("overwrite").json(out)
+    back = spark.read.json(out)  # no schema: inference pass
+    sig = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in back.schema)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select("n_rows", "n_users", F.lit(sig).alias("schema_sig"))

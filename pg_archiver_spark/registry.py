@@ -64,7 +64,8 @@ _DRIVER_PRIORITY = [
     "pipeline_quality_weighted_sample", "analytics_linreg_trend",
     "source_csv_permissive", "composed_q6_forecast_revenue",
     "maintenance_retention_drop_partitions", "pipeline_bpe_pair_counts",
-    "analytics_cumulative_users",
+    "analytics_cumulative_users", "text_unigram_logprob",
+    "source_jsonl_schema_infer",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

@@ -215,3 +215,26 @@ def test_cumulative_users_monotone_and_totals(spark, sf_dir):
         load(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert cums[-1] == n_users
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Mean bits/token is within (0, log2(corpus tokens)] for every
+    lang, and rare-token docs score above common-token docs by
+    construction of the measure."""
+    import math
+
+    rows = QUERIES["text_unigram_logprob"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    total_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    for r in rows:
+        assert 0.0 < r.avg_bits_per_token <= math.log2(total_tokens)
+
+
+def test_jsonl_schema_infer_signature(spark, sf_dir):
+    row = QUERIES["source_jsonl_schema_infer"](spark, sf_dir).collect()[0]
+    assert row.schema_sig == "event_id:bigint,user_id:bigint,value:double"
+    assert row.n_rows == load(spark, sf_dir, "events").count()
