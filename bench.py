@@ -82,12 +82,16 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
+    # Like-for-like subtotal over the 15 queries benched since round 1,
+    # so cross-round comparisons aren't skewed by headline-set growth.
+    r1_subset = round(sum(times[q] for q in HEADLINE[:15]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "value_r1_subset": r1_subset,
                 "queries": times,
                 "sf": float(sf),
             }
