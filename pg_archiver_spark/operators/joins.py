@@ -952,3 +952,107 @@ def composed_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "composed_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+               100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+               4) + 0.0 AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def composed_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share for one month: two
+    conditional decimal sums over the same lineitem⋈part join, divided
+    once at the end. The month filter prunes lineitem row groups
+    BEFORE the join; part broadcasts (dimension); both sums are exact
+    decimals accumulated in the SAME partial-agg pass (one scan, one
+    broadcast probe, no second aggregation), so the only float op is
+    the final ratio of two identical exact values — bit-equal across
+    engines before the coarse ROUND (G2/G4/G13)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo_price = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(promo_price).cast("double")
+                    / F.sum(disc_price).cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composed_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def composed_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority counts for a quarter, keeping
+    only orders with at least one line shipped after the order date
+    (late-shipment EXISTS). The correlated EXISTS becomes a LEFT SEMI
+    join with a composite condition: equi on orderkey (the hash key)
+    plus the non-equi date comparison as a residual filter evaluated
+    inside the semi probe — never a nested-loop, and each order emits
+    at most once regardless of matching line count (semi semantics, no
+    post-join distinct needed).
+
+    100 TB strategy: the quarter filter prunes orders first (scan-level
+    pushdown), so the semi join's build/probe is quarter-sized on the
+    orders side; lineitem streams through it partitioned by orderkey.
+    Integer-only output (G13)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

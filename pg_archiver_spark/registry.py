@@ -65,7 +65,8 @@ _DRIVER_PRIORITY = [
     "source_csv_permissive", "composed_q6_forecast_revenue",
     "maintenance_retention_drop_partitions", "pipeline_bpe_pair_counts",
     "analytics_cumulative_users", "text_unigram_logprob",
-    "source_jsonl_schema_infer",
+    "source_jsonl_schema_infer", "composed_q14_promo_revenue",
+    "composed_q4_priority_exists",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

@@ -238,3 +238,32 @@ def test_jsonl_schema_infer_signature(spark, sf_dir):
     row = QUERIES["source_jsonl_schema_infer"](spark, sf_dir).collect()[0]
     assert row.schema_sig == "event_id:bigint,user_id:bigint,value:double"
     assert row.n_rows == load(spark, sf_dir, "events").count()
+
+
+def test_q14_promo_pct_bounds_and_broadcast(spark, sf_dir):
+    df = QUERIES["composed_q14_promo_revenue"](spark, sf_dir)
+    row = df.collect()[0]
+    assert 0.0 <= row.promo_pct <= 100.0
+    assert row.n_lines > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_no_duplicate_orders(spark, sf_dir):
+    rows = QUERIES["composed_q4_priority_exists"](spark, sf_dir).collect()
+    assert {r.o_orderpriority for r in rows} <= {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
+    # semi-join counts can never exceed the plain quarter counts
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    quarter = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_orders <= quarter[r.o_orderpriority]
