@@ -596,3 +596,87 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "vec_id", "cell", "cos_sim", "rnk")
     )
+
+
+@register("ml_pca_project")  # rows-only: eigendecomposition is engine-specific
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection — the embedding-space analysis step a
+    vector pipeline runs before visualization/whitening/compression:
+    project every 64-dim embedding onto the top-2 principal components
+    and report per-label projection centroids.
+
+    The 100 TB shape is the sufficient-statistic pattern (same family
+    as analytics_linreg_trend and ml_kmeans_lloyd): each Arrow batch
+    reduces to ONE (count, Σx, XᵀX) partial via a vectorized matmul in
+    `mapInPandas` — corpus-sized data never leaves the executors; the
+    driver merges #partition Gram partials (64×64 floats each, bounded
+    by cluster size not data size), eigendecomposes the 64×64
+    covariance (trivially driver-sized), and inlines the two
+    eigenvectors as codegen literals so the projection pass is pure
+    Catalyst expressions (zip_with/aggregate dot products). Two passes
+    over the data total, nothing quadratic, no corpus-sized collect.
+
+    Rows-only: eigenvector sign/BLAS summation order are
+    engine-specific; invariants (PC variance ordering, projection
+    parity with a NumPy reference) are pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def gram_partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).reshape(-1).tolist()],
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, schema="n long, s array<double>, g array<double>"
+    )
+    # Bounded driver merge: one row per Arrow batch (≈ per partition).
+    rows = partials.collect()
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    g = np.sum([np.array(r.g).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    _, eigvecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    pcs = []
+    for k in (1, 2):
+        v = eigvecs[:, -k]
+        # Deterministic sign: largest-|coordinate| component positive.
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        pcs.append(v)
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with("embedding", mean_lit, lambda a, b: a - b)
+
+    def project(v: "np.ndarray") -> Column:
+        vec = F.array(*[F.lit(float(x)) for x in v])
+        return F.aggregate(
+            F.zip_with(centered, vec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        emb.select(
+            "label",
+            project(pcs[0]).alias("pc1"),
+            project(pcs[1]).alias("pc2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("pc1"), 3).alias("mean_pc1"),
+            F.round(F.avg("pc2"), 3).alias("mean_pc2"),
+        )
+        .orderBy("label")
+    )

@@ -1056,3 +1056,86 @@ def composed_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, event_type AS state,
+               epoch_ms(ts) AS valid_from_ms,
+               COALESCE(
+                   LEAD(epoch_ms(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ),
+                   CAST(253402300800000 AS BIGINT)
+               ) AS valid_to_ms
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    facts AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT d.state,
+           COUNT(*) AS n_errors,
+           COUNT(DISTINCT f.user_id) AS n_users
+    FROM facts f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ms >= d.valid_from_ms
+     AND f.ms <  d.valid_to_ms
+    GROUP BY d.state
+    ORDER BY d.state
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) lookup against an SCD2 dimension:
+    each error event is joined to the state interval ACTIVE at its
+    timestamp — the fact-to-history join every warehouse runs against
+    the validity intervals `window_scd2_intervals` builds. Here the
+    dimension is the per-user signup/purchase state history derived
+    from the same events table, and the report is errors by
+    then-active state.
+
+    100 TB strategy: equi-prefix on user_id keeps this a hash join
+    (one shuffle each side, keyed like every other per-entity op); the
+    interval containment is a residual filter inside the probe, and
+    [valid_from, valid_to) intervals are disjoint per user BY
+    CONSTRUCTION (lead() over the change sequence), so each fact
+    matches ≤1 interval — no fan-out, no post-join dedup. The
+    half-open sentinel end (year 9999) keeps the open interval
+    NULL-free (G13)."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    dim = events.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        ms.alias("valid_from_ms"),
+        F.coalesce(
+            F.lead(ms).over(
+                Window.partitionBy("user_id").orderBy(ms, F.col("event_id"))
+            ),
+            F.lit(253402300800000).cast("long"),
+        ).alias("valid_to_ms"),
+    )
+    facts = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", ms.alias("ms")
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ms") >= F.col("valid_from_ms"))
+            & (F.col("ms") < F.col("valid_to_ms")),
+        )
+        .groupBy("state")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("state")
+    )

@@ -267,3 +267,50 @@ def test_q4_semi_no_duplicate_orders(spark, sf_dir):
     }
     for r in rows:
         assert r.n_orders <= quarter[r.o_orderpriority]
+
+
+def test_scd2_pointintime_no_fanout(spark, sf_dir):
+    """Every error event matches at most one validity interval, so the
+    total matched count can never exceed the error-event count."""
+    rows = QUERIES["join_scd2_pointintime"](spark, sf_dir).collect()
+    assert {r.state for r in rows} <= {"signup", "purchase"}
+    n_errors = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(r.n_errors for r in rows) <= n_errors
+
+
+def test_pca_projection_matches_numpy_reference(spark, sf_dir):
+    """Per-label PC means agree with a full NumPy PCA on the collected
+    corpus, and PC1 captures at least as much variance as PC2."""
+    import numpy as np
+
+    rows = QUERIES["ml_pca_project"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    labels = np.array([r.label for r in emb])
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    assert vals[-1] >= vals[-2] >= 0
+    ref = {}
+    proj = {}
+    for k in (1, 2):
+        v = vecs[:, -k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        proj[k] = (X - mean) @ v
+    for lab in range(10):
+        m = labels == lab
+        ref[lab] = (round(float(proj[1][m].mean()), 3),
+                    round(float(proj[2][m].mean()), 3))
+    for r in rows:
+        exp1, exp2 = ref[r.label]
+        assert abs(r.mean_pc1 - exp1) <= 0.002
+        assert abs(r.mean_pc2 - exp2) <= 0.002
+    # PC1 sample variance >= PC2 sample variance (eigh ordering survives
+    # the distributed two-pass computation)
+    assert proj[1].var() >= proj[2].var()
