@@ -832,3 +832,82 @@ def analytics_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@register(
+    "analytics_ab_ztest",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND '7'
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n,
+               AVG(value) AS mean_v,
+               var_samp(value) AS var_v
+        FROM assigned GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean_v, 4) + 0.0 AS mean_a,
+           ROUND(b.mean_v, 4) + 0.0 AS mean_b,
+           ROUND((a.mean_v - b.mean_v)
+                 / sqrt(a.var_v / a.n + b.var_v / b.n), 3) + 0.0 AS z_score
+    FROM arms a, arms b
+    WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def analytics_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test over a DETERMINISTIC experiment split: purchase
+    events are assigned to arms by an md5 hash band of event_id (the
+    task-retry-safe assignment every online experiment framework uses —
+    rand() would resample on recompute), then Welch's z statistic
+    compares arm means. On a hash split of one population the true lift
+    is 0, so |z| should be small — the op is the null-calibration run
+    an experimentation platform executes against its own pipeline.
+
+    Plan shape: one scan, 2-group partial+final agg of (n, mean, var) —
+    Welford co-moments merge associatively across partitions — then a
+    2×2 self-pair of a 2-row frame (trivially broadcast). Determinism:
+    per agg_stats_moments precedent, Spark and DuckDB single-pass
+    moment accumulation agrees well past the rounded precision; round
+    late/coarse with -0.0 normalization (G4/G13)."""
+    events = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).between(
+            "0", "7"
+        ),
+        "A",
+    ).otherwise("B")
+    arms = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean_v"),
+            F.var_samp("value").alias("var_v"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("mean_v").alias("mean_a_raw"),
+        F.col("var_v").alias("var_a"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("mean_v").alias("mean_b_raw"),
+        F.col("var_v").alias("var_b"),
+    )
+    z = (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("mean_a_raw"), 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.col("mean_b_raw"), 4) + F.lit(0.0)).alias("mean_b"),
+        (F.round(z, 3) + F.lit(0.0)).alias("z_score"),
+    )

@@ -904,3 +904,69 @@ def source_jsonl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     ).select("n_rows", "n_users", F.lit(sig).alias("schema_sig"))
+
+
+@register(
+    "maintenance_dataset_diff",
+    oracle="""
+    SELECT
+        CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      NOT IN ('a', 'f') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unchanged
+    FROM documents
+    """,
+)
+def maintenance_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: classify every document across two corpus
+    versions as added / removed / changed / unchanged — the audit any
+    versioned data lake runs between releases (and the input to an
+    incremental re-training decision: re-embed only `changed ∪ added`).
+    Version B is derived deterministically from version A (md5 band
+    'f' deleted, band 'a' text-edited, band 'e' cloned under new ids),
+    and the DIFF itself is the real mechanism: a full-outer join on
+    doc_id comparing content fingerprints, classified with null-side
+    logic. The oracle states the expected class counts independently
+    (directly from the bands), so a broken join/classification
+    hash-fails.
+
+    100 TB strategy: one hash-partitioned full-outer join on the key —
+    the md5 content fingerprints (16 bytes) are compared instead of
+    full text payloads, so the shuffle carries fingerprints + keys;
+    class counts aggregate map-side to 1 row per task. No driver
+    state, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    band = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    a = docs.select(
+        "doc_id", F.md5("text").alias("a_fp")
+    )
+    b_kept = docs.filter(band != "f").select(
+        "doc_id",
+        F.md5(
+            F.when(band == "a", F.concat(F.col("text"), F.lit(" vnext")))
+            .otherwise(F.col("text"))
+        ).alias("b_fp"),
+    )
+    b_added = docs.filter(band == "e").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.md5("text").alias("b_fp"),
+    )
+    b = b_kept.unionByName(b_added)
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("a_fp").isNull(), "added")
+        .when(F.col("b_fp").isNull(), "removed")
+        .when(F.col("a_fp") != F.col("b_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return diff.agg(
+        F.count_if(F.col("status") == "added").alias("n_added"),
+        F.count_if(F.col("status") == "removed").alias("n_removed"),
+        F.count_if(F.col("status") == "changed").alias("n_changed"),
+        F.count_if(F.col("status") == "unchanged").alias("n_unchanged"),
+    )

@@ -324,3 +324,21 @@ def test_stream_jdbc_sink_idempotent_replay(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     assert row.n_rows == ev.count()
     assert row.n_users == ev.select("user_id").distinct().count()
+
+
+def test_ab_ztest_null_calibration(spark, sf_dir):
+    """A hash split of one population has true lift 0: |z| should be
+    modest (|z| < 5 would only fail on a broken split), and arm sizes
+    should roughly balance."""
+    row = QUERIES["analytics_ab_ztest"](spark, sf_dir).collect()[0]
+    assert abs(row.z_score) < 5.0
+    total = row.n_a + row.n_b
+    assert 0.3 < row.n_a / total < 0.7
+
+
+def test_dataset_diff_partitions_the_corpus(spark, sf_dir):
+    row = QUERIES["maintenance_dataset_diff"](spark, sf_dir).collect()[0]
+    n_docs = load(spark, sf_dir, "documents").count()
+    # every original doc is exactly one of removed/changed/unchanged
+    assert row.n_removed + row.n_changed + row.n_unchanged == n_docs
+    assert row.n_added >= 0
