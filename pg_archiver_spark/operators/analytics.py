@@ -911,3 +911,72 @@ def analytics_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("mean_b_raw"), 4) + F.lit(0.0)).alias("mean_b"),
         (F.round(z, 3) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@register(
+    "analytics_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS s_ms
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS p_ms
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.s_ms
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT (p.p_ms - s.s_ms) // 60000 AS minutes
+        FROM p JOIN s ON p.user_id = s.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(CAST(quantile_cont(minutes, 0.5) AS DOUBLE), 4)
+               AS median_minutes,
+           CAST(MIN(minutes) AS BIGINT) AS min_minutes,
+           CAST(MAX(minutes) AS BIGINT) AS max_minutes
+    FROM d
+    """,
+)
+def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel metric: minutes from each user's first
+    signup to their first subsequent purchase — the activation-latency
+    report behind every growth dashboard. Both endpoints are per-user
+    MIN aggregates (one shuffle each on user_id, partial-agg combined),
+    the signup→purchase ordering constraint is a residual filter on the
+    user_id equi-join, and the latency distribution reduces to exact
+    integer minutes before the percentile so the only float is the
+    median's midpoint interpolation (Spark `percentile` == DuckDB
+    `quantile_cont` on the same integers — agg_percentile precedent).
+
+    At 100 TB: per-entity first-touch extraction is the same
+    one-shuffle shape as every per-user op here; the final exact median
+    runs over the CONVERTED-USERS frame (population-bounded, not
+    event-bounded); swap in approx_percentile when even that frame is
+    huge."""
+    events = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("s_ms"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("e_ms"))
+        .join(s, "user_id")
+        .filter(F.col("e_ms") >= F.col("s_ms"))
+        .groupBy("user_id")
+        .agg(F.min("e_ms").alias("p_ms"))
+    )
+    d = p.join(s, "user_id").select(
+        F.expr("(p_ms - s_ms) DIV 60000").alias("minutes")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(minutes, 0.5)").cast("double"), 4).alias(
+            "median_minutes"
+        ),
+        F.min("minutes").alias("min_minutes"),
+        F.max("minutes").alias("max_minutes"),
+    )

@@ -68,7 +68,7 @@ _DRIVER_PRIORITY = [
     "source_jsonl_schema_infer", "composed_q14_promo_revenue",
     "composed_q4_priority_exists", "join_scd2_pointintime",
     "ml_pca_project", "stream_jdbc_sink", "analytics_ab_ztest",
-    "maintenance_dataset_diff",
+    "maintenance_dataset_diff", "analytics_time_to_convert",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

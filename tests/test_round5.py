@@ -342,3 +342,18 @@ def test_dataset_diff_partitions_the_corpus(spark, sf_dir):
     # every original doc is exactly one of removed/changed/unchanged
     assert row.n_removed + row.n_changed + row.n_unchanged == n_docs
     assert row.n_added >= 0
+
+
+def test_time_to_convert_bounds(spark, sf_dir):
+    row = QUERIES["analytics_time_to_convert"](spark, sf_dir).collect()[0]
+    assert row.n_converted > 0
+    assert 0 <= row.min_minutes <= row.median_minutes <= row.max_minutes
+    # converted users cannot exceed users who ever signed up
+    n_signup_users = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_converted <= n_signup_users
