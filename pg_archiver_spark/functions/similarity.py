@@ -619,7 +619,7 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: eigenvector sign/BLAS summation order are
     engine-specific; invariants (PC variance ordering, projection
     parity with a NumPy reference) are pinned in
-    tests/test_similarity.py."""
+    tests/test_round5.py."""
     import numpy as np
     import pandas as pd
 
