@@ -776,3 +776,139 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register("stream_state_timeout_sessions")  # rows-only: stateful timeout semantics
+def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful sessionization with EVENT-TIME STATE TIMEOUT:
+    per-user sessions close either by an in-stream gap (> 1 h between
+    events) or — the part `session_window` can't express and
+    `stream_stateful_count` doesn't exercise — by the WATERMARK passing
+    the session's timeout timestamp with no further data, via
+    `GroupState.setTimeoutTimestamp` + `hasTimedOut`. This is the
+    custom-stateful-operator contract (§2.B streaming surface): state
+    is one (start, last, count) triple per live user, timeout eviction
+    keeps the store from accumulating dead keys — the operational
+    requirement for an unbounded 100 TB stream where most keys go
+    quiet.
+
+    Determinism & validation (tests/test_round5.py): the file-source
+    replay has fixed batch boundaries, so the emitted closed-session
+    set is stable, and every emitted session must match a session of
+    the BATCH gap-sessionizer (analytics_sessionize semantics) — the
+    stream/batch equivalence pin, restricted to sessions the watermark
+    had time to close."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staging = _fresh_dir("state_timeout", "staging")
+    checkpoint = _fresh_dir("state_timeout", "checkpoint")
+    gap_ms = 3_600_000
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id")
+    )
+    # Range-partition the staging files on ts: the file-source replays
+    # files in (modTime, path) order, so ascending range partitions give
+    # a TIME-ORDERED micro-batch sequence — the realistic shape of an
+    # archival replay. (Out-of-order arrival WITHIN the stream is the
+    # watermark's concern; this operator's contract is gap/timeout
+    # session algebra over an ordered feed.)
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staging)
+    # The file source orders files by modTime, which parallel write
+    # tasks assign in arbitrary finish order — stamp STRICTLY ascending
+    # modTimes in path (= range) order so the replay is deterministically
+    # time-ascending.
+    for i, name in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        os.utime(os.path.join(staging, name), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start],
+                    "session_end_ms": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        ms_list: list[int] = []
+        for pdf in pdfs:
+            ms_list.extend(
+                int(v.value) // 1_000_000 for v in pd.to_datetime(pdf["ts"])
+            )
+        ms_list.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for ms in ms_list:
+            if start is None:
+                start, last, n = ms, ms, 1
+            elif ms - last > gap_ms:
+                closed.append((user_id, start, last, n, "gap"))
+                start, last, n = ms, ms, 1
+            else:
+                last, n = ms, n + 1
+        state.update((start, last, n))
+        # A session whose gap already expired relative to the watermark
+        # (advanced by OTHER keys' data) must still get a valid future
+        # timeout — clamp to watermark+1 so it closes next batch.
+        state.setTimeoutTimestamp(
+            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_ms",
+                    "session_end_ms",
+                    "n_events",
+                    "closed_by",
+                ],
+            )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withWatermark("ts", "1 minute")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start_ms long, session_end_ms long, "
+            "n_events long, closed_by string"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("state_timeout_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        """
+        SELECT closed_by,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM state_timeout_sink
+        GROUP BY closed_by
+        ORDER BY closed_by
+        """
+    )

@@ -357,3 +357,46 @@ def test_time_to_convert_bounds(spark, sf_dir):
         .count()
     )
     assert row.n_converted <= n_signup_users
+
+
+def test_state_timeout_sessions_match_batch_sessionizer(spark, sf_dir):
+    """Every session the streaming state machine closes (by gap OR
+    timeout) must be a session of the batch 1h-gap sessionizer: same
+    per-user session boundaries and event counts."""
+    # Re-run the op but read the detail sink it leaves registered.
+    QUERIES["stream_state_timeout_sessions"](spark, sf_dir).collect()
+    emitted = spark.sql(
+        "SELECT user_id, session_start_ms, session_end_ms, n_events "
+        "FROM state_timeout_sink"
+    ).collect()
+    assert emitted
+    # Batch ground truth: 1h-gap sessionization over the same events.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts_ns DIV 1000000").alias("ms"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append(r.ms)
+    truth = set()
+    for uid, times in per_user.items():
+        times.sort()
+        start = last = times[0]
+        n = 1
+        for ms in times[1:]:
+            if ms - last > 3_600_000:
+                truth.add((uid, start, last, n))
+                start, last, n = ms, ms, 1
+            else:
+                last, n = ms, n + 1
+        truth.add((uid, start, last, n))
+    for r in emitted:
+        assert (
+            r.user_id,
+            r.session_start_ms,
+            r.session_end_ms,
+            r.n_events,
+        ) in truth
