@@ -1139,3 +1139,64 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "composed_q19_disjunctive",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def composed_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate spanning
+    both join sides (three brand/size/quantity bands). The planner test
+    here is DISJUNCTION handling: Catalyst factors the common
+    `p_partkey` equi-condition out of the OR (the join stays a single
+    broadcast hash join, never three unions of joins), pushes the
+    quantity bounds' common envelope to the lineitem scan, and
+    evaluates the residual disjunction post-probe in one codegen stage.
+
+    100 TB strategy: one pass over lineitem, part broadcast; the OR
+    never multiplies scans (a naive UNION ALL spelling would read the
+    fact three times). Decimal-exact revenue, single DOUBLE cast
+    (G2/G13)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -69,7 +69,7 @@ _DRIVER_PRIORITY = [
     "composed_q4_priority_exists", "join_scd2_pointintime",
     "ml_pca_project", "stream_jdbc_sink", "analytics_ab_ztest",
     "maintenance_dataset_diff", "analytics_time_to_convert",
-    "stream_state_timeout_sessions",
+    "stream_state_timeout_sessions", "composed_q19_disjunctive",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

@@ -400,3 +400,17 @@ def test_state_timeout_sessions_match_batch_sessionizer(spark, sf_dir):
             r.session_end_ms,
             r.n_events,
         ) in truth
+
+
+def test_q19_single_join_no_union_multiplication(spark, sf_dir):
+    """The OR-of-ANDs must stay ONE broadcast hash join over one
+    lineitem scan — not a union of three joins."""
+    df = QUERIES["composed_q19_disjunctive"](spark, sf_dir)
+    row = df.collect()[0]
+    assert row.n_lines > 0 and row.revenue > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+    # one scan each of lineitem and part — the AQE plan string prints
+    # initial + final sections, so 2 scans appear at most twice each
+    assert plan.count("Scan parquet") <= 4
