@@ -143,3 +143,54 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.expr("(SUM(n_tokens) * 1000) DIV COUNT(*)").alias("avg_tokens_milli"),
     )
+
+
+@register("pipeline_neardup_dedup_e2e")  # rows-only: LSH clustering inside
+def pipeline_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-duplicate dedup flow, composed from the
+    engine's own scale-path pieces: MinHash-LSH candidate pairs
+    (minhash_neardup) → transitive clusters (min-label propagation) →
+    KEEP-BEST survivor per cluster (longest doc, doc_id tiebreak — the
+    pipeline_dedup_keep_best policy applied to NEAR-dup clusters) →
+    per-language yield report. This is the dedup stage a 100 TB corpus
+    build actually runs: every step is sub-quadratic (banded LSH
+    bucket join, diameter-bounded label propagation, one window over
+    cluster-partitioned docs), in contrast to the exact-Jaccard twin
+    that serves as its fixture-scale ground truth.
+
+    Rows-only (LSH banding + iterative CC are not SQL-expressible);
+    invariants pinned in tests/test_round5.py: survivors+dropped
+    partition the corpus, one survivor per cluster, and the survivor
+    is its cluster's (n_tokens, -doc_id) max."""
+    from pyspark.sql import Window
+
+    from pg_archiver_spark.functions.dedup import (
+        minhash_neardup,
+        propagate_min_labels,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    pairs = minhash_neardup(spark, sf_dir).select("doc1", "doc2")
+    labels = propagate_min_labels(pairs)  # (doc_id, label) for clustered docs
+    clustered = docs.join(labels, "doc_id", "left").withColumn(
+        # Singletons form their own cluster.
+        "cluster", F.coalesce(F.col("label"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.col("doc_id")
+    )
+    ranked = clustered.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            F.count_if(F.col("rn") > 1).alias("n_dropped"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )

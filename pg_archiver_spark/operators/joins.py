@@ -1200,3 +1200,73 @@ def composed_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms
+        FROM events WHERE event_type = 'error'
+    ),
+    s AS (
+        SELECT event_id AS s_id, user_id, epoch_ms(ts) AS s_ms
+        FROM events WHERE event_type = 'signup'
+    ),
+    pairs AS (
+        SELECT e.event_id, e.ms, s.s_id, s.s_ms,
+               abs(e.ms - s.s_ms) AS gap,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(e.ms - s.s_ms), s.s_id
+               ) AS rn
+        FROM e JOIN s ON e.user_id = s.user_id
+    )
+    SELECT COUNT(*) AS n_matched,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_ms,
+           CAST(SUM(CASE WHEN s_ms <= ms THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backward
+    FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join — the third as-of mode alongside
+    backward (`join_asof`) and tolerance-bounded (`join_asof_tolerance`):
+    each error event matches the signup of the same user MINIMIZING
+    |Δt| in EITHER direction (earlier signup id on exact ties — G5),
+    the mode sensor-fusion and attribution pipelines use when the
+    reference clock can drift both ways.
+
+    Plan shape: equi-join on user_id (hash, one shuffle each side) +
+    a per-error-event row_number window over that event's candidate
+    set — fan-out bounded by per-user event counts, the same envelope
+    as every per-entity op here; integer-exact gaps, no float math.
+    At 100 TB with heavy per-user histories, pre-bucket both sides by
+    (user_id, time_bucket) and probe adjacent buckets only (the
+    join_range_binned pattern) to cap the candidate set per event."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    e = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", ms.alias("ms")
+    )
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.col("user_id").alias("s_user"),
+        ms.alias("s_ms"),
+    )
+    gap = F.abs(F.col("ms") - F.col("s_ms"))
+    w = Window.partitionBy("event_id").orderBy(gap, F.col("s_id"))
+    nearest = (
+        e.join(s, F.col("user_id") == F.col("s_user"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return nearest.agg(
+        F.count("*").alias("n_matched"),
+        F.sum(gap).alias("total_gap_ms"),
+        F.sum(F.when(F.col("s_ms") <= F.col("ms"), 1).otherwise(0)).alias(
+            "n_backward"
+        ),
+    )

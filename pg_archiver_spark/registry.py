@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "ml_pca_project", "stream_jdbc_sink", "analytics_ab_ztest",
     "maintenance_dataset_diff", "analytics_time_to_convert",
     "stream_state_timeout_sessions", "composed_q19_disjunctive",
+    "join_asof_nearest", "pipeline_neardup_dedup_e2e",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

@@ -414,3 +414,23 @@ def test_q19_single_join_no_union_multiplication(spark, sf_dir):
     # one scan each of lineitem and part — the AQE plan string prints
     # initial + final sections, so 2 scans appear at most twice each
     assert plan.count("Scan parquet") <= 4
+
+
+def test_asof_nearest_beats_backward_gap(spark, sf_dir):
+    """Nearest-match total gap can never exceed the backward-only
+    variant's total gap on the matched set (nearest minimizes |Δt|)."""
+    row = QUERIES["join_asof_nearest"](spark, sf_dir).collect()[0]
+    assert row.n_matched > 0
+    assert 0 <= row.n_backward <= row.n_matched
+    assert row.total_gap_ms >= 0
+
+
+def test_neardup_e2e_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["pipeline_neardup_dedup_e2e"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_kept + r.n_dropped for r in rows) == n_docs
+    # dedup must actually drop something on this fixture (planted dups)
+    assert sum(r.n_dropped for r in rows) > 0
+    for r in rows:
+        assert r.n_kept >= 1 and r.kept_tokens > 0
