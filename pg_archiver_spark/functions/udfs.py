@@ -178,3 +178,41 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_words(doc_id, text) AS t(doc_id2, word)
         """
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS category,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY category
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same banding logic as `udf_python_scalar`, through Spark 4's
+    ARROW-OPTIMIZED Python UDF (`useArrow=True`): rows cross the
+    JVM↔Python boundary as Arrow batches instead of pickled one at a
+    time, closing most of the gap to pandas UDFs while keeping the
+    simple scalar-function authoring model. Completes the UDF-surface
+    ladder the engine documents: row-pickle UDF (slowest, contract
+    demo) → Arrow-optimized UDF (this) → pandas UDF (vectorized) →
+    built-in Catalyst expressions (the real hot path, no Python at
+    all)."""
+    events = load(spark, sf_dir, "events")
+
+    @F.udf(returnType="string", useArrow=True)
+    def band(value: float) -> str:
+        if value < 50:
+            return "low"
+        if value < 150:
+            return "mid"
+        return "high"
+
+    return (
+        events.select(band("value").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"))
+    )

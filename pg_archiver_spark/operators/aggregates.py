@@ -636,3 +636,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("day"), "n_users")
     )
     return per_day.unionByName(global_row)
+
+
+@register(
+    "agg_string_concat_groups",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the denormal-
+    ized "members as one delimited string" report shape. Determinism is
+    the whole game for this operator — an unordered collect_list varies
+    with partitioning and task order, so the member list is sorted
+    INSIDE the aggregate (`array_sort(collect_list(...))`) before
+    joining (G5: every nondeterministic-order surface gets an explicit
+    total order). Broadcast dim join + 5-group agg; the member arrays
+    are group-bounded, never corpus-bounded."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "maintenance_dataset_diff", "analytics_time_to_convert",
     "stream_state_timeout_sessions", "composed_q19_disjunctive",
     "join_asof_nearest", "pipeline_neardup_dedup_e2e",
+    "udf_arrow_optimized", "agg_string_concat_groups",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",
