@@ -43,20 +43,16 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself). Round-5 spend
-# (CORRECTNESS_r04 was 50/50 green, so the window moves on):
-#   slots 1-16  — the 16 round-4 additions that have never appeared
-#                 in ANY driver round (they were registered past
-#                 slot 50 in r4);
-#   slots 17-39 — events-based r1/r2 greens whose driver hashes were
-#                 earned on the OLD timestamp[ns] fixtures (the
-#                 driver regenerated /root/testdata to timestamp[us]
-#                 before r4; these all pass locally on the current
-#                 fixtures but need driver evidence);
-#   slots 40-50 — §2.B contract greens over TPC-H tables, whose date
-#                 columns also changed precision (ms→µs) since their
-#                 last driver check.
-# Everything else follows in rotation order (remaining stale greens,
-# then r4-fresh greens); re-pin again next round.
+# (CORRECTNESS_r04 was 50/50 green, so the window moves on): never-
+# driver-checked operators first —
+#   slots 1-28  — the 28 round-5 additions;
+#   slots 29-46 — the 18 round-4 additions that have never appeared in
+#                 ANY driver round (registered past slot 50 in r4);
+#   slots 47-50 — the head of the events-based r1/r2 stale-green block
+#                 (driver hashes earned on OLD timestamp[ns] fixtures).
+# Everything else follows in rotation order (remaining stale events
+# greens, the TPC-H ms→µs re-proofs, then fresh greens); re-pin again
+# next round so the stale blocks keep draining through the window.
 _DRIVER_PRIORITY = [
     # -- round-5 additions (no driver evidence yet) -------------------
     "composed_q10_returned_items", "composed_q12_priority_shipmode",
