@@ -980,3 +980,41 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("minutes").alias("min_minutes"),
         F.max("minutes").alias("max_minutes"),
     )
+
+
+@register(
+    "analytics_seasonality_profile",
+    oracle="""
+    SELECT strftime(ts, '%a') AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY dow, hour_of_day
+    ORDER BY dow, hour_of_day
+    """,
+)
+def analytics_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly/diurnal seasonality profile: events by day-of-week and
+    hour — the traffic-shape report behind capacity planning and
+    anomaly baselines. Portability is the operator's point: DOW
+    NUMBERING differs across engines (DuckDB 0=Sunday, Spark
+    1=Sunday), so the day is keyed by its abbreviated NAME
+    (strftime '%a' == date_format 'EEE' under the pinned UTC session)
+    — an engine-neutral key, the same discipline as G6's grouping-id
+    avoidance. One scan, ≤ 7×24-group map-side-combined agg."""
+    events = load(spark, sf_dir, "events")
+    ts = F.timestamp_millis(F.expr("ts_ns DIV 1000000"))
+    return (
+        events.select(
+            F.date_format(ts, "EEE").alias("dow"),
+            F.hour(ts).cast("long").alias("hour_of_day"),
+            "user_id",
+        )
+        .groupBy("dow", "hour_of_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
