@@ -1018,3 +1018,114 @@ def analytics_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "analytics_zero_filled_report",
+    oracle="""
+    WITH grid AS (
+        SELECT r_name, seg
+        FROM region
+        CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    ),
+    actual AS (
+        SELECT r_name, c_mktsegment AS seg, COUNT(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, seg
+    )
+    SELECT g.r_name, g.seg,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_customers
+    FROM grid g LEFT JOIN actual a
+      ON g.r_name = a.r_name AND g.seg = a.seg
+    ORDER BY g.r_name, g.seg
+    """,
+)
+def analytics_zero_filled_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled dimensional report: the full region × market-segment
+    grid with ABSENT cells reported as 0 — the dashboard contract a
+    plain GROUP BY cannot satisfy (it silently drops empty cells, and
+    "no rows" reads as "no data" instead of "zero"). The grid is a
+    deliberate cross join of two TINY dimension sets (|regions| ×
+    |segments| = 25 rows — whitelisted in tools/planaudit.py), then a
+    left join pulls actual counts onto it with COALESCE 0.
+
+    100 TB shape: the fact-side aggregation collapses the corpus to
+    ≤|grid| rows BEFORE meeting the grid (partial+final hash agg); the
+    cartesian never touches fact data. NULL-free integer output
+    (G13c)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    segments = customer.select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    grid = region.select("r_name").crossJoin(segments)
+    actual = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.col("c_mktsegment").alias("aseg"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(
+            actual,
+            (grid.r_name == actual.r_name) & (F.col("seg") == F.col("aseg")),
+            "left",
+        )
+        .select(
+            grid.r_name,
+            "seg",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_customers"),
+        )
+        .orderBy("r_name", "seg")
+    )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               nth_value(event_id, 3) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS third_id
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_users_third_event
+    FROM seq
+    WHERE event_id = third_id
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window function: what TYPE is each user's third-ever
+    event — the onboarding-path question ("after signup and a click,
+    what do users do third?"). nth_value needs the full-partition frame
+    (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) in BOTH engines —
+    the default running frame would return NULL until row 3. One
+    shuffle on user_id, per-partition sort with the event_id tiebreak
+    (G5), then a ≤5-group count. Completes the window-function surface
+    alongside lag/lead/first/last/rank/ntile/cume_dist."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts_ns DIV 1000000"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = events.select(
+        "event_type",
+        "event_id",
+        F.nth_value("event_id", 3).over(w).alias("third_id"),
+    )
+    return (
+        seq.filter(F.col("event_id") == F.col("third_id"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users_third_event"))
+        .orderBy("event_type")
+    )

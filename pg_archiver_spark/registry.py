@@ -68,7 +68,8 @@ _DRIVER_PRIORITY = [
     "stream_state_timeout_sessions", "composed_q19_disjunctive",
     "join_asof_nearest", "pipeline_neardup_dedup_e2e",
     "udf_arrow_optimized", "agg_string_concat_groups",
-    "analytics_seasonality_profile",
+    "analytics_seasonality_profile", "analytics_zero_filled_report",
+    "window_nth_value",
     # -- round-4 additions never reached by a driver window -----------
     "agg_bitmap_distinct", "analytics_mad_outliers",
     "analytics_markov_transitions", "analytics_rfm_segments",

@@ -434,3 +434,24 @@ def test_neardup_e2e_partitions_corpus(spark, sf_dir):
     assert sum(r.n_dropped for r in rows) > 0
     for r in rows:
         assert r.n_kept >= 1 and r.kept_tokens > 0
+
+
+def test_zero_filled_report_full_grid(spark, sf_dir):
+    rows = QUERIES["analytics_zero_filled_report"](spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 regions × 5 segments, absent cells included
+    total = sum(r.n_customers for r in rows)
+    assert total == load(spark, sf_dir, "customer").count()
+
+
+def test_nth_value_counts_users_with_three_events(spark, sf_dir):
+    rows = QUERIES["window_nth_value"](spark, sf_dir).collect()
+    n_third = sum(r.n_users_third_event for r in rows)
+    # exactly the users with >= 3 events contribute one third-event each
+    ev = load(spark, sf_dir, "events")
+    n_users_3plus = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .count()
+    )
+    assert n_third == n_users_3plus
