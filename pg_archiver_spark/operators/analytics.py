@@ -740,7 +740,8 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            n,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_per_day
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0),
+                 4) AS slope_per_day
     FROM s
     """,
 )
@@ -776,10 +777,13 @@ def analytics_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # Degenerate group (all events on one day index): den == 0. Spark's
+    # non-ANSI double division returns NULL there, DuckDB IEEE division
+    # returns ±inf/NaN — make both emit NULL (NULLIF in the oracle).
     return s.select(
         "event_type",
         "n",
-        F.round(num / den, 4).alias("slope_per_day"),
+        F.round(F.when(den != 0, num / den), 4).alias("slope_per_day"),
     )
 
 

@@ -176,13 +176,20 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode", "PERMISSIVE"
     ).csv(base)
     back = back.cache()
-    return back.agg(
-        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
-        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
-        F.count_distinct(
-            F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))
-        ).alias("n_users"),
-    )
+    try:
+        rows = back.agg(
+            F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+            F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+            F.count_distinct(
+                F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))
+            ).alias("n_users"),
+        ).collect()
+    finally:
+        # Release the one-pass cache immediately — returning the lazy
+        # aggregate would pin the cached frame in executor storage for
+        # the rest of the process (harness runs hundreds of ops).
+        back.unpersist()
+    return spark.createDataFrame(rows, "n_good long, n_corrupt long, n_users long")
 
 
 @register(
@@ -952,8 +959,12 @@ def maintenance_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("text"))
         ).alias("b_fp"),
     )
+    # Added-doc ids live in a namespace DISJOINT from any real doc_id:
+    # fixtures use non-negative ids (asserted in tests), so -id-1 can
+    # never collide with a b_kept key no matter how large the corpus
+    # grows (a fixed positive offset could).
     b_added = docs.filter(band == "e").select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         F.md5("text").alias("b_fp"),
     )
     b = b_kept.unionByName(b_added)

@@ -42,72 +42,62 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
-# every round (the list does not rotate by itself). Round-5 spend
-# (CORRECTNESS_r04 was 50/50 green, so the window moves on): never-
-# driver-checked operators first —
-#   slots 1-28  — the 28 round-5 additions;
-#   slots 29-46 — the 18 round-4 additions that have never appeared in
-#                 ANY driver round (registered past slot 50 in r4);
-#   slots 47-50 — the head of the events-based r1/r2 stale-green block
-#                 (driver hashes earned on OLD timestamp[ns] fixtures).
-# Everything else follows in rotation order (remaining stale events
-# greens, the TPC-H ms→µs re-proofs, then fresh greens); re-pin again
-# next round so the stale blocks keep draining through the window.
+# every round (the list does not rotate by itself). Round-6 spend:
+# CORRECTNESS_r05 was 50/50 green, so after r4+r5 exactly 100 ops carry
+# post-fixture-regen driver evidence and 94 are stale (latest driver
+# check r≤3, i.e. BEFORE the events ns→µs / dates ms→µs regeneration).
+# This round's window takes the 94 stale ops oldest-driver-evidence
+# first (computed from CORRECTNESS_r01..r05 latest-round-per-op):
+#   slots 1-24  — the 24 ops whose only driver check is r1;
+#   slots 25-50 — the first 26 of the 43 r2-latest ops.
+# Slots 51+ hold the remaining 17 r2 ops and the 27 r3 ops (round 7's
+# window), then this round's new additions (round 7/8), then the
+# r4/r5-fresh greens. Re-pin again next round so the drain completes.
 _DRIVER_PRIORITY = [
-    # -- round-5 additions (no driver evidence yet) -------------------
-    "composed_q10_returned_items", "composed_q12_priority_shipmode",
-    "text_gopher_rules", "pipeline_dedup_keep_best",
-    "pipeline_quality_weighted_sample", "analytics_linreg_trend",
-    "source_csv_permissive", "composed_q6_forecast_revenue",
-    "maintenance_retention_drop_partitions", "pipeline_bpe_pair_counts",
-    "analytics_cumulative_users", "text_unigram_logprob",
-    "source_jsonl_schema_infer", "composed_q14_promo_revenue",
-    "composed_q4_priority_exists", "join_scd2_pointintime",
-    "ml_pca_project", "stream_jdbc_sink", "analytics_ab_ztest",
-    "maintenance_dataset_diff", "analytics_time_to_convert",
-    "stream_state_timeout_sessions", "composed_q19_disjunctive",
-    "join_asof_nearest", "pipeline_neardup_dedup_e2e",
-    "udf_arrow_optimized", "agg_string_concat_groups",
-    "analytics_seasonality_profile", "analytics_zero_filled_report",
-    "window_nth_value",
-    # -- round-4 additions never reached by a driver window -----------
-    "agg_bitmap_distinct", "analytics_mad_outliers",
-    "analytics_markov_transitions", "analytics_rfm_segments",
-    "composed_q7_volume_shipping", "join_null_safe_eq",
-    "merge_cdc_apply", "pipeline_dataset_card", "pipeline_vocab_coverage",
-    "scan_metadata_columns", "scan_partition_pruned_static",
-    "sim_batch_knn_join", "sim_batch_knn_ivf", "source_jdbc_poll",
-    "stream_progress_metrics", "stream_static_enrich",
-    "text_entropy_quality", "window_ratio_to_report",
-    # -- 17-39: events-based stale greens (ns→µs re-proof) ------------
-    "stream_sliding", "stream_session", "select_literal", "agg_having",
-    "agg_distinct_per_group", "json_extract", "dedup_dropduplicates",
-    "sample_deterministic", "agg_time_bucket_rollup",
-    "agg_group_pricing", "join_broadcast_dim", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_cosine_topk",
-    "pipeline_training_prep", "multimodal_join", "udf_python_scalar",
-    "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_split",
-    "minhash_neardup", "sim_label_avg",
-    # -- 40-50: §2.B TPC-H contract greens (date ms→µs re-proof) ------
-    "scan_parquet_full", "scan_filter_prune", "project_prune",
-    "filter_in_list", "filter_null_safe", "join_inner_equi",
-    "join_star_multiway", "join_left_outer", "join_semi", "join_anti",
-    "join_theta_range",
-    # -- 51+: remaining stale greens in rotation order (if the cap
-    # ever rises), then the r4-fresh block ----------------------------
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_approx_distinct",
-    "agg_percentile", "agg_approx_percentile", "agg_stats_moments",
-    "agg_pivot", "union_all_multi_table", "union_distinct",
-    "intersect_keys", "except_keys", "global_topk_orders",
-    "merge_upsert", "subquery_scalar", "subquery_exists_correlated",
-    "subquery_not_in", "window_rank", "window_range_frame", "window_ntile",
-    "string_funcs", "string_levenshtein", "string_regexp",
-    "date_parts_format", "date_arith_retention", "math_funcs", "case_when",
-    "array_funcs", "array_higher_order", "struct_nested", "map_funcs",
-    "text_wordcount", "text_stats", "text_langid", "text_quality",
-    "text_tokencount", "text_fingerprint", "udf_apply_in_pandas",
-    "multimodal_frame_sample", "join_bucketed_colocated",
-    "join_skew_salted", "sink_json_roundtrip", "sink_orc_roundtrip",
+    # -- last driver evidence r1 (24 ops) -----------------------------
+    "select_literal", "agg_having", "agg_distinct_per_group",
+    "scan_parquet_full", "project_prune", "filter_in_list",
+    "filter_null_safe", "join_star_multiway", "join_left_outer",
+    "join_semi", "join_anti", "join_theta_range",
+    "agg_rollup", "agg_cube", "agg_approx_distinct",
+    "agg_percentile", "agg_approx_percentile", "agg_pivot",
+    "union_all_multi_table", "union_distinct", "intersect_keys",
+    "subquery_scalar", "subquery_exists_correlated", "subquery_not_in",
+    # -- last driver evidence r2 (43 ops) -----------------------------
+    "json_extract", "dedup_dropduplicates", "sample_deterministic",
+    "agg_time_bucket_rollup", "agg_group_pricing", "join_broadcast_dim",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "sim_cosine_topk", "pipeline_training_prep", "multimodal_join",
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_split", "sim_label_avg", "agg_grouping_sets",
+    "merge_upsert", "window_rank", "window_range_frame",
+    "window_ntile", "string_funcs", "string_levenshtein",
+    "string_regexp", "date_parts_format",
+    # ---- slot-50 boundary: names below land in round 7's window -----
+    "date_arith_retention",
+    "math_funcs", "case_when", "array_funcs",
+    "array_higher_order", "struct_nested", "map_funcs",
+    "text_wordcount", "text_stats", "text_langid",
+    "text_quality", "text_tokencount", "text_fingerprint",
+    "udf_apply_in_pandas", "multimodal_frame_sample",
+    "join_bucketed_colocated", "join_skew_salted",
+    # -- last driver evidence r3 (27 ops) -----------------------------
+    "minhash_neardup", "scan_filter_prune", "join_inner_equi",
+    "agg_stats_moments", "except_keys", "global_topk_orders",
+    "sink_json_roundtrip", "sink_orc_roundtrip", "composed_q5_local_supplier",
+    "window_cume_dist", "dedup_simhash", "dedup_cluster_cc",
+    "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
+    "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
+    "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
+    "multimodal_binary_features", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_ann_ivf_partitioned", "sim_cosine_topk_arrow", "text_tfidf",
+    # -- round-6 additions (no driver evidence yet; round 7/8 window) -
+    "composed_q2_min_cost_supplier", "composed_q21_waiting_orders",
+    "composed_q15_top_supplier", "composed_q20_part_surplus",
+    "composed_q22_global_sales", "stream_cdc_changelog",
+    "sink_avro_roundtrip",
+    # Everything not named here (the r4/r5-fresh greens) follows in
+    # registration order via load_all_operators()'s fallback.
 ]
 
 
