@@ -8,7 +8,8 @@ to exercise the SQL front-end path of the engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -142,4 +143,377 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) o
         """
+    )
+
+
+@register(
+    "composed_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           unit_cost
+    FROM part
+    JOIN cost ON p_partkey = l_partkey
+    JOIN eu   ON l_suppkey = s_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND unit_cost = (
+          SELECT MIN(c2.unit_cost)
+          FROM cost c2 JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
+          WHERE c2.l_partkey = p_partkey)
+    ORDER BY acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def composed_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part, the correlated
+    scalar MIN over a multi-dim join (part ⋈ cost ⋈ supplier ⋈ nation ⋈
+    region). The fixture set has no partsupp table, so per-(part,
+    supplier) unit cost is derived from lineitem as
+    MIN(l_extendedprice / l_quantity) — same correlated-min semantics,
+    real columns (a user of the reference archives exactly this
+    lineitem shape, README.md:88-102).
+
+    Decorrelation: the textbook spelling re-evaluates the regional-min
+    subquery per part (a second full scan). Here the (part, supplier)
+    cost table is computed ONCE from one lineitem scan, the regional
+    min per part is a window MIN over that aggregated frame (shares
+    the groupBy's hash partitioning on l_partkey — Catalyst reuses the
+    exchange, so no extra shuffle), and the correlated predicate
+    becomes a same-row filter. supplier⋈nation⋈region collapses to a
+    broadcast hash probe (dims are fixed-size). At 100 TB: one fact
+    shuffle on (partkey, suppkey), everything after runs on the
+    |parts|×|suppliers-per-part| aggregate.
+
+    Determinism: double division/MIN of identical inputs is
+    bit-identical across engines (no summation-order dependence);
+    equality against the window min therefore selects the same rows.
+    Top-100 has the (acctbal, partkey, suppkey) total-order tiebreak.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    eu = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    best = cost.withColumn("min_cost", min_cost).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    wanted = part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        best.join(wanted, best.l_partkey == wanted.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("acctbal"), "p_partkey", best.l_suppkey)
+        .limit(100)
+    )
+
+
+@register(
+    "composed_q21_waiting_orders",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS over the SAME fact table:
+    suppliers who were the sole supplier at fault in a multi-supplier
+    order. The fixtures carry no l_receiptdate/l_commitdate, so "at
+    fault" is l_returnflag = 'R' (returned line) on a finished ('F')
+    order — identical subquery topology, available columns.
+
+    Decorrelation: the textbook plan scans lineitem THREE times (l1 +
+    the two correlated subqueries). Here ONE scan produces a per-order
+    profile — n_supp = COUNT(DISTINCT suppkey), n_rsupp =
+    COUNT(DISTINCT suppkey WHERE flag='R') — and both EXISTS collapse
+    to predicates on it: EXISTS(other supplier) ⟺ n_supp > 1;
+    NOT EXISTS(other R-supplier), given l1 is an R-line ⟺ n_rsupp = 1.
+    The candidate R-lines join that profile on l_orderkey, the same
+    key the profile aggregation already hashed on, so AQE reuses the
+    exchange; orders and supplier are key-joined/broadcast. At 100 TB
+    this is 1 fact shuffle instead of 3 fact scans + 2 self-joins.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+
+    prof = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_rsupp"),
+    )
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(prof, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(supplier), cand.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "composed_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def composed_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — max-over-view: the supplier(s) whose quarterly
+    revenue equals the global maximum of the per-supplier revenue view.
+
+    Plan: the revenue view materializes once (pruned scan — shipdate
+    range pushed to parquet — then one hash agg on l_suppkey); the
+    scalar MAX reduces that aggregated frame to ONE row which
+    broadcasts back as an equality filter (BroadcastNestedLoopJoin on
+    a 1-row side — the whitelisted anchor pattern), and supplier
+    broadcasts into the survivors. No second fact scan, no global
+    window. Decimal-exact revenue keeps the MAX-equality boundary
+    identical across engines (a double SUM would make 'ties with the
+    max' accumulation-order-dependent); single DOUBLE cast at the end.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "composed_q20_part_surplus",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'hot%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM shipped s1
+          WHERE 2 * qty > (SELECT SUM(qty) FROM shipped s2
+                           WHERE s2.l_partkey = s1.l_partkey))
+    ORDER BY s_name
+    """,
+)
+def composed_q20_part_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested IN-subqueries with a correlated
+    aggregate threshold: suppliers in a region who dominated supply of
+    some 'hot%'-named part in 1996 (shipped more than half that part's
+    total). Without partsupp, ps_availqty > ½·shipped becomes
+    2·supplier_qty > part_total over lineitem — the same
+    correlated-aggregate-comparison topology on real columns.
+
+    Decorrelation: (part, supplier) shipped quantities aggregate ONCE
+    (filters pushed to the scans, part dim broadcast); the correlated
+    per-part total is a window SUM over the SAME l_partkey hash
+    partitioning (exchange reused, zero extra shuffle); the inner IN
+    becomes a distinct-project + broadcast semi-join into the
+    supplier⋈nation⋈region probe. Threshold is cross-multiplied
+    (2·qty > total) so the comparison stays decimal-exact — no 0.5
+    double factor to diverge on. At 100 TB: one fact shuffle, window
+    frames bounded by suppliers-per-part.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    hot = part.filter(F.col("p_name").like("hot%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(hot), li.l_partkey == hot.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    part_total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("total", part_total)
+        .filter(F.lit(2) * F.col("qty") > F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(dominant),
+              supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "composed_q22_global_sales",
+    oracle="""
+    WITH sel AS (
+        SELECT c_custkey, n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+                         'NATION_9','NATION_11','NATION_13')
+    ),
+    pos AS (
+        SELECT SUM(bal) AS total_pos, COUNT(*) AS n_pos
+        FROM sel WHERE bal > 0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM sel, pos
+    WHERE bal * n_pos > total_pos
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def composed_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-average threshold + anti-join:
+    well-funded dormant customers per nation. The customer table has no
+    phone column and every fixture customer has ≥1 order, so the
+    country-code prefix becomes the nation name (same IN-list-driven
+    dim filter) and "never ordered" becomes "no order since 1999"
+    (same NOT EXISTS → null-safe anti-join on o_custkey, now with a
+    pushed date predicate shrinking the build side).
+
+    The avg-acctbal threshold is CROSS-MULTIPLIED: bal · n_pos >
+    total_pos instead of bal > total/n — numerator and denominator stay
+    exact decimals/bigints in both engines, so the boundary customer
+    set is identical (a double AVG would be accumulation-order-
+    dependent, G4). The 1-row (total_pos, n_pos) aggregate broadcasts
+    (anchor pattern); the anti-join and the group-agg shuffle once on
+    their keys. At 100 TB the anti-join build side is only customers
+    with RECENT orders — far smaller than all orders.
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    nations = ["NATION_1", "NATION_3", "NATION_5", "NATION_7",
+               "NATION_9", "NATION_11", "NATION_13"]
+    sel = (
+        customer.join(
+            F.broadcast(nation.filter(F.col("n_name").isin(nations))),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "c_custkey", "n_name",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    pos = sel.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("total_pos"), F.count("*").alias("n_pos")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        sel.join(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("n_pos") > F.col("total_pos"))
+        .join(recent, sel.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
     )
