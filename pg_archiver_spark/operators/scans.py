@@ -981,3 +981,276 @@ def maintenance_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("status") == "changed").alias("n_changed"),
         F.count_if(F.col("status") == "unchanged").alias("n_unchanged"),
     )
+
+
+@register(
+    "sink_avro_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro output-format round-trip — the last 'additional output
+    formats' item (reference README.md:126) after CSV/JSON/ORC/Parquet.
+    Guarded ladder, like source_jdbc's:
+
+    1. If the external ``spark-avro`` connector is on the classpath,
+       use the real ``format("avro")`` write + read (the production
+       path on any cluster that ships the connector).
+    2. Otherwise (this sandbox: pyspark has avro-1.12.1.jar but NOT
+       spark-avro) fall back to a genuine spec-level codec, not a stub:
+       each partition writes one Avro OBJECT CONTAINER file via the
+       pure-Python encoder in sources/avro_codec.py inside mapInPandas
+       (Arrow batches, no driver collect, one file per partition —
+       the distributed sink shape), and the read-back decodes those
+       files from a ``binaryFile`` scan with the same codec. Spec
+       compliance is enforced, not claimed: the files are ALSO read
+       through the JVM's org.apache.avro DataFileStream and the
+       record count must match (RuntimeError otherwise).
+
+    The oracle profiles the SOURCE table, so any row lost or value
+    mangled by either path hash-fails. At 100 TB the fallback writes
+    one container per task to shared storage — the same layout
+    spark-avro produces — and the binaryFile+decode read is
+    partition-parallel; only the cross-check is driver-side, bounded
+    to per-file record COUNTS (never data)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "avro_orders"
+    )
+    try:
+        orders.write.mode("overwrite").format("avro").save(out)
+        back = spark.read.format("avro").load(out)
+    except Exception as exc:  # connector absent: codec fallback
+        if "avro" not in str(exc).lower():
+            raise
+        from pg_archiver_spark.sources import avro_codec
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        fields = [
+            ("o_orderkey", "long"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "double"),
+        ]
+        schema_json = avro_codec.make_schema("orders_row", fields)
+
+        def write_parts(pdfs):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows = []
+            for pdf in pdfs:
+                rows.extend(pdf.itertuples(index=False, name=None))
+            path = os.path.join(out, f"part-{pid:05d}.avro")
+            n = avro_codec.write_container(path, schema_json, fields, rows)
+            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+        written = (
+            orders.repartition(4)
+            .mapInPandas(write_parts, "path string, n_rows long")
+            .collect()  # bounded: one (path, count) row per partition
+        )
+        # Library-level spec check: the JVM avro reader must agree on
+        # every file's record count.
+        jvm = spark._jvm
+        jvm_total = 0
+        for r in written:
+            fin = jvm.java.io.FileInputStream(r["path"])
+            reader = jvm.org.apache.avro.file.DataFileStream(
+                fin, jvm.org.apache.avro.generic.GenericDatumReader()
+            )
+            k = 0
+            while reader.hasNext():
+                reader.next()
+                k += 1
+            reader.close()
+            jvm_total += k
+        py_total = sum(r["n_rows"] for r in written)
+        if jvm_total != py_total:
+            raise RuntimeError(
+                f"avro container not spec-compliant: jvm read {jvm_total} "
+                f"of {py_total} records"
+            )
+
+        def decode_parts(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                for blob in pdf["content"]:
+                    _, rows = avro_codec.read_container(bytes(blob))
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+                    )
+
+        back = (
+            spark.read.format("binaryFile")
+            .load(os.path.join(out, "*.avro"))
+            .select("content")
+            .mapInPandas(
+                decode_parts,
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register("sink_s3_object_store")  # rows-only: live object-store round-trip
+def sink_s3_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3 upload (A12, main.go:211-241) against a LIVE
+    S3 API endpoint — an in-process moto server speaking the real
+    wire protocol over HTTP (bucket create, PutObject, ListObjectsV2,
+    GetObject), not a mock of the client.
+
+    Pipeline, with the D2 fix: events → per-row dynamic
+    ``partitionBy(year, month)`` parquet (the reference keys the WHOLE
+    batch by its max timestamp, main.go:194-200 — wrong partition for
+    multi-month batches) → every part file uploaded under the
+    reference's hive key layout ``year=YYYY/month=MM/`` (main.go:
+    220-223) — the upload runs INSIDE mapInPandas, so each executor
+    PUTs its files concurrently (the parallel-upload shape; at real
+    scale this is the s3a committer's job — see the s3a note below) →
+    ListObjectsV2 + GetObject restore into a fresh directory → Spark
+    re-reads the restored tree with hive partition discovery.
+
+    THE PIN: the restored archive must be row-for-row equal to the
+    pre-upload archive (exceptAll both ways == 0), and the per-
+    (year, month) object layout must match the true row partitioning.
+    RuntimeError otherwise.
+
+    Why not ``s3a://`` directly: pyspark ships no hadoop-aws/aws-sdk
+    jars in this environment (verified — find / over the image), so
+    the Hadoop s3a filesystem cannot register; the SDK-level PutObject
+    path exercised here is exactly what the reference binary does
+    (aws-sdk-go-v2 PutObject, main.go:233-237). The magic-committer
+    session confs remain wired (session.py) for clusters that carry
+    the jars."""
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "s3_staging"
+    )
+    restore = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "s3_restore"
+    )
+    shutil.rmtree(restore, ignore_errors=True)
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+    )
+    (
+        events.write.mode("overwrite")
+        .partitionBy("year", "month")
+        .option("compression", "snappy")
+        .parquet(staging)
+    )
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    endpoint = f"http://127.0.0.1:{port}"
+    bucket = "pg-archive"
+
+    def _client():
+        import boto3 as _b
+
+        return _b.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1",
+        )
+
+    try:
+        _client().create_bucket(Bucket=bucket)
+
+        # Distributed upload: the binaryFile scan parallelizes over the
+        # part files; each task PUTs its own files (main.go:233-237's
+        # PutObject, but concurrent instead of one driver call).
+        files = spark.read.format("binaryFile").load(
+            os.path.join(staging, "year=*", "month=*")
+        ).select("path", "content")
+
+        def upload(pdfs):
+            import pandas as pd
+
+            s3 = _client()
+            for pdf in pdfs:
+                keys, sizes = [], []
+                for path, blob in zip(pdf["path"], pdf["content"]):
+                    local = path.removeprefix("file:")
+                    key = local[len(staging) + 1 :]  # year=Y/month=M/part-…
+                    s3.put_object(Bucket=bucket, Key=key, Body=bytes(blob))
+                    keys.append(key)
+                    sizes.append(len(blob))
+                yield pd.DataFrame({"key": keys, "n_bytes": sizes})
+
+        uploaded = files.mapInPandas(upload, "key string, n_bytes long").collect()
+
+        # Restore: ListObjectsV2 + GetObject into a fresh tree (driver
+        # loop bounded by object count = partitions × files-per-part).
+        s3 = _client()
+        token, keys = None, []
+        while True:
+            kw = {"Bucket": bucket}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = s3.list_objects_v2(**kw)
+            keys += [o["Key"] for o in resp.get("Contents", [])]
+            if not resp.get("IsTruncated"):
+                break
+            token = resp["NextContinuationToken"]
+        for key in keys:
+            dest = os.path.join(restore, key)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "wb") as fh:
+                fh.write(s3.get_object(Bucket=bucket, Key=key)["Body"].read())
+
+        back = spark.read.parquet(restore)
+        d = (
+            back.exceptAll(events.select(*back.columns)).count()
+            + events.select(*back.columns).exceptAll(back).count()
+        )
+        n_parts_src = events.select("year", "month").distinct().count()
+        n_parts_s3 = len({k.rsplit("/", 1)[0] for k in keys})
+        if d or n_parts_s3 != n_parts_src or len(keys) != len(uploaded):
+            raise RuntimeError(
+                f"object-store round-trip diverged: rowdiff={d}, "
+                f"partitions s3={n_parts_s3} src={n_parts_src}, "
+                f"objects listed={len(keys)} uploaded={len(uploaded)}"
+            )
+        return spark.createDataFrame(
+            [
+                (
+                    len(keys),
+                    int(sum(r["n_bytes"] for r in uploaded)),
+                    n_parts_s3,
+                    back.count(),
+                    True,
+                )
+            ],
+            "n_objects long, n_bytes long, n_partitions long, "
+            "n_rows long, round_trip_ok boolean",
+        )
+    finally:
+        server.stop()

@@ -266,31 +266,33 @@ def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — identical subquery topology, available columns.
 
     Decorrelation: the textbook plan scans lineitem THREE times (l1 +
-    the two correlated subqueries). Here ONE scan produces a per-order
-    profile — n_supp = COUNT(DISTINCT suppkey), n_rsupp =
-    COUNT(DISTINCT suppkey WHERE flag='R') — and both EXISTS collapse
-    to predicates on it: EXISTS(other supplier) ⟺ n_supp > 1;
-    NOT EXISTS(other R-supplier), given l1 is an R-line ⟺ n_rsupp = 1.
-    The candidate R-lines join that profile on l_orderkey, the same
-    key the profile aggregation already hashed on, so AQE reuses the
-    exchange; orders and supplier are key-joined/broadcast. At 100 TB
-    this is 1 fact shuffle instead of 3 fact scans + 2 self-joins.
+    the two correlated subqueries). Here lineitem is scanned ONCE into
+    a per-(order, supplier) aggregate — has_r (any R line), n_rlines
+    (R-line count) — and both EXISTS collapse to window counts over
+    that frame: EXISTS(other supplier) ⟺ n_supp > 1; NOT EXISTS(other
+    R-supplier), given this supplier has an R line ⟺ n_rsupp = 1.
+    numwait = Σ n_rlines preserves the textbook row-level COUNT(*).
+    Plan-asserted single lineitem scan (tests/test_round6.py): one
+    fact shuffle on (orderkey, suppkey), one window re-shuffle of the
+    ALREADY-AGGREGATED frame on orderkey — at 100 TB that second
+    exchange carries |order×supplier| rows, not lines — then orders
+    key-join and supplier broadcast.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supplier = load(spark, sf_dir, "supplier")
 
-    prof = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_rsupp"),
+    grp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_rlines"),
     )
+    w = Window.partitionBy("l_orderkey")
     cand = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(prof, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+        grp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_rsupp", F.sum("has_r").over(w))
+        .filter(
+            (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)
+        )
         .join(
             orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -299,7 +301,7 @@ def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(supplier), cand.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_rlines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

@@ -95,7 +95,7 @@ _DRIVER_PRIORITY = [
     "composed_q2_min_cost_supplier", "composed_q21_waiting_orders",
     "composed_q15_top_supplier", "composed_q20_part_surplus",
     "composed_q22_global_sales", "stream_cdc_changelog",
-    "sink_avro_roundtrip",
+    "sink_avro_roundtrip", "sink_s3_object_store",
     # Everything not named here (the r4/r5-fresh greens) follows in
     # registration order via load_all_operators()'s fallback.
 ]

@@ -1,0 +1,176 @@
+"""Semantics tests for the round-6 operators.
+
+The driver gate (tools/check.py) proves Spark↔DuckDB hash equality;
+these pin what the hash alone can't: plan shapes (single fact scans,
+exchange reuse), the Avro codec's spec-level behavior, the CDC
+snapshot's three-way consistency flags, and the object-store
+round-trip invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+# -- TPC-H tail --------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_min_cost_rows_are_per_part_minima(spark, sf_dir):
+    rows = QUERIES["composed_q2_min_cost_supplier"](spark, sf_dir).collect()
+    assert rows, "q2 empty at fixture scale"
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, []).append(r.unit_cost)
+    # all surviving rows for one part carry the identical (min) cost
+    for costs in by_part.values():
+        assert len(set(costs)) == 1
+    bals = [r.acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    plan = _plan(QUERIES["composed_q21_waiting_orders"](spark, sf_dir))
+    # exactly one parquet scan of the lineitem fixture in the plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_numwait_counts_r_lines(spark, sf_dir):
+    rows = QUERIES["composed_q21_waiting_orders"](spark, sf_dir).collect()
+    assert rows
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+    assert all(w >= 1 for w in waits)
+
+
+def test_q15_top_supplier_is_argmax(spark, sf_dir):
+    rows = QUERIES["composed_q15_top_supplier"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # ties all carry the max
+
+
+def test_q20_single_lineitem_scan_and_semi_join(spark, sf_dir):
+    df = QUERIES["composed_q20_part_surplus"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    rows = df.collect()
+    names = [r.s_name for r in rows]
+    assert names == sorted(names)
+    assert len(names) == len(set(names))  # semi-join: no duplicates
+
+
+def test_q22_threshold_excludes_below_average(spark, sf_dir):
+    rows = QUERIES["composed_q22_global_sales"](spark, sf_dir).collect()
+    for r in rows:
+        # every group's mean balance is above the positive-average gate,
+        # so per-customer average must be clearly positive
+        assert r.totacctbal / r.numcust > 0
+
+
+# -- Avro codec --------------------------------------------------------
+
+
+def test_avro_codec_roundtrip_edge_values():
+    from pg_archiver_spark.sources import avro_codec as ac
+
+    fields = [("k", "long"), ("s", "string"), ("v", "double")]
+    rows = [
+        (0, "", 0.0),
+        (-1, "héllo ✓", -0.5),
+        (2**62, "x" * 300, 1e308),
+        (-(2**62), "y", 5e-324),
+    ]
+    schema = ac.make_schema("edge", fields)
+    path = "/tmp/test_round6_edge.avro"
+    assert ac.write_container(path, schema, fields, rows) == len(rows)
+    with open(path, "rb") as fh:
+        f2, r2 = ac.read_container(fh.read())
+    assert f2 == fields
+    assert r2 == rows
+
+
+def test_avro_codec_rejects_corrupt_sync():
+    from pg_archiver_spark.sources import avro_codec as ac
+
+    fields = [("k", "long")]
+    path = "/tmp/test_round6_corrupt.avro"
+    ac.write_container(path, ac.make_schema("c", fields), fields, [(1,), (2,)])
+    with open(path, "rb") as fh:
+        data = bytearray(fh.read())
+    data[-1] ^= 0xFF  # flip a sync-marker byte
+    with pytest.raises(ValueError, match="sync"):
+        ac.read_container(bytes(data))
+
+
+def test_avro_codec_rejects_wrong_magic():
+    from pg_archiver_spark.sources import avro_codec as ac
+
+    with pytest.raises(ValueError, match="container"):
+        ac.read_container(b"PAR1notavro")
+
+
+def test_avro_sink_profile_matches_source(spark, sf_dir):
+    out = QUERIES["sink_avro_roundtrip"](spark, sf_dir)
+    src = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
+
+
+# -- CDC change feed ---------------------------------------------------
+
+
+def test_stream_cdc_changelog_consistent(spark, sf_dir):
+    row = QUERIES["stream_cdc_changelog"](spark, sf_dir).collect()[0]
+    assert row.snapshot_consistent
+    assert row.n_inserts == 240
+    # every update hits an even id among the inserted, minus none yet
+    assert row.n_updates == 120
+    # deletes hit MOD(id,5)=0 rows still present
+    assert row.n_deletes == 48
+    assert row.n_live_keys == row.n_inserts - row.n_deletes
+    assert row.n_batches >= 2  # the feed actually streamed in pieces
+
+
+# -- Object store ------------------------------------------------------
+
+
+def test_s3_object_store_round_trip(spark, sf_dir):
+    row = QUERIES["sink_s3_object_store"](spark, sf_dir).collect()[0]
+    assert row.round_trip_ok
+    assert row.n_objects >= row.n_partitions >= 1
+    src_n = load(spark, sf_dir, "events").count()
+    assert row.n_rows == src_n
+
+
+# -- dataset_diff id-namespace guard (ADVICE r5) -----------------------
+
+
+def test_dataset_diff_fixture_ids_nonnegative(spark, sf_dir):
+    # the diff op synthesizes added-doc ids as -id-1; disjointness
+    # holds iff real doc ids are non-negative
+    assert (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 0)
+        .count()
+        == 0
+    )
