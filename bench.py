@@ -48,6 +48,10 @@ HEADLINE = [
     # Round-5 representative: pure scan+filter throughput (pushdown
     # and column pruning dominate — the 100 TB-critical path).
     "composed_q6_forecast_revenue",
+    # Round-6: the stateful-streaming family had no bench coverage —
+    # state-store overhead is where streaming regressions hide
+    # (applyInPandasWithState + event-time timeout eviction).
+    "stream_state_timeout_sessions",
 ]
 
 
@@ -71,16 +75,27 @@ def main() -> None:
     # 16.1s back-to-back in round 4), and min is the standard
     # low-variance estimator of achievable latency under asymmetric
     # noise; five passes make it likely at least one pass per query
-    # lands outside a load burst.
-    times: dict[str, float] = {}
+    # lands outside a load burst. All five samples are kept so the
+    # JSON can also report per-query median and stddev: a cross-round
+    # delta is only a regression if it clears the ambient-noise band
+    # the spread documents (round-5 verdict ask).
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(5):
         for name in HEADLINE:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
-            elapsed = round(time.time() - t0, 3)
-            times[name] = min(times.get(name, elapsed), elapsed)
+            samples[name].append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
 
+    def _stats(xs: list[float]) -> dict[str, float]:
+        n = len(xs)
+        mean = sum(xs) / n
+        sd = (sum((x - mean) ** 2 for x in xs) / (n - 1)) ** 0.5
+        med = sorted(xs)[n // 2]
+        return {"min": min(xs), "med": round(med, 3), "sd": round(sd, 3)}
+
+    times = {name: min(xs) for name, xs in samples.items()}
+    stats = {name: _stats(xs) for name, xs in samples.items()}
     total = round(sum(times.values()), 3)
     # Like-for-like subtotal over the 15 queries benched since round 1,
     # so cross-round comparisons aren't skewed by headline-set growth.
@@ -93,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "value_r1_subset": r1_subset,
                 "queries": times,
+                "stats": stats,
                 "sf": float(sf),
             }
         )

@@ -194,3 +194,164 @@ def pipeline_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_incremental_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2') AS is_new,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(
+                       string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT n.doc_id AS new_doc,
+               o.is_new AS other_is_new,
+               o.doc_id AS other_doc
+        FROM sh n JOIN sh o ON n.doc_id <> o.doc_id
+        WHERE n.is_new
+          AND (NOT o.is_new OR o.doc_id < n.doc_id)
+          AND CAST(len(list_intersect(n.shingles, o.shingles)) AS DOUBLE)
+              / (len(n.shingles) + len(o.shingles)
+                 - len(list_intersect(n.shingles, o.shingles)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    flags AS (
+        SELECT s.doc_id,
+               COALESCE(MAX(CASE WHEN NOT p.other_is_new
+                                 THEN 1 ELSE 0 END), 0) AS hit_old,
+               COALESCE(MAX(CASE WHEN p.other_is_new
+                                 THEN 1 ELSE 0 END), 0) AS hit_new
+        FROM sh s LEFT JOIN pairs p ON p.new_doc = s.doc_id
+        WHERE s.is_new
+        GROUP BY s.doc_id
+    )
+    SELECT CASE WHEN hit_old = 1 THEN 'dup_of_existing'
+                WHEN hit_new = 1 THEN 'dup_within_batch'
+                ELSE 'unique' END AS status,
+           COUNT(*) AS n_docs
+    FROM flags
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the shape a continuously-ingested
+    corpus actually runs: a new batch (~19% of docs, deterministic md5
+    split) is deduped against the EXISTING corpus and within itself,
+    WITHOUT ever re-pairing existing×existing. This is the operational
+    difference between "dedup the lake nightly" (quadratic in corpus)
+    and "dedup the delta on arrival" (linear in batch): at 100 TB the
+    existing side contributes only its PERSISTED LSH band keys (the
+    signature store an ingest pipeline maintains), and the bucket join
+    is |new-bands| ⋈ store — candidate volume scales with the batch,
+    not the corpus.
+
+    Plan: shingles → minhash signatures → band keys for all docs (the
+    existing side modeling the persisted store); candidates = new-side
+    bands ⋈ all bands on (band, bucket), keeping (new, old) pairs and
+    (new, earlier-new) pairs — keep-first discipline inside the batch;
+    exact-Jaccard verify confined to candidates; per-new-doc flags via
+    one groupBy; left-join back so candidate-less docs classify as
+    'unique'. Output: status × count. The oracle recomputes the
+    classification with EXACT quadratic Jaccard in DuckDB, so LSH
+    recall on the fixture's planted dups (j ≥ 0.9; miss probability
+    (1-0.81)^12 ≈ 2e-9 with FIXED xxhash64 functions — deterministic)
+    must be perfect for the hash to match.
+
+    Imports the banding constants from dedup.py so the two stages
+    cannot drift apart.
+    """
+    from pg_archiver_spark.functions.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_HASHES,
+    )
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    sh = docs.select(
+        "doc_id",
+        is_new.alias("is_new"),
+        _shingles(F.col("text")).alias("shingles"),
+    ).cache()
+
+    ex = sh.select("doc_id", "is_new", F.explode("shingles").alias("h"))
+    sig = ex.groupBy("doc_id", "is_new").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
+            for k in range(MINHASH_HASHES)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "is_new", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+    new_bands = bands.filter(F.col("is_new")).select(
+        "band", "bucket", F.col("doc_id").alias("new_doc")
+    )
+    # the full band set stands in for the persisted signature store
+    store = bands.select(
+        "band", "bucket",
+        F.col("doc_id").alias("other_doc"),
+        F.col("is_new").alias("other_is_new"),
+    )
+    candidates = (
+        new_bands.join(store, ["band", "bucket"])
+        .filter(
+            (F.col("other_doc") != F.col("new_doc"))
+            & (~F.col("other_is_new") | (F.col("other_doc") < F.col("new_doc")))
+        )
+        .select("new_doc", "other_doc", "other_is_new")
+        .distinct()
+    )
+
+    sh_n = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_n"))
+    sh_o = sh.select(F.col("doc_id").alias("other_doc"), F.col("shingles").alias("sh_o"))
+    verified = (
+        candidates.join(sh_n, "new_doc")
+        .join(sh_o, "other_doc")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+            / F.size(F.array_union("sh_n", "sh_o")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    flags = verified.groupBy("new_doc").agg(
+        F.max((~F.col("other_is_new")).cast("int")).alias("hit_old"),
+        F.max(F.col("other_is_new").cast("int")).alias("hit_new"),
+    )
+    new_docs = sh.filter(F.col("is_new")).select(F.col("doc_id").alias("new_doc"))
+    status = (
+        new_docs.join(flags, "new_doc", "left")
+        .select(
+            F.when(F.coalesce(F.col("hit_old"), F.lit(0)) == 1, "dup_of_existing")
+            .when(F.coalesce(F.col("hit_new"), F.lit(0)) == 1, "dup_within_batch")
+            .otherwise("unique")
+            .alias("status")
+        )
+    )
+    return (
+        status.groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )

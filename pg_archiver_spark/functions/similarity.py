@@ -680,3 +680,102 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CENTROIDS = 16
+
+
+@register(
+    "sim_vector_pq_encode",
+    oracle="""
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+               embedding AS c
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d AS (
+        SELECT e.vec_id, c.j,
+               (e.embedding[1]::DOUBLE - c.c[1]::DOUBLE) * (e.embedding[1]::DOUBLE - c.c[1]::DOUBLE) + (e.embedding[2]::DOUBLE - c.c[2]::DOUBLE) * (e.embedding[2]::DOUBLE - c.c[2]::DOUBLE) + (e.embedding[3]::DOUBLE - c.c[3]::DOUBLE) * (e.embedding[3]::DOUBLE - c.c[3]::DOUBLE) + (e.embedding[4]::DOUBLE - c.c[4]::DOUBLE) * (e.embedding[4]::DOUBLE - c.c[4]::DOUBLE) + (e.embedding[5]::DOUBLE - c.c[5]::DOUBLE) * (e.embedding[5]::DOUBLE - c.c[5]::DOUBLE) + (e.embedding[6]::DOUBLE - c.c[6]::DOUBLE) * (e.embedding[6]::DOUBLE - c.c[6]::DOUBLE) + (e.embedding[7]::DOUBLE - c.c[7]::DOUBLE) * (e.embedding[7]::DOUBLE - c.c[7]::DOUBLE) + (e.embedding[8]::DOUBLE - c.c[8]::DOUBLE) * (e.embedding[8]::DOUBLE - c.c[8]::DOUBLE) AS d0,
+               (e.embedding[9]::DOUBLE - c.c[9]::DOUBLE) * (e.embedding[9]::DOUBLE - c.c[9]::DOUBLE) + (e.embedding[10]::DOUBLE - c.c[10]::DOUBLE) * (e.embedding[10]::DOUBLE - c.c[10]::DOUBLE) + (e.embedding[11]::DOUBLE - c.c[11]::DOUBLE) * (e.embedding[11]::DOUBLE - c.c[11]::DOUBLE) + (e.embedding[12]::DOUBLE - c.c[12]::DOUBLE) * (e.embedding[12]::DOUBLE - c.c[12]::DOUBLE) + (e.embedding[13]::DOUBLE - c.c[13]::DOUBLE) * (e.embedding[13]::DOUBLE - c.c[13]::DOUBLE) + (e.embedding[14]::DOUBLE - c.c[14]::DOUBLE) * (e.embedding[14]::DOUBLE - c.c[14]::DOUBLE) + (e.embedding[15]::DOUBLE - c.c[15]::DOUBLE) * (e.embedding[15]::DOUBLE - c.c[15]::DOUBLE) + (e.embedding[16]::DOUBLE - c.c[16]::DOUBLE) * (e.embedding[16]::DOUBLE - c.c[16]::DOUBLE) AS d1,
+               (e.embedding[17]::DOUBLE - c.c[17]::DOUBLE) * (e.embedding[17]::DOUBLE - c.c[17]::DOUBLE) + (e.embedding[18]::DOUBLE - c.c[18]::DOUBLE) * (e.embedding[18]::DOUBLE - c.c[18]::DOUBLE) + (e.embedding[19]::DOUBLE - c.c[19]::DOUBLE) * (e.embedding[19]::DOUBLE - c.c[19]::DOUBLE) + (e.embedding[20]::DOUBLE - c.c[20]::DOUBLE) * (e.embedding[20]::DOUBLE - c.c[20]::DOUBLE) + (e.embedding[21]::DOUBLE - c.c[21]::DOUBLE) * (e.embedding[21]::DOUBLE - c.c[21]::DOUBLE) + (e.embedding[22]::DOUBLE - c.c[22]::DOUBLE) * (e.embedding[22]::DOUBLE - c.c[22]::DOUBLE) + (e.embedding[23]::DOUBLE - c.c[23]::DOUBLE) * (e.embedding[23]::DOUBLE - c.c[23]::DOUBLE) + (e.embedding[24]::DOUBLE - c.c[24]::DOUBLE) * (e.embedding[24]::DOUBLE - c.c[24]::DOUBLE) AS d2,
+               (e.embedding[25]::DOUBLE - c.c[25]::DOUBLE) * (e.embedding[25]::DOUBLE - c.c[25]::DOUBLE) + (e.embedding[26]::DOUBLE - c.c[26]::DOUBLE) * (e.embedding[26]::DOUBLE - c.c[26]::DOUBLE) + (e.embedding[27]::DOUBLE - c.c[27]::DOUBLE) * (e.embedding[27]::DOUBLE - c.c[27]::DOUBLE) + (e.embedding[28]::DOUBLE - c.c[28]::DOUBLE) * (e.embedding[28]::DOUBLE - c.c[28]::DOUBLE) + (e.embedding[29]::DOUBLE - c.c[29]::DOUBLE) * (e.embedding[29]::DOUBLE - c.c[29]::DOUBLE) + (e.embedding[30]::DOUBLE - c.c[30]::DOUBLE) * (e.embedding[30]::DOUBLE - c.c[30]::DOUBLE) + (e.embedding[31]::DOUBLE - c.c[31]::DOUBLE) * (e.embedding[31]::DOUBLE - c.c[31]::DOUBLE) + (e.embedding[32]::DOUBLE - c.c[32]::DOUBLE) * (e.embedding[32]::DOUBLE - c.c[32]::DOUBLE) AS d3,
+               (e.embedding[33]::DOUBLE - c.c[33]::DOUBLE) * (e.embedding[33]::DOUBLE - c.c[33]::DOUBLE) + (e.embedding[34]::DOUBLE - c.c[34]::DOUBLE) * (e.embedding[34]::DOUBLE - c.c[34]::DOUBLE) + (e.embedding[35]::DOUBLE - c.c[35]::DOUBLE) * (e.embedding[35]::DOUBLE - c.c[35]::DOUBLE) + (e.embedding[36]::DOUBLE - c.c[36]::DOUBLE) * (e.embedding[36]::DOUBLE - c.c[36]::DOUBLE) + (e.embedding[37]::DOUBLE - c.c[37]::DOUBLE) * (e.embedding[37]::DOUBLE - c.c[37]::DOUBLE) + (e.embedding[38]::DOUBLE - c.c[38]::DOUBLE) * (e.embedding[38]::DOUBLE - c.c[38]::DOUBLE) + (e.embedding[39]::DOUBLE - c.c[39]::DOUBLE) * (e.embedding[39]::DOUBLE - c.c[39]::DOUBLE) + (e.embedding[40]::DOUBLE - c.c[40]::DOUBLE) * (e.embedding[40]::DOUBLE - c.c[40]::DOUBLE) AS d4,
+               (e.embedding[41]::DOUBLE - c.c[41]::DOUBLE) * (e.embedding[41]::DOUBLE - c.c[41]::DOUBLE) + (e.embedding[42]::DOUBLE - c.c[42]::DOUBLE) * (e.embedding[42]::DOUBLE - c.c[42]::DOUBLE) + (e.embedding[43]::DOUBLE - c.c[43]::DOUBLE) * (e.embedding[43]::DOUBLE - c.c[43]::DOUBLE) + (e.embedding[44]::DOUBLE - c.c[44]::DOUBLE) * (e.embedding[44]::DOUBLE - c.c[44]::DOUBLE) + (e.embedding[45]::DOUBLE - c.c[45]::DOUBLE) * (e.embedding[45]::DOUBLE - c.c[45]::DOUBLE) + (e.embedding[46]::DOUBLE - c.c[46]::DOUBLE) * (e.embedding[46]::DOUBLE - c.c[46]::DOUBLE) + (e.embedding[47]::DOUBLE - c.c[47]::DOUBLE) * (e.embedding[47]::DOUBLE - c.c[47]::DOUBLE) + (e.embedding[48]::DOUBLE - c.c[48]::DOUBLE) * (e.embedding[48]::DOUBLE - c.c[48]::DOUBLE) AS d5,
+               (e.embedding[49]::DOUBLE - c.c[49]::DOUBLE) * (e.embedding[49]::DOUBLE - c.c[49]::DOUBLE) + (e.embedding[50]::DOUBLE - c.c[50]::DOUBLE) * (e.embedding[50]::DOUBLE - c.c[50]::DOUBLE) + (e.embedding[51]::DOUBLE - c.c[51]::DOUBLE) * (e.embedding[51]::DOUBLE - c.c[51]::DOUBLE) + (e.embedding[52]::DOUBLE - c.c[52]::DOUBLE) * (e.embedding[52]::DOUBLE - c.c[52]::DOUBLE) + (e.embedding[53]::DOUBLE - c.c[53]::DOUBLE) * (e.embedding[53]::DOUBLE - c.c[53]::DOUBLE) + (e.embedding[54]::DOUBLE - c.c[54]::DOUBLE) * (e.embedding[54]::DOUBLE - c.c[54]::DOUBLE) + (e.embedding[55]::DOUBLE - c.c[55]::DOUBLE) * (e.embedding[55]::DOUBLE - c.c[55]::DOUBLE) + (e.embedding[56]::DOUBLE - c.c[56]::DOUBLE) * (e.embedding[56]::DOUBLE - c.c[56]::DOUBLE) AS d6,
+               (e.embedding[57]::DOUBLE - c.c[57]::DOUBLE) * (e.embedding[57]::DOUBLE - c.c[57]::DOUBLE) + (e.embedding[58]::DOUBLE - c.c[58]::DOUBLE) * (e.embedding[58]::DOUBLE - c.c[58]::DOUBLE) + (e.embedding[59]::DOUBLE - c.c[59]::DOUBLE) * (e.embedding[59]::DOUBLE - c.c[59]::DOUBLE) + (e.embedding[60]::DOUBLE - c.c[60]::DOUBLE) * (e.embedding[60]::DOUBLE - c.c[60]::DOUBLE) + (e.embedding[61]::DOUBLE - c.c[61]::DOUBLE) * (e.embedding[61]::DOUBLE - c.c[61]::DOUBLE) + (e.embedding[62]::DOUBLE - c.c[62]::DOUBLE) * (e.embedding[62]::DOUBLE - c.c[62]::DOUBLE) + (e.embedding[63]::DOUBLE - c.c[63]::DOUBLE) * (e.embedding[63]::DOUBLE - c.c[63]::DOUBLE) + (e.embedding[64]::DOUBLE - c.c[64]::DOUBLE) * (e.embedding[64]::DOUBLE - c.c[64]::DOUBLE) AS d7
+        FROM embeddings e, cb c
+    ),
+    m AS (
+        SELECT vec_id, j,
+               d0, d1, d2, d3, d4, d5, d6, d7,
+               MIN(d0) OVER (PARTITION BY vec_id) AS m0,
+               MIN(d1) OVER (PARTITION BY vec_id) AS m1,
+               MIN(d2) OVER (PARTITION BY vec_id) AS m2,
+               MIN(d3) OVER (PARTITION BY vec_id) AS m3,
+               MIN(d4) OVER (PARTITION BY vec_id) AS m4,
+               MIN(d5) OVER (PARTITION BY vec_id) AS m5,
+               MIN(d6) OVER (PARTITION BY vec_id) AS m6,
+               MIN(d7) OVER (PARTITION BY vec_id) AS m7
+        FROM d
+    )
+    SELECT vec_id,
+           MIN(CASE WHEN d0 = m0 THEN j END) AS code0,
+           MIN(CASE WHEN d1 = m1 THEN j END) AS code1,
+           MIN(CASE WHEN d2 = m2 THEN j END) AS code2,
+           MIN(CASE WHEN d3 = m3 THEN j END) AS code3,
+           MIN(CASE WHEN d4 = m4 THEN j END) AS code4,
+           MIN(CASE WHEN d5 = m5 THEN j END) AS code5,
+           MIN(CASE WHEN d6 = m6 THEN j END) AS code6,
+           MIN(CASE WHEN d7 = m7 THEN j END) AS code7
+    FROM m
+    GROUP BY vec_id
+    ORDER BY vec_id
+""",
+)
+def sim_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the vector-compression half of
+    an IVF-PQ index (the structure real billion-vector ANN serving
+    uses): each 64-dim embedding splits into 8 subvectors of
+    8 dims, and each subvector is replaced by the id of its nearest
+    codebook centroid — 64 floats (256 B) become 8 nibble codes.
+
+    Codebook: the 16 lowest-vec_id embeddings (deterministic; codebook
+    TRAINING is ml_kmeans_lloyd's contract, this op is the encode/serve
+    path with a given codebook). The centroids are collected once
+    (bounded driver state, 16×64 floats — the ml_pca_project
+    precedent) and inlined as codegen literals, so assignment is ONE
+    pass over the embedding table with zero extra shuffle and zero row
+    fan-out — at 100 TB the alternative broadcast-crossjoin×16 would
+    multiply the scan volume 16-fold and shuffle it again for the
+    argmin. The oracle computes the same assignment relationally in
+    DuckDB (explicit left-to-right 8-term distance sums keep the IEEE
+    op order identical in both engines; argmin ties break to the
+    smallest centroid id via first-position/MIN(j) on both sides).
+
+    Output is all-integer (vec_id + 8 codes) — no float in the
+    hash surface."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb_rows = emb.orderBy("vec_id").limit(PQ_CENTROIDS).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cb_rows]
+
+    e = F.col("embedding")
+
+    def dist(s: int, j: int) -> Column:
+        acc = None
+        for k in range(PQ_SUBDIM):
+            t = e[s * PQ_SUBDIM + k].cast("double") - F.lit(cents[j][s * PQ_SUBDIM + k])
+            sq = t * t
+            acc = sq if acc is None else acc + sq
+        return acc
+
+    cols = [F.col("vec_id")]
+    for s in range(PQ_SUBSPACES):
+        darr = F.array(*[dist(s, j) for j in range(PQ_CENTROIDS)])
+        cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("bigint")
+            .alias(f"code{s}".format(s=s))
+        )
+    return emb.select(*cols).orderBy("vec_id")

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = [
     "composed_q15_top_supplier", "composed_q20_part_surplus",
     "composed_q22_global_sales", "stream_cdc_changelog",
     "sink_avro_roundtrip", "sink_s3_object_store",
+    "pipeline_incremental_neardup", "sim_vector_pq_encode",
     # Everything not named here (the r4/r5-fresh greens) follows in
     # registration order via load_all_operators()'s fallback.
 ]
