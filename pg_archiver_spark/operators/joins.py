@@ -1270,3 +1270,250 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_backward"
         ),
     )
+
+
+@register(
+    "composed_q8_market_share",
+    oracle="""
+    WITH rev AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                         THEN vol ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY yr ORDER BY yr
+    """,
+)
+def composed_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: one nation's fraction of
+    regional revenue by year, the conditional-sum-ratio over a
+    double-role nation join (nation probes once for the customer side,
+    once for the supplier side — the Q7 composition plus the ratio).
+
+    Both the CASE'd numerator and the denominator accumulate in ONE
+    partial-agg pass (no second scan, no self-join); both are exact
+    decimals, and the single ratio is an IEEE divide of two identical-
+    valued doubles — deterministic across engines (G4/G11; no ROUND
+    needed). The two facts shuffle on their join keys once; customer
+    is the only non-broadcast dim side and AQE sizes it at runtime."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_reg") == asia.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("vol")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    den = F.sum("vol").cast("double")
+    return (
+        rev.groupBy("yr")
+        .agg((num / den).alias("mkt_share"))
+        .orderBy("yr")
+    )
+
+
+@register(
+    "composed_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(0.4 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%plat%'
+    GROUP BY n_name, yr
+    ORDER BY nation, yr DESC
+    """,
+)
+def composed_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year: revenue minus cost over a 5-table star with a substring
+    part-name filter. The fixtures carry no partsupp.ps_supplycost, so
+    unit cost is proxied at 40% of p_retailprice — same join topology,
+    same decimal-exact profit arithmetic (Spark's HALF_UP vs DuckDB's
+    tie-truncation never fires: every product of two scale-2 decimals
+    and the scale-1 literal is exact, G11).
+
+    The '%plat%' LIKE cannot push to a parquet min/max but DOES prune
+    the broadcast part dim before the join (filter-above-scan on the
+    build side), so the fact joins only matching parts. One lineitem
+    shuffle (orders join), all dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%plat%"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit("0.4").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
+
+
+@register(
+    "composed_q13_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def composed_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the two-level distribution aggregate:
+    per-customer order counts (INCLUDING zero — the left outer join
+    with the filter INSIDE the join condition, not a WHERE, is the
+    whole point), then a histogram of those counts. The textbook
+    filters on o_comment; the fixture equivalent is the
+    order-priority predicate.
+
+    COUNT(o_orderkey) counts only matched rows (NULL from the outer
+    side doesn't count) — both engines agree. Plan: orders filtered
+    then shuffled on custkey once, customer shuffled once, outer join,
+    two hash aggregations — the second one is over ≤ max-orders-per-
+    customer distinct keys, map-side combinable. At 100 TB nothing
+    here is quadratic; the zero-count customers ride the outer join,
+    never a NOT EXISTS re-scan."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c_orders = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "composed_q16_supplier_part_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def composed_q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct supplier counts per part attribute
+    triple, minus an excluded-supplier NOT IN: 'how many suppliers can
+    provide each niche part class'. partsupp is absent, so the
+    supplier↔part relation comes from lineitem (who actually shipped
+    the part); the excluded set (complaint suppliers in the textbook)
+    is negative-balance suppliers here.
+
+    The NOT IN compiles to a broadcast null-aware anti-join against
+    the (tiny, filtered) supplier projection BEFORE the distinct-count
+    aggregation, so excluded suppliers never enter the shuffle. The
+    part predicate prunes the broadcast build side. One fact shuffle
+    on the (brand, type, size) grouping with partial distinct
+    aggregation; top-50 is TakeOrderedAndProject with the full-column
+    tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )

@@ -519,3 +519,117 @@ def composed_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "composed_q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS v
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_4'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS value
+    FROM val
+    WHERE v * 500 > (SELECT SUM(v) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def composed_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-group value vs a FRACTION of the global
+    total (important inventory positions): the scalar-aggregate-over-
+    the-same-view threshold. No partsupp in the fixtures, so position
+    value is Σ extendedprice·quantity per part for one nation's
+    suppliers — identical topology.
+
+    The per-part value view materializes once (one shuffle on
+    l_partkey after a broadcast supplier⋈nation probe); the global
+    total reduces THAT aggregate to one row which broadcasts back as a
+    filter (the Q15 anchor pattern — never a second fact scan). The
+    0.2%-of-total fraction is CROSS-MULTIPLIED (v·500 > total) so the
+    comparison stays decimal-exact on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_4")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("total"))
+        .select("l_partkey", F.col("v").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "composed_q17_small_qty_revenue",
+    oracle="""
+    WITH agg AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON agg.pk = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS DECIMAL(18,2)) * n * 5 < s
+    """,
+)
+def composed_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated per-part scalar AVG threshold:
+    yearly revenue that would disappear if small-quantity lines
+    (quantity < 20% of the part's average) moved to scheduled bulk
+    orders. The textbook spelling re-runs AVG(l_quantity) per outer
+    row; here the per-part (sum, count) aggregates compute ONCE, join
+    back to the lines on l_partkey (the aggregate side is |parts|-
+    sized — AQE broadcasts it), and qty < 0.2·avg is cross-multiplied
+    to qty·n·5 < sum — decimal/bigint exact on both engines, no float
+    boundary (G11). One lineitem shuffle on l_partkey total; the
+    /7 'per-year' division happens once on the final exact sum, cast
+    to DOUBLE first so both engines run the identical IEEE divide."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    agg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(agg, li.l_partkey == agg.pk)
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * F.col("n") * 5
+            < F.col("s")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )

@@ -97,6 +97,9 @@ _DRIVER_PRIORITY = [
     "composed_q22_global_sales", "stream_cdc_changelog",
     "sink_avro_roundtrip", "sink_s3_object_store",
     "pipeline_incremental_neardup", "sim_vector_pq_encode",
+    "composed_q8_market_share", "composed_q9_product_profit",
+    "composed_q11_important_stock", "composed_q13_order_distribution",
+    "composed_q16_supplier_part_cnt", "composed_q17_small_qty_revenue",
     # Everything not named here (the r4/r5-fresh greens) follows in
     # registration order via load_all_operators()'s fallback.
 ]
