@@ -671,3 +671,53 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register("agg_count_min_sketch")  # rows-only: sketch binary is engine-specific
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the third member of the
+    mergeable-sketch family (HLL cardinality `agg_hll_partial_merge`,
+    exact bitmap `agg_bitmap_distinct`, CMS frequency here): a fixed
+    0.1%-error frequency table built in ONE pass with
+    `F.count_min_sketch` (JVM-side, mergeable partials — the structure
+    a 100 TB heavy-hitters pass keeps per partition and ORs together).
+
+    The CMS guarantee is one-sided — estimate ≥ true count, and
+    ≤ true + ε·N with confidence 1−δ — so the op VERIFIES it instead
+    of trusting it: the sketch binary is deserialized through Spark's
+    own `org.apache.spark.util.sketch.CountMinSketch` reader
+    (driver-side, one bounded object) and every event type's estimate
+    is checked against the exact per-type counts from a second
+    aggregation; any estimate below truth or above the ε·N bound
+    raises RuntimeError. Output: per-type exact vs estimated counts +
+    the bound flags."""
+    events = load(spark, sf_dir, "events")
+    row = events.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    ).first()
+    raw = bytes(row["cms"])
+    n_total = events.count()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(raw)
+
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()  # bounded: one row per event type (5)
+    }
+    out = []
+    for etype in sorted(exact):
+        est = int(cms.estimateCount(etype))
+        true = int(exact[etype])
+        if est < true or est > true + int(0.001 * n_total) + 1:
+            raise RuntimeError(
+                f"CMS bound violated for {etype}: est={est} true={true} "
+                f"n={n_total}"
+            )
+        out.append((etype, true, est, est == true))
+    return spark.createDataFrame(
+        out, "event_type string, exact_count long, estimated long, exact_match boolean"
+    )

@@ -1133,3 +1133,100 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users_third_event"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "analytics_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_ms(ts) // 86400000 - 19723 AS day_idx,
+               SUM(CAST(value AS DECIMAL(18,2))) AS x
+        FROM events GROUP BY event_type, day_idx
+    ),
+    tot AS (
+        SELECT event_type, SUM(x) AS total, COUNT(*) AS n
+        FROM daily GROUP BY event_type
+    ),
+    pre AS (
+        SELECT d.event_type, d.day_idx,
+               SUM(d.x) OVER (PARTITION BY d.event_type
+                              ORDER BY d.day_idx) AS prefix,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day_idx) AS k,
+               t.total, t.n
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    scored AS (
+        SELECT event_type, day_idx,
+               ABS(prefix * n - total * k) AS dev
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(MIN(day_idx) FILTER (WHERE dev = max_dev) AS BIGINT)
+               AS change_day,
+           CAST(max_dev AS DOUBLE) AS max_cusum_scaled
+    FROM (SELECT *, MAX(dev) OVER (PARTITION BY event_type) AS max_dev
+          FROM scored)
+    GROUP BY event_type, max_dev
+    ORDER BY event_type
+    """,
+)
+def analytics_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type — where did the
+    daily value level shift? The classic statistic is
+    max_k |Σ_{i≤k}(x_i − x̄)|; computed EXACTLY by cross-multiplying
+    away the mean: |n·prefix_k − k·total| over decimal daily sums and
+    bigint counts — no float accumulates anywhere until the final
+    display cast, so the argmax day is identical on both engines (G4),
+    with the MIN(day) tiebreak when two days tie the maximum.
+
+    Plan: one events shuffle to daily sums (map-side combined), the
+    per-type totals join back (≤|types| rows — broadcast), prefix sums
+    as a window over the |types|×|days| aggregated frame, argmax via
+    window-max + equality filter. At 100 TB every post-shuffle frame
+    here is days-per-type-sized; nothing re-scans the fact."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            (F.expr("(ts_ns DIV 1000000) DIV 86400000") - F.lit(19723)).alias(
+                "day_idx"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count("*").alias("n")
+    )
+    w_order = Window.partitionBy("event_type").orderBy("day_idx")
+    pre = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "prefix",
+            F.sum("x").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("k", F.row_number().over(w_order))
+    )
+    scored = pre.select(
+        "event_type",
+        "day_idx",
+        F.abs(F.col("prefix") * F.col("n") - F.col("total") * F.col("k")).alias(
+            "dev"
+        ),
+    )
+    w_type = Window.partitionBy("event_type")
+    return (
+        scored.withColumn("max_dev", F.max("dev").over(w_type))
+        .filter(F.col("dev") == F.col("max_dev"))
+        .groupBy("event_type", "max_dev")
+        .agg(F.min("day_idx").cast("bigint").alias("change_day"))
+        .select(
+            "event_type",
+            "change_day",
+            F.col("max_dev").cast("double").alias("max_cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )

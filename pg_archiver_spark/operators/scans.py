@@ -1254,3 +1254,104 @@ def sink_s3_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         server.stop()
+
+
+@register(
+    "maintenance_snapshot_time_travel",
+    oracle="""
+    WITH v1 AS (
+        SELECT * FROM events
+        WHERE epoch_ms(ts) // 86400000 - 19723 < 10
+    )
+    SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM v1
+    UNION ALL
+    SELECT 'v2' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    ORDER BY snapshot
+    """,
+)
+def maintenance_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel over plain parquet — the core
+    table-format mechanic (Iceberg/Delta's contract) built from first
+    principles, since no lakehouse jars ship in this environment:
+    a snapshot is an immutable JSON MANIFEST listing exactly the data
+    files it contains; a commit writes new files THEN atomically
+    publishes a new manifest (os.replace on the pointer file); readers
+    resolve the pointer → manifest → file list and read ONLY those
+    files, so concurrent writers never make a reader see a half-commit,
+    and any historical version stays readable as long as its manifest
+    and files exist.
+
+    The op commits v1 (events before day 10), then appends the rest as
+    v2, then reads BOTH versions by manifest — time travel to v1 after
+    v2 exists. The oracle states both version profiles relationally;
+    a reader that leaked v2 files into v1 (no isolation) or lost files
+    (broken manifest) hash-fails.
+
+    At 100 TB this is exactly the production shape: manifests are
+    O(files) metadata, the pointer swap is one atomic rename, vacuum =
+    delete files unreachable from retained manifests
+    (maintenance_retention_drop_partitions' sibling)."""
+    import json as _json
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "lakehouse"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    meta_dir = os.path.join(base, "meta")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("day_idx", F.expr("ts_ns DIV 1000000 DIV 86400000") - 19723)
+        .select("event_id", "user_id", "value", "day_idx")
+    )
+
+    def commit(df: DataFrame, version: int) -> None:
+        out = os.path.join(data_dir, f"commit-{version}")
+        df.write.mode("overwrite").parquet(out)
+        files = [
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+        prev: list[str] = []
+        if version > 1:
+            with open(os.path.join(meta_dir, f"v{version - 1}.json")) as fh:
+                prev = _json.load(fh)["files"]
+        manifest = os.path.join(meta_dir, f"v{version}.json")
+        with open(manifest, "w") as fh:
+            _json.dump({"version": version, "files": prev + files}, fh)
+        # Atomic pointer swap — the commit becomes visible all-or-nothing.
+        tmp = os.path.join(meta_dir, "HEAD.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version}.json")
+        os.replace(tmp, os.path.join(meta_dir, "HEAD"))
+
+    def read_version(version: int) -> DataFrame:
+        with open(os.path.join(meta_dir, f"v{version}.json")) as fh:
+            files = _json.load(fh)["files"]
+        return spark.read.parquet(*files)
+
+    commit(events.filter(F.col("day_idx") < 10), 1)
+    commit(events.filter(F.col("day_idx") >= 10), 2)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select("snapshot", "n_rows", "sum_value")
+
+    return (
+        profile(read_version(1), "v1")
+        .unionByName(profile(read_version(2), "v2"))
+        .orderBy("snapshot")
+    )

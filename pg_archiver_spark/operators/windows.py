@@ -434,3 +434,42 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("user_value").over(w).cast("double")
         ).alias("share"),
     )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(r AS DOUBLE) AS revenue,
+           percent_rank() OVER (ORDER BY r, l_suppkey) AS pr
+    FROM rev ORDER BY l_suppkey
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank over per-supplier revenue — the relative-standing
+    score ((rank−1)/(n−1)). Window runs over the AGGREGATED
+    |suppliers| frame (house discipline: never window the raw fact);
+    the unique (revenue, suppkey) order pins rank ties, and the
+    resulting (k−1)/(n−1) is an IEEE division of identical integers on
+    both engines — bit-deterministic. Partition-less over the small
+    aggregate is the documented small-frame case; at a supplier
+    population too large for one task, window_ntile_scalable's
+    two-phase bucket-offset rewrite applies identically."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy(F.col("r"), F.col("l_suppkey"))
+    return (
+        rev.select(
+            "l_suppkey",
+            F.col("r").cast("double").alias("revenue"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .orderBy("l_suppkey")
+    )
