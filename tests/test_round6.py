@@ -240,3 +240,99 @@ def test_skew_salting_beats_unsalted_on_hot_key(spark):
         f"salting no longer pays on the hot-key workload: "
         f"unsalted={unsalted:.2f}s salted={salted:.2f}s ratio={ratio:.2f}"
     )
+
+
+# -- incremental dedup / PQ / snapshot / CUSUM / CMS -------------------
+
+
+def test_incremental_neardup_partitions_batch(spark, sf_dir):
+    rows = QUERIES["pipeline_incremental_neardup"](spark, sf_dir).collect()
+    counts = {r.status: r.n_docs for r in rows}
+    n_new = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2"
+            )
+        )
+        .count()
+    )
+    # the three classes partition the new batch exactly
+    assert sum(counts.values()) == n_new
+    assert counts.get("unique", 0) > 0
+
+
+def test_pq_encode_codes_in_range_and_selfmatch(spark, sf_dir):
+    from pg_archiver_spark.functions.similarity import (
+        PQ_CENTROIDS,
+        PQ_SUBSPACES,
+    )
+
+    df = QUERIES["sim_vector_pq_encode"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == load(spark, sf_dir, "embeddings").count()
+    code_cols = [f"code{s}" for s in range(PQ_SUBSPACES)]
+    for r in rows:
+        for c in code_cols:
+            assert 0 <= r[c] < PQ_CENTROIDS
+    # a codebook vector quantizes to ITSELF in every subspace (distance
+    # 0 is the unique minimum unless duplicated centroids exist)
+    by_id = {r.vec_id: r for r in rows}
+    cb_ids = sorted(by_id)[:PQ_CENTROIDS]
+    for j, vid in enumerate(cb_ids):
+        r = by_id[vid]
+        assert all(r[c] == j for c in code_cols), (vid, j, r)
+
+
+def test_snapshot_time_travel_isolation(spark, sf_dir):
+    rows = QUERIES["maintenance_snapshot_time_travel"](spark, sf_dir).collect()
+    prof = {r.snapshot: r for r in rows}
+    total = load(spark, sf_dir, "events").count()
+    # v1 is a strict subset; v2 is the full table (append preserved v1)
+    assert 0 < prof["v1"].n_rows < prof["v2"].n_rows
+    assert prof["v2"].n_rows == total
+
+
+def test_cusum_changepoint_detects_planted_shift(spark, sf_dir):
+    # synthetic series: flat at 10 for days 0-19, flat at 20 for 20-39 —
+    # the CUSUM argmax must land exactly at the boundary (day 19, the
+    # last pre-shift prefix maximizes |n*prefix - k*total|)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["synthetic"] * 40,
+            "day_idx": list(range(40)),
+            "x": [10.0] * 20 + [20.0] * 20,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+
+    tot = sdf.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    pre = (
+        sdf.join(tot, "event_type")
+        .withColumn(
+            "prefix",
+            F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("k", F.row_number().over(w))
+    )
+    scored = pre.select(
+        "day_idx",
+        F.abs(F.col("prefix") * F.col("n") - F.col("total") * F.col("k")).alias(
+            "dev"
+        ),
+    )
+    best = scored.orderBy(F.desc("dev"), "day_idx").first()
+    assert best.day_idx == 19, best
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    rows = QUERIES["agg_count_min_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 5  # five event types
+    for r in rows:
+        assert r.estimated >= r.exact_count  # one-sided CMS guarantee
