@@ -512,3 +512,88 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("cluster_rep")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(
+                       string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(a.shingles), 3) AS containment
+    FROM sh a, sh b
+    WHERE a.doc_id <> b.doc_id AND len(a.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(a.shingles) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs — C(A→B) = |A∩B| / |A|:
+    the case Jaccard structurally misses. A 100-word doc quoted
+    verbatim inside a 10,000-word doc has Jaccard ≈ 0.01 (never crosses
+    any symmetric threshold) but containment 1.0 — and
+    quote-inclusion / boilerplate-wrapping is a dominant real dup mode
+    in web-crawled training corpora. Pretraining dedup needs BOTH
+    screens: `dedup_ngram_jaccard`/`minhash_neardup` for same-size
+    near-dups, this op for subset inclusion.
+
+    Same sub-quadratic machinery as the Jaccard twin: shingles hashed
+    to longs at construction, hot-shingle df cap
+    (MAX_SHINGLE_DF, a no-op on fixtures, the 100 TB fan-out
+    bound), shared-shingle equi-join — docs sharing no shingle never
+    pair — then the intersection count normalizes by the CONTAINED
+    side's set size only. Ordered pairs (a≠b, not a<b): containment is
+    directional, A-in-B and B-in-A are different facts. At scale the
+    LSH analogue swaps the pair join for minhash-bucket candidates
+    exactly as minhash_neardup documents."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+        .filter(F.col("n_sh") > 0)
+        .cache()
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    a = ex.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.col("n_sh").alias("n_a"),
+        "shingle",
+    )
+    b = ex.select(F.col("doc_id").alias("container_doc"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc", "n_a")
+        .agg(F.count("*").alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_a")
+    return (
+        inter.filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(containment, 3).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -336,3 +336,31 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     assert len(rows) == 5  # five event types
     for r in rows:
         assert r.estimated >= r.exact_count  # one-sided CMS guarantee
+
+
+def test_containment_pairs_bounded_on_fixture(spark, sf_dir):
+    rows = QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert rows, "no containment pairs at fixture scale"
+    for r in rows:
+        assert r.contained_doc != r.container_doc
+        assert 0.8 <= r.containment <= 1.0
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    # the directional case the fixture lacks (its planted dups are all
+    # same-length): a short doc quoted verbatim inside a much longer
+    # one. Containment(short→long) must be 1.0 while Jaccard — and the
+    # reverse containment — stay far below any threshold.
+    from pg_archiver_spark.functions.dedup import _shingles
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = filler + " " + short + " " + filler.replace("w", "v")
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    ).select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a, b = {r.doc_id: set(r.sh) for r in df.collect()}.values()
+    inter = len(a & b)
+    assert inter / len(a) == 1.0          # short fully contained
+    assert inter / len(b) < 0.1           # reverse containment tiny
+    assert inter / len(a | b) < 0.1       # Jaccard misses it entirely
