@@ -333,3 +333,203 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_frames"))
     )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full-pixel PNG decode (width, height, channels, raster bytes) —
+    the pixel-returning sibling of decode_png's stats walk, reusing the
+    identical chunk/inflate/de-filter path."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8:
+        raise NotImplementedError("unsupported PNG variant")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+THUMB_SIZE = 8
+
+
+@register("multimodal_image_resize")  # rows-only: Python pixel kernel
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image RESIZE stage of a multimodal ingest pipeline, for real:
+    synthesize spec-valid grayscale PNGs from even-doc_id texts →
+    decode to actual pixels (chunk walk + inflate + de-filter) →
+    nearest-neighbor downsample to an 8×8 thumbnail → RE-ENCODE as PNG
+    → re-decode the thumbnail to PROVE the output is itself a valid
+    image (any mangled byte fails the second decode). All pixel work
+    runs inside one Arrow-batched mapInPandas kernel — per-batch Python
+    boundary, rows never cross one at a time.
+
+    Output per doc: original dims, thumbnail dims (pinned 8×8 by a
+    RuntimeError check), original and thumbnail mean intensity in
+    integer millis (nearest-neighbor preserves the value RANGE, so the
+    thumb mean stays within the original's [min, max] — also checked).
+    At 100 TB this kernel is exactly the shape a real resize stage has:
+    CPU-parallel over partitions, no shuffle, no driver state."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
+
+    out_schema = (
+        "doc_id long, orig_w long, orig_h long, thumb_w long, thumb_h long, "
+        "orig_mean_milli long, thumb_mean_milli long"
+    )
+
+    def resize_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(payload))
+                tw = th = THUMB_SIZE
+                thumb = bytearray()
+                for ty in range(th):
+                    sy = min(h - 1, (ty * h) // th)
+                    for tx in range(tw):
+                        sx = min(w - 1, (tx * w) // tw)
+                        thumb.append(px[(sy * w + sx) * ch])  # gray: ch==1
+                reenc = encode_png(tw, th, bytes(thumb))
+                w2, h2, _, px2 = decode_png_pixels(reenc)
+                if (w2, h2) != (tw, th) or bytes(px2) != bytes(thumb):
+                    raise RuntimeError(
+                        f"thumbnail re-decode mismatch for doc {doc_id}"
+                    )
+                om = (sum(px) * 1000) // len(px)
+                tm = (sum(px2) * 1000) // len(px2)
+                if not (min(px) * 1000 <= tm <= max(px) * 1000):
+                    raise RuntimeError(
+                        f"thumb mean outside source range for doc {doc_id}"
+                    )
+                rows.append((doc_id, w, h, w2, h2, om, tm))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orig_w", "orig_h", "thumb_w", "thumb_h",
+                    "orig_mean_milli", "thumb_mean_milli",
+                ],
+            )
+
+    feats = media.mapInPandas(resize_kernel, schema=out_schema)
+    return feats.agg(
+        F.count("*").alias("n_images"),
+        F.min("thumb_w").alias("thumb_w"),
+        F.min("thumb_h").alias("thumb_h"),
+        F.expr("SUM(orig_mean_milli) DIV COUNT(*)").alias("avg_orig_mean"),
+        F.expr("SUM(thumb_mean_milli) DIV COUNT(*)").alias("avg_thumb_mean"),
+    )
+
+
+@register("multimodal_audio_features")  # rows-only: Python sample kernel
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio FEATURE-EXTRACT stage, for real: synthesize 16-bit PCM
+    WAVs from odd-doc_id texts → parse the actual sample frames → the
+    three classic speech/audio screens, all in exact integer
+    arithmetic (no float divergence): RMS amplitude (isqrt of the mean
+    square, milli-scaled), zero-crossing count (signal periodicity —
+    the cheap voiced/unvoiced discriminator), and peak amplitude.
+    Arrow-batched mapInPandas kernel, then one map-side-combined
+    profile aggregation. The 100 TB shape matches a production
+    feature-extract pass: partition-parallel decode, no shuffle until
+    the tiny profile agg."""
+    import math
+    import struct
+    import wave
+    import io
+
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
+
+    out_schema = (
+        "doc_id long, n_samples long, rms_milli long, zero_crossings long, "
+        "peak long"
+    )
+
+    def audio_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", frames)
+                sq = sum(s * s for s in samples)
+                rms_milli = math.isqrt((sq * 1_000_000) // max(1, n))
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (samples[i - 1] < 0) != (samples[i] < 0)
+                )
+                rows.append(
+                    (doc_id, n, rms_milli, zc, max(abs(s) for s in samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "rms_milli", "zero_crossings", "peak",
+                ],
+            )
+
+    feats = media.mapInPandas(audio_kernel, schema=out_schema)
+    return feats.agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.expr("SUM(rms_milli) DIV COUNT(*)").alias("avg_rms_milli"),
+        F.sum("zero_crossings").alias("total_zero_crossings"),
+        F.max("peak").alias("max_peak"),
+    )

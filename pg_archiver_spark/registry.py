@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = [
     "composed_q16_supplier_part_cnt", "composed_q17_small_qty_revenue",
     "maintenance_snapshot_time_travel", "analytics_cusum_changepoint",
     "window_percent_rank", "agg_count_min_sketch", "dedup_containment",
+    "multimodal_image_resize", "multimodal_audio_features",
     # Everything not named here (the r4/r5-fresh greens) follows in
     # registration order via load_all_operators()'s fallback.
 ]
