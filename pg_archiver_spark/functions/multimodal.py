@@ -129,21 +129,33 @@ def decode_png(payload: bytes) -> dict:
         row_start = y * (stride + 1)
         ftype = raw[row_start]
         line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        for i in range(stride):
-            a = line[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
+        if ftype == 0:
+            pass  # None filter: stored bytes ARE the pixels
+        elif ftype == 2:
+            import numpy as np
+
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8)
+                    + np.frombuffer(bytes(prev), dtype=np.uint8)
+                ).tobytes()
+            )
+        else:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
         out += line
         prev = line
     mean_milli = (sum(out) * 1000) // len(out) if out else 0
@@ -372,21 +384,36 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         row_start = y * (stride + 1)
         ftype = raw[row_start]
         line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        for i in range(stride):
-            a = line[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
+        if ftype == 0:
+            pass  # None filter: stored bytes ARE the pixels
+        elif ftype == 2:
+            # Up filter depends only on the prior ROW — whole-line numpy add.
+            import numpy as np
+
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8)
+                    + np.frombuffer(bytes(prev), dtype=np.uint8)
+                ).tobytes()
+            )
+        else:
+            # Sub/Average/Paeth carry an in-row left dependency; the
+            # scan stays sequential (correctness over vectorization).
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
         out += line
         prev = line
     return width, height, channels, bytes(out)
@@ -427,26 +454,30 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def resize_kernel(batches):
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, ch, px = decode_png_pixels(bytes(payload))
                 tw = th = THUMB_SIZE
-                thumb = bytearray()
-                for ty in range(th):
-                    sy = min(h - 1, (ty * h) // th)
-                    for tx in range(tw):
-                        sx = min(w - 1, (tx * w) // tw)
-                        thumb.append(px[(sy * w + sx) * ch])  # gray: ch==1
-                reenc = encode_png(tw, th, bytes(thumb))
+                # Nearest-neighbor downsample as one numpy fancy-index
+                # (same sample grid as the scalar loop, no per-pixel
+                # Python): row/col source indices, then a 2-D gather.
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w * ch)
+                sy = np.minimum(h - 1, (np.arange(th) * h) // th)
+                sx = np.minimum(w - 1, (np.arange(tw) * w) // tw) * ch
+                thumb = arr[np.ix_(sy, sx)].tobytes()  # gray: ch==1
+                reenc = encode_png(tw, th, thumb)
                 w2, h2, _, px2 = decode_png_pixels(reenc)
-                if (w2, h2) != (tw, th) or bytes(px2) != bytes(thumb):
+                if (w2, h2) != (tw, th) or bytes(px2) != thumb:
                     raise RuntimeError(
                         f"thumbnail re-decode mismatch for doc {doc_id}"
                     )
-                om = (sum(px) * 1000) // len(px)
-                tm = (sum(px2) * 1000) // len(px2)
-                if not (min(px) * 1000 <= tm <= max(px) * 1000):
+                om = (int(arr.sum(dtype=np.int64)) * 1000) // arr.size
+                t2 = np.frombuffer(px2, dtype=np.uint8)
+                tm = (int(t2.sum(dtype=np.int64)) * 1000) // t2.size
+                if not (int(arr.min()) * 1000 <= tm <= int(arr.max()) * 1000):
                     raise RuntimeError(
                         f"thumb mean outside source range for doc {doc_id}"
                     )
@@ -482,7 +513,6 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-extract pass: partition-parallel decode, no shuffle until
     the tiny profile agg."""
     import math
-    import struct
     import wave
     import io
 
@@ -501,22 +531,23 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def audio_kernel(batches):
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     n = w.getnframes()
                     frames = w.readframes(n)
-                samples = struct.unpack(f"<{n}h", frames)
-                sq = sum(s * s for s in samples)
+                # int64 accumulators keep the arithmetic EXACT (matches
+                # the former pure-Python ints bit-for-bit).
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                sq = int((s * s).sum())
                 rms_milli = math.isqrt((sq * 1_000_000) // max(1, n))
-                zc = sum(
-                    1
-                    for i in range(1, n)
-                    if (samples[i - 1] < 0) != (samples[i] < 0)
-                )
+                neg = s < 0
+                zc = int((neg[:-1] != neg[1:]).sum())
                 rows.append(
-                    (doc_id, n, rms_milli, zc, max(abs(s) for s in samples))
+                    (doc_id, n, rms_milli, zc, int(np.abs(s).max()))
                 )
             yield pd.DataFrame(
                 rows,

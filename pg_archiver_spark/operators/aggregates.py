@@ -688,9 +688,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     own `org.apache.spark.util.sketch.CountMinSketch` reader
     (driver-side, one bounded object) and every event type's estimate
     is checked against the exact per-type counts from a second
-    aggregation; any estimate below truth or above the ε·N bound
-    raises RuntimeError. Output: per-type exact vs estimated counts +
-    the bound flags."""
+    aggregation. An estimate below truth breaks the DETERMINISTIC
+    one-sided guarantee and raises; the upper ε·N bound only holds
+    with confidence 1−δ=0.99, so it is REPORTED as a `bound_ok`
+    column rather than asserted (a spurious tail event on other
+    data/seeds must not crash the pipeline). Output: per-type exact
+    vs estimated counts + the bound flags."""
     events = load(spark, sf_dir, "events")
     row = events.agg(
         F.count_min_sketch(
@@ -712,12 +715,15 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for etype in sorted(exact):
         est = int(cms.estimateCount(etype))
         true = int(exact[etype])
-        if est < true or est > true + int(0.001 * n_total) + 1:
+        if est < true:
+            # One-sided guarantee is deterministic — never under-count.
             raise RuntimeError(
-                f"CMS bound violated for {etype}: est={est} true={true} "
-                f"n={n_total}"
+                f"CMS undercount for {etype}: est={est} true={true}"
             )
-        out.append((etype, true, est, est == true))
+        bound_ok = est <= true + int(0.001 * n_total) + 1
+        out.append((etype, true, est, est == true, bound_ok))
     return spark.createDataFrame(
-        out, "event_type string, exact_count long, estimated long, exact_match boolean"
+        out,
+        "event_type string, exact_count long, estimated long, "
+        "exact_match boolean, bound_ok boolean",
     )

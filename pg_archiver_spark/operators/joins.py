@@ -1488,32 +1488,30 @@ def composed_q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFram
     the part); the excluded set (complaint suppliers in the textbook)
     is negative-balance suppliers here.
 
-    The NOT IN compiles to a broadcast null-aware anti-join against
-    the (tiny, filtered) supplier projection BEFORE the distinct-count
-    aggregation, so excluded suppliers never enter the shuffle. The
-    part predicate prunes the broadcast build side. One fact shuffle
-    on the (brand, type, size) grouping with partial distinct
-    aggregation; top-50 is TakeOrderedAndProject with the full-column
-    tiebreak."""
-    li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45")
-        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
-    )
-    excluded = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(excluded),
-            li.l_suppkey == excluded.s_suppkey,
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
-        .limit(50)
+    The NOT IN goes through the SQL path on purpose so Catalyst plans
+    the REAL null-aware broadcast anti-join (BroadcastHashJoin ...
+    isNullAwareAntiJoin=true, `spark.sql.optimizeNullAwareAntiJoin`):
+    if the excluded set ever contained a NULL s_suppkey the whole
+    NOT IN collapses to empty — textbook three-valued semantics a
+    plain left_anti silently gets wrong. Excluded suppliers never
+    enter the shuffle. The part predicate prunes the broadcast build
+    side. One fact shuffle on the (brand, type, size) grouping with
+    partial distinct aggregation; top-50 is TakeOrderedAndProject
+    with the full-column tiebreak."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 50
+        """
     )

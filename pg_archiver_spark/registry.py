@@ -42,38 +42,21 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
-# every round (the list does not rotate by itself). Round-6 spend:
-# CORRECTNESS_r05 was 50/50 green, so after r4+r5 exactly 100 ops carry
-# post-fixture-regen driver evidence and 94 are stale (latest driver
-# check r≤3, i.e. BEFORE the events ns→µs / dates ms→µs regeneration).
-# This round's window takes the 94 stale ops oldest-driver-evidence
-# first (computed from CORRECTNESS_r01..r05 latest-round-per-op):
-#   slots 1-24  — the 24 ops whose only driver check is r1;
-#   slots 25-50 — the first 26 of the 43 r2-latest ops.
-# Slots 51+ hold the remaining 17 r2 ops and the 27 r3 ops (round 7's
-# window), then this round's new additions (round 7/8), then the
-# r4/r5-fresh greens. Re-pin again next round so the drain completes.
+# every round (the list does not rotate by itself). Round-7 spend:
+# CORRECTNESS_r06 was 50/50 green (24 r1-stale + 26 r2-stale retired),
+# so the remaining backlog is 44 stale ops (17 r2-latest + 27 r3-latest
+# — all pre-fixture-regen evidence) and 23 never-checked r6 additions.
+# This round's window (slots 1-50), per VERDICT r6 item #1:
+#   slots 1-17  — the 17 r2-latest ops;
+#   slots 18-44 — the 27 r3-latest ops;
+#   slots 45-50 — six sql-checked never-checked r6 ops (hash verdicts).
+# ROUND-8 PIN (write it now so the rotation survives a context reset):
+# slots 1-17 of r8 = the remaining never-checked tail in the order they
+# appear below after the slot-50 boundary (composed_q2_min_cost_supplier
+# ... multimodal_audio_features, minus the six promoted this round),
+# then any r7 additions, then the oldest fresh greens (r4-latest ops).
 _DRIVER_PRIORITY = [
-    # -- last driver evidence r1 (24 ops) -----------------------------
-    "select_literal", "agg_having", "agg_distinct_per_group",
-    "scan_parquet_full", "project_prune", "filter_in_list",
-    "filter_null_safe", "join_star_multiway", "join_left_outer",
-    "join_semi", "join_anti", "join_theta_range",
-    "agg_rollup", "agg_cube", "agg_approx_distinct",
-    "agg_percentile", "agg_approx_percentile", "agg_pivot",
-    "union_all_multi_table", "union_distinct", "intersect_keys",
-    "subquery_scalar", "subquery_exists_correlated", "subquery_not_in",
-    # -- last driver evidence r2 (43 ops) -----------------------------
-    "json_extract", "dedup_dropduplicates", "sample_deterministic",
-    "agg_time_bucket_rollup", "agg_group_pricing", "join_broadcast_dim",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk", "pipeline_training_prep", "multimodal_join",
-    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
-    "udtf_split", "sim_label_avg", "agg_grouping_sets",
-    "merge_upsert", "window_rank", "window_range_frame",
-    "window_ntile", "string_funcs", "string_levenshtein",
-    "string_regexp", "date_parts_format",
-    # ---- slot-50 boundary: names below land in round 7's window -----
+    # -- last driver evidence r2 (17 ops) -----------------------------
     "date_arith_retention",
     "math_funcs", "case_when", "array_funcs",
     "array_higher_order", "struct_nested", "map_funcs",
@@ -91,19 +74,21 @@ _DRIVER_PRIORITY = [
     "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
     "multimodal_binary_features", "sim_ann_lsh", "sim_ann_ivf",
     "sim_ann_ivf_partitioned", "sim_cosine_topk_arrow", "text_tfidf",
-    # -- round-6 additions (no driver evidence yet; round 7/8 window) -
-    "composed_q2_min_cost_supplier", "composed_q21_waiting_orders",
-    "composed_q15_top_supplier", "composed_q20_part_surplus",
-    "composed_q22_global_sales", "stream_cdc_changelog",
-    "sink_avro_roundtrip", "sink_s3_object_store",
-    "pipeline_incremental_neardup", "sim_vector_pq_encode",
+    # -- never-checked r6 ops promoted into r7's window (sql-checked,
+    #    so each yields a hash verdict rather than rows-only) ---------
+    "dedup_containment", "pipeline_incremental_neardup",
+    "sim_vector_pq_encode", "composed_q21_waiting_orders",
+    "maintenance_snapshot_time_travel", "window_percent_rank",
+    # ---- slot-50 boundary: names below land in round 8's window -----
+    "composed_q2_min_cost_supplier", "composed_q15_top_supplier",
+    "composed_q20_part_surplus", "composed_q22_global_sales",
+    "stream_cdc_changelog", "sink_avro_roundtrip", "sink_s3_object_store",
     "composed_q8_market_share", "composed_q9_product_profit",
     "composed_q11_important_stock", "composed_q13_order_distribution",
     "composed_q16_supplier_part_cnt", "composed_q17_small_qty_revenue",
-    "maintenance_snapshot_time_travel", "analytics_cusum_changepoint",
-    "window_percent_rank", "agg_count_min_sketch", "dedup_containment",
+    "analytics_cusum_changepoint", "agg_count_min_sketch",
     "multimodal_image_resize", "multimodal_audio_features",
-    # Everything not named here (the r4/r5-fresh greens) follows in
+    # Everything not named here (the r4/r5/r6-fresh greens) follows in
     # registration order via load_all_operators()'s fallback.
 ]
 

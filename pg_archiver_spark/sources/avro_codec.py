@@ -139,6 +139,10 @@ def read_container(data: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         count = _zigzag_decode(buf)
         if count == 0:
             break
+        if count < 0:
+            # Avro spec: a negative block count is followed by a long
+            # byte-size for the block; consume it before the entries.
+            _zigzag_decode(buf)
         for _ in range(abs(count)):
             klen = _zigzag_decode(buf)
             key = buf.read(klen).decode("utf-8")

@@ -124,3 +124,47 @@ def test_binary_features_decodes_real_media(spark, sf_dir):
     assert 8 <= png.min_width <= 16
     assert wav.max_duration_ms > 0
     assert png.n_media > 0 and wav.n_media > 0
+
+
+def test_png_pixels_defilter_all_types_exact():
+    # decode_png_pixels must return the EXACT raster for every filter
+    # type — this pins the numpy Up-filter fast path against the
+    # sequential scalar path (both live in the same de-filter loop).
+    from pg_archiver_spark.functions.multimodal import decode_png_pixels
+
+    width, height = 6, 5
+    pixels = bytes((i * 53 + 7) % 256 for i in range(width * height))
+    payload = _png_with_filters(width, height, pixels, [0, 1, 2, 3, 4])
+    w, h, ch, out = decode_png_pixels(payload)
+    assert (w, h, ch) == (width, height, 1)
+    assert out == pixels
+
+
+def test_image_resize_op_pins_thumb_dims_and_mean_range(spark, sf_dir):
+    from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    row = QUERIES["multimodal_image_resize"](spark, sf_dir).collect()[0]
+    assert row.n_images > 0
+    assert (row.thumb_w, row.thumb_h) == (8, 8)
+    # milli-scaled 8-bit means live in [0, 255000]; the thumbnail mean
+    # tracks the original within the nearest-neighbor value envelope
+    # (per-image range checks run INSIDE the kernel and raise on
+    # violation, so reaching here proves them for every image).
+    assert 0 <= row.avg_orig_mean <= 255_000
+    assert 0 <= row.avg_thumb_mean <= 255_000
+
+
+def test_audio_features_op_bounds(spark, sf_dir):
+    from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    row = QUERIES["multimodal_audio_features"](spark, sf_dir).collect()[0]
+    assert row.n_clips > 0
+    assert row.total_samples >= row.n_clips  # every clip non-empty
+    # 16-bit PCM bounds: peak <= 32767, RMS (milli) <= peak * 1000.
+    assert 0 < row.max_peak <= 32_767
+    assert 0 < row.avg_rms_milli <= row.max_peak * 1000
+    # synth samples are (b-128)*256 over mostly-ASCII text (b<128), so
+    # nearly every sample is negative: crossings are rare or zero.
+    assert row.total_zero_crossings >= 0
