@@ -54,6 +54,26 @@ HEADLINE = [
     "stream_state_timeout_sessions",
 ]
 
+# The headline set is VERSIONED (r6 verdict task 4): bump this when the
+# list above changes so cross-round totals are never compared across
+# different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
+# stable cross-round series.
+HEADLINE_SET_VERSION = 3  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6+ (+1)
+
+# Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
+# first 15 queries — the driver's 2x envelope is against these; the
+# emitted vs_r1 ratio table makes per-query compliance machine-readable.
+R1_BASELINE = {
+    "orderby_limit_topk": 0.186, "agg_group_pricing": 0.875,
+    "join_broadcast_dim": 0.908, "join_inner_equi": 0.452,
+    "join_asof": 0.363, "window_topk_per_group": 0.317,
+    "window_running_sum": 0.852, "scan_filter_prune": 0.25,
+    "text_wordcount": 0.246, "dedup_ngram_jaccard": 1.694,
+    "minhash_neardup": 2.209, "sim_cosine_topk": 0.349,
+    "stream_session": 0.579, "udaf_pandas_grouped": 0.655,
+    "pipeline_training_prep": 1.841,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,13 +120,20 @@ def main() -> None:
     # Like-for-like subtotal over the 15 queries benched since round 1,
     # so cross-round comparisons aren't skewed by headline-set growth.
     r1_subset = round(sum(times[q] for q in HEADLINE[:15]), 3)
+    vs_r1 = {
+        q: round(times[q] / base, 2)
+        for q, base in R1_BASELINE.items()
+        if q in times
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "headline_set_version": HEADLINE_SET_VERSION,
                 "value_r1_subset": r1_subset,
+                "vs_r1": vs_r1,
                 "queries": times,
                 "stats": stats,
                 "sf": float(sf),

@@ -96,3 +96,104 @@ def test_count_min_sketch_reports_bound_ok(spark, sf_dir):
     # not an assertion that could crash on other data/seeds.
     assert all(r.bound_ok for r in rows)
     assert all(r.estimated >= r.exact_count for r in rows)
+
+
+# -- JDBC dialect conformance (r6 verdict task 6) ----------------------
+#
+# source_jdbc runs live against embedded Derby; these assertions pin
+# what Spark's OWN dialect layer would emit for Postgres vs Derby so
+# the Derby stand-in can't silently mask Postgres dialect drift. All
+# checks go through org.apache.spark.sql.jdbc.JdbcDialects — the exact
+# code path the JDBC source uses to render pushdown SQL.
+
+
+@pytest.fixture(scope="module")
+def dialects(spark):
+    jvm = spark._jvm
+    return {
+        "postgres": jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+            "jdbc:postgresql://host/db"
+        ),
+        "derby": jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+            "jdbc:derby:memory:conformance"
+        ),
+    }
+
+
+def test_dialect_resolution_by_url(dialects):
+    assert (
+        dialects["postgres"].getClass().getName()
+        == "org.apache.spark.sql.jdbc.PostgresDialect"
+    )
+    assert (
+        dialects["derby"].getClass().getName()
+        == "org.apache.spark.sql.jdbc.DerbyDialect"
+    )
+
+
+@pytest.mark.parametrize("name", ["postgres", "derby"])
+def test_dialect_quotes_identifiers_double(dialects, name):
+    # Both dialects double-quote (SQL standard) — the reason
+    # read_table's MIN/MAX probe writes "<col>" works on both engines
+    # (jdbc.py:49-53). A dialect drift here would break the probe.
+    d = dialects[name]
+    assert d.quoteIdentifier("batch_id") == '"batch_id"'
+    # embedded quotes must be escaped by doubling
+    assert d.quoteIdentifier('we"ird') == '"we""ird"'
+
+
+@pytest.mark.parametrize("name", ["postgres", "derby"])
+def test_dialect_escapes_string_literals(dialects, name):
+    assert dialects[name].compileValue("O'Brien") == "'O''Brien'"
+
+
+@pytest.mark.parametrize("name", ["postgres", "derby"])
+def test_dialect_timestamp_and_date_literals(dialects, name, spark):
+    jvm = spark._jvm
+    ts = jvm.java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123")
+    assert dialects[name].compileValue(ts) == "'2024-01-02 03:04:05.123'"
+    d = jvm.java.sql.Date.valueOf("2024-01-02")
+    assert dialects[name].compileValue(d) == "'2024-01-02'"
+
+
+def test_dialect_limit_emulation_diverges(dialects):
+    # THE divergence the Derby stand-in masks: Postgres pushes
+    # `LIMIT n` into the remote query; Derby's dialect emits NO limit
+    # clause, so Spark applies the limit locally after the scan. Both
+    # are correct; only Postgres saves remote IO. Pin both behaviors
+    # so an upgrade that changes either is caught.
+    assert dialects["postgres"].getLimitClause(100) == "LIMIT 100"
+    assert dialects["derby"].getLimitClause(100) == ""
+
+
+# -- cloud committer evidence (r6 verdict task 5) ----------------------
+
+
+def test_magic_committer_classes_truly_absent(spark):
+    # Pin the negative result: the S3A magic-committer path is
+    # impossible on this classpath — these exact classes fail to load.
+    # If a future environment ships them, this test failing is the
+    # signal to wire s3a_committer_confs() up against moto for real.
+    jvm = spark._jvm
+    for cls in [
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    ]:
+        with pytest.raises(Exception):
+            jvm.java.lang.Class.forName(cls)
+
+
+def test_manifest_committer_commits_live(spark, sf_dir):
+    from pg_archiver_spark.catalog import load as _load
+
+    row = QUERIES["sink_manifest_committer"](spark, sf_dir).collect()[0]
+    assert row.committer == "ManifestCommitter"
+    assert row.success is True
+    assert row.n_job_commits == 1
+    assert row.n_task_commits >= 1  # one per write task
+    assert row.n_rows == _load(spark, sf_dir, "events").count()
+    # and the factory conf was unset afterwards (no leakage into other
+    # writes in the same session)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("mapreduce.outputcommitter.factory.scheme.file") is None
