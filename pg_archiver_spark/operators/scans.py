@@ -647,6 +647,137 @@ def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "maintenance_materialized_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, day
+    """,
+)
+def maintenance_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared materialized rollup with STALENESS BOUNDS — the
+    lakehouse sibling of `maintenance_snapshot_time_travel`, and the
+    generalization of `maintenance_incremental_agg` from a one-shot
+    partial merge to a maintained STORED view (reference README.md:127
+    monitoring rollups, kept continuously at archive scale).
+
+    The rollup (per event_type × day: COUNT + exact DECIMAL SUM) is a
+    real parquet state table that carries its own refresh watermark
+    (max covered ts_ns as a `p_wm` column — no side metadata to lose).
+    The source arrives as three time-ordered batches (tertile cutoffs
+    on ts_ns, exact integer arithmetic); each refresh
+      1. measures STALENESS = newest source ts beyond the stored
+         watermark — must be > 0 before a refresh (there is new data)
+         and exactly 0 after it (the view is fresh through its
+         watermark) — both bounds are asserted, not assumed;
+      2. aggregates ONLY the delta `(wm, cutoff]` — partials merge
+         because COUNT/SUM are commutative monoids, and the ≤wm / >wm
+         boundary split is exact even with duplicate timestamps;
+      3. writes the next state version (v0→v1→v2), leaving prior
+         versions readable (time travel across refreshes).
+    After the final refresh the op PROVES incremental == full
+    recompute with an exact full-outer-join diff (raises on any
+    mismatch), then returns the rollup — which the DuckDB oracle
+    recomputes from scratch. At 100 TB only the delta ever touches
+    raw data; state size is bounded by the group count, not history."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "mat_rollup"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "ts", "ts_ns", "event_type", "value"
+    )
+    lo, hi = events.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cutoffs = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count("*").alias("p_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
+            F.max("ts_ns").alias("p_wm"),
+        )
+
+    def state_path(version: int) -> str:
+        return os.path.join(base, f"state_v{version}")
+
+    # v0: initial full refresh over the first batch only.
+    partial(events.filter(F.col("ts_ns") <= cutoffs[0])).write.mode(
+        "overwrite"
+    ).parquet(state_path(0))
+
+    def refresh(version: int, cutoff: int) -> None:
+        state = spark.read.parquet(state_path(version))
+        wm = state.agg(F.max("p_wm")).first()[0]
+        visible = events.filter(F.col("ts_ns") <= cutoff)
+        newest = visible.agg(F.max("ts_ns")).first()[0]
+        if not newest > wm:  # staleness bound: refresh only when stale
+            raise RuntimeError(
+                f"no staleness before refresh v{version + 1}: "
+                f"newest={newest} wm={wm}"
+            )
+        delta = partial(
+            events.filter((F.col("ts_ns") > wm) & (F.col("ts_ns") <= cutoff))
+        )
+        merged = (
+            state.unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("p_n").alias("p_n"),
+                F.sum("p_sum").alias("p_sum"),
+                F.max("p_wm").alias("p_wm"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(state_path(version + 1))
+        new_wm = (
+            spark.read.parquet(state_path(version + 1))
+            .agg(F.max("p_wm"))
+            .first()[0]
+        )
+        if new_wm != newest:  # freshness bound: staleness == 0 after
+            raise RuntimeError(
+                f"stale after refresh v{version + 1}: wm={new_wm} "
+                f"newest={newest}"
+            )
+
+    refresh(0, cutoffs[1])
+    refresh(1, cutoffs[2])
+
+    final = spark.read.parquet(state_path(2))
+    full = partial(events)
+    mismatches = (
+        final.select("event_type", "day", "p_n", "p_sum")
+        .withColumnsRenamed({"p_n": "i_n", "p_sum": "i_sum"})
+        .join(
+            full.select("event_type", "day", "p_n", "p_sum"),
+            ["event_type", "day"],
+            "full",
+        )
+        .filter(
+            F.col("i_n").isNull()
+            | F.col("p_n").isNull()
+            | (F.col("i_n") != F.col("p_n"))
+            | (F.col("i_sum") != F.col("p_sum"))
+        )
+        .count()
+    )
+    if mismatches:
+        raise RuntimeError(
+            f"incremental rollup diverged from full recompute on "
+            f"{mismatches} group(s)"
+        )
+    return final.select(
+        "event_type",
+        "day",
+        F.col("p_n").alias("n_events"),
+        F.col("p_sum").cast("double").alias("sum_value"),
+    )
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
