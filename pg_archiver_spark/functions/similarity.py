@@ -779,3 +779,145 @@ def sim_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"code{s}".format(s=s))
         )
     return emb.select(*cols).orderBy("vec_id")
+
+
+PQ_TOPK = 10
+
+
+def _pq_subdist_sql(s: int, left: str, right: str) -> str:
+    """Left-to-right 8-term squared-distance sum for subspace `s`
+    between two DuckDB list columns — the exact IEEE op order the
+    Spark side uses, so distances are bit-identical (the
+    sim_vector_pq_encode precedent)."""
+    terms = [
+        f"({left}[{i}]::DOUBLE - {right}[{i}]::DOUBLE)"
+        f" * ({left}[{i}]::DOUBLE - {right}[{i}]::DOUBLE)"
+        for i in range(s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM + 1)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_search_oracle() -> str:
+    """Generate the full self-contained ADC-search oracle: codebook →
+    per-vector codes (same argmin CTE chain as the encode oracle) →
+    query LUT → 8 LUT joins → top-k."""
+    dcols = ",\n               ".join(
+        f"{_pq_subdist_sql(s, 'e.embedding', 'c.c')} AS d{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    mcols = ",\n               ".join(
+        f"MIN(d{s}) OVER (PARTITION BY vec_id) AS m{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    ccols = ",\n           ".join(
+        f"MIN(CASE WHEN d{s} = m{s} THEN j END) AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    lcols = ",\n               ".join(
+        f"{_pq_subdist_sql(s, 'q.qe', 'c.c')} AS ld{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    joins = "\n        ".join(
+        f"JOIN lut l{s} ON l{s}.j = codes.code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"l{s}.ld{s}" for s in range(PQ_SUBSPACES))
+    return f"""
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+               embedding AS c
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_CENTROIDS})
+    ),
+    q AS (
+        SELECT embedding AS qe
+        FROM embeddings ORDER BY vec_id DESC LIMIT 1
+    ),
+    d AS (
+        SELECT e.vec_id, c.j,
+               {dcols}
+        FROM embeddings e, cb c
+    ),
+    m AS (
+        SELECT *, {mcols}
+        FROM d
+    ),
+    codes AS (
+        SELECT vec_id,
+           {ccols}
+        FROM m GROUP BY vec_id
+    ),
+    lut AS (
+        SELECT c.j,
+               {lcols}
+        FROM cb c, q
+    ),
+    adc AS (
+        SELECT codes.vec_id, {adc} AS dist
+        FROM codes
+        {joins}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM adc
+    ORDER BY dist, vec_id
+    LIMIT {PQ_TOPK}
+    """
+
+
+@register("sim_vector_pq_search", oracle=_pq_search_oracle())
+def sim_vector_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    SEARCH half of the IVF-PQ serving stack whose encode half is
+    `sim_vector_pq_encode`: the query stays a full-precision vector, the
+    corpus stays 8 nibble codes, and each candidate's approximate
+    distance is 8 table lookups instead of 64 float ops.
+
+    The per-query LUT (subspace × centroid squared distances, 8×16
+    doubles) is computed driver-side from the collected codebook and
+    inlined as literal arrays; `element_at(lut_s, code_s + 1)` then
+    resolves each code JVM-side, so the scan does ZERO vector math per
+    row — the plan is one pass over the codes, a TakeOrdered top-k,
+    and no shuffle before it. At 100 TB this is exactly why PQ exists:
+    the 256-byte embedding column never leaves disk for serving; only
+    the 8-byte code row does (×32 less scan IO), and a real deployment
+    additionally prunes by IVF list (`sim_ann_ivf`'s contract).
+
+    Every arithmetic step (Python LUT build, Spark literal sums,
+    DuckDB oracle) runs the identical left-to-right IEEE op order, so
+    ADC distances are bit-identical and the (dist, vec_id) top-k
+    order matches exactly. Output is integer-only (rank, vec_id)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb_rows = emb.orderBy("vec_id").limit(PQ_CENTROIDS).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cb_rows]
+    qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+
+    def lut_entry(s: int, j: int) -> float:
+        acc = 0.0
+        for k in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+            t = q[k] - cents[j][k]
+            acc = acc + t * t
+        return acc
+
+    enc = sim_vector_pq_encode(spark, sf_dir)
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        lut = F.array(
+            *[F.lit(lut_entry(s, j)) for j in range(PQ_CENTROIDS)]
+        )
+        term = F.element_at(lut, (F.col(f"code{s}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    topk = (
+        enc.select("vec_id", adc.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
+    from pyspark.sql import Window as _W
+
+    return topk.select(
+        F.row_number()
+        .over(_W.orderBy("dist", "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+    )

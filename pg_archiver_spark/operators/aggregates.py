@@ -107,6 +107,51 @@ def agg_group_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, Spark 4.0 / ZetaSQL-style) — the linear
+    query form the reference's users get for free when they switch:
+    each stage reads top-to-bottom (FROM → WHERE → AGGREGATE → SELECT
+    → ORDER BY) instead of inside-out. The pipe form is pure SYNTAX:
+    Catalyst compiles it to exactly the plan of the equivalent nested
+    SQL (same scan-bound Q1 aggregate as `agg_group_pricing` — 6
+    groups, partial agg map-side, pushdown intact), which the oracle
+    verifies by recomputing with classic SQL in DuckDB."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_disc_price,
+                  count_order
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
     "agg_having",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events

@@ -1230,3 +1230,80 @@ def analytics_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HH_K = 10
+HH_COUNTERS = 2047
+
+
+@register(
+    "analytics_heavy_hitters_twopass",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY cnt DESC, user_id
+    LIMIT {HH_K}
+    """,
+)
+def analytics_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k heavy hitters in two bounded passes — the pattern
+    for key spaces too large to hold exact counts per key (at 100 TB,
+    billions of users would blow up a naive global groupBy's state):
+
+    Pass 1 — per-batch **Misra-Gries** summaries (mapInPandas, at most
+    HH_COUNTERS counters each, Arrow-batched): within a batch every
+    count is decremented by the (m+1)-th largest, so a kept count is a
+    LOWER bound and the total underestimate across batches is at most
+    N/(m+1). Any key with true frequency > N/(m+1) therefore survives
+    with a positive merged lower bound — the candidate set provably
+    contains every true heavy hitter. Candidate cardinality is bounded
+    by the counter budget, never by the key space.
+
+    Pass 2 — exact recount of candidates only: broadcast semi-join
+    (candidates are tiny) then an ordinary partial-agg groupBy, top-k
+    with a deterministic (count DESC, user_id) tiebreak.
+
+    The op then VERIFIES the sketch guarantee instead of trusting it:
+    if the k-th exact candidate count were ≤ N/(m+1), an uncandidated
+    key could in principle outrank it — that's a RuntimeError (resize
+    HH_COUNTERS), not a silently-approximate answer. The oracle
+    recomputes the top-k exactly from raw events."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events").select("user_id")
+    n_total = events.count()
+
+    def mg_kernel(batches):
+        for pdf in batches:
+            c = pdf["user_id"].value_counts()
+            if len(c) > HH_COUNTERS:
+                d = int(c.iloc[HH_COUNTERS])
+                c = (c - d).iloc[:HH_COUNTERS]
+                c = c[c > 0]
+            yield pd.DataFrame(
+                {"user_id": c.index.astype("int64"), "lower": c.values}
+            )
+
+    candidates = (
+        events.mapInPandas(mg_kernel, "user_id long, lower long")
+        .groupBy("user_id")
+        .agg(F.sum("lower").alias("lower"))
+        .filter(F.col("lower") > 0)
+        .select("user_id")
+    )
+    exact_topk = (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(HH_K)
+    )
+    kth = exact_topk.agg(F.min("cnt")).first()[0]
+    if kth is None or kth <= n_total // (HH_COUNTERS + 1):
+        raise RuntimeError(
+            f"heavy-hitter guarantee void: kth count {kth} within the "
+            f"MG error bound N/(m+1)={n_total // (HH_COUNTERS + 1)} — "
+            "increase HH_COUNTERS"
+        )
+    return exact_topk

@@ -633,3 +633,54 @@ def composed_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("avg_yearly")
         )
     )
+
+
+@register(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1997-01-01'
+        UNION ALL
+        SELECT d + 1 FROM spine WHERE d < DATE '1997-03-31'
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS revenue
+    FROM spine s
+    LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.d
+    GROUP BY s.d
+    ORDER BY day
+    """,
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.0/4.1) generating
+    a 90-day calendar spine, then a gap-filled daily revenue report —
+    days with zero orders appear as explicit zero rows. The recursion
+    is the SQL-standard mechanism a reference user would reach for;
+    `analytics_zero_filled_report` is the DataFrame sibling built on
+    `sequence()`+`explode`. Spark's recursion currently accepts only
+    UNION ALL (no UNION-dedup within the recursive term — which also
+    rules out cyclic-graph closure; for transitive near-dup clusters
+    the scale path remains `dedup_cluster_cc`'s bounded label
+    propagation). The spine is one row per level, 90 levels, under
+    the default 100-level recursion limit; at 100 TB the spine side
+    is negligible and broadcast, the orders side one pruned scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '1997-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine WHERE d < DATE '1997-03-31'
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               COALESCE(COUNT(o.o_orderkey), 0) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                    AS DOUBLE) AS revenue
+        FROM spine s
+        LEFT JOIN rs_orders o ON CAST(o.o_orderdate AS DATE) = s.d
+        GROUP BY s.d
+        ORDER BY day
+        """
+    )
