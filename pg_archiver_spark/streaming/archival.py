@@ -175,6 +175,14 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The state store holds one row per user (bounded by key cardinality);
     each micro-batch touches only the keys it contains.
+
+    On the v2 API: Spark 4's `transformWithStateInPandas` (typed named
+    state + timers + TTL) is the designated successor, but its Python
+    state protocol requires `google.protobuf`, which this sandbox does
+    not ship — a live attempt crashes the TWS driver worker with
+    `ImportError: cannot import name 'descriptor' from
+    'google.protobuf'` (pinned in tests/test_round7.py), so v1 remains
+    the exercised arbitrary-state surface here.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1096,3 +1104,4 @@ def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         conn.close()
+

@@ -235,3 +235,14 @@ def test_materialized_rollup_states_version_and_watermarks_advance(
     expect = {(r.event_type, r.day): r.n_events for r in full}
     got = {(r.event_type, r.day): r.n_events for r in rows}
     assert got == expect
+
+
+def test_transform_with_state_v2_blocked_by_missing_protobuf():
+    # Spark 4's transformWithStateInPandas (state API v2) needs
+    # google.protobuf for its state-server protocol; the sandbox ships
+    # no protobuf, so the v2 API is unreachable (a live run crashes the
+    # TWS driver worker with this exact ImportError). If this test ever
+    # fails, protobuf arrived — port stream_state_timeout_sessions'
+    # workload to the v2 API and register it.
+    with pytest.raises(ImportError):
+        import google.protobuf  # noqa: F401
