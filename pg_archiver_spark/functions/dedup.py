@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -596,4 +597,218 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 3).alias("containment"),
         )
         .orderBy("contained_doc", "container_doc")
+    )
+
+
+# C4-style segment dedup: non-overlapping 8-token segments; the first
+# occurrence (lowest doc_id, then lowest seg_idx) of each distinct
+# segment is kept, every later occurrence is removed. 8 tokens sits
+# inside the fixture's 10..99-token doc range so even the shortest doc
+# yields a segment. (C4 §2.2 removes duplicate three-sentence spans
+# corpus-wide keeping one occurrence — same semantics, token-windowed
+# because the fixture text has no sentence boundaries.)
+SEG_TOKENS = 8
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, seg_idx,
+               md5(array_to_string(
+                   toks[seg_idx*{SEG_TOKENS}+1 : seg_idx*{SEG_TOKENS}+{SEG_TOKENS}],
+                   ' ')) AS seg_md5
+        FROM d,
+             UNNEST(range(CAST(ceil(len(toks)/{SEG_TOKENS}.0) AS BIGINT)))
+                 AS t(seg_idx)
+    ),
+    ranked AS (
+        SELECT doc_id, seg_md5,
+               ROW_NUMBER() OVER (PARTITION BY seg_md5
+                                  ORDER BY doc_id, seg_idx) AS occ
+        FROM s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph/segment-level dedup (the C4 recipe): split
+    every document into non-overlapping SEG_TOKENS-token segments, keep
+    the FIRST occurrence (lowest doc_id, then seg_idx) of each distinct
+    segment, drop the rest, and report the per-document kept/removed
+    ledger a curation pipeline applies before training.
+
+    Plan: narrow sequence→explode segmentation (zero shuffles), ONE
+    shuffle on the segment fingerprint for the first-occurrence window,
+    one groupBy doc_id for the ledger. The window partitions by a
+    128-bit content hash — near-uniform keys, no skew beyond true
+    boilerplate segments, which is precisely the data a dedup pass
+    exists to find. At 100 TB both shuffles carry fixed-width hashes +
+    two ints per segment, never the text. The md5 fingerprint (not the
+    raw segment string) is the join/window key on BOTH engines, so the
+    oracle proves content-keyed equality the way the production path
+    would run it.
+    """
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n") - 1) / SEG_TOKENS).cast("bigint"))
+        ).alias("seg_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "toks",
+                    (F.col("seg_idx") * SEG_TOKENS + 1).cast("int"),
+                    SEG_TOKENS,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("seg_md5"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("seg_md5").orderBy("doc_id", "seg_idx")
+    )
+    ranked = segs.select("doc_id", occ.alias("occ"))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+# SemDeDup anchors: the first K_SEM embeddings act as fixed cluster
+# centroids (expressed via self-join on vec_id < K_SEM in BOTH engines,
+# so no floating-point literals cross the code/oracle boundary).
+K_SEM = 4
+SEM_COS_THRESHOLD = 0.42
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, embedding AS a_emb
+        FROM embeddings WHERE vec_id < {K_SEM}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, a.a_id,
+               CAST(list_cosine_similarity(e.embedding, a.a_emb) AS DOUBLE)
+                   AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY CAST(list_cosine_similarity(e.embedding, a.a_emb)
+                                 AS DOUBLE) DESC, a.a_id) AS rk
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, a_id AS cluster_id
+        FROM scored WHERE rk = 1
+    ),
+    dup_pairs AS (
+        SELECT x.cluster_id, x.vec_id AS keep_id, y.vec_id AS dup_id
+        FROM assigned x JOIN assigned y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        WHERE CAST(list_cosine_similarity(x.embedding, y.embedding)
+                   AS DOUBLE) >= {SEM_COS_THRESHOLD}
+    )
+    SELECT a.cluster_id,
+           COUNT(DISTINCT a.vec_id) AS n_members,
+           COUNT(DISTINCT d.dup_id) AS n_removed
+    FROM assigned a
+    LEFT JOIN dup_pairs d ON a.cluster_id = d.cluster_id
+    GROUP BY a.cluster_id
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): assign every
+    embedding to its nearest anchor centroid, then find near-duplicate
+    pairs ONLY within each cluster (cosine ≥ threshold) and remove the
+    higher-id member of each pair. Reports the per-cluster member and
+    removal ledger.
+
+    The whole point of the cluster stage is confining the quadratic
+    pair search: candidates are within-cluster only, via an EQUI-join
+    on cluster_id — never a corpus×corpus cross product. At 100 TB the
+    centroid count K scales as N/target_cluster_size (SemDeDup used
+    50k clusters for LAION), so per-cluster pair work stays bounded
+    while assignment is one broadcast-K pass over the corpus. Here K=4
+    fixed anchors (the first four embeddings, self-join — no float
+    literals to drift between engines) keep the oracle exact.
+
+    Ties: assignment breaks cosine ties toward the lower anchor id; the
+    fixture's anchor-cosine gaps are far above cross-engine float noise
+    (same reasoning as dedup_embedding_cosine's 0.42 threshold, driver
+    hash-pass r6).
+    """
+    from pg_archiver_spark.functions.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.filter(F.col("vec_id") < K_SEM).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(anchors)).select(
+        "vec_id",
+        "embedding",
+        "a_id",
+        cosine_expr(F.col("embedding"), F.col("a_emb")).alias("cos"),
+    )
+    assigned = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos"), "a_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("a_id").alias("cluster_id"))
+    )
+    x = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    y = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    dup_pairs = (
+        x.join(y, "cluster_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            cosine_expr(F.col("ea"), F.col("eb")) >= SEM_COS_THRESHOLD
+        )
+        .select("cluster_id", F.col("vb").alias("dup_id"))
+    )
+    return (
+        assigned.join(dup_pairs, "cluster_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.countDistinct("vec_id").alias("n_members"),
+            F.countDistinct("dup_id").alias("n_removed"),
+        )
     )

@@ -921,3 +921,145 @@ def sim_vector_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         "vec_id",
     )
+
+
+# Scalar quantization: per-dimension [min,max] → 255 levels stored as
+# int8 (code − 127 ∈ [−127,127]). 4 B float32 → 1 B: the standard 4×
+# index-memory compression step before PQ (which is 8×–32×; see
+# sim_vector_pq_encode). All arithmetic is double-exact on both
+# engines (min/max are order-independent aggregates, the affine map +
+# floor has no summation), so the CODES are bit-reproducible and the
+# oracle checks them exactly — only the final approx-cosine is rounded.
+SQ_LEVELS = 255
+SQ_DIM = 64
+SQ_TOPK = 10
+
+
+@register(
+    "sim_scalar_quantize_int8",
+    oracle=f"""
+    WITH dims AS (SELECT CAST(i AS BIGINT) + 1 AS i FROM range({SQ_DIM}) t(i)),
+    stats AS (
+        SELECT i,
+               MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, dims GROUP BY i
+    ),
+    bounds AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM stats
+    ),
+    coded AS (
+        SELECT e.vec_id,
+               list_transform(range(1, {SQ_DIM} + 1), i ->
+                   CASE WHEN mxs[i] = mns[i] THEN 0
+                        ELSE CAST(least({SQ_LEVELS} - 1.0,
+                             floor((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                                   * {SQ_LEVELS}.0 / (mxs[i] - mns[i])))
+                             AS BIGINT)
+                   END) AS codes,
+               list_transform(range(1, {SQ_DIM} + 1), i ->
+                   CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                        ELSE mns[i]
+                             + (CAST(least({SQ_LEVELS} - 1.0,
+                                 floor((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                                       * {SQ_LEVELS}.0 / (mxs[i] - mns[i])))
+                                AS DOUBLE) + 0.5)
+                               * (mxs[i] - mns[i]) / {SQ_LEVELS}.0
+                   END) AS decoded
+        FROM embeddings e CROSS JOIN bounds
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(list_aggregate(
+               list_transform(c.codes, x -> abs(x - 127)), 'sum')
+               AS BIGINT) AS code_l1,
+           ROUND(CAST(list_cosine_similarity(c.decoded, q.q_emb) AS DOUBLE),
+                 4) AS approx_cos
+    FROM coded c CROSS JOIN q
+    WHERE c.vec_id <> 0
+    ORDER BY approx_cos DESC, c.vec_id
+    LIMIT {SQ_TOPK}
+    """,
+)
+def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + asymmetric top-k search — the 4×
+    memory-compression tier of a vector index (between raw float32 and
+    PQ). Two passes:
+
+      1. corpus → per-dimension [min,max]: ONE partial aggregate with
+         2·dim mergeable min/max accumulators (O(dim) state, map-side
+         combined — never an explode of dim×N rows);
+      2. the 1-row bounds frame broadcasts back; encode is a narrow
+         map (affine scale + floor per dimension), and the asymmetric
+         search scores the RAW query against DECODED corpus codes
+         (reconstruction = bin midpoint), top-k via
+         TakeOrderedAndProject.
+
+    At 100 TB the codes (1 B/dim) are what a serving index persists —
+    the scan reads 1/4 the bytes of the float32 corpus; this operator
+    materializes the codes and proves, via the oracle, that both the
+    quantization grid and the ADC scores agree bit-for-bit (codes) and
+    to 4 decimals (scores). Constant dimensions quantize to code 0 and
+    decode to their constant (guarded identically on both engines).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    mins = [
+        F.min(F.element_at("embedding", i + 1).cast("double"))
+        for i in range(SQ_DIM)
+    ]
+    maxs = [
+        F.max(F.element_at("embedding", i + 1).cast("double"))
+        for i in range(SQ_DIM)
+    ]
+    bounds = emb.agg(
+        F.array(*mins).alias("mns"), F.array(*maxs).alias("mxs")
+    )
+
+    def _code(i):
+        # i is the 1-based dimension index column.
+        x = F.element_at("embedding", i.cast("int")).cast("double")
+        mn = F.element_at("mns", i.cast("int"))
+        mx = F.element_at("mxs", i.cast("int"))
+        return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(float(SQ_LEVELS - 1)),
+                F.floor((x - mn) * SQ_LEVELS / (mx - mn)),
+            ).cast("bigint")
+        )
+
+    def _decode(i):
+        mn = F.element_at("mns", i.cast("int"))
+        mx = F.element_at("mxs", i.cast("int"))
+        return F.when(mx == mn, mn).otherwise(
+            mn + (_code(i).cast("double") + 0.5) * (mx - mn) / SQ_LEVELS
+        )
+
+    idx = F.sequence(F.lit(1), F.lit(SQ_DIM))
+    coded = emb.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        F.transform(idx, _code).alias("codes"),
+        F.transform(idx, _decode).alias("decoded"),
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform(
+                    "codes", lambda c: F.abs(c - F.lit(127))
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("code_l1"),
+            F.round(
+                cosine_expr(F.col("decoded"), F.col("q_emb")), 4
+            ).alias("approx_cos"),
+        )
+        .orderBy(F.desc("approx_cos"), "vec_id")
+        .limit(SQ_TOPK)
+    )

@@ -772,3 +772,64 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, exact_count long, estimated long, "
         "exact_match boolean, bound_ok boolean",
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qp,
+               ROUND(corr(l_quantity, l_discount), 6) + 0.0 AS qd,
+               ROUND(corr(l_quantity, l_tax), 6) + 0.0 AS qt,
+               ROUND(corr(l_extendedprice, l_discount), 6) + 0.0 AS pd,
+               ROUND(corr(l_extendedprice, l_tax), 6) + 0.0 AS pt,
+               ROUND(corr(l_discount, l_tax), 6) + 0.0 AS dt
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, qp AS corr FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', pd FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', pt FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over the
+    lineitem measures — the feature-screening pass a training pipeline
+    runs before model fitting.
+
+    All six co-moment accumulators run in ONE partial-aggregate pass
+    over the table (mergeable Welford-style state, map-side combined to
+    a single row), then the 1-row frame is unpivoted with ``stack`` —
+    no second scan, no shuffle beyond the 1-row final merge. At 100 TB
+    this is a single map-reduce over the fact table with O(1) state.
+    Rounded to 6 (the co-moment merge order differs between engines
+    past ~1e-10 relative; G11) and -0.0-normalized (G13).
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def c(a: str, b: str):
+        return (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(
+            f"c_{a[2:4]}_{b[2:4]}"
+        )
+
+    one = li.agg(
+        c("l_quantity", "l_extendedprice"),
+        c("l_quantity", "l_discount"),
+        c("l_quantity", "l_tax"),
+        c("l_extendedprice", "l_discount"),
+        c("l_extendedprice", "l_tax"),
+        c("l_discount", "l_tax"),
+    )
+    return one.select(
+        F.expr(
+            "stack(6, "
+            "'l_quantity', 'l_extendedprice', c_qu_ex, "
+            "'l_quantity', 'l_discount', c_qu_di, "
+            "'l_quantity', 'l_tax', c_qu_ta, "
+            "'l_extendedprice', 'l_discount', c_ex_di, "
+            "'l_extendedprice', 'l_tax', c_ex_ta, "
+            "'l_discount', 'l_tax', c_di_ta) AS (x_col, y_col, corr)"
+        )
+    )

@@ -1307,3 +1307,89 @@ def analytics_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFra
             "increase HH_COUNTERS"
         )
     return exact_topk
+
+
+@register(
+    "analytics_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n_name,
+               rev,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY rev, o_custkey) AS rn
+        FROM rev
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           ROUND((2.0 * CAST(SUM(CAST(rn AS DECIMAL(18,0)) * rev)
+                             AS DOUBLE)
+                  - (COUNT(*) + 1) * CAST(SUM(rev) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(rev) AS DOUBLE)), 6) + 0.0
+               AS gini
+    FROM ranked
+    GROUP BY n_name
+    """,
+)
+def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue concentration —
+    the inequality/whale-spotting profile every marketplace warehouse
+    keeps (are 1% of customers 90% of revenue?).
+
+    Discrete Gini over ascending-sorted per-customer revenue x_1..x_n:
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+    Both Σ terms accumulate as EXACT decimals (sums of decimal(18,2)
+    products — magnitudes stay < 2^53/100, so the final cast to double
+    is exact on both engines); only the last division is float, rounded
+    to 6 (G11: identical inputs → bit-identical IEEE division).
+
+    Plan: one shuffle to the per-customer aggregate, dims broadcast, a
+    per-nation window for ranks (25 even partitions; at 100 TB the
+    partition key is the nation — bounded cardinality, and the within-
+    nation sort is the unavoidable cost of exact rank-weighted sums),
+    then a map-side-combinable final aggregate. The +0.0 normalizes a
+    potential -0.0 (G13).
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    ranked = (
+        # customer scales with the fact side (one row per customer) —
+        # shuffle-join it on custkey; only the 25-row nation broadcasts.
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "rev",
+            F.row_number()
+            .over(
+                Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+            )
+            .alias("rn"),
+        )
+    )
+    n = F.count("*")
+    s0 = F.sum("rev").cast("double")
+    s1 = F.sum(
+        F.col("rn").cast("decimal(18,0)") * F.col("rev")
+    ).cast("double")
+    return ranked.groupBy("n_name").agg(
+        n.alias("n_customers"),
+        s0.alias("total_rev"),
+        (F.round((F.lit(2.0) * s1 - (n + 1) * s0) / (n * s0), 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )

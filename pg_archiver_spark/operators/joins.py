@@ -1515,3 +1515,83 @@ def composed_q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFram
         LIMIT 50
         """
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH urgent AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS urgent_spend
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    ),
+    building AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT CASE WHEN u.o_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+                THEN 'both'
+                WHEN u.o_custkey IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS side,
+           COUNT(*) AS n_customers,
+           CAST(COALESCE(SUM(u.n_orders), 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(u.urgent_spend AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS urgent_spend
+    FROM urgent u FULL OUTER JOIN building b ON u.o_custkey = b.c_custkey
+    GROUP BY side
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both null-extension directions in one plan:
+    urgent-order buyers without a BUILDING-segment profile (left_only)
+    and BUILDING customers with no urgent orders (right_only).
+
+    Physical shape: both sides are pre-aggregated/filtered to per-key
+    frames, then sort-merge full-outer on custkey. Full outer forbids
+    broadcast (every row of BOTH sides must survive unmatched), so the
+    shuffle-on-key plan here IS the 100 TB plan; the pre-aggregation
+    keeps the shuffled payload to one row per key per side. The final
+    3-row classification aggregate is map-side combinable.
+
+    Reference parity: the reference's restore-vs-live audit (the manual
+    check after main.go:131-145 deletes) is exactly this both-sides
+    diff; dataset_diff (scans.py) does the row-level form.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("urgent_spend"),
+        )
+    )
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    joined = urgent.join(
+        building, urgent.o_custkey == building.c_custkey, "full_outer"
+    )
+    side = (
+        F.when(
+            F.col("o_custkey").isNotNull() & F.col("c_custkey").isNotNull(),
+            "both",
+        )
+        .when(F.col("o_custkey").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count("*").alias("n_customers"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("urgent_spend").cast("decimal(18,2)")), F.lit(0)
+        )
+        .cast("double")
+        .alias("urgent_spend"),
+    )

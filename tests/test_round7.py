@@ -246,3 +246,100 @@ def test_transform_with_state_v2_blocked_by_missing_protobuf():
     # workload to the v2 API and register it.
     with pytest.raises(ImportError):
         import google.protobuf  # noqa: F401
+
+
+# ---------- round-7 batch: relational + LLM-curation additions ----------
+
+
+def test_join_full_outer_has_all_three_sides(spark, sf_dir):
+    rows = QUERIES["join_full_outer"](spark, sf_dir).collect()
+    sides = {r.side for r in rows}
+    assert sides == {"both", "left_only", "right_only"}
+    by = {r.side: r for r in rows}
+    # right_only rows carry no orders by construction
+    assert by["right_only"].n_orders == 0
+    assert by["right_only"].urgent_spend == 0.0
+    assert by["both"].n_orders > 0
+
+
+def test_gini_bounds_and_known_inequality(spark, sf_dir):
+    rows = QUERIES["analytics_gini_concentration"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        # discrete Gini over non-negative revenue is within [0, 1)
+        assert 0.0 <= r.gini < 1.0, r
+        assert r.n_customers > 0 and r.total_rev > 0
+
+
+def test_corr_matrix_six_pairs_in_range(spark, sf_dir):
+    rows = QUERIES["agg_corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+    assert {(r.x_col, r.y_col) for r in rows} == {
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    }
+
+
+def test_dedup_paragraph_ledger_conserves_segments(spark, sf_dir):
+    df = QUERIES["dedup_paragraph"](spark, sf_dir)
+    rows = df.collect()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(rows) == n_docs  # every doc has a ledger row
+    total_kept = sum(r.n_kept for r in rows)
+    total_removed = sum(r.n_removed for r in rows)
+    total = sum(r.n_segments for r in rows)
+    assert total_kept + total_removed == total
+    # kept == number of DISTINCT segments corpus-wide (first-occurrence
+    # semantics keep exactly one occurrence per distinct segment)
+    from pg_archiver_spark.functions.dedup import SEG_TOKENS
+
+    toks = F.split("text", " ")
+    seg = docs.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.size(toks) - 1) / SEG_TOKENS).cast("bigint"),
+            )
+        ).alias("i"),
+        toks.alias("toks"),
+    ).select(
+        F.md5(
+            F.array_join(
+                F.slice("toks", (F.col("i") * SEG_TOKENS + 1).cast("int"), SEG_TOKENS),
+                " ",
+            ).cast("binary")
+        ).alias("h")
+    )
+    assert total_kept == seg.select("h").distinct().count()
+
+
+def test_semantic_cluster_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.dedup import K_SEM
+
+    assert len(rows) == K_SEM
+    emb_n = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == emb_n  # total partition
+    for r in rows:
+        assert 0 <= r.n_removed < r.n_members  # never removes a whole cluster
+
+
+def test_scalar_quantize_recalls_exact_neighbours(spark, sf_dir):
+    sq = QUERIES["sim_scalar_quantize_int8"](spark, sf_dir).collect()
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    assert len(sq) == 10
+    # int8 reconstruction error is ~(range/255)/2 per dim — far below
+    # the fixture's neighbour gaps: recall@10 vs the exact baseline
+    # must be high (allow 2 boundary swaps).
+    overlap = {r.vec_id for r in sq} & {r.vec_id for r in exact}
+    assert len(overlap) >= 8, (sorted(r.vec_id for r in sq), sorted(r.vec_id for r in exact))
+    for r in sq:
+        assert -1.0 <= r.approx_cos <= 1.0
+        assert r.code_l1 >= 0
