@@ -941,3 +941,109 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# Temperature-scaled source mixing (the multilingual-LM sampling rule,
+# e.g. XLM-R §3.1): sample source i with probability p_i ∝ f_i^ALPHA.
+# ALPHA < 1 flattens the natural distribution — big sources are
+# down-sampled, small sources up-weighted. TEMP_TARGET_FRAC sets the
+# overall corpus fraction the mixed sample should keep.
+TEMP_ALPHA = 0.5
+TEMP_TARGET_FRAC = 0.5
+_U32 = 4294967296  # 2^32: md5-prefix → uniform u32 denominator
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS f
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(f) AS DOUBLE) AS n_total,
+               SUM(pow(CAST(f AS DOUBLE), {TEMP_ALPHA})) AS s_alpha
+        FROM counts
+    ),
+    rates AS (
+        SELECT source, f,
+               ROUND(least(1.0,
+                   {TEMP_TARGET_FRAC} * n_total
+                   * (pow(CAST(f AS DOUBLE), {TEMP_ALPHA}) / s_alpha)
+                   / CAST(f AS DOUBLE)), 6) AS rate
+        FROM counts CROSS JOIN tot
+    )
+    SELECT d.source,
+           MAX(r.f) AS n_docs,
+           MAX(r.rate) + 0.0 AS rate,
+           CAST(SUM(CASE WHEN CAST(('0x' || substring({_MD5}, 1, 8))
+                                   AS UBIGINT)
+                              < floor(r.rate * {_U32})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing — the sampling rule multilingual
+    and multi-source LM pipelines use to rebalance a skewed corpus:
+    source i is kept with probability p_i ∝ f_i^α (α=0.5 here), scaled
+    so the blended sample is TEMP_TARGET_FRAC of the corpus. α<1
+    up-weights small sources without exhausting them and caps the keep
+    rate at 1.0.
+
+    Per-doc keep decisions are DETERMINISTIC (md5(doc_id) prefix as a
+    u32 uniform vs the per-source threshold) — identical under task
+    retry, reproducible across engines, no RNG state. The per-source
+    rate is rounded to 6 decimals BEFORE thresholding on both engines
+    so the one float reduction (Σ f^α over the per-source frame, whose
+    accumulation order differs between engines) can never flip a
+    boundary document.
+
+    Plan: counts = one map-side-combinable aggregate (|sources| rows);
+    the 1-row Σf^α total and the per-source rate table broadcast back
+    onto one documents pass. At 100 TB: two corpus scans total, no
+    shuffle of document rows at all (the only shuffles carry
+    |sources|-sized frames).
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("f"))
+    tot = counts.agg(
+        F.sum("f").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("f").cast("double"), F.lit(TEMP_ALPHA))).alias(
+            "s_alpha"
+        ),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "f",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_TARGET_FRAC)
+                * F.col("n_total")
+                * (
+                    F.pow(F.col("f").cast("double"), F.lit(TEMP_ALPHA))
+                    / F.col("s_alpha")
+                )
+                / F.col("f").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("f").alias("n_docs"),
+            (F.max("rate") + F.lit(0.0)).alias("rate"),
+            F.sum(
+                F.when(u32 < F.floor(F.col("rate") * _U32), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+    )

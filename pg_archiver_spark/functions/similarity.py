@@ -1063,3 +1063,84 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_cos"), "vec_id")
         .limit(SQ_TOPK)
     )
+
+
+# Late-interaction (ColBERT-style MaxSim) parameters: each 64-dim
+# embedding is treated as MV_CHUNKS token-vectors of MV_SUBDIM dims.
+MV_CHUNKS = 8
+MV_SUBDIM = 8
+MV_TOPK = 10
+
+
+@register(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_aggregate(
+               list_transform(range({MV_CHUNKS}), qi ->
+                   list_max(list_transform(range({MV_CHUNKS}), dj ->
+                       CAST(list_cosine_similarity(
+                           q.qe[qi*{MV_SUBDIM}+1 : qi*{MV_SUBDIM}+{MV_SUBDIM}],
+                           e.embedding[dj*{MV_SUBDIM}+1 : dj*{MV_SUBDIM}+{MV_SUBDIM}])
+                           AS DOUBLE)))),
+               'sum'), 4) AS maxsim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY maxsim DESC, e.vec_id
+    LIMIT {MV_TOPK}
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the ColBERT scoring rule):
+    query and document are MULTI-vector — here each 64-dim embedding
+    decomposed into 8 token-vectors of 8 dims — and the score is
+    Σ_{{query tokens}} max_{{doc tokens}} cos(q_i, d_j): every query
+    token finds its best-matching doc token, no single-vector pooling
+    loss.
+
+    All scoring is JVM-side nested higher-order functions (transform →
+    array_max → aggregate) over the chunked arrays — no Python, no
+    explode: the 8×8 cosine grid per candidate stays inside one
+    projection, so the plan is a broadcast-1-row query × one corpus
+    map pass + TakeOrderedAndProject. At 100 TB the corpus side streams
+    exactly as the single-vector scorer does (sim_cosine_topk) at
+    chunks² the arithmetic per row — the standard late-interaction
+    cost/quality trade — and the candidate-generation tier (sim_ann_*)
+    bounds what reaches this scorer.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+
+    def chunks(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(MV_CHUNKS - 1)),
+            lambda i: F.slice(col, (i * MV_SUBDIM + 1).cast("int"), MV_SUBDIM),
+        )
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        chunks(F.col("embedding")).alias("q_chunks")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        "q_chunks",
+                        lambda qc: F.array_max(
+                            F.transform(
+                                chunks(F.col("embedding")),
+                                lambda dc: cosine_expr(qc, dc),
+                            )
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            ).alias("maxsim"),
+        )
+    )
+    return scored.orderBy(F.desc("maxsim"), "vec_id").limit(MV_TOPK)

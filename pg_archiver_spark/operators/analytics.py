@@ -1393,3 +1393,101 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+# Kaplan-Meier censoring horizon: users whose LAST event falls within
+# this many days of the corpus end are censored (still active — their
+# true lifetime is unknown), not counted as churned.
+KM_CENSOR_DAYS = 3
+
+
+@register(
+    "analytics_life_table",
+    oracle=f"""
+    WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    users AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    lifetimes AS (
+        SELECT date_diff('day', first_day, last_day) AS t_day,
+               CASE WHEN date_diff('day', last_day, max_day)
+                         < {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS censored
+        FROM users CROSS JOIN bounds
+    ),
+    tbl AS (
+        SELECT t_day,
+               CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+               CAST(SUM(censored) AS BIGINT) AS n_censored
+        FROM lifetimes GROUP BY t_day
+    )
+    SELECT t_day, n_deaths, n_censored,
+           CAST(SUM(n_deaths + n_censored)
+                OVER (ORDER BY t_day DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_risk,
+           ROUND(n_deaths / SUM(n_deaths + n_censored)
+                 OVER (ORDER BY t_day DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) + 0.0 AS hazard
+    FROM tbl
+    """,
+)
+def analytics_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table over user lifetimes — the churn/survival
+    profile (how long do users stay active?) with right-censoring:
+    users still active near the corpus end (last event within
+    KM_CENSOR_DAYS of the max day) have unknown true lifetimes and are
+    censored, not counted as churn — the statistically honest form the
+    naive retention query gets wrong.
+
+    The table carries exact integers (deaths, censored, at-risk per
+    lifetime day); at-risk is the reverse cumulative of (d+c) — KM's
+    n_i = Σ_{{s≥t}}(d_s+c_s) identity — so S(t)=Π(1-d/n) is derivable
+    downstream without any cross-engine float-product drift; only the
+    per-step hazard d/n is emitted as a (rounded) float.
+
+    Plan: one shuffle to the per-user frame, map-side-combinable
+    per-lifetime aggregate (frame size = max lifetime in DAYS — ~31
+    here, bounded by the retention horizon at any scale, never by
+    corpus size), then the reverse-cumsum window over that bounded
+    frame (single-partition by design: the frame is O(days), not
+    O(users)). The corpus max day is a 1-row broadcast, not a driver
+    collect.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(F.max("day").alias("max_day"))
+    users = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    lifetimes = users.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").cast("bigint").alias("t_day"),
+        F.when(
+            F.datediff("max_day", "last_day") < KM_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    tbl = lifetimes.groupBy("t_day").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.desc("t_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = F.sum(F.col("n_deaths") + F.col("n_censored")).over(w)
+    return tbl.select(
+        "t_day",
+        "n_deaths",
+        "n_censored",
+        at_risk.cast("bigint").alias("n_at_risk"),
+        (F.round(F.col("n_deaths") / at_risk, 6) + F.lit(0.0)).alias(
+            "hazard"
+        ),
+    )

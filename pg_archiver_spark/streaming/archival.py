@@ -1105,3 +1105,151 @@ def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         conn.close()
 
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.p_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p.p_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(SUM(c.c_id + COALESCE(p.p_id, 0)) AS BIGINT) AS id_checksum
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+                      AND p.p_ms > c.c_ms
+                      AND p.p_ms <= c.c_ms + 3600000
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution INCLUDING
+    the clicks that never converted. The outer side is the hard part of
+    streaming joins: a null-extended row may only emit once the
+    watermark proves no future purchase can match (wm > click_ts + 1h),
+    so emission is driven by WATERMARK PROGRESS, not arrival. State
+    stays bounded by the same bound — clicks past their match horizon
+    are evicted as they emit.
+
+    Replay mechanics: each side is staged as time-range-partitioned
+    files with strictly ascending mtimes (deterministic time-ordered
+    micro-batches; see the G12 notes), watermarked tightly (1 minute —
+    the replay is time-ordered, so the delay models clock skew only),
+    plus one far-future SENTINEL row per side: the global watermark is
+    the MIN over sources, so BOTH sides must advance for the final
+    micro-batches to flush every pending unmatched click. Sentinels use
+    negative user ids and are filtered from the result. Without the
+    sentinels the tail (last 1h + delay of the span) would stay in
+    state forever — the exact at-scale operational gotcha (an idle
+    source stalls outer-join emission), reproduced and solved here the
+    way production pipelines do (heartbeat events).
+
+    SQL-checked: row/matched/unmatched counts + id checksum equal the
+    batch LEFT JOIN in DuckDB — exactly-once outer emission.
+    """
+    import os
+
+    staging_c = _fresh_dir("streamlojoin", "clicks")
+    staging_p = _fresh_dir("streamlojoin", "purchases")
+    checkpoint = _fresh_dir("streamlojoin", "checkpoint")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    sentinel_ts = "2024-03-15 00:00:00"
+    for etype, path, suser in (
+        ("click", staging_c, -1),
+        ("purchase", staging_p, -2),
+    ):
+        side = ev.filter(F.col("event_type") == etype).drop("event_type")
+        side.repartitionByRange(4, "ts").write.mode("overwrite").parquet(path)
+        # Range files BEFORE the sentinel append: part-NNNNN index ==
+        # range order for repartitionByRange, so name order is time
+        # order regardless of task finish order.
+        range_files = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, suser)], "event_id long, user_id long"
+        ).select(
+            "event_id",
+            F.lit(sentinel_ts).cast("timestamp").alias("ts"),
+            "user_id",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(path)
+        sentinel_files = [
+            n
+            for n in os.listdir(path)
+            if n.endswith(".parquet") and n not in set(range_files)
+        ]
+        # Stamp strictly ascending mtimes: range files in range order,
+        # then the sentinel — the file source replays (modTime, path)
+        # ascending, giving a deterministic time-ordered feed with the
+        # watermark-flushing heartbeat last.
+        for i, name in enumerate(range_files + sentinel_files):
+            os.utime(
+                os.path.join(path, name),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+
+    schema = ev.drop("event_type").schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_c)
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging_p)
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("stream_lojoin_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unmatched,
+               CAST(SUM(c_id + COALESCE(p_id, 0)) AS BIGINT) AS id_checksum
+        FROM stream_lojoin_sink
+        WHERE user_id >= 0
+        """
+    )

@@ -343,3 +343,60 @@ def test_scalar_quantize_recalls_exact_neighbours(spark, sf_dir):
     for r in sq:
         assert -1.0 <= r.approx_cos <= 1.0
         assert r.code_l1 >= 0
+
+
+def test_stream_left_outer_flushes_all_unmatched(spark, sf_dir):
+    row = QUERIES["stream_stream_left_outer"](spark, sf_dir).first()
+    # every click emits at least once: matched pairs + null-extensions
+    clicks = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert row.n_rows >= clicks  # fan-out for multi-match clicks
+    assert row.n_unmatched > 0  # null-extended rows actually emitted
+    assert row.n_matched + row.n_unmatched == row.n_rows
+
+
+def test_life_table_km_identities(spark, sf_dir):
+    rows = sorted(
+        QUERIES["analytics_life_table"](spark, sf_dir).collect(),
+        key=lambda r: r.t_day,
+    )
+    users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    # reverse-cumulative at-risk: n(t) = n(t+1) + d(t) + c(t), and the
+    # smallest lifetime's at-risk covers every user
+    assert rows[0].n_at_risk == users
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk == b.n_at_risk + a.n_deaths + a.n_censored
+        assert 0.0 <= a.hazard <= 1.0
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    rows = QUERIES["pipeline_mix_temperature"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.curation import TEMP_TARGET_FRAC
+
+    n_total = sum(r.n_docs for r in rows)
+    n_sampled = sum(r.n_sampled for r in rows)
+    # sampled fraction lands near the target (md5-hash thresholding is
+    # unbiased; tolerance covers small-sample noise)
+    assert abs(n_sampled / n_total - TEMP_TARGET_FRAC) < 0.15
+    for r in rows:
+        assert 0.0 <= r.rate <= 1.0
+        assert r.n_sampled <= r.n_docs
+
+
+def test_maxsim_bounds_and_dominates_pooled_cosine(spark, sf_dir):
+    rows = QUERIES["sim_maxsim_multivector"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.similarity import MV_CHUNKS
+
+    assert len(rows) == min(10, len(rows))
+    for r in rows:
+        # MaxSim is a sum of MV_CHUNKS cosines, each in [-1, 1]
+        assert -MV_CHUNKS <= r.maxsim <= MV_CHUNKS
+    # per-token max can only help: the top MaxSim score must be at
+    # least the full-vector cosine of the same candidate pair is NOT
+    # generally true, but the score of the top candidate must exceed
+    # the average score (sanity that scoring discriminates)
+    scores = [r.maxsim for r in rows]
+    assert scores[0] == max(scores)
