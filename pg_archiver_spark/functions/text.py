@@ -510,3 +510,97 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bits_per_token"
         ),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+        FROM s, UNNEST(range(1, len(toks))) t(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT word) AS vocab
+        FROM (SELECT UNNEST(toks) AS word FROM s)
+    ),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               -log2((CAST(n2 AS DOUBLE) + 1.0)
+                     / (CAST(n1 AS DOUBLE) + CAST(vocab AS DOUBLE)))
+                   AS bits
+        FROM b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+               JOIN c1 ON b.w1 = c1.w1
+               CROSS JOIN v
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           ROUND(AVG(bits), 2) + 0.0 AS avg_bits_per_bigram
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram conditional log-probability scoring — the order-2
+    upgrade of text_unigram_logprob: each bigram scores
+    -log₂ P(w₂|w₁) under the corpus's own add-1-smoothed bigram model
+    (P = (c(w₁,w₂)+1)/(c(w₁)+V)). Unigram surprise misses word-ORDER
+    degeneracy (shuffled boilerplate scores identically); conditional
+    surprise is the LM-free screen that catches it — the closest
+    SQL-only stand-in for the CCNet perplexity filter.
+
+    Plan: bigram construction is a narrow transform/explode (pairs
+    built in-array — no positional self-join); the model tables are
+    VOCABULARY²-bounded (c2) and vocabulary-bounded (c1), both
+    map-side-combined, then re-joined onto the bigram stream — AQE
+    broadcasts them when they fit. V rides as a 1-row broadcast. At
+    100 TB: two corpus passes, shuffles carry model-table keys, never
+    documents. Determinism: log2/division on exact integer counts are
+    bit-identical per bigram; the only fp reductions are the two AVGs,
+    rounded once at 2dp (same contract as text_unigram_logprob).
+    """
+    toks = F.split("text", " ")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    pairs = F.when(
+        F.col("n") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i.cast("int")).alias("w1"),
+                F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    b = docs.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        docs.select(F.explode("toks").alias("word"))
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    bits = -F.log2(
+        (F.col("n2").cast("double") + F.lit(1.0))
+        / (F.col("n1").cast("double") + F.col("vocab").cast("double"))
+    )
+    scored = (
+        b.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", bits.alias("bits"))
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.round(F.avg("bits"), 2) + F.lit(0.0)).alias(
+            "avg_bits_per_bigram"
+        ),
+    )

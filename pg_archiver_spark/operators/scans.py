@@ -1689,3 +1689,132 @@ def maintenance_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("rng_orders_totalprice", o_pass["rng_total"] or 0))
     )
     return out.orderBy("constraint_name")
+
+
+@register(
+    "maintenance_snapshot_vacuum",
+    oracle="""
+    WITH rewritten AS (
+        SELECT * FROM events
+        WHERE (epoch_ms(ts) // 86400000) - 19723 >= 10
+    )
+    SELECT 'v2_pre_vacuum' AS phase,
+           (SELECT COUNT(*) FROM rewritten) AS n_rows,
+           CAST(4 AS BIGINT) AS n_files
+    UNION ALL
+    SELECT 'v2_post_vacuum',
+           (SELECT COUNT(*) FROM rewritten),
+           CAST(4 AS BIGINT)
+    UNION ALL
+    SELECT 'vacuumed', CAST(4 AS BIGINT), CAST(4 AS BIGINT)
+    """,
+)
+def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum for the manifest-based snapshot store — the retention
+    sibling of maintenance_snapshot_time_travel: delete every data file
+    unreachable from the RETAINED manifests, prove the retained
+    snapshot still reads byte-identically afterwards, and prove the
+    expired snapshot's files are actually gone.
+
+    Commit v1 = the full events table; commit v2 = a retention REWRITE
+    (drop days < 10, written as fresh files — v2 references NONE of
+    v1's files). Retention policy keeps only v2, so vacuum deletes
+    exactly v1's files (4 — both commits write repartition(4), which
+    pins the file accounting the oracle states). The op fails loudly
+    if (a) the v2 profile changes across the vacuum (a reachable file
+    was deleted), or (b) any expired file survives (vacuum missed it),
+    or (c) the expired snapshot is still readable.
+
+    At 100 TB this is the O(files-metadata) pattern Iceberg's
+    expire_snapshots/Delta's VACUUM run: reachability = set union over
+    retained manifests (pure metadata), deletion is embarrassingly
+    parallel, and the atomic HEAD pointer means readers never race the
+    sweep. Reference parity: delete-behind after a verified copy is
+    exactly main.go:131-145's contract, lifted to file granularity.
+    """
+    import json as _json
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "vacuum"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    meta_dir = os.path.join(base, "meta")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn("day_idx", F.expr("ts_ns DIV 1000000 DIV 86400000") - 19723)
+        .select("event_id", "user_id", "value", "day_idx")
+    )
+
+    def commit(df: DataFrame, version: int, files: list[str] | None = None):
+        out = os.path.join(data_dir, f"commit-{version}")
+        df.repartition(4).write.mode("overwrite").parquet(out)
+        new_files = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        manifest = {"version": version, "files": (files or []) + new_files}
+        with open(os.path.join(meta_dir, f"v{version}.json"), "w") as fh:
+            _json.dump(manifest, fh)
+        tmp = os.path.join(meta_dir, "HEAD.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version}.json")
+        os.replace(tmp, os.path.join(meta_dir, "HEAD"))
+
+    def manifest_files(version: int) -> list[str]:
+        with open(os.path.join(meta_dir, f"v{version}.json")) as fh:
+            return _json.load(fh)["files"]
+
+    commit(events, 1)
+    # Retention rewrite: days >= 10 only, fresh files (no v1 reuse).
+    commit(events.filter(F.col("day_idx") >= 10), 2)
+
+    def profile(version: int):
+        df = spark.read.parquet(*manifest_files(version))
+        n = df.count()
+        return n, len(manifest_files(version))
+
+    pre_rows, pre_files = profile(2)
+
+    # Vacuum: reachable = union of files over RETAINED manifests (v2
+    # only); everything else under data/ is expired and deleted.
+    reachable = set(manifest_files(2))
+    all_files = {
+        os.path.join(root, f)
+        for root, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    expired = sorted(all_files - reachable)
+    for path in expired:
+        os.remove(path)
+    os.remove(os.path.join(meta_dir, "v1.json"))
+
+    survivors = [p for p in expired if os.path.exists(p)]
+    if survivors:
+        raise RuntimeError(f"vacuum missed expired files: {survivors}")
+    try:
+        spark.read.parquet(os.path.join(data_dir, "commit-1")).count()
+        raise RuntimeError("expired snapshot v1 is still readable")
+    except Exception as exc:  # noqa: BLE001 — path-not-found is the pass
+        if "still readable" in str(exc):
+            raise
+
+    post_rows, post_files = profile(2)
+    if (post_rows, post_files) != (pre_rows, pre_files):
+        raise RuntimeError(
+            f"vacuum corrupted the retained snapshot: "
+            f"{(pre_rows, pre_files)} -> {(post_rows, post_files)}"
+        )
+    return spark.createDataFrame(
+        [
+            ("v2_pre_vacuum", pre_rows, pre_files),
+            ("v2_post_vacuum", post_rows, post_files),
+            ("vacuumed", len(expired), len(expired)),
+        ],
+        "phase string, n_rows long, n_files long",
+    )

@@ -17,6 +17,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -243,3 +244,131 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("live_value"),
     )
+
+
+# SCD2 merge: split the event log at this epoch-ms boundary (Jan 15
+# 2024); history is built from batch 1, then batch 2 is MERGED in
+# incrementally, and the oracle proves merged == full recompute.
+SCD2_SPLIT_MS = (19723 + 14) * 86_400_000
+SCD2_OPEN_MS = 253_402_300_800_000  # year-9999 sentinel (G13: no NULLs)
+
+
+@register(
+    "merge_scd2_upsert",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS state, epoch_ms(ts) AS ms, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ms(ts), event_id)
+                   AS prev
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, state, ms, event_id
+        FROM seq WHERE prev IS NULL OR state <> prev
+    )
+    SELECT user_id, state,
+           ms AS valid_from_ms,
+           CAST(COALESCE(LEAD(ms) OVER (PARTITION BY user_id
+                                        ORDER BY ms, event_id),
+                         {SCD2_OPEN_MS}) AS BIGINT) AS valid_to_ms
+    FROM chg
+    """,
+)
+def merge_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 history maintenance — the nightly MERGE every
+    warehouse runs into its dimension-history table, proven equal to a
+    full recompute by the oracle.
+
+    True SCD2 opens a row only on state CHANGE (consecutive duplicates
+    collapse). The op builds history from batch 1 (events before
+    SCD2_SPLIT_MS), then merges batch 2: the subtlety a naive
+    incremental MERGE gets wrong is that batch 2's first row per user
+    must be compared against the INHERITED open state from history —
+    a user whose first new event repeats their current state must NOT
+    open a new interval. The merge (1) suppresses those inherited
+    duplicates, (2) closes each affected open interval at the user's
+    first surviving batch-2 change, (3) appends the new intervals.
+    The driver then hash-compares against DuckDB's single-pass full
+    recompute over the whole log — any suppression/closing mistake
+    shifts an interval boundary and fails the hash.
+
+    Plan: every stage is per-user windows or per-user equi-joins — one
+    shuffle key throughout, and the merge's working set is the CHANGE
+    table (dimension-history-sized), not the event log: at 100 TB the
+    nightly batch joins against |users| open rows, never against
+    history depth.
+    """
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        "event_id",
+    )
+    b1 = events.filter(F.col("ms") < SCD2_SPLIT_MS)
+    b2 = events.filter(F.col("ms") >= SCD2_SPLIT_MS)
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+
+    def collapse(df: DataFrame) -> DataFrame:
+        """Change rows only: state != previous state (per user)."""
+        prev = F.lag("state").over(w)
+        return (
+            df.withColumn("prev", prev)
+            .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+            .drop("prev")
+        )
+
+    # History from batch 1 (valid_to via lead; open rows = sentinel).
+    chg1 = collapse(b1)
+    h1 = chg1.select(
+        "user_id",
+        "state",
+        "ms",
+        "event_id",
+        F.coalesce(F.lead("ms").over(w), F.lit(SCD2_OPEN_MS))
+        .cast("bigint")
+        .alias("valid_to_ms"),
+    )
+    open1 = h1.filter(F.col("valid_to_ms") == SCD2_OPEN_MS).select(
+        "user_id", F.col("state").alias("open_state")
+    )
+
+    # Batch-2 change rows, comparing the first row per user against the
+    # inherited open state (left join: brand-new users inherit nothing).
+    chg2 = (
+        b2.withColumn("lag_state", F.lag("state").over(w))
+        .join(open1, "user_id", "left")
+        .withColumn("prev", F.coalesce("lag_state", "open_state"))
+        .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+        .select("user_id", "state", "ms", "event_id")
+    )
+
+    # Close affected open intervals at the first surviving batch-2
+    # change; un-affected open rows stay open.
+    first2 = chg2.groupBy("user_id").agg(F.min("ms").alias("first2_ms"))
+    h1_closed = (
+        h1.join(first2, "user_id", "left")
+        .select(
+            "user_id",
+            "state",
+            F.col("ms").alias("valid_from_ms"),
+            F.when(
+                (F.col("valid_to_ms") == SCD2_OPEN_MS)
+                & F.col("first2_ms").isNotNull(),
+                F.col("first2_ms"),
+            )
+            .otherwise(F.col("valid_to_ms"))
+            .cast("bigint")
+            .alias("valid_to_ms"),
+        )
+    )
+    # New intervals from batch 2 (lead within the surviving changes).
+    h2 = chg2.select(
+        "user_id",
+        "state",
+        F.col("ms").alias("valid_from_ms"),
+        F.coalesce(F.lead("ms").over(w), F.lit(SCD2_OPEN_MS))
+        .cast("bigint")
+        .alias("valid_to_ms"),
+    )
+    return h1_closed.unionByName(h2)

@@ -400,3 +400,38 @@ def test_maxsim_bounds_and_dominates_pooled_cosine(spark, sf_dir):
     # the average score (sanity that scoring discriminates)
     scores = [r.maxsim for r in rows]
     assert scores[0] == max(scores)
+
+
+def test_bigram_model_scores_higher_than_uniform_floor(spark, sf_dir):
+    rows = QUERIES["text_bigram_logprob"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # add-1 smoothed conditional surprise is positive and below
+        # the uniform-model ceiling log2(V) + 1 (V ≈ small fixture vocab)
+        assert 0.0 < r.avg_bits_per_bigram < 20.0
+
+
+def test_scd2_merge_properties(spark, sf_dir):
+    from pg_archiver_spark.operators.setops import SCD2_OPEN_MS
+
+    df = QUERIES["merge_scd2_upsert"](spark, sf_dir)
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = load(spark, sf_dir, "events")
+    assert len(by_user) == ev.select("user_id").distinct().count()
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r.valid_from_ms)
+        # exactly one open interval per user, intervals chain with no
+        # gaps/overlaps, and consecutive states always differ
+        assert sum(1 for r in hist if r.valid_to_ms == SCD2_OPEN_MS) == 1
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_ms == b.valid_from_ms, uid
+            assert a.state != b.state, uid
+
+
+def test_snapshot_vacuum_deletes_only_expired(spark, sf_dir):
+    rows = {r.phase: r for r in QUERIES["maintenance_snapshot_vacuum"](spark, sf_dir).collect()}
+    assert rows["v2_pre_vacuum"].n_rows == rows["v2_post_vacuum"].n_rows
+    assert rows["vacuumed"].n_files == 4  # v1's repartition(4) files
