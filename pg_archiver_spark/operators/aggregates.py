@@ -833,3 +833,74 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'l_discount', 'l_tax', c_di_ta) AS (x_col, y_col, corr)"
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cumw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price,
+           CAST(MAX(totw) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cumw * 2 >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: the price at which half the QUANTITY
+    mass sits below — the inventory-weighted price statistic a plain
+    median (each row weight 1) misstates. Lower-median semantics (the
+    first value whose cumulative weight crosses half) keep the whole
+    computation in EXACT decimal arithmetic — no interpolation, no
+    float reduction, so the oracle compare is bit-exact.
+
+    Plan: one shuffle on the group key; the in-partition sort feeds
+    both window sums (cumulative + total share one exchange/sort), and
+    the crossing-point pick is an ordinary aggregate. Ties on price are
+    harmless: every row that crosses at the same price reports that
+    price. At 100 TB this is the same envelope as any per-group window
+    — and the documented approx substitute for heavy groups is
+    approx_percentile over a weight-expanded stream (agg_approx_
+    percentile), the standard trade.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt")
+        .over(
+            wp.orderBy("price").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumw"),
+        F.sum("wt").over(wp).alias("totw"),
+    )
+    return (
+        cum.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.max("totw").cast("double").alias("total_weight"),
+        )
+    )

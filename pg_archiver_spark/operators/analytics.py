@@ -1491,3 +1491,271 @@ def analytics_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard"
         ),
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END AS rev
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort, e.day) // 7 AS BIGINT)
+                   AS week_offset,
+               SUM(e.rev) AS week_rev
+        FROM ev e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+               COUNT(*) AS n_cohort_users
+        FROM firsts GROUP BY 1
+    )
+    SELECT w.cohort_day, w.week_offset, s.n_cohort_users,
+           CAST(SUM(w.week_rev) OVER (PARTITION BY w.cohort_day
+                                      ORDER BY w.week_offset
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM weekly w JOIN sizes s ON w.cohort_day = s.cohort_day
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per first-seen-day
+    cohort across week offsets — the VALUE companion of
+    analytics_retention_cohort's user counts (does a cohort keep
+    spending, or just keep visiting?). Revenue accumulates as exact
+    decimals; the cast to double happens once on the final cumulative.
+
+    Plan: two shuffles on user_id (first-seen + re-join), one on the
+    cohort grain, then the cumulative window over each cohort's ≤
+    (span/7)-row frame — bounded by the calendar, not the corpus. The
+    cohort-sizes frame is cohort-count-sized and broadcast-joins back.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("rev"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    weekly = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.expr("datediff(day, cohort) DIV 7").alias("week_offset"),
+        )
+        .agg(F.sum("rev").alias("week_rev"))
+    )
+    sizes = firsts.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(F.count("*").alias("n_cohort_users"))
+    wcum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "n_cohort_users",
+            F.sum("week_rev").over(wcum).cast("double").alias("cum_revenue"),
+        )
+    )
+
+
+# U-shaped (position-based) multi-touch attribution: 40% first touch,
+# 40% last touch, the middle 20% split across interior touches. The
+# credit weights are exact integer PERMILLES so the per-channel credit
+# sums stay decimal-exact on both engines.
+ATTR_WINDOW_MS = 7 * 86_400_000
+ATTR_FIRST_PERMILLE = 400
+ATTR_LAST_PERMILLE = 400
+
+
+@register(
+    "analytics_attribution_position",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms,
+               'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                            % 4 AS VARCHAR) AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
+               CAST(value AS DECIMAL(18,2)) AS amount
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.p_id, p.amount, c.channel,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY c.c_ms, c.c_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_ms < p.p_ms
+         AND c.c_ms >= p.p_ms - {ATTR_WINDOW_MS}
+    ),
+    credited AS (
+        SELECT channel, amount,
+               CASE
+                 WHEN n_touch = 1 THEN 1000
+                 WHEN n_touch = 2 THEN 500
+                 WHEN pos = 1 THEN {ATTR_FIRST_PERMILLE}
+                 WHEN pos = n_touch THEN {ATTR_LAST_PERMILLE}
+                 ELSE (1000 - {ATTR_FIRST_PERMILLE} - {ATTR_LAST_PERMILLE})
+                      // (n_touch - 2)
+               END AS permille
+        FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(permille AS BIGINT)) AS BIGINT) AS permille_sum,
+           CAST(SUM(amount * permille) AS DOUBLE) / 1000.0
+               AS attributed_revenue
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def analytics_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: each purchase's revenue splits
+    over the user's clicks in the preceding 7 days — 40% to the first
+    touch, 40% to the last, 20% spread over the interior (integer
+    permilles, floor division, so every credit is EXACT integer
+    arithmetic; only the final revenue product casts to double). The
+    channel is parsed from the event's JSON props on both engines.
+
+    Plan: purchases ⋈ clicks is an equi-join on user_id with the
+    7-day range as a residual predicate (hash join, never NLJ); the
+    position/count windows partition by purchase id — per-purchase
+    frames, bounded by touches-per-purchase-week, not corpus size.
+    This is the warehouse attribution shape: one entity-key shuffle +
+    one per-conversion window.
+    """
+    ev = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        ms.alias("c_ms"),
+        F.concat(
+            F.lit("ch"),
+            (
+                F.get_json_object("props", "$.k").cast("bigint") % 4
+            ).cast("string"),
+        ).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        ms.alias("p_ms"),
+        F.col("value").cast("decimal(18,2)").alias("amount"),
+    )
+    touches = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ms") < F.col("p_ms"))
+            & (F.col("c_ms") >= F.col("p_ms") - ATTR_WINDOW_MS)
+        )
+        .select(
+            "p_id",
+            "amount",
+            "channel",
+            F.row_number()
+            .over(Window.partitionBy("p_id").orderBy("c_ms", "c_id"))
+            .alias("pos"),
+            F.count("*").over(Window.partitionBy("p_id")).alias("n_touch"),
+        )
+    )
+    mid = 1000 - ATTR_FIRST_PERMILLE - ATTR_LAST_PERMILLE
+    permille = (
+        F.when(F.col("n_touch") == 1, 1000)
+        .when(F.col("n_touch") == 2, 500)
+        .when(F.col("pos") == 1, ATTR_FIRST_PERMILLE)
+        .when(F.col("pos") == F.col("n_touch"), ATTR_LAST_PERMILLE)
+        .otherwise(
+            F.floor(F.lit(mid) / (F.col("n_touch") - 2)).cast("bigint")
+        )
+    )
+    credited = touches.select(
+        "channel", "amount", permille.cast("bigint").alias("permille")
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("permille").cast("bigint").alias("permille_sum"),
+        (
+            F.sum(F.col("amount") * F.col("permille")).cast("double")
+            / F.lit(1000.0)
+        ).alias("attributed_revenue"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH fanned AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) + CAST(off AS INTEGER)
+                   AS wday,
+               CAST(value AS DOUBLE) AS v
+        FROM events, (SELECT unnest(range(7)) AS off)
+    )
+    SELECT event_type,
+           strftime(wday, '%Y-%m-%d') AS day_str,
+           COUNT(*) AS n_in_window,
+           ROUND(quantile_cont(v, 0.5), 4) + 0.0 AS median_7d
+    FROM fanned
+    GROUP BY event_type, wday
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day rolling MEDIAN of event value per type and
+    day. No engine evaluates percentile over a sliding RANGE frame
+    scalably (order statistics don't merge); the scalable exact form is
+    the same fan-out as window_rolling_distinct: each value contributes
+    to the 7 window-end days it falls inside, then ONE exact percentile
+    per (type, day) group — a plain aggregate, map-side partial-able by
+    group. Shuffle volume is a flat 7× the input, independent of frame
+    alignment; the documented approximate substitute at higher k or
+    wider windows is per-day t-digest/approx_percentile partials
+    (agg_approx_percentile), the standard trade.
+
+    Interpolating-median parity Spark percentile ≡ DuckDB
+    quantile_cont is pinned by agg_percentile; rounded at 4 (G11).
+    """
+    events = load(spark, sf_dir, "events")
+    fanned = events.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    ).select(
+        "event_type",
+        F.date_format(F.date_add("day", F.col("off")), "yyyy-MM-dd").alias(
+            "day_str"
+        ),
+        "v",
+    )
+    return fanned.groupBy("event_type", "day_str").agg(
+        F.count("*").alias("n_in_window"),
+        (F.round(F.expr("percentile(v, 0.5)"), 4) + F.lit(0.0)).alias(
+            "median_7d"
+        ),
+    )

@@ -435,3 +435,73 @@ def test_snapshot_vacuum_deletes_only_expired(spark, sf_dir):
     rows = {r.phase: r for r in QUERIES["maintenance_snapshot_vacuum"](spark, sf_dir).collect()}
     assert rows["v2_pre_vacuum"].n_rows == rows["v2_post_vacuum"].n_rows
     assert rows["vacuumed"].n_files == 4  # v1's repartition(4) files
+
+
+def test_weighted_median_between_min_max(spark, sf_dir):
+    rows = QUERIES["agg_weighted_median"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.l_returnflag]
+        assert lo <= r.weighted_median_price <= hi
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    rows = QUERIES["analytics_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for hist in by_cohort.values():
+        hist.sort(key=lambda r: r.week_offset)
+        for a, b in zip(hist, hist[1:]):
+            assert b.cum_revenue >= a.cum_revenue - 1e-9  # non-decreasing
+
+
+def test_attribution_conserves_credit(spark, sf_dir):
+    rows = QUERIES["analytics_attribution_position"](spark, sf_dir).collect()
+    # floor division loses at most (n-2) permille per purchase with
+    # interior touches; totals must stay within that slack of the
+    # full-credit bound and never exceed it
+    total_permille = sum(r.permille_sum for r in rows)
+    # reconstruct the per-purchase touch counts for the exact bound
+    from pg_archiver_spark.operators.analytics import ATTR_WINDOW_MS
+
+    ev = load(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ms.alias("c_ms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", ms.alias("p_ms")
+    )
+    counts = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("c_ms") < F.col("p_ms"))
+            & (F.col("c_ms") >= F.col("p_ms") - ATTR_WINDOW_MS)
+        )
+        .groupBy("p_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    exact = sum(
+        1000 if r.n <= 2 else 800 + (200 // (r.n - 2)) * (r.n - 2)
+        for r in counts
+    )
+    assert total_permille == exact
+
+
+def test_rolling_median_covers_every_type_day(spark, sf_dir):
+    rows = QUERIES["window_rolling_median"](spark, sf_dir).collect()
+    types = {r.event_type for r in rows}
+    assert types == {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        assert r.n_in_window > 0
