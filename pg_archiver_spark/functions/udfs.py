@@ -216,3 +216,107 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+class _TopTokensUDTF:
+    """Python UDTF with a dynamic output schema via the static
+    ``analyze`` method (Spark ≥ 3.5 / 4.x): the column NAMES are
+    computed from a constant argument at PLAN time — the polymorphic
+    table-function surface (one UDTF serving many shapes) that static
+    returnType UDTFs (udtf_split) cannot express."""
+
+    @staticmethod
+    def analyze(doc_id, text, k):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        n = k.value
+        fields = [StructField("doc_id", LongType())]
+        for i in range(n):
+            fields.append(StructField(f"tok_{i + 1}", StringType()))
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, doc_id: int, text: str, k: int):
+        toks = (text or "").split(" ")
+        row = [doc_id] + [
+            toks[i] if i < len(toks) else "" for i in range(k)
+        ]
+        yield tuple(row)
+
+
+@register(
+    "udtf_analyze_dynamic",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(toks[1], '') AS tok_1,
+           COALESCE(toks[2], '') AS tok_2,
+           COALESCE(toks[3], '') AS tok_3
+    FROM t
+    """,
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the output schema (3 leading-token
+    columns here) is decided by the UDTF's ``analyze`` hook from a
+    constant argument at plan time — completing the UDTF surface next
+    to the static-schema udtf_split. Execution is still Arrow-batched
+    rows through one LATERAL pass; at 100 TB the cost model equals any
+    narrow per-row map (no shuffle), and the plan-time schema means
+    downstream pruning/codegen see ordinary typed columns."""
+    from pyspark.sql.functions import lit, udtf as _udtf
+
+    dyn = _udtf(_TopTokensUDTF)
+    spark.udtf.register("top_tokens", dyn)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_dyn_udtf")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.tok_1, t.tok_2, t.tok_3
+        FROM docs_for_dyn_udtf,
+             LATERAL top_tokens(doc_id, text, 3) AS t
+        """
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           CAST(value AS DOUBLE) * 1.1 + 5.0 AS adjusted
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — the batch-STREAMING form of the
+    scalar pandas UDF (udf_pandas_scalar): the worker receives an
+    iterator over Arrow batches and yields transformed batches, letting
+    expensive one-time state (a model handle, a codec table — here the
+    (rate, fee) pair standing in for it) initialize ONCE per partition
+    instead of once per batch. That amortization is the entire point of
+    this variant at 100 TB: per-task setup cost is O(1), not
+    O(batches). The oracle pins the arithmetic relationally."""
+    # NOTE: module-level ``from __future__ import annotations`` turns
+    # hints into strings, which pandas_udf's hint sniffing rejects for
+    # the iterator form — pass the eval type explicitly instead.
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def adjust(batches):
+        rate, fee = 1.1, 5.0  # once-per-task init (model-load stand-in)
+        for s in batches:
+            yield s * rate + fee
+
+    events = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", adjust(F.col("value").cast("double")).alias("adjusted")
+    )

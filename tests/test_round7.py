@@ -505,3 +505,37 @@ def test_rolling_median_covers_every_type_day(spark, sf_dir):
     assert types == {"click", "view", "purchase", "signup", "error"}
     for r in rows:
         assert r.n_in_window > 0
+
+
+def test_udtf_analyze_schema_follows_constant(spark, sf_dir):
+    df = QUERIES["udtf_analyze_dynamic"](spark, sf_dir)
+    assert df.columns == ["doc_id", "tok_1", "tok_2", "tok_3"]
+    row = df.orderBy("doc_id").first()
+    docs_first = (
+        load(spark, sf_dir, "documents").orderBy("doc_id").first()
+    )
+    assert [row.tok_1, row.tok_2, row.tok_3] == docs_first.text.split(" ")[:3]
+
+
+def test_pandas_iter_udf_matches_expression(spark, sf_dir):
+    got = {
+        r.event_id: r.adjusted
+        for r in QUERIES["udf_pandas_iter"](spark, sf_dir).collect()
+    }
+    exp = {
+        r.event_id: r.value * 1.1 + 5.0
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_multisink_crash_recovery_invariants(spark, sf_dir):
+    row = QUERIES["stream_multisink_atomic"](spark, sf_dir).first()
+    ev = load(spark, sf_dir, "events")
+    assert row.n_committed_batches == 4  # crash did not lose a batch
+    assert row.n_rows == ev.count()  # no dupes, no loss across restart
+    assert row.n_types == 5
