@@ -52,13 +52,19 @@ HEADLINE = [
     # state-store overhead is where streaming regressions hide
     # (applyInPandasWithState + event-time timeout eviction).
     "stream_state_timeout_sessions",
+    # Round-7 representatives: corpus-wide segment dedup (window over a
+    # content-hash shuffle) and int8 scalar quantization (two-pass
+    # bounds + encode + ADC top-k) — the LLM-ingest hot paths added
+    # this round.
+    "dedup_paragraph",
+    "sim_scalar_quantize_int8",
 ]
 
 # The headline set is VERSIONED (r6 verdict task 4): bump this when the
 # list above changes so cross-round totals are never compared across
 # different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
 # stable cross-round series.
-HEADLINE_SET_VERSION = 3  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6+ (+1)
+HEADLINE_SET_VERSION = 4  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2)
 
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the

@@ -1047,3 +1047,123 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled"),
         )
     )
+
+
+# T5-style span corruption: spans of SPAN_LEN consecutive tokens are
+# replaced by one sentinel, one candidate span every SPAN_STRIDE tokens
+# (≈ SPAN_LEN/SPAN_STRIDE = 15% token mask rate), with a per-document
+# deterministic start offset derived from md5(doc_id) so span positions
+# vary across documents but are identical across engines and retries.
+SPAN_LEN = 3
+SPAN_STRIDE = 20
+SPAN_OFFSET_MOD = 7
+SPAN_SENTINEL = "<X>"
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n,
+               CAST(CAST(('0x' || substring({_MD5}, 1, 8)) AS UBIGINT)
+                    % {SPAN_OFFSET_MOD} AS BIGINT) AS off
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               list_filter(
+                   list_transform(range(1, n + 1), i ->
+                       CASE
+                         WHEN i - 1 - off >= 0
+                              AND (i - 1 - off) % {SPAN_STRIDE} < {SPAN_LEN}
+                              AND i - ((i - 1 - off) % {SPAN_STRIDE})
+                                  + {SPAN_LEN} - 1 <= n
+                         THEN CASE WHEN (i - 1 - off) % {SPAN_STRIDE} = 0
+                                   THEN '{SPAN_SENTINEL}'
+                                   ELSE chr(1) END
+                         ELSE toks[i]
+                       END),
+                   x -> x <> chr(1)) AS corrupted
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(corrupted, x -> x = '{SPAN_SENTINEL}'))
+                AS BIGINT) AS n_spans,
+           CAST({SPAN_LEN} * len(list_filter(corrupted,
+                                 x -> x = '{SPAN_SENTINEL}'))
+                AS BIGINT) AS n_masked,
+           md5(array_to_string(corrupted, ' ')) AS corrupted_md5
+    FROM c
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption prep: replace ~15% of each document's
+    tokens — spans of SPAN_LEN consecutive tokens, one candidate span
+    per SPAN_STRIDE positions — with a single sentinel, the exact
+    pretraining-objective transform (Raffel et al. 2020 §3.1.4) run as
+    a data-prep pass. Span positions are per-document deterministic
+    (md5-derived offset): reproducible across engines AND across task
+    retries, which an RNG-based masker is not.
+
+    A pure narrow map: one array transform + filter per document, zero
+    shuffles, so it scales with corpus bytes at 100 TB like any
+    tokenizer pass. The oracle pins the corrupted text by fingerprint
+    (content equality, not just counts) plus the exact span ledger.
+    Spans are only taken where the full SPAN_LEN fits (a trailing
+    partial span is left unmasked — same rule both engines).
+    """
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % SPAN_OFFSET_MOD
+        ).alias("off"),
+    )
+
+    def corrupt_token(i):
+        dd = i - 1 - F.col("off")
+        r = dd % SPAN_STRIDE
+        start = i - r
+        in_span = (
+            (dd >= 0)
+            & (r < SPAN_LEN)
+            & (start + SPAN_LEN - 1 <= F.col("n"))
+        )
+        return (
+            F.when(in_span & (r == 0), F.lit(SPAN_SENTINEL))
+            .when(in_span, F.lit("\x01"))
+            .otherwise(F.element_at("toks", i.cast("int")))
+        )
+
+    c = d.select(
+        "doc_id",
+        "n",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")), corrupt_token
+            ),
+            lambda x: x != "\x01",
+        ).alias("corrupted"),
+    )
+    n_spans = F.size(
+        F.filter("corrupted", lambda x: x == SPAN_SENTINEL)
+    ).cast("bigint")
+    return c.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        (n_spans * SPAN_LEN).cast("bigint").alias("n_masked"),
+        F.md5(F.array_join("corrupted", " ").cast("binary")).alias(
+            "corrupted_md5"
+        ),
+    )

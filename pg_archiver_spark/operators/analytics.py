@@ -1759,3 +1759,66 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_7d"
         ),
     )
+
+
+@register(
+    "analytics_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.event_type,
+               a.v AS actual, b.v AS predicted,
+               abs(a.v - b.v) AS abs_err,
+               a.v - b.v AS err
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(err) AS DOUBLE) / COUNT(*) AS bias
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def analytics_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    value total with the value from 7 days earlier (the weekly-seasonal
+    baseline every forecasting system must beat), scored by MAE and
+    signed bias over every day with a 7-day-old twin. The error sums
+    accumulate as EXACT decimals — only the final per-type division is
+    float (bit-identical on identical inputs), so no rounding is needed
+    at all.
+
+    Plan: one map-side-combinable daily aggregate (types×days rows),
+    then a self-equi-join on (type, day-7) over that tiny frame — NOT a
+    lag window, which would silently mis-predict across missing days;
+    the join is gap-safe by construction. At 100 TB the fact table is
+    touched once; everything after is calendar-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    a = daily.select(
+        "event_type", "day", F.col("v").alias("actual")
+    )
+    b = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("v").alias("predicted"),
+    )
+    scored = a.join(b, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("actual") - F.col("predicted")).alias("abs_err"),
+        (F.col("actual") - F.col("predicted")).alias("err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (F.sum("abs_err").cast("double") / F.count("*")).alias("mae"),
+        (F.sum("err").cast("double") / F.count("*")).alias("bias"),
+    )

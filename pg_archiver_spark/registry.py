@@ -54,7 +54,14 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # slots 1-17 of r8 = the remaining never-checked tail in the order they
 # appear below after the slot-50 boundary (composed_q2_min_cost_supplier
 # ... multimodal_audio_features, minus the six promoted this round),
-# then any r7 additions, then the oldest fresh greens (r4-latest ops).
+# slots 18-45 = the 28 round-7 additions in registration order (the 8
+# early-r7 ops sink_manifest_committer / maintenance_materialized_rollup
+# / json_variant_shred / sql_pipe_syntax / sql_recursive_date_spine /
+# analytics_heavy_hitters_twopass / sim_vector_pq_search /
+# maintenance_constraint_audit, then the 20 late-r7 ops join_full_outer
+# ... stream_multisink_atomic), preferring sql-checked ops first so the
+# window yields hash verdicts; remaining slots = oldest fresh greens
+# (r4-latest ops).
 _DRIVER_PRIORITY = [
     # -- last driver evidence r2 (17 ops) -----------------------------
     "date_arith_retention",

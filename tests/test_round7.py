@@ -539,3 +539,35 @@ def test_multisink_crash_recovery_invariants(spark, sf_dir):
     assert row.n_committed_batches == 4  # crash did not lose a batch
     assert row.n_rows == ev.count()  # no dupes, no loss across restart
     assert row.n_types == 5
+
+
+def test_span_corruption_mask_rate_and_reconstruction(spark, sf_dir):
+    from pg_archiver_spark.functions.curation import (
+        SPAN_LEN,
+        SPAN_SENTINEL,
+        SPAN_STRIDE,
+    )
+
+    rows = QUERIES["pipeline_span_corruption"](spark, sf_dir).collect()
+    docs = {r.doc_id: r for r in rows}
+    assert len(docs) == load(spark, sf_dir, "documents").count()
+    tot_tokens = sum(r.n_tokens for r in rows)
+    tot_masked = sum(r.n_masked for r in rows)
+    # mask rate ≈ SPAN_LEN/SPAN_STRIDE asymptotically; short docs pull
+    # it UP (a 10-token doc masks one full span = 30%), trailing
+    # partials pull it down — band covers both
+    assert 0.5 * SPAN_LEN / SPAN_STRIDE < tot_masked / tot_tokens <= 0.30
+    for r in rows:
+        assert r.n_masked == SPAN_LEN * r.n_spans
+        assert r.n_masked <= r.n_tokens
+
+
+def test_seasonal_naive_backtest_shape(spark, sf_dir):
+    rows = QUERIES["analytics_seasonal_naive_backtest"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {
+        "click", "view", "purchase", "signup", "error",
+    }
+    for r in rows:
+        assert r.n_days > 0
+        assert r.mae >= 0.0
+        assert abs(r.bias) <= r.mae + 1e-9  # |mean err| ≤ mean |err|
