@@ -1167,3 +1167,188 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corrupted_md5"
         ),
     )
+
+
+@register(
+    "pipeline_rlhf_pair_prep",
+    oracle="""
+    WITH scored AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) * 1000 + n_chars
+                    AS BIGINT) AS score_milli
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, score_milli,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score_milli DESC, doc_id)
+                   AS rk_best,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score_milli ASC, doc_id)
+                   AS rk_worst
+        FROM scored
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_doc_id,
+           w.doc_id AS rejected_doc_id,
+           b.score_milli - w.score_milli AS score_gap_milli
+    FROM ranked b JOIN ranked w
+      ON b.source = w.source AND b.rk_best = 1 AND w.rk_worst = 1
+    """,
+)
+def pipeline_rlhf_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for RLHF/DPO data prep: per prompt
+    group (source stands in for the prompt), emit one (chosen,
+    rejected) pair — the best- and worst-scoring response — with the
+    score margin. The scorer here is the deterministic integer
+    length×1000+chars proxy; a production pipeline swaps in any reward
+    model's output column and the plan is unchanged.
+
+    Plan: ONE shuffle on the group key feeding both directions' ranks
+    (same partitioning, two in-partition sorts), then a self-join of
+    two 1-row-per-group frames. Integer scores make the pair choice
+    exactly reproducible across engines — a float reward column would
+    need the G11 rounding contract at the rank boundary.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (F.size(F.split("text", " ")) * 1000 + F.col("n_chars"))
+        .cast("bigint")
+        .alias("score_milli"),
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "score_milli",
+        F.row_number()
+        .over(wsrc.orderBy(F.desc("score_milli"), "doc_id"))
+        .alias("rk_best"),
+        F.row_number()
+        .over(wsrc.orderBy(F.asc("score_milli"), "doc_id"))
+        .alias("rk_worst"),
+    )
+    best = ranked.filter(F.col("rk_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score_milli").alias("s_best"),
+    )
+    worst = ranked.filter(F.col("rk_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score_milli").alias("s_worst"),
+    )
+    return best.join(worst, "source").select(
+        "source",
+        "chosen_doc_id",
+        "rejected_doc_id",
+        (F.col("s_best") - F.col("s_worst")).alias("score_gap_milli"),
+    )
+
+
+BPE_MERGE_ITERS = 3
+
+
+@register("pipeline_bpe_merges")  # rows-only: iterative training loop
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016), three
+    merge iterations: count weighted adjacent symbol pairs → merge the
+    argmax pair corpus-wide → recount. pipeline_bpe_pair_counts is one
+    iteration of the counting stage; this op closes the loop with the
+    actual merge, producing the ordered merge table a tokenizer ships.
+
+    Scale shape — the part that matters at 100 TB: after one initial
+    corpus pass, training operates ONLY on the weighted VOCABULARY
+    frame (distinct word × count, with per-word symbol arrays) — BPE's
+    classic optimization — so each iteration is an explode/groupBy over
+    a vocabulary-bounded frame plus a JVM-side array fold for the
+    merge (no Python row path). The per-iteration argmax is a 1-row
+    driver fetch (same bounded-driver contract as the k-means/PQ
+    codebooks). Each iteration self-checks that the merged pair's
+    adjacency count drops to zero — a wrong fold (e.g. missing the
+    overlap rule in 'aaa') fails loudly.
+
+    Words end with a '</w>' terminal symbol so merges can't cross word
+    boundaries — the standard formulation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.split("w", ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+    )
+
+    merges = []
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("syms") - 1)
+                ).alias("i"),
+                "syms",
+            )
+            .select(
+                "cnt",
+                F.element_at("syms", F.col("i").cast("int")).alias("a"),
+                F.element_at(
+                    "syms", (F.col("i") + 1).cast("int")
+                ).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").first()
+        a, b, n = top.a, top.b, int(top.n)
+        merged_sym = a + b
+        merges.append((it, a, b, merged_sym, n))
+
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged_sym)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("cnt", fold.alias("syms")).persist()
+        # Self-check: the merged pair's adjacency must now be extinct.
+        leftover = (
+            vocab.select(
+                F.explode(
+                    F.sequence(F.lit(1), F.size("syms") - 1)
+                ).alias("i"),
+                "syms",
+            )
+            .filter(
+                (F.element_at("syms", F.col("i").cast("int")) == a)
+                & (
+                    F.element_at("syms", (F.col("i") + 1).cast("int"))
+                    == b
+                )
+            )
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"BPE merge {it} left {leftover} unmerged ({a},{b}) pairs"
+            )
+
+    return spark.createDataFrame(
+        merges,
+        "iteration long, left string, right string, "
+        "merged string, pair_count long",
+    )

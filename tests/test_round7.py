@@ -571,3 +571,35 @@ def test_seasonal_naive_backtest_shape(spark, sf_dir):
         assert r.n_days > 0
         assert r.mae >= 0.0
         assert abs(r.bias) <= r.mae + 1e-9  # |mean err| ≤ mean |err|
+
+
+def test_rlhf_pairs_one_per_source_with_positive_gap(spark, sf_dir):
+    rows = QUERIES["pipeline_rlhf_pair_prep"](spark, sf_dir).collect()
+    srcs = load(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == srcs
+    for r in rows:
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert r.score_gap_milli > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    exact = {r.vec_id for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()}
+    multi = {r.vec_id for r in QUERIES["sim_ann_ivf_multiprobe"](spark, sf_dir).collect()}
+    single = {r.vec_id for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()}
+    # probing 3 cells can only add candidates vs probing 1
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 5  # ≥ 50% recall@10 on the fixture
+
+
+def test_bpe_merges_are_ordered_and_greedy(spark, sf_dir):
+    rows = QUERIES["pipeline_bpe_merges"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.curation import BPE_MERGE_ITERS
+
+    assert [r.iteration for r in rows] == list(range(1, BPE_MERGE_ITERS + 1))
+    for r in rows:
+        assert r.merged == r.left + r.right
+        assert r.pair_count > 0
+    # greedy: a later iteration can never beat an earlier count, except
+    # when a merge CREATES a new frequent symbol — allow equality drift
+    # but require iteration 1 to be the global argmax of raw pairs
+    assert rows[0].pair_count == max(r.pair_count for r in rows)
