@@ -1822,3 +1822,109 @@ def analytics_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataF
         (F.sum("abs_err").cast("double") / F.count("*")).alias("mae"),
         (F.sum("err").cast("double") / F.count("*")).alias("bias"),
     )
+
+
+PATH_TOPN = 20
+
+
+@register(
+    "analytics_session_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               epoch_ms(ts) AS ms, event_id,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w
+                         > {SESSION_GAP_MS}
+                    OR LAG(epoch_ms(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_type, ms, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    ),
+    numbered AS (
+        SELECT user_id, session_seq, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ms, event_id) AS rn
+        FROM tagged
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM numbered WHERE rn <= 3
+        GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPN}
+    """,
+)
+def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths — the Sankey/flow query behind every
+    product-analytics funnel explorer: sessionize (gap rule shared with
+    analytics_sessionize), take each session's first three event types
+    in time order, count the distinct paths, top-20.
+
+    Plan: everything through path construction lives in ONE shuffle on
+    user_id (three stacked windows share the partitioning; the path
+    assembly is a per-(user, session) sort_array over ≤3 structs —
+    deterministic, no engine-specific string_agg ordering ambiguity),
+    then a map-side-combinable count on the ≤|types|³ path key space
+    and TakeOrderedAndProject. The path cardinality bound (types³) is
+    what keeps the final stage trivially small at any corpus size.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | (F.col("ms") - F.lag("ms").over(w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    tagged = seq.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    numbered = tagged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy(
+                "ms", "event_id"
+            )
+        ),
+    )
+    paths = (
+        numbered.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPN)
+    )

@@ -1818,3 +1818,54 @@ def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n_rows long, n_files long",
     )
+
+
+@register(
+    "scan_bucket_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders WHERE o_custkey = 97
+    """,
+)
+def scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning on read: a point predicate on the BUCKET key of a
+    bucketed table scans 1 of 8 buckets — the file-level sibling of
+    partition pruning for high-cardinality keys you can't directory-
+    partition on. The executed plan must show `SelectedBucketsCount:
+    1 out of 8` (asserted in tests); the oracle pins the content
+    against the unbucketed source, so pruning provably drops no rows.
+
+    At 100 TB: bucketing the fact table on its hot point-lookup key
+    makes key-restricted scans read 1/N of the files with zero
+    metadata service involvement (the bucket id is a pure hash of the
+    predicate literal) — the ingest-time trade join_bucketed_colocated
+    makes for joins, applied to scans.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "bucketscan"
+    )
+    # Isolated cloned session (same SparkContext, private SQLConf):
+    # autoBucketedScan=true would DISABLE the bucketed scan here because
+    # no join/agg consumes the bucketing — but bucket PRUNING is itself
+    # the benefit for a point-predicate scan, so turn the auto-disable
+    # off without leaking the conf into the caller's session. (Same
+    # isolation pattern as join_bloom_runtime_filter.)
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    orders = load(s2, sf_dir, "orders")
+    s2.sql("DROP TABLE IF EXISTS bs_orders")
+    (
+        orders.write.mode("overwrite")
+        .option("path", os.path.join(base, "bs_orders"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bs_orders")
+    )
+    return s2.table("bs_orders").filter(F.col("o_custkey") == 97).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )

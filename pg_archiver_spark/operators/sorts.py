@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load, ts_literal
 from pg_archiver_spark.registry import register
@@ -91,4 +92,51 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
+    )
+
+
+BOTTOMK_K = 10
+
+
+@register(
+    "sample_bottomk_sketch",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS pos
+        FROM events
+    )
+    SELECT event_type, CAST(pos AS BIGINT) AS pos, event_id
+    FROM ranked WHERE pos <= {BOTTOMK_K}
+    """,
+)
+def sample_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k hash sketch per group — the MERGEABLE uniform sample: a
+    row is kept iff its content hash ranks among the group's k
+    smallest. Because "k smallest hashes" commutes with union, per-day
+    (or per-shard) sketches merge into exactly the global sketch — the
+    property (proven in tests) that makes this the retry-safe,
+    incremental alternative to rand()-reservoir sampling, and the same
+    sketch doubles as a distinct-count estimator (k-th smallest hash ≈
+    k/|D| of the hash space — the KMV estimator).
+
+    Plan: one shuffle on the group key, per-group top-k by hash rank —
+    at 100 TB, map-side partial top-k (each task keeps ≤ k per group
+    before the exchange) bounds the shuffle at tasks×groups×k rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= BOTTOMK_K)
+        .select("event_type", "pos", "event_id")
     )

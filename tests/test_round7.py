@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import ORACLES, QUERIES, load_all_operators
@@ -603,3 +604,49 @@ def test_bpe_merges_are_ordered_and_greedy(spark, sf_dir):
     # when a merge CREATES a new frequent symbol — allow equality drift
     # but require iteration 1 to be the global argmax of raw pairs
     assert rows[0].pair_count == max(r.pair_count for r in rows)
+
+
+def test_bucket_pruning_in_plan(spark, sf_dir):
+    df = QUERIES["scan_bucket_pruned"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_bottomk_sketch_is_mergeable(spark, sf_dir):
+    from pg_archiver_spark.operators.sorts import BOTTOMK_K
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+        F.to_date("ts").alias("day"),
+    )
+    # per-day bottom-k sketches ...
+    wd = Window.partitionBy("event_type", "day").orderBy("h", "event_id")
+    daily = (
+        ev.withColumn("pos", F.row_number().over(wd))
+        .filter(F.col("pos") <= BOTTOMK_K)
+        .select("event_type", "event_id", "h")
+    )
+    # ... merged (union + global re-rank) must equal the direct sketch
+    wm = Window.partitionBy("event_type").orderBy("h", "event_id")
+    merged = {
+        (r.event_type, r.event_id)
+        for r in daily.withColumn("pos", F.row_number().over(wm))
+        .filter(F.col("pos") <= BOTTOMK_K)
+        .collect()
+    }
+    direct = {
+        (r.event_type, r.event_id)
+        for r in QUERIES["sample_bottomk_sketch"](spark, sf_dir).collect()
+    }
+    assert merged == direct
+
+
+def test_session_paths_counts_conserve_sessions(spark, sf_dir):
+    rows = QUERIES["analytics_session_paths"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    sessions_total = QUERIES["analytics_sessionize"](spark, sf_dir).count()
+    assert sum(r.n_sessions for r in rows) <= sessions_total
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
