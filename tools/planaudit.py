@@ -23,6 +23,28 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-7 additions (each verified bounded: anchor frame size is
+    # a constant or a 1-row aggregate, never corpus-sized) ------------
+    "analytics_life_table": "1-row max(day) censoring-anchor aggregate "
+    "broadcast onto the per-user lifetime frame (analytics.py:1468) — "
+    "the house no-driver-.first() pattern",
+    "dedup_semantic_cluster": "K_SEM-row anchor-embedding table "
+    "broadcast for nearest-anchor assignment (dedup.py:771) — K·N "
+    "pairs = O(N); the within-cluster pair scan is an equi-join on "
+    "cluster id, never corpus×corpus",
+    "pipeline_mix_temperature": "|sources|-row count frame × 1-row "
+    "(n_total, s_alpha) aggregate crossJoin (curation.py:1017) — both "
+    "sides bounded by the source vocabulary, corpus-size-independent",
+    "sim_ann_ivf_multiprobe": "8-row centroid table + 1-row query "
+    "broadcast (assign + 3-cell probe map stages); candidates are an "
+    "equi-join on cell id",
+    "sim_maxsim_multivector": "1-row query multivector broadcast to "
+    "every scan task — O(N·chunks) scoring, no corpus pair blowup",
+    "sim_scalar_quantize_int8": "1-row global min/max bounds + 1-row "
+    "query broadcast — SQ codebook anchors; ADC scan stays O(N)",
+    "text_bigram_logprob": "1-row vocab-size aggregate broadcast onto "
+    "the vocab²-bounded bigram model join (text.py:598) — smoothing "
+    "denominator anchor, not a pair generator",
     "date_arith_retention": "1-row max(o_orderdate) aggregate broadcast "
     "as the retention anchor — no driver collect, no pair blowup",
     "sim_cosine_topk": "1-row query vector broadcast to every scan task "
