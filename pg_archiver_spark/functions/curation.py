@@ -1251,41 +1251,14 @@ def pipeline_rlhf_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ITERS = 3
 
 
-@register("pipeline_bpe_merges")  # rows-only: iterative training loop
-def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE tokenizer-training loop (Sennrich et al. 2016), three
-    merge iterations: count weighted adjacent symbol pairs → merge the
-    argmax pair corpus-wide → recount. pipeline_bpe_pair_counts is one
-    iteration of the counting stage; this op closes the loop with the
-    actual merge, producing the ordered merge table a tokenizer ships.
-
-    Scale shape — the part that matters at 100 TB: after one initial
-    corpus pass, training operates ONLY on the weighted VOCABULARY
-    frame (distinct word × count, with per-word symbol arrays) — BPE's
-    classic optimization — so each iteration is an explode/groupBy over
-    a vocabulary-bounded frame plus a JVM-side array fold for the
-    merge (no Python row path). The per-iteration argmax is a 1-row
-    driver fetch (same bounded-driver contract as the k-means/PQ
-    codebooks). Each iteration self-checks that the merged pair's
-    adjacency count drops to zero — a wrong fold (e.g. missing the
-    overlap rule in 'aaa') fails loudly.
-
-    Words end with a '</w>' terminal symbol so merges can't cross word
-    boundaries — the standard formulation.
-    """
-    docs = load(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "cnt",
-            F.concat(
-                F.split("w", ""), F.array(F.lit("</w>"))
-            ).alias("syms"),
-        )
-    )
-
+def _bpe_train(vocab: DataFrame) -> tuple[DataFrame, list]:
+    """Run BPE_MERGE_ITERS greedy merge iterations over a weighted
+    vocabulary frame ``(w, cnt, syms)``; returns the final vocabulary
+    (each word's symbol array after all merges) and the ordered merge
+    list. Shared by pipeline_bpe_merges (reports the merge table) and
+    pipeline_bpe_apply (encodes the corpus with it). Per-iteration
+    argmax is a 1-row driver fetch (bounded-driver contract); each
+    iteration self-checks the merged pair is extinct afterwards."""
     merges = []
     for it in range(1, BPE_MERGE_ITERS + 1):
         pairs = (
@@ -1324,7 +1297,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("cnt", fold.alias("syms")).persist()
+        vocab = vocab.select("w", "cnt", fold.alias("syms")).persist()
         # Self-check: the merged pair's adjacency must now be extinct.
         leftover = (
             vocab.select(
@@ -1346,9 +1319,116 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"BPE merge {it} left {leftover} unmerged ({a},{b}) pairs"
             )
+    return vocab, merges
 
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """Weighted word vocabulary with per-word symbol arrays: the frame
+    BPE training iterates on. Words end with a '</w>' terminal symbol
+    so merges can't cross word boundaries — the standard formulation."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.concat(
+                F.split("w", ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+    )
+
+
+@register("pipeline_bpe_merges")  # rows-only: iterative training loop
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016), three
+    merge iterations: count weighted adjacent symbol pairs → merge the
+    argmax pair corpus-wide → recount. pipeline_bpe_pair_counts is one
+    iteration of the counting stage; this op closes the loop with the
+    actual merge, producing the ordered merge table a tokenizer ships.
+
+    Scale shape — the part that matters at 100 TB: after one initial
+    corpus pass, training operates ONLY on the weighted VOCABULARY
+    frame (distinct word × count, with per-word symbol arrays) — BPE's
+    classic optimization — so each iteration is an explode/groupBy over
+    a vocabulary-bounded frame plus a JVM-side array fold for the
+    merge (no Python row path). The per-iteration argmax is a 1-row
+    driver fetch (same bounded-driver contract as the k-means/PQ
+    codebooks). Each iteration self-checks that the merged pair's
+    adjacency count drops to zero — a wrong fold (e.g. missing the
+    overlap rule in 'aaa') fails loudly.
+
+    Words end with a '</w>' terminal symbol so merges can't cross word
+    boundaries — the standard formulation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    _, merges = _bpe_train(_bpe_vocab(docs))
     return spark.createDataFrame(
         merges,
         "iteration long, left string, right string, "
         "merged string, pair_count long",
+    )
+
+
+@register("pipeline_bpe_apply")  # rows-only: encodes with the
+# data-dependent trained merge table — no SQL-expressible oracle;
+# correctness is pinned by the in-op reconstruction invariant plus the
+# monotone token-count checks in tests.
+def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of pipeline_bpe_merges:
+    encode the corpus with the trained merge table and report, per
+    source, the realized compression (character-level tokens vs BPE
+    tokens). This is the pass a training pipeline actually runs per
+    shard once the tokenizer is frozen, and the report is the
+    tokens-per-source table a dataset card publishes.
+
+    Scale shape: training touches only the vocabulary frame
+    (pipeline_bpe_merges' loop, shared helper); application is then a
+    plain EQUI-JOIN of the exploded corpus words onto the encoded
+    vocabulary — one shuffle on the word key (or a broadcast when the
+    vocab fits), no per-document Python, no re-running the merge fold
+    per occurrence. Encoding N occurrences of a word costs ONE fold
+    total — BPE's classic word-level memoization, expressed as a join.
+
+    Self-check (runs before returning): every encoded symbol array must
+    RECONSTRUCT its word exactly — concat(syms) == word + '</w>'. A
+    wrong fold (dropped symbol, crossed word boundary) fails loudly
+    here rather than silently skewing token counts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(_bpe_vocab(docs))
+
+    broken = vocab.filter(
+        F.array_join("syms", "") != F.concat(F.col("w"), F.lit("</w>"))
+    ).count()
+    if broken:
+        raise RuntimeError(
+            f"BPE encode broke reconstruction for {broken} vocab words"
+        )
+
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    encoded = words.join(vocab.select("w", "syms"), "w")
+    return (
+        encoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            # +1: the '</w>' terminal each word carries pre-merge.
+            F.sum(F.length("w") + F.lit(1)).alias("char_tokens"),
+            F.sum(F.size("syms")).alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "char_tokens",
+            "bpe_tokens",
+            F.expr(
+                "((char_tokens - bpe_tokens) * 1000) DIV char_tokens"
+            ).alias("saved_pm"),
+        )
+        .orderBy("source")
     )

@@ -904,3 +904,57 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("totw").cast("double").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_observe_metrics",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           CAST((COUNT(*) * 1000)
+                // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS BIGINT)
+               AS share_pm
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics piggybacked on a production aggregate
+    via the Observation API (``df.observe``): the per-returnflag report
+    AND the global row count come out of the SAME single pass — the
+    observation's metrics accumulate on the executors alongside the
+    grouped aggregate, so the denominator for the share column costs
+    zero extra scans, shuffles, or plan nodes (reference README.md:127
+    monitoring rollups: every archival query should emit its own volume
+    metrics for free).
+
+    This is the Spark-native alternative to the house 1-row-broadcast
+    pattern when the total is needed DRIVER-side anyway (alerting,
+    logging): observe() attaches an AccumulatorV2-backed listener to an
+    existing action instead of adding a second aggregate subtree. The
+    collect here is the |returnflag|=3-row report plus one metrics row
+    — bounded by the group-key cardinality, documented per the
+    bounded-driver contract (same envelope as the k-means codebooks).
+    At 100 TB the plan is Q1's: map-side partial agg to 3 rows.
+    """
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("archive_metrics")
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    flags = observed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    rows = flags.collect()  # bounded: |l_returnflag| = 3 groups
+    total = obs.get["n_rows"]  # filled by the action above, same pass
+    out = [
+        (r.l_returnflag, r.n_lines, r.qty, (r.n_lines * 1000) // total)
+        for r in sorted(rows, key=lambda r: r.l_returnflag)
+    ]
+    return spark.createDataFrame(
+        out, "l_returnflag string, n_lines long, qty double, share_pm long"
+    )

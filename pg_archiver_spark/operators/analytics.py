@@ -1928,3 +1928,172 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOPN)
     )
+
+
+MB_TOPN = 25  # market-basket: report the strongest N brand pairs
+TRI_EDGES = 60  # triangle count: top-K co-occurrence edges kept
+
+
+@register(
+    "analytics_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+    bn AS (SELECT brand, COUNT(*) AS n_b FROM items GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               COUNT(*) AS pair_n
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.pair_n AS BIGINT) AS pair_n,
+           CAST((p.pair_n * 1000) // t.n_orders AS BIGINT) AS support_pm,
+           CAST((p.pair_n * t.n_orders * 1000000)
+                // (na.n_b * nb.n_b) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    CROSS JOIN tot t
+    JOIN bn na ON na.brand = p.brand_a
+    JOIN bn nb ON nb.brand = p.brand_b
+    ORDER BY p.pair_n DESC, p.brand_a, p.brand_b
+    LIMIT {MB_TOPN}
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the strongest brand co-occurrence
+    pairs across order baskets, scored by support and lift — the
+    association-rule primitive behind "frequently bought together"
+    (reference README.md:88-102's analytics surface generalized to the
+    classic retail-basket question). Support and lift are INTEGER
+    permille / parts-per-million via floor division, so both engines
+    agree bit-for-bit (no float ratio drift).
+
+    Plan shape: part is broadcast onto the lineitem scan (dim join),
+    the per-order brand sets are deduped with ONE shuffle on orderkey,
+    and the pair generation is a self-equi-join on that same orderkey
+    partitioning — per-basket fan-out is C(brands_in_order, 2), bounded
+    by basket size (TPC-H ≤ 7 lines), NEVER corpus×corpus. Pair counts
+    then collapse map-side onto the ≤|brands|² key space, and the
+    per-brand totals + 1-row order-count anchor re-attach as broadcast
+    frames. At 100 TB the only fact-sized stages are the dedup shuffle
+    and the basket-local self-join — the same envelope as any
+    per-entity aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = items.agg(F.countDistinct("okey").alias("n_orders"))
+    bn = items.groupBy("brand").agg(F.count("*").alias("n_b"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+    )
+    na = bn.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))
+    nb = bn.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.expr("(pair_n * 1000) DIV n_orders").alias("support_pm"),
+            F.expr(
+                "(pair_n * n_orders * 1000000) DIV (na * nb)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("pair_n"), "brand_a", "brand_b")
+        .limit(MB_TOPN)
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT x.brand AS a, y.brand AS b, COUNT(*) AS pn
+        FROM items x JOIN items y
+          ON x.okey = y.okey AND x.brand < y.brand
+        GROUP BY x.brand, y.brand
+    ),
+    edges AS (
+        SELECT a, b, pn FROM pairs ORDER BY pn DESC, a, b LIMIT {TRI_EDGES}
+    )
+    SELECT e1.a AS brand_a, e1.b AS brand_b, e2.b AS brand_c,
+           CAST(LEAST(e1.pn, e2.pn, e3.pn) AS BIGINT) AS min_support
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ORDER BY min_support DESC, brand_a, brand_b, brand_c
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the brand co-occurrence graph: nodes
+    are brands, edges the TRI_EDGES strongest basket co-occurrence
+    pairs, triangles found by the ORDERED edge-edge-edge equi-join
+    (a<b<c — each triangle materializes exactly once, the standard
+    distributed triangle algorithm, e.g. Suri & Vassilvitskii's MR
+    formulation). Graph cliques of mutually-co-bought brands are the
+    cross-sell structure a category manager actually reads.
+
+    Plan shape: the fact-sized work is identical to
+    analytics_market_basket (one orderkey shuffle + basket-local
+    self-join); the edge list is then capped at TRI_EDGES rows by a
+    TakeOrderedAndProject, so the triangle join runs on a
+    constant-size frame via broadcast — at 100 TB the triangle stage
+    costs the same as at sf0.001. For high-cardinality node sets
+    (users, not brands) the same ordered-edge join applies with the
+    degree-based orientation trick keeping fan-out at O(E^1.5).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    x = items.alias("x")
+    y = items.alias("y")
+    edges = (
+        x.join(y, (F.col("x.okey") == F.col("y.okey")) & (F.col("x.brand") < F.col("y.brand")))
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
+        .agg(F.count("*").alias("pn"))
+        .orderBy(F.desc("pn"), "a", "b")
+        .limit(TRI_EDGES)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(F.broadcast(e2), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("brand_a"),
+            F.col("e1.b").alias("brand_b"),
+            F.col("e2.b").alias("brand_c"),
+            F.least("e1.pn", "e2.pn", "e3.pn").alias("min_support"),
+        )
+        .orderBy(F.desc("min_support"), "brand_a", "brand_b", "brand_c")
+    )

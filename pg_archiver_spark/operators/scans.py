@@ -1869,3 +1869,51 @@ def scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("totalprice"),
     )
+
+
+@register(
+    "scan_agg_pushdown_footer",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT answered from parquet FOOTER STATISTICS, zero data
+    pages read: with the DSv2 parquet source and
+    ``spark.sql.parquet.aggregatePushdown=true``, Spark compiles an
+    unfiltered MIN/MAX/COUNT aggregate into a metadata-only scan — the
+    executed plan's BatchScan shows ``PushedAggregation: [COUNT(*),
+    MIN(o_orderkey), ...]`` (asserted in tests) and reads one footer
+    per file instead of the column data. This is the profile/monitoring
+    query shape (reference README.md:127's freshness and row-count
+    checks): at 100 TB the difference is reading ~KBs of footers vs
+    scanning the whole fact table — the single biggest constant-factor
+    win Spark offers for monitoring rollups.
+
+    Pushdown-eligibility is narrow by design: no filter, no GROUP BY on
+    non-partition columns, and only types whose footer stats are
+    trustworthy — integer/float/date qualify, TIMESTAMP and truncatable
+    strings do NOT (a timestamp column in the agg silently disables the
+    whole pushdown — verified here, which is why this op profiles
+    o_orderkey, not o_orderdate). Runs in a CLONED session (private
+    SQLConf) so the v2-source switch never leaks to callers — the same
+    isolation pattern as scan_bucket_pruned.
+    """
+    s2 = spark.newSession()
+    # Parquet must come off the V1 source list for the DSv2 aggregate
+    # pushdown rule to apply; both confs are session-scoped.
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    orders = load(s2, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

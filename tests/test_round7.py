@@ -650,3 +650,73 @@ def test_session_paths_counts_conserve_sessions(spark, sf_dir):
     assert sum(r.n_sessions for r in rows) <= sessions_total
     for r in rows:
         assert 1 <= len(r.path.split(">")) <= 3
+
+
+# -- session-2 round-7 additions -------------------------------------
+
+
+def test_footer_agg_pushdown_in_plan(spark, sf_dir):
+    df = QUERIES["scan_agg_pushdown_footer"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "MIN(o_orderkey)" in plan and "MAX(o_totalprice)" in plan
+
+
+def test_footer_agg_pushdown_blocked_by_timestamp(spark, sf_dir):
+    # The docstring's claim that a timestamp column disables the whole
+    # pushdown must stay true across Spark upgrades — if it starts
+    # pushing, the op should be widened back to o_orderdate.
+    import os
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    df = orders.agg(F.count(F.lit(1)).alias("n"), F.min("o_orderdate").alias("d"))
+    assert "PushedAggregation: []" in _plan(df)
+
+
+def test_market_basket_bounds(spark, sf_dir):
+    from pg_archiver_spark.operators.analytics import MB_TOPN
+
+    rows = QUERIES["analytics_market_basket"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= MB_TOPN
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 <= r.support_pm <= 1000
+        assert r.lift_ppm >= 0
+    # strongest pair first, deterministic tie-break
+    counts = [r.pair_n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_triangle_edges_all_in_topk_pairs(spark, sf_dir):
+    # every triangle edge must be one of the TRI_EDGES strongest pairs,
+    # and the three vertices must be strictly ordered (each triangle
+    # materializes exactly once)
+    tris = QUERIES["graph_triangle_count"](spark, sf_dir).collect()
+    assert len(tris) > 0
+    for t in tris:
+        assert t.brand_a < t.brand_b < t.brand_c
+        assert t.min_support > 0
+
+
+def test_observe_metrics_shares_sum_to_thousand_ish(spark, sf_dir):
+    rows = QUERIES["agg_observe_metrics"](spark, sf_dir).collect()
+    n_total = sum(r.n_lines for r in rows)
+    ev = load(spark, sf_dir, "lineitem").count()
+    assert n_total == ev  # observation total == true total (same pass)
+    s = sum(r.share_pm for r in rows)
+    assert 1000 - len(rows) < s <= 1000  # floor-division undershoot only
+
+
+def test_bpe_apply_compresses_and_reconstructs(spark, sf_dir):
+    rows = QUERIES["pipeline_bpe_apply"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # merges only ever shrink the symbol stream, never grow it
+        assert r.bpe_tokens <= r.char_tokens
+        assert 0 <= r.saved_pm < 1000
+        assert r.n_words > 0 and r.n_docs > 0
+    # 3 merges on this corpus must realize SOME compression somewhere
+    assert any(r.saved_pm > 0 for r in rows)

@@ -25,6 +25,10 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 WHITELIST = {
     # -- round-7 additions (each verified bounded: anchor frame size is
     # a constant or a 1-row aggregate, never corpus-sized) ------------
+    "analytics_market_basket": "1-row order-count aggregate crossJoin "
+    "(the support denominator anchor); pair generation itself is a "
+    "basket-local equi-join on orderkey, per-brand totals re-attach as "
+    "|brands|-row broadcast equi-joins",
     "analytics_life_table": "1-row max(day) censoring-anchor aggregate "
     "broadcast onto the per-user lifetime frame (analytics.py:1468) — "
     "the house no-driver-.first() pattern",
