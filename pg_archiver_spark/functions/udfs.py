@@ -320,3 +320,75 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(F.col("event_type") == "purchase").select(
         "event_id", adjust(F.col("value").cast("double")).alias("adjusted")
     )
+
+
+def _reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup kernel: one order's header rows and its lineitem rows
+    arrive as two aligned pandas frames; emit the reconciliation row.
+    Integer arithmetic only (quantities are integral) so the result is
+    exact and engine-independent."""
+    n_lines = len(lines_pdf)
+    sum_qty = int(lines_pdf["l_quantity"].astype("int64").sum()) if n_lines else 0
+    return pd.DataFrame(
+        {
+            "o_orderkey": orders_pdf["o_orderkey"].iloc[:1],
+            "o_custkey": orders_pdf["o_custkey"].iloc[:1],
+            "n_lines": [n_lines],
+            "sum_qty": [sum_qty],
+        }
+    )
+
+
+@register(
+    "udf_cogroup_pandas",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+               AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey < 50
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas (the two-sided escape hatch): orders
+    and their lineitems are co-partitioned on orderkey and handed to a
+    pandas kernel AS A PAIR of aligned frames — the API for custom
+    merge logic a join can't express (as-of matching, interval
+    reconciliation, per-key diffing). The kernel here reconciles each
+    order against its lines INCLUDING line-less orders (the left-outer
+    case cogroup gives for free: the right frame arrives empty), and
+    the oracle proves it equals the LEFT JOIN + GROUP BY relational
+    form.
+
+    Scale shape: ONE co-partitioning shuffle on the key for each side —
+    identical exchange topology to a shuffle join — then Arrow-batched
+    per-key kernels; the custkey pushdown prunes both scans before the
+    shuffle. The Python boundary is per-GROUP, so keep kernels for
+    logic expressions can't say (here it could be a join — that's what
+    makes it oracle-checkable; udf surface contract op)."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select("o_orderkey", "o_custkey")
+    )
+    lines = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # Prune the lineitem side to the filtered orders' keys BEFORE the
+    # cogroup shuffle (semi-join; at 100 TB this is the bloom/DPP path)
+    lines = lines.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            _reconcile,
+            "o_orderkey long, o_custkey long, n_lines long, sum_qty long",
+        )
+    )

@@ -684,3 +684,155 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day
         """
     )
+
+
+TRI_EDGES_RC = 60  # same top-K edge graph as graph_triangle_count
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT x.brand AS a, y.brand AS b, COUNT(*) AS pn
+        FROM items x JOIN items y
+          ON x.okey = y.okey AND x.brand < y.brand
+        GROUP BY x.brand, y.brand
+    ),
+    edges AS (
+        SELECT a, b FROM pairs ORDER BY pn DESC, a, b LIMIT {TRI_EDGES_RC}
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION ALL
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_reachable
+    FROM reach
+    GROUP BY src
+    ORDER BY src
+    """,
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN recursive CTE — transitive closure (reachability)
+    over the brand co-occurrence graph: unlike the date spine (a
+    generator recursion, one row per level), each recursion level here
+    is a JOIN of the frontier against the edge table — the recursive
+    shape behind BOM explosions, org rollups, and dependency closures.
+    Termination is structural: edges are strictly brand-ordered
+    (a < b), so the graph is a DAG and every path strictly ascends —
+    ≤ |brands| levels, far under the 100-level default limit. UNION ALL
+    enumerates PATHS (Spark's recursion does not dedup); the final
+    COUNT(DISTINCT dst) collapses multiplicity, and the fixture graph
+    keeps the path count bounded (~1.5k).
+
+    Plan shape: the fact-sized work (distinct + pair agg) happens ONCE
+    before recursion; each of the ≤ depth iterative steps joins a
+    frontier ≤ |paths| rows against the 60-row edge frame — broadcast,
+    no fact rescans. At 100 TB: identical — recursion cost scales with
+    the GRAPH, not the corpus. For cyclic or billion-edge graphs the
+    scale path is dedup_cluster_cc's bounded label propagation, which
+    dedups per round; this op is the SQL-standard spelling."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    x = items.alias("x")
+    y = items.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.okey") == F.col("y.okey"))
+            & (F.col("x.brand") < F.col("y.brand")),
+        )
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
+        .agg(F.count("*").alias("pn"))
+        .orderBy(F.desc("pn"), "a", "b")
+        .limit(TRI_EDGES_RC)
+        .select("a", "b")
+    )
+    edges.createOrReplaceTempView("rc_brand_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT a, b FROM rc_brand_edges
+            UNION ALL
+            SELECT r.src, e.b
+            FROM reach r JOIN rc_brand_edges e ON r.dst = e.a
+        )
+        SELECT src, COUNT(DISTINCT dst) AS n_reachable
+        FROM reach
+        GROUP BY src
+        ORDER BY src
+        """
+    )
+
+
+@register(
+    "sql_scripting_batch",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+    g AS (
+        SELECT gs.generate_series AS thr_pm,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST(ROUND(l_discount * 100) AS INT)
+                         >= gs.generate_series
+               ) AS BIGINT) AS n
+        FROM lineitem CROSS JOIN generate_series(0, 10) gs
+        GROUP BY gs.generate_series
+    ),
+    best AS (
+        SELECT COALESCE(MAX(thr_pm), 0) AS thr
+        FROM g CROSS JOIN t WHERE g.n * 10 >= t.total
+    )
+    SELECT CAST(b.thr AS INT) AS threshold_pm,
+           g.n AS n_qualifying,
+           CAST((g.n * 1000) // t.total AS BIGINT) AS share_pm,
+           t.total AS n_total
+    FROM best b JOIN g ON g.thr_pm = b.thr CROSS JOIN t
+    """,
+)
+def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.1 BEGIN…END procedural blocks): an
+    iterative threshold search — walk the discount cutoff down from 10%
+    until at least 10% of lineitems qualify — written as DECLARE/WHILE/
+    SET control flow around distributed queries. This is the
+    "operational runbook as SQL" surface (the reference drives its
+    archive loop from Go, main.go:131-145; scripting moves that loop
+    INTO the engine, so each iteration's query still runs fully
+    distributed and nothing row-sized crosses the driver).
+
+    Determinism across engines: the cutoff compare quantizes
+    l_discount to integer permille via ROUND(×100) first, so no float
+    boundary can disagree between Spark and DuckDB; the oracle replays
+    the search as a closed-form grid query (max qualifying threshold
+    over generate_series(0,10)) — loop and grid provably coincide
+    because qualifying count is monotone in the threshold. Scale: ≤ 11
+    full-agg passes over the fact table, each a map-side-combinable
+    COUNT — the scripting adds driver-side control flow only."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sc_lineitem")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT;
+          DECLARE thr_pm INT DEFAULT 10;
+          DECLARE n BIGINT DEFAULT 0;
+          SET total = (SELECT COUNT(*) FROM sc_lineitem);
+          SET n = (SELECT COUNT(*) FROM sc_lineitem
+                   WHERE CAST(ROUND(l_discount * 100) AS INT) >= thr_pm);
+          WHILE n * 10 < total AND thr_pm > 0 DO
+            SET thr_pm = thr_pm - 1;
+            SET n = (SELECT COUNT(*) FROM sc_lineitem
+                     WHERE CAST(ROUND(l_discount * 100) AS INT) >= thr_pm);
+          END WHILE;
+          SELECT thr_pm AS threshold_pm, n AS n_qualifying,
+                 (n * 1000) DIV total AS share_pm, total AS n_total;
+        END
+        """
+    )

@@ -720,3 +720,55 @@ def test_bpe_apply_compresses_and_reconstructs(spark, sf_dir):
         assert r.n_words > 0 and r.n_docs > 0
     # 3 merges on this corpus must realize SOME compression somewhere
     assert any(r.saved_pm > 0 for r in rows)
+
+
+def test_python_datasource_partitions_by_rowgroup(spark, sf_dir):
+    import os
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    n_rg = pq.ParquetFile(path).num_row_groups
+    df = QUERIES["source_python_datasource"](spark, sf_dir)
+    # partition-planned parallelism == row-group count
+    assert df.rdd.getNumPartitions() == n_rg
+    assert df.count() == pq.ParquetFile(path).metadata.num_rows
+
+
+def test_cogroup_handles_lineless_orders(spark, sf_dir):
+    rows = QUERIES["udf_cogroup_pandas"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_lines >= 0
+        if r.n_lines == 0:
+            assert r.sum_qty == 0  # empty right frame handled
+
+
+def test_recursive_reachability_dominates_outdegree(spark, sf_dir):
+    reach = {
+        r.src: r.n_reachable
+        for r in QUERIES["sql_recursive_reachability"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert reach
+    # transitive closure can only ADD to the direct out-degree
+    deg = {
+        r.a: r.cnt
+        for r in spark.sql(
+            "SELECT a, COUNT(*) AS cnt FROM rc_brand_edges GROUP BY a"
+        ).collect()
+    }
+    for src, n in reach.items():
+        assert n >= deg[src]
+
+
+def test_scripting_finds_largest_qualifying_threshold(spark, sf_dir):
+    r = QUERIES["sql_scripting_batch"](spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
+    pm = F.round(F.col("l_discount") * 100).cast("int")
+    n_at = li.filter(pm >= r.threshold_pm).count()
+    assert n_at == r.n_qualifying
+    assert n_at * 10 >= r.n_total  # chosen threshold qualifies
+    if r.threshold_pm < 10:  # and the next one up must NOT
+        n_up = li.filter(pm >= r.threshold_pm + 1).count()
+        assert n_up * 10 < r.n_total
