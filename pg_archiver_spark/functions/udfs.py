@@ -392,3 +392,58 @@ def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey long, o_custkey long, n_lines long, sum_qty long",
         )
     )
+
+
+def _arrow_norms(batches):
+    """mapInArrow kernel: L2 norms straight off the Arrow buffers —
+    zero pandas materialization, zero per-row Python. The list column's
+    flat value buffer + offsets give a vectorized segmented reduction
+    (np.add.reduceat), the idiomatic Arrow-native kernel shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        ids = b.column(b.schema.get_field_index("vec_id"))
+        emb = b.column(b.schema.get_field_index("embedding"))
+        flat = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+        offs = emb.offsets.to_numpy()[: len(emb) + 1]
+        sq = flat * flat
+        sums = np.add.reduceat(sq, offs[:-1]) if len(flat) else np.array([])
+        # reduceat quirk: an empty segment copies the next element —
+        # embeddings are fixed-dim non-empty, assert rather than guess
+        assert (np.diff(offs) > 0).all()
+        norms = np.round(np.sqrt(sums), 4)
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(norms, type=pa.float64())],
+            ["vec_id", "l2_norm"],
+        )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           ))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python escape hatch: the
+    kernel receives raw ``pyarrow.RecordBatch``es (no pandas
+    conversion, unlike mapInPandas) and reduces the embedding list
+    column's flat value buffer with a vectorized segmented numpy
+    reduction. Per-vector L2 norms are the normalization pass every
+    embedding pipeline runs before cosine/IVF indexing
+    (functions/similarity.py consumes unit-normalized scores).
+
+    Escape-hatch ladder (module docstring) extended: mapInArrow sits
+    BELOW pandas_udf — same Arrow transfer, minus the arrow→pandas→
+    arrow copies, so it wins when the kernel is pure numpy over flat
+    buffers. Plan: one embarrassingly-parallel map stage, no shuffle;
+    the 4-dp round pins the oracle against summation-order drift."""
+    from pg_archiver_spark.catalog import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(_arrow_norms, "vec_id long, l2_norm double")

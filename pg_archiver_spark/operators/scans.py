@@ -1917,3 +1917,131 @@ def scan_agg_pushdown_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id < 40
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the multimodal INGEST path: raw files
+    (images, audio, model shards) land as (path, modificationTime,
+    length, content) rows with the bytes as an opaque binary column,
+    which is exactly the layout the multimodal_* kernels consume.
+    Round-trip proof: the first 40 documents are materialized as
+    individual ``<doc_id>.bin`` files, read back through binaryFile,
+    and reduced to (doc_id parsed from the path, byte length, md5) —
+    the oracle computes the same digest from the source table, so the
+    ingest path provably preserves every byte.
+
+    Scale notes: binaryFile parallelizes per FILE (no splitting — one
+    task per object, the right granularity for media blobs) and
+    supports pathGlobFilter/recursiveFileLookup for bucket layouts;
+    `spark.sql.sources.binaryFile.maxLength` guards against
+    single-object OOM. At 100 TB of media the scan is embarrassingly
+    parallel and the ONLY data motion is the objects themselves —
+    metadata (path/length/mtime) comes from the listing.
+
+    Note: materializing the fixture blobs via foreachPartition into a
+    local temp dir is a single-JVM test harness artifact — in
+    production the objects already live in shared storage and ONLY the
+    binaryFile read is the operator; on a multi-node cluster the
+    staging step would target the shared filesystem instead."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "binfiles",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    # Materialize the blobs executor-side (one file per doc, the
+    # object-store layout); foreachPartition keeps the write
+    # distributed — nothing returns to the driver.
+    def _write_part(rows):
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(_write_part)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY o_orderstatus
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML format round-trip (built into Spark 4 — no external
+    spark-xml package): a pruned orders slice is written as XML
+    documents (rowTag=order) and read back with a PINNED schema, then
+    profiled; the oracle computes the same profile on the source table,
+    so the format provably preserves keys, enum strings, and full
+    double precision (Java shortest-roundtrip rendering). XML is the
+    interchange surface legacy feeds actually arrive on — the archiver
+    equivalent of the reference's CSV/JSON landing formats
+    (README.md:88-102) for enterprise sources.
+
+    Scale notes: XML files split per-file (rowTag parsing is not
+    byte-splittable) — many medium files beat one giant one; always
+    pin the schema on read (inference buys a full extra pass and
+    type-widening surprises). Profile-after-roundtrip keeps the hash
+    independent of file layout and row order."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "xml_orders",
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

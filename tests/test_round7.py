@@ -772,3 +772,52 @@ def test_scripting_finds_largest_qualifying_threshold(spark, sf_dir):
     if r.threshold_pm < 10:  # and the next one up must NOT
         n_up = li.filter(pm >= r.threshold_pm + 1).count()
         assert n_up * 10 < r.n_total
+
+
+def test_binaryfile_digests_match_source(spark, sf_dir):
+    rows = QUERIES["source_binaryfile"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    src = {
+        r.doc_id: (len(r.text.encode("utf-8")), r.text)
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == set(src)
+    import hashlib
+
+    for r in rows:
+        n, text = src[r.doc_id]
+        assert r.n_bytes == n
+        assert r.digest == hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def test_xml_roundtrip_preserves_double_precision(spark, sf_dir):
+    # the profile compares SUMs of decimal-cast doubles — equality with
+    # the direct profile means every o_totalprice survived the XML hop
+    got = {
+        r.o_orderstatus: (r.n_orders, r.revenue)
+        for r in QUERIES["source_xml_roundtrip"](spark, sf_dir).collect()
+    }
+    want = {
+        r.o_orderstatus: (r.n, r.rev)
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_map_in_arrow_norms_positive_and_complete(spark, sf_dir):
+    df = QUERIES["udf_map_in_arrow"](spark, sf_dir)
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    rows = df.collect()
+    assert len(rows) == n_emb
+    assert all(r.l2_norm > 0 for r in rows)
