@@ -1216,3 +1216,103 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+LOGREG_ITERS = 3
+LOGREG_LR = 0.5
+
+
+@register("ml_logreg_gd")  # rows-only: iterative training; weights are
+# data-dependent floats — no SQL-expressible oracle. Correctness is
+# pinned by the in-op monotone-loss check plus the accuracy/loss
+# assertions in tests.
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-gradient-descent LOGISTIC REGRESSION over the embeddings
+    table (binary target: label < 5) — the linear-probe classifier a
+    training pipeline fits on embeddings for quality filtering or
+    domain routing, expressed in the house distributed-iterative shape
+    (ml_kmeans_lloyd / ml_pca_project): per-iteration model state lives
+    as CODEGEN LITERALS baked into the expressions, the data pass is
+    map + partial-agg only, and the driver touches exactly DIM+1
+    numbers per iteration (the gradient — same bounded-driver contract
+    as the k-means centroids).
+
+    Per iteration: margin z = w·x + b via a JVM-side zip_with/aggregate
+    fold (no Python), residual r = σ(z) − y, gradient ∇w_j = Σ r·x_j
+    by posexplode → groupBy(j) — map-side combinable, 64 result rows —
+    and a 1-row stats agg (log-loss, accuracy, ∇b). Gradient descent
+    MUST strictly decrease the full-batch loss at this LR; the op
+    raises if it ever doesn't (catches sign errors and LR blowups
+    loudly). Output: per-iteration loss/accuracy trajectory.
+
+    At 100 TB: 2 linear passes per iteration, zero shuffles of
+    anything row-sized (the gradient shuffle carries 64·|partitions|
+    partial rows); the all-reduce is the 64-row fetch — the same
+    topology as distributed SGD parameter averaging."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") < 5).cast("double").alias("y")
+    )
+    dim = 64
+    w = [0.0] * dim
+    b = 0.0
+    history = []
+    prev_loss = None
+    for it in range(1, LOGREG_ITERS + 1):
+        w_lit = F.array(*[F.lit(float(c)) for c in w])
+        z = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    w_lit,
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(float(b))
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        scored = emb.select("embedding", "y", p.alias("p"))
+
+        stats = scored.agg(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.col("p"))
+                    + (1 - F.col("y")) * F.log(1 - F.col("p"))
+                )
+            ).alias("loss"),
+            F.avg(F.col("p") - F.col("y")).alias("db"),
+            F.avg(
+                ((F.col("p") > 0.5).cast("double") == F.col("y")).cast(
+                    "double"
+                )
+            ).alias("acc"),
+            F.count("*").alias("n"),
+        ).first()
+        if prev_loss is not None and not stats.loss < prev_loss:
+            raise RuntimeError(
+                f"GD loss rose at iter {it}: {prev_loss} -> {stats.loss}"
+            )
+        prev_loss = stats.loss
+        history.append(
+            (it, round(float(stats.loss), 6), round(float(stats.acc), 4))
+        )
+
+        grad_rows = (
+            scored.select(
+                (F.col("p") - F.col("y")).alias("r"),
+                F.posexplode("embedding").alias("j", "xj"),
+            )
+            .groupBy("j")
+            .agg((F.sum(F.col("r") * F.col("xj")) / stats.n).alias("g"))
+            .collect()  # bounded: DIM rows — the model all-reduce
+        )
+        g = [0.0] * dim
+        for r in grad_rows:
+            g[r.j] = float(r.g)
+        w = [wj - LOGREG_LR * gj for wj, gj in zip(w, g)]
+        b = b - LOGREG_LR * float(stats.db)
+
+    return spark.createDataFrame(
+        history, "iteration long, log_loss double, accuracy double"
+    )

@@ -2097,3 +2097,111 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("min_support"), "brand_a", "brand_b", "brand_c")
     )
+
+
+@register(
+    "analytics_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               epoch_ms(CAST(ts AS DATE)) // 86400000 AS d,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT *,
+               d % 3 = 0
+               AND d > MIN(d) OVER (PARTITION BY event_type)
+               AND d < MAX(d) OVER (PARTITION BY event_type)
+                   AS knocked
+        FROM daily
+    ),
+    ctx AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN NOT knocked THEN CAST(v AS DOUBLE) END
+                          IGNORE NULLS) OVER w_prev AS prev_v,
+               LAST_VALUE(CASE WHEN NOT knocked THEN d END IGNORE NULLS)
+                   OVER w_prev AS prev_d,
+               FIRST_VALUE(CASE WHEN NOT knocked THEN CAST(v AS DOUBLE) END
+                           IGNORE NULLS) OVER w_next AS next_v,
+               FIRST_VALUE(CASE WHEN NOT knocked THEN d END IGNORE NULLS)
+                   OVER w_next AS next_d
+        FROM marked
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_next AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(v AS DOUBLE) AS actual_v,
+           ROUND(prev_v + (next_v - prev_v)
+                 * (d - prev_d) / (next_d - prev_d), 4) AS interp_v,
+           ROUND(ABS(CAST(v AS DOUBLE)
+                 - (prev_v + (next_v - prev_v)
+                    * (d - prev_d) / (next_d - prev_d))), 4) AS abs_err
+    FROM ctx WHERE knocked
+    """,
+)
+def analytics_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by LINEAR INTERPOLATION — the time-series repair
+    step between the zero-fill report (absent means zero) and the
+    seasonal-naive forecast (absent means predict): absent means the
+    metric existed but wasn't observed, so reconstruct it from the
+    straight line between the nearest observed neighbors. Since the
+    fixture calendar is gapless, the op KNOCKS OUT every third interior
+    day deterministically and reconstructs exactly those days — which
+    turns the op into its own accuracy harness: actual vs interpolated
+    ship side by side (tests bound the relative error).
+
+    The interpolation idiom is two frame-bounded window scans per
+    partition — last/first IGNORE NULLS over (unbounded,-1) and
+    (+1,unbounded) pick the nearest surviving neighbor in O(n) without
+    a self-join, gap width arbitrary. ONE shuffle on event_type (all
+    four windows share it); arithmetic is decimal-exact until the
+    final slope division, rounded 4dp. At 100 TB the windows run over
+    the types×days aggregate, not raw events — calendar-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("(ts_ns DIV 1000000) DIV 86400000").alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    wt = Window.partitionBy("event_type")
+    marked = daily.withColumn(
+        "knocked",
+        (F.col("d") % 3 == 0)
+        & (F.col("d") > F.min("d").over(wt))
+        & (F.col("d") < F.max("d").over(wt)),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    kept_v = F.when(~F.col("knocked"), F.col("v").cast("double"))
+    kept_d = F.when(~F.col("knocked"), F.col("d"))
+    ctx = (
+        marked.withColumn("prev_v", F.last(kept_v, ignorenulls=True).over(w_prev))
+        .withColumn("prev_d", F.last(kept_d, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first(kept_v, ignorenulls=True).over(w_next))
+        .withColumn("next_d", F.first(kept_d, ignorenulls=True).over(w_next))
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("d") - F.col("prev_d")
+    ) / (F.col("next_d") - F.col("prev_d"))
+    return ctx.filter("knocked").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").cast("double").alias("actual_v"),
+        F.round(interp, 4).alias("interp_v"),
+        F.round(F.abs(F.col("v").cast("double") - interp), 4).alias(
+            "abs_err"
+        ),
+    )

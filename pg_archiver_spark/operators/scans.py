@@ -2045,3 +2045,130 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "scan_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
+                           THEN o_orderpriority END) AS BIGINT)
+               AS n_with_priority,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                    THEN o_orderpriority END) AS BIGINT)
+               AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read (``mergeSchema``): the archive's early
+    batches were written before a column existed — here batch 0 lacks
+    ``o_orderpriority``, batch 1 (odd orderkeys) carries it — and one
+    mergeSchema read presents the union schema with NULLs where the
+    old files have no such column. This is the lakehouse reality the
+    reference's append-only layout (main.go:225-231: dated parquet
+    drops) runs into the first time the upstream table gains a column;
+    the oracle replays the evolution rule against the source table, so
+    NULL-backfill semantics are pinned exactly.
+
+    Scale notes: mergeSchema reconciles FOOTERS (schema union is a
+    metadata operation, though it does read every footer — at 100 TB
+    pin the evolved schema explicitly via .schema(...) once known and
+    pay zero reconciliation); per-file projection maps each file's
+    physical columns into the union layout at scan time, so old files
+    are never rewritten. Column RENAMES are not evolution (old+new
+    become two half-null columns) — that path needs the snapshot
+    store's explicit migration (maintenance_dataset_diff)."""
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "schema_evo",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
+    "scan_columnar_cache_reuse",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_custkey, c.c_mktsegment, n.n_name, r.r_name,
+               c.c_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT 'by_region' AS report, r_name AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM joined GROUP BY r_name
+    UNION ALL
+    SELECT 'by_segment' AS report, c_mktsegment AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM joined GROUP BY c_mktsegment
+    """,
+)
+def scan_columnar_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNAR CACHE reuse: an enriched frame consumed by TWO reports
+    pays its join cost ONCE — ``.cache()`` materializes the first
+    consumer's result as compressed columnar batches (InMemoryRelation)
+    and the second consumer scans those batches instead of re-running
+    scan+joins (both consumers' plans show InMemoryTableScan — asserted
+    in tests). This is the dashboard fan-out shape: N reports over one
+    curated frame; without the cache Spark re-executes the whole
+    lineage N times (plan REUSE only covers exchange-identical
+    subtrees, not sibling queries).
+
+    At 100 TB: cache the CURATED frame (post-join, post-filter — here
+    |customers| rows), never the raw fact; MEMORY_AND_DISK spills
+    gracefully, and columnar compression typically fits 3-10× the raw
+    row size. The try/finally unpersist releases executor memory the
+    moment the consumers are done — the same discipline as the CSV
+    cache in scan_csv_inferred (r5 ADVICE fix)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_mktsegment", "n_name", "r_name", "c_acctbal")
+        .cache()
+    )
+    try:
+        bal = F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        by_region = joined.groupBy(F.col("r_name").alias("k")).agg(
+            F.count("*").alias("n"), bal.alias("bal")
+        ).select(F.lit("by_region").alias("report"), "k", "n", "bal")
+        by_segment = joined.groupBy(F.col("c_mktsegment").alias("k")).agg(
+            F.count("*").alias("n"), bal.alias("bal")
+        ).select(F.lit("by_segment").alias("report"), "k", "n", "bal")
+        out = by_region.unionAll(by_segment)
+        # Materialize while the cache is alive; the returned frame is
+        # the (tiny) union result, independent of the cache lifetime.
+        rows = out.collect()
+    finally:
+        joined.unpersist()
+    return spark.createDataFrame(
+        rows, "report string, k string, n long, bal double"
+    )

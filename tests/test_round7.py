@@ -821,3 +821,60 @@ def test_map_in_arrow_norms_positive_and_complete(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == n_emb
     assert all(r.l2_norm > 0 for r in rows)
+
+
+def test_interpolation_error_is_small_relative(spark, sf_dir):
+    rows = QUERIES["analytics_interpolate_linear"](spark, sf_dir).collect()
+    assert rows  # knocked-out interior days exist
+    # linear reconstruction of a noisy daily series: right order of
+    # magnitude (median relative error < 1), strictly positive values
+    rel = sorted(
+        r.abs_err / r.actual_v for r in rows if r.actual_v > 0
+    )
+    assert rel[len(rel) // 2] < 1.0
+    assert all(r.interp_v > 0 for r in rows)
+    # endpoints were never knocked out: every row has both neighbors
+    assert all(r.interp_v is not None for r in rows)
+    # abs_err is consistent with the published pair
+    for r in rows[:10]:
+        assert abs(abs(r.actual_v - r.interp_v) - r.abs_err) < 2e-4
+
+
+def test_schema_evolution_nulls_only_in_old_batch(spark, sf_dir):
+    rows = QUERIES["scan_schema_evolution_merge"](spark, sf_dir).collect()
+    total = sum(r.n_rows for r in rows)
+    with_p = sum(r.n_with_priority for r in rows)
+    n_odd = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .count()
+    )
+    assert with_p == n_odd  # new column non-null EXACTLY on new batch
+    assert total > with_p  # and the old batch really is null-backfilled
+
+
+def test_cache_reuse_shows_inmemory_scan(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cached = cust.cache()
+    try:
+        cached.count()
+        plan = _plan(cached.groupBy().sum("c_acctbal"))
+        assert "InMemoryTableScan" in plan
+    finally:
+        cached.unpersist()
+    # and the op itself returns both reports with equal totals
+    rows = QUERIES["scan_columnar_cache_reuse"](spark, sf_dir).collect()
+    reports = {r.report for r in rows}
+    assert reports == {"by_region", "by_segment"}
+    n_by = {
+        rep: sum(r.n for r in rows if r.report == rep) for rep in reports
+    }
+    assert n_by["by_region"] == n_by["by_segment"]  # same base frame
+
+
+def test_logreg_loss_monotone_and_learns(spark, sf_dir):
+    rows = QUERIES["ml_logreg_gd"](spark, sf_dir).collect()
+    assert [r.iteration for r in rows] == [1, 2, 3]
+    losses = [r.log_loss for r in rows]
+    assert losses == sorted(losses, reverse=True)  # strictly improving
+    assert losses[0] == pytest.approx(0.693147, abs=1e-4)  # ln 2 at w=0
