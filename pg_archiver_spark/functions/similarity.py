@@ -1316,3 +1316,180 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration long, log_loss double, accuracy double"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+RRF_TOPK = 50
+RRF_OUT = 15
+_RRF_TERMS = ("join", "hash")
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words WHERE w IN ('join', 'hash') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm25 ORDER BY score DESC, doc_id LIMIT {RRF_TOPK}
+    ),
+    vec AS (
+        SELECT b.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(CAST(list_cosine_similarity(
+                       a.embedding, b.embedding) AS DOUBLE), 6) DESC,
+                   b.vec_id) AS r
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = 0
+        ORDER BY ROUND(CAST(list_cosine_similarity(
+            a.embedding, b.embedding) AS DOUBLE), 6) DESC, b.vec_id
+        LIMIT {RRF_TOPK}
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           CAST(COALESCE(l.r, 0) AS BIGINT) AS rank_lex,
+           CAST(COALESCE(v.r, 0) AS BIGINT) AS rank_vec,
+           CAST(COALESCE(1000000 // ({RRF_K} + l.r), 0)
+                + COALESCE(1000000 // ({RRF_K} + v.r), 0) AS BIGINT)
+               AS rrf_ppm
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {RRF_OUT}
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL by Reciprocal Rank Fusion: a lexical BM25
+    ranking (query terms 'join hash' over the documents table) and a
+    dense cosine ranking (vs vec_id 0, doc_id==vec_id) are fused as
+    Σ 1/(K + rank) over each list's top-50 — the standard
+    score-scale-free hybrid search every RAG stack runs (Cormack et
+    al.'s RRF; BM25 per Robertson/Spärck Jones). Cross-engine
+    determinism: both scores are ROUNDED to 6dp BEFORE ranking (float
+    drift cannot flip a rank), ranks tie-break on doc_id, and the RRF
+    contribution is INTEGER ppm (1e6 DIV (K+rank)) so the fused score
+    is exact.
+
+    Plan shape: BM25 is the tfidf machinery — explode+filter to the
+    query terms only (the scan prunes to matching postings
+    immediately), df/avgdl as tiny broadcast aggregates, ONE shuffle
+    on doc_id; the dense side is the sim_cosine_topk broadcast scan;
+    both lists end in TakeOrderedAndProject (no global sort) and the
+    fusion is a 50×50-row full outer join. At 100 TB: each ranking is
+    one pruned pass, the fusion is constant-size."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * (BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (
+                            1.0
+                            - BM25_B
+                            + BM25_B * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    lex = (
+        bm25.orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_TOPK)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("cos"),
+        )
+    )
+    vec = (
+        scored.orderBy(F.desc("cos"), "doc_id")
+        .limit(RRF_TOPK)
+        .withColumn(
+            "rank_vec",
+            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")),
+        )
+        .select("doc_id", "rank_vec")
+    )
+    # Contributions computed from the NULLABLE pre-coalesce ranks (an
+    # absent list contributes 0, not 1e6/(K+0)); the output ranks are
+    # coalesced to 0 purely as the "absent" marker.
+    contrib_lex = F.when(
+        F.col("rank_lex").isNull(), F.lit(0)
+    ).otherwise(F.expr(f"1000000 DIV ({RRF_K} + rank_lex)"))
+    contrib_vec = F.when(
+        F.col("rank_vec").isNull(), F.lit(0)
+    ).otherwise(F.expr(f"1000000 DIV ({RRF_K} + rank_vec)"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+        F.coalesce("rank_vec", F.lit(0)).cast("long").alias("rank_vec"),
+        (contrib_lex + contrib_vec).cast("long").alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(RRF_OUT)

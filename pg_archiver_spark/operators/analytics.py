@@ -2205,3 +2205,99 @@ def analytics_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+FUNNEL_WINDOW_MS = 172_800_000  # 48 h per-step conversion window
+
+
+@register(
+    "analytics_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_ms(e.ts) > s1.t1
+          AND epoch_ms(e.ts) <= s1.t1 + {FUNNEL_WINDOW_MS}
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ms(e.ts) > s2.t2
+          AND epoch_ms(e.ts) <= s2.t2 + {FUNNEL_WINDOW_MS}
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_48h,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_48h,
+           CAST(((SELECT COUNT(*) FROM s2) * 1000)
+                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv1_pm,
+           CAST(((SELECT COUNT(*) FROM s3) * 1000)
+                // (SELECT COUNT(*) FROM s2) AS BIGINT) AS conv2_pm
+    """,
+)
+def analytics_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel (ClickHouse's windowFunnel semantics): each
+    step counts only when it happens WITHIN 48 h of the previous step's
+    completion — the product question is "did the view CONVERT", and
+    without the bound a purchase six months later still counts
+    (analytics_funnel, the unbounded sibling, measures reachability;
+    this op measures conversion). Same min-timestamp cascade — each
+    stage is a per-user aggregate joined back on user_id with the
+    range predicate in the join filter — so the plan is k shuffles on
+    the SAME user_id key for a k-step funnel, each stage's frame
+    monotonically shrinking; the range check never becomes a range
+    JOIN because the per-user anchor is already a 1-row-per-user
+    equi-joined frame. Counts and permille conversions are exact
+    integers. At 100 TB: identical topology to analytics_funnel —
+    AQE coalesces the shrinking stages."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000000").alias("ms")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ms") > F.col("t1"))
+            & (F.col("ms") <= F.col("t1") + FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ms") > F.col("t2"))
+            & (F.col("ms") <= F.col("t2") + FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").alias("n_view"))
+    c2 = s2.agg(F.count("*").alias("n_click_48h"))
+    c3 = s3.agg(F.count("*").alias("n_purchase_48h"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_view",
+            "n_click_48h",
+            "n_purchase_48h",
+            F.expr("(n_click_48h * 1000) DIV n_view").alias("conv1_pm"),
+            F.expr("(n_purchase_48h * 1000) DIV n_click_48h").alias(
+                "conv2_pm"
+            ),
+        )
+    )

@@ -878,3 +878,34 @@ def test_logreg_loss_monotone_and_learns(spark, sf_dir):
     losses = [r.log_loss for r in rows]
     assert losses == sorted(losses, reverse=True)  # strictly improving
     assert losses[0] == pytest.approx(0.693147, abs=1e-4)  # ln 2 at w=0
+
+
+def test_rrf_fusion_ranks_and_scores_consistent(spark, sf_dir):
+    from pg_archiver_spark.functions.similarity import RRF_K, RRF_OUT, RRF_TOPK
+
+    rows = QUERIES["sim_rrf_fusion"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_OUT
+    for r in rows:
+        assert 0 <= r.rank_lex <= RRF_TOPK and 0 <= r.rank_vec <= RRF_TOPK
+        want = (1_000_000 // (RRF_K + r.rank_lex) if r.rank_lex else 0) + (
+            1_000_000 // (RRF_K + r.rank_vec) if r.rank_vec else 0
+        )
+        assert r.rrf_ppm == want
+    # fusion actually fuses: some doc must appear in BOTH lists at the
+    # top, and docs from a single list must still be representable
+    assert any(r.rank_lex > 0 and r.rank_vec > 0 for r in rows)
+    scores = [r.rrf_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_funnel_windowed_is_tighter_than_unbounded(spark, sf_dir):
+    w = QUERIES["analytics_funnel_windowed"](spark, sf_dir).collect()[0]
+    u = {
+        r.step: r.n_users
+        for r in QUERIES["analytics_funnel"](spark, sf_dir).collect()
+    }
+    # the 48 h bound can only REMOVE conversions vs the unbounded funnel
+    assert w.n_view == u["1_view"]
+    assert w.n_click_48h <= u["2_click"]
+    assert w.n_purchase_48h <= u["3_purchase"]
+    assert w.n_view >= w.n_click_48h >= w.n_purchase_48h > 0

@@ -25,6 +25,13 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 WHITELIST = {
     # -- round-7 additions (each verified bounded: anchor frame size is
     # a constant or a 1-row aggregate, never corpus-sized) ------------
+    "analytics_funnel_windowed": "three 1-row step-count aggregates "
+    "crossJoined into the single report row — the scalar pairing of "
+    "already-collapsed per-stage counts (same as analytics_ab_ztest)",
+    "sim_rrf_fusion": "1-row corpus stats + 1-row query vector "
+    "broadcasts (the BM25 avgdl/N anchor and the sim_cosine_topk "
+    "query pattern); both ranked lists are capped at RRF_TOPK rows "
+    "before the full-outer fusion join",
     "analytics_market_basket": "1-row order-count aggregate crossJoin "
     "(the support denominator anchor); pair generation itself is a "
     "basket-local equi-join on orderkey, per-brand totals re-attach as "
