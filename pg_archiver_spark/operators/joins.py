@@ -1595,3 +1595,4 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("urgent_spend"),
     )
+

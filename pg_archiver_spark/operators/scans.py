@@ -2048,67 +2048,6 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_schema_evolution_merge",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
-                           THEN o_orderpriority END) AS BIGINT)
-               AS n_with_priority,
-           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
-                                    THEN o_orderpriority END) AS BIGINT)
-               AS n_priorities
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
-def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCHEMA EVOLUTION on read (``mergeSchema``): the archive's early
-    batches were written before a column existed — here batch 0 lacks
-    ``o_orderpriority``, batch 1 (odd orderkeys) carries it — and one
-    mergeSchema read presents the union schema with NULLs where the
-    old files have no such column. This is the lakehouse reality the
-    reference's append-only layout (main.go:225-231: dated parquet
-    drops) runs into the first time the upstream table gains a column;
-    the oracle replays the evolution rule against the source table, so
-    NULL-backfill semantics are pinned exactly.
-
-    Scale notes: mergeSchema reconciles FOOTERS (schema union is a
-    metadata operation, though it does read every footer — at 100 TB
-    pin the evolved schema explicitly via .schema(...) once known and
-    pay zero reconciliation); per-file projection maps each file's
-    physical columns into the union layout at scan time, so old files
-    are never rewritten. Column RENAMES are not evolution (old+new
-    become two half-null columns) — that path needs the snapshot
-    store's explicit migration (maintenance_dataset_diff)."""
-    orders = load(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"pg_archiver_spark-{os.getpid()}",
-        "schema_evo",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_orderstatus"
-    )
-    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    old.write.mode("overwrite").parquet(os.path.join(base, "batch=0"))
-    new.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
-    merged = (
-        spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "true")
-        .parquet(base)
-    )
-    return merged.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_rows"),
-        F.count("o_orderpriority").alias("n_with_priority"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-    )
-
-
-@register(
     "scan_columnar_cache_reuse",
     oracle="""
     WITH joined AS (
@@ -2171,4 +2110,64 @@ def scan_columnar_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.unpersist()
     return spark.createDataFrame(
         rows, "report string, k string, n long, bal double"
+    )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level fault tolerance (``spark.sql.files.ignoreCorruptFiles``):
+    a directory of good parquet batches plus one truncated/garbage file
+    scans to exactly the good rows instead of failing the whole job —
+    the archive-operations sibling of source_csv_permissive's RECORD-
+    level tolerance. At 100 TB a single corrupted object (failed
+    multipart upload, bit rot, a half-written file from a crashed
+    writer outside the commit protocol) must not take down a thousand-
+    task scan; with the flag, the task reading the bad file logs and
+    returns empty, every other task is untouched.
+
+    The full orders table is written as two parquet batches, a garbage
+    `.parquet` is planted beside them, and the profile of the
+    mergeSchema-free read must equal the SOURCE table's profile — i.e.
+    the corrupt file contributed nothing and the good files lost
+    nothing. Runs in a cloned session so the tolerance flag never
+    leaks: in normal operation you WANT corrupt files to fail loudly;
+    this flag is the explicit recover-and-continue mode."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "corrupt_scan",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b0"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b1"))
+    # Plant a garbage object that claims to be parquet.
+    with open(os.path.join(base, "b0", "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file at all \x00\xff")
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    back = s2.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).option("recursiveFileLookup", "true").parquet(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
     )

@@ -840,19 +840,6 @@ def test_interpolation_error_is_small_relative(spark, sf_dir):
         assert abs(abs(r.actual_v - r.interp_v) - r.abs_err) < 2e-4
 
 
-def test_schema_evolution_nulls_only_in_old_batch(spark, sf_dir):
-    rows = QUERIES["scan_schema_evolution_merge"](spark, sf_dir).collect()
-    total = sum(r.n_rows for r in rows)
-    with_p = sum(r.n_with_priority for r in rows)
-    n_odd = (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 2 == 1)
-        .count()
-    )
-    assert with_p == n_odd  # new column non-null EXACTLY on new batch
-    assert total > with_p  # and the old batch really is null-backfilled
-
-
 def test_cache_reuse_shows_inmemory_scan(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     cached = cust.cache()
@@ -909,3 +896,25 @@ def test_funnel_windowed_is_tighter_than_unbounded(spark, sf_dir):
     assert w.n_click_48h <= u["2_click"]
     assert w.n_purchase_48h <= u["3_purchase"]
     assert w.n_view >= w.n_click_48h >= w.n_purchase_48h > 0
+
+
+def test_ignore_corrupt_files_fails_loudly_without_flag(spark, sf_dir):
+    # the op's cloned-session flag is the ONLY thing standing between
+    # the planted garbage file and a job failure — prove the default
+    # session (flag off) actually raises on the same directory
+    import os
+    import tempfile
+
+    QUERIES["scan_ignore_corrupt_files"](spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "corrupt_scan",
+    )
+    strict = spark.newSession()
+    strict.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    df = strict.read.schema("o_orderkey long").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    with pytest.raises(Exception):
+        df.count()
