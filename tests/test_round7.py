@@ -918,3 +918,42 @@ def test_ignore_corrupt_files_fails_loudly_without_flag(spark, sf_dir):
     ).parquet(base)
     with pytest.raises(Exception):
         df.count()
+
+
+def test_length_batching_beats_random_batching(spark, sf_dir):
+    from pg_archiver_spark.functions.curation import BATCH_SIZE
+
+    rows = QUERIES["pipeline_length_batching"](spark, sf_dir).collect()
+    n_docs_total = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert all(r.n_docs <= BATCH_SIZE for r in rows)
+    # batches are length-contiguous: sorted by batch_id, the per-batch
+    # [min,max] ranges never overlap backwards
+    ordered = sorted(rows, key=lambda r: r.batch_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.max_tokens <= b.min_tokens
+    # padding waste must crush the random-batching baseline: batch by
+    # md5 order (random) and compare total padded-token overhead
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    rnd = toks.withColumn(
+        "b",
+        (
+            F.row_number().over(
+                Window.orderBy(F.md5(F.col("doc_id").cast("string")))
+            )
+            - 1
+        )
+        / BATCH_SIZE,
+    ).withColumn("b", F.floor("b"))
+    rand_waste = (
+        rnd.groupBy("b")
+        .agg((F.count("*") * F.max("n") - F.sum("n")).alias("w"))
+        .agg(F.sum("w"))
+        .first()[0]
+    )
+    sorted_waste = sum(
+        r.n_docs * r.max_tokens - r.sum_tokens for r in rows
+    )
+    assert sorted_waste * 2 < rand_waste
