@@ -61,7 +61,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # maintenance_constraint_audit, then the 20 late-r7 ops join_full_outer
 # ... stream_multisink_atomic), preferring sql-checked ops first so the
 # window yields hash verdicts; remaining slots = oldest fresh greens
-# (r4-latest ops).
+# (r4-latest ops). Session-2 of r7 added 19 more never-checked ops
+# (analytics_market_basket ... pipeline_length_batching, registration
+# order) — queue them AFTER the 28 above in the r8/r9 windows, again
+# sql-checked first; all 19 carry local gate evidence at three SFs.
 _DRIVER_PRIORITY = [
     # -- last driver evidence r2 (17 ops) -----------------------------
     "date_arith_retention",
