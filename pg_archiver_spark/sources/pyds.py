@@ -23,7 +23,13 @@ per-batch Arrow hop is the only overhead vs a JVM-native reader.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -101,4 +107,157 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("pg_rowgroups")
         .option("path", os.path.join(sf_dir, "orders.parquet"))
         .load()
+    )
+
+
+class _DocPageStreamReader:
+    """SimpleDataSourceStreamReader over doc_id PAGES — the polling
+    upstream-drain loop (the reference's cron extraction, main.go:
+    131-145) as a first-class Spark streaming source: each microbatch
+    reads the next id-range page, the engine checkpoints the page
+    offset, and a crash/restart replays via readBetweenOffsets —
+    exactly-once without the source system cooperating beyond stable
+    ordering."""
+
+    def __init__(self, path: str, page: int, end: int):
+        self.path, self.page, self.end = path, page, end
+
+    def initialOffset(self):
+        return {"next_id": 0}
+
+    def _page(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        t = pq.read_table(self.path, columns=["doc_id", "lang", "n_chars"])
+        m = pc.and_(
+            pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)
+        )
+        # Materialized list (NOT a generator): the engine pickles the
+        # prefetched rows alongside the offset for replay.
+        return iter(
+            [
+                (row["doc_id"], row["lang"], row["n_chars"])
+                for row in t.filter(m).to_pylist()
+            ]
+        )
+
+    def read(self, start):
+        lo = start["next_id"]
+        hi = min(lo + self.page, self.end)
+        return self._page(lo, hi), {"next_id": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._page(start["next_id"], end["next_id"])
+
+
+def _mk_doc_stream_source():
+    # Defined via factory so the DataSource subclass (pickled to the
+    # executors) closes over nothing but stdlib/pyarrow.
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        SimpleDataSourceStreamReader as _SR,
+    )
+
+    class _Reader(_DocPageStreamReader, _SR):
+        pass
+
+    class DocPageStreamSource(_DS):
+        @classmethod
+        def name(cls):
+            return "pg_doc_pages"
+
+        def schema(self):
+            return "doc_id bigint, lang string, n_chars bigint"
+
+        def simpleStreamReader(self, schema):
+            return _Reader(
+                self.options["path"],
+                int(self.options["page"]),
+                int(self.options["end"]),
+            )
+
+    return DocPageStreamSource
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING SOURCE in pure Python (Spark 4
+    ``SimpleDataSourceStreamReader``): the documents table drained in
+    doc_id pages through a user-defined streaming connector — offsets
+    are engine-checkpointed JSON, replay goes through
+    readBetweenOffsets, and the sink accumulates each page EXACTLY
+    ONCE. This is the connector story for streaming systems Spark
+    doesn't speak (the reference's poll-the-upstream cron loop,
+    main.go:131-145, as a real Structured Streaming source instead of
+    an external scheduler).
+
+    The op drains the full fixture corpus (page size = ~1/5 of the
+    corpus, so multiple microbatches at every SF), then profiles the
+    landed copy; the DuckDB oracle computes the same profile on the
+    SOURCE table — a hash match proves no page was lost, duplicated,
+    or torn across the microbatch boundaries. Tests additionally pin
+    multi-batch execution and distinct doc_ids. At scale the page scan
+    would be the upstream system's indexed range read; here pyarrow
+    filters the parquet page executor-side."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    end = n  # doc_id is 0..n-1 dense in the fixtures
+    page = max(1, (n + 4) // 5)
+    spark.dataSource.register(_mk_doc_stream_source())
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "pyds_stream",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    stream = (
+        spark.readStream.format("pg_doc_pages")
+        .option("path", path)
+        .option("page", page)
+        .option("end", end)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        landed = 0
+        while time.time() < deadline:
+            time.sleep(0.5)
+            try:
+                landed = spark.read.parquet(
+                    os.path.join(out, "data")
+                ).count()
+            except Exception:
+                landed = 0
+            if landed >= n:
+                break
+        if landed < n:
+            raise RuntimeError(
+                f"stream drained only {landed}/{n} docs before timeout"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    back = spark.read.parquet(os.path.join(out, "data"))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
     )

@@ -957,3 +957,26 @@ def test_length_batching_beats_random_batching(spark, sf_dir):
         r.n_docs * r.max_tokens - r.sum_tokens for r in rows
     )
     assert sorted_waste * 2 < rand_waste
+
+
+def test_python_stream_source_exactly_once_pages(spark, sf_dir):
+    import os
+    import tempfile
+
+    QUERIES["stream_python_datasource"](spark, sf_dir).collect()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "pyds_stream",
+    )
+    landed = spark.read.parquet(os.path.join(out, "data"))
+    n_src = load(spark, sf_dir, "documents").count()
+    assert landed.count() == n_src
+    assert landed.select("doc_id").distinct().count() == n_src  # no dups
+    # the drain really was incremental: multiple committed microbatches
+    commits = [
+        f
+        for f in os.listdir(os.path.join(out, "ckpt", "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) >= 5  # page = ~corpus/5
