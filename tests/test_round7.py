@@ -980,3 +980,35 @@ def test_python_stream_source_exactly_once_pages(spark, sf_dir):
         if not f.startswith(".")
     ]
     assert len(commits) >= 5  # page = ~corpus/5
+
+
+def test_python_sink_manifest_gates_orphan_files(spark, sf_dir):
+    import json
+    import os
+    import tempfile
+
+    QUERIES["sink_python_datasource"](spark, sf_dir).collect()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "pyds_ledger",
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    n_src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .count()
+    )
+    assert manifest["n_rows"] == n_src
+    assert sum(f["n_rows"] for f in manifest["files"]) == n_src
+    # plant an orphan data file a crashed/zombie task might leave…
+    orphan = os.path.join(out, "part-ORPHAN.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"o_orderkey": -1, "o_orderstatus": "X", "o_totalprice": 1.0}\n')
+    # …and prove the manifest-gated read never sees it
+    committed = [os.path.join(out, f["filename"]) for f in manifest["files"]]
+    assert orphan not in committed
+    back = spark.read.schema("o_orderkey long").json(committed)
+    assert back.filter(F.col("o_orderkey") == -1).count() == 0
+    assert back.count() == n_src
