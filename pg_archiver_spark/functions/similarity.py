@@ -1493,3 +1493,56 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (contrib_lex + contrib_vec).cast("long").alias("rrf_ppm"),
     )
     return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(RRF_OUT)
+
+
+HASH_DIM = 32
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT lang,
+               CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                    % {HASH_DIM} AS BIGINT) AS bucket
+        FROM words
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK featurization (Weinberger et al. 2009): terms map
+    to a FIXED {HASH_DIM}-dim feature space via a hash, so the
+    vectorizer needs no vocabulary dictionary at all — the only
+    featurizer that works on a 100 TB corpus without first
+    building/broadcasting a vocab table (new terms can never grow the
+    feature space or force a re-fit). Output is the per-language
+    bucketed term-frequency profile — the aggregate view of the
+    per-doc vectors a downstream linear model (ml_logreg_gd) consumes.
+
+    Cross-engine determinism: the bucket hash is md5's first 8 hex
+    chars parsed as an integer mod D — exact and identical in both
+    engines (the house md5 idiom; xxhash64 would be faster in Spark
+    but has no DuckDB twin to verify against — at production scale
+    swap to xxhash64, same shape). Plan: explode → map-side-combinable
+    groupBy on the (lang × D)-bounded key space — one shuffle whose
+    payload is vocabulary-independent, THE point of the trick."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    return (
+        words.select("lang", bucket.cast("long").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )

@@ -1012,3 +1012,19 @@ def test_python_sink_manifest_gates_orphan_files(spark, sf_dir):
     back = spark.read.schema("o_orderkey long").json(committed)
     assert back.filter(F.col("o_orderkey") == -1).count() == 0
     assert back.count() == n_src
+
+
+def test_feature_hashing_fixed_dim_and_conserves_tokens(spark, sf_dir):
+    from pg_archiver_spark.functions.similarity import HASH_DIM
+
+    rows = QUERIES["ml_feature_hashing"](spark, sf_dir).collect()
+    assert all(0 <= r.bucket < HASH_DIM for r in rows)
+    n_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r.tf for r in rows) == n_tokens  # every token lands once
+    # the hash actually spreads: far more than a handful of buckets hit
+    assert len({r.bucket for r in rows}) == HASH_DIM
