@@ -1026,5 +1026,7 @@ def test_feature_hashing_fixed_dim_and_conserves_tokens(spark, sf_dir):
         .first()[0]
     )
     assert sum(r.tf for r in rows) == n_tokens  # every token lands once
-    # the hash actually spreads: far more than a handful of buckets hit
-    assert len({r.bucket for r in rows}) == HASH_DIM
+    # the hash actually spreads (the sf0.001 vocabulary is smaller than
+    # the feature space, so not every bucket can be hit — half is the
+    # spread floor that catches a broken/constant hash)
+    assert len({r.bucket for r in rows}) >= HASH_DIM // 2
