@@ -1539,3 +1539,70 @@ def pipeline_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+EPOCH_PEEK = 10
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH e1 AS (
+        SELECT 1 AS epoch,
+               ROW_NUMBER() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+               doc_id
+        FROM documents
+        ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {EPOCH_PEEK}
+    ),
+    e2 AS (
+        SELECT 2 AS epoch,
+               ROW_NUMBER() OVER (ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+               doc_id
+        FROM documents
+        ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {EPOCH_PEEK}
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(pos AS BIGINT) AS pos, doc_id
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+    ORDER BY epoch, pos
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH DETERMINISTIC SHUFFLING — the training-loader contract:
+    every epoch must visit the SAME corpus in a DIFFERENT but
+    REPRODUCIBLE order (resume-from-step needs to recompute order
+    without storing it; multi-worker loaders need to agree on it with
+    no coordination). The epoch-salted content hash md5(epoch:doc_id)
+    IS the permutation — no stored shuffle index, no RNG state, and
+    any worker can compute its own slice of epoch k's order locally
+    (the same md5-as-deterministic-randomness idiom as
+    pipeline_train_test_split). Tests pin that epochs produce
+    different permutations of the identical multiset.
+
+    Output: the first {EPOCH_PEEK} loader positions of two epochs (the
+    verifiable prefix). Plan: each epoch's prefix is a
+    TakeOrderedAndProject over a map-computed sort key — top-k, never
+    a global sort, so peeking the front of ANY epoch's order at 100 TB
+    costs one scan; materializing a full epoch order is the same scan
+    with a range-partitioned write (no extra machinery)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (1, 2):
+        key = F.md5(
+            F.concat(
+                F.lit(f"{epoch}:"), F.col("doc_id").cast("string")
+            )
+        )
+        w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+        parts.append(
+            docs.orderBy(key.asc(), F.col("doc_id").asc())
+            .limit(EPOCH_PEEK)
+            .select(
+                F.lit(epoch).cast("long").alias("epoch"),
+                F.row_number().over(w).cast("long").alias("pos"),
+                "doc_id",
+            )
+        )
+    return parts[0].unionAll(parts[1]).orderBy("epoch", "pos")

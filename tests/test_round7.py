@@ -1030,3 +1030,17 @@ def test_feature_hashing_fixed_dim_and_conserves_tokens(spark, sf_dir):
     # the feature space, so not every bucket can be hit — half is the
     # spread floor that catches a broken/constant hash)
     assert len({r.bucket for r in rows}) >= HASH_DIM // 2
+
+
+def test_epoch_shuffle_distinct_reproducible_permutations(spark, sf_dir):
+    rows = QUERIES["pipeline_epoch_shuffle"](spark, sf_dir).collect()
+    e1 = [r.doc_id for r in rows if r.epoch == 1]
+    e2 = [r.doc_id for r in rows if r.epoch == 2]
+    assert len(e1) == len(e2) == 10
+    assert e1 != e2  # different epoch, different order
+    # reproducible: a second evaluation yields the identical prefix
+    again = QUERIES["pipeline_epoch_shuffle"](spark, sf_dir).collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in rows]
+    # and the epoch order is a PERMUTATION: salted ranking is bijective
+    # on doc_id, so no id can repeat within an epoch prefix
+    assert len(set(e1)) == 10 and len(set(e2)) == 10
