@@ -1596,3 +1596,55 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("urgent_spend"),
     )
 
+
+
+@register(
+    "join_aqe_runtime_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 5
+    GROUP BY p.p_brand
+    """,
+)
+def join_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE runtime join re-planning — the AQE behavior that saves
+    the most shuffles at 100 TB: the static planner cannot know that
+    `p_size < 5` keeps only a sliver of the dim table (stats say "part
+    is big", so it plans a SortMergeJoin and a full fact shuffle), but
+    AQE measures the ACTUAL post-filter size at the shuffle boundary
+    and rewrites the join to a BroadcastHashJoin mid-query — the fact
+    table's shuffle is elided at runtime. Tests assert the executed
+    plan carries BOTH shapes: SortMergeJoin in the initial plan,
+    BroadcastHashJoin in `isFinalPlan=true`.
+
+    Conf shape (cloned session): static
+    `autoBroadcastJoinThreshold=-1` (models the real-world case — the
+    planner's estimate is too big/unknown to broadcast) while
+    `adaptive.autoBroadcastJoinThreshold` stays enabled, so ONLY the
+    runtime path can broadcast. This is the house rule "let Catalyst
+    optimize" made load-bearing: declare the join, let measured sizes
+    pick the strategy. At 100 TB the same mechanism converts any
+    selective-dim star join after the dim's filter collapses it."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    li = load(s2, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = load(s2, sf_dir, "part").filter(F.col("p_size") < 5).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

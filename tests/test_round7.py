@@ -1044,3 +1044,79 @@ def test_epoch_shuffle_distinct_reproducible_permutations(spark, sf_dir):
     # and the epoch order is a PERMUTATION: salted ranking is bijective
     # on doc_id, so no id can repeat within an epoch prefix
     assert len(set(e1)) == 10 and len(set(e2)) == 10
+
+
+def test_aqe_rewrites_smj_to_broadcast_at_runtime(spark, sf_dir):
+    df = QUERIES["join_aqe_runtime_broadcast"](spark, sf_dir)
+    df.collect()  # AQE final plan exists only after execution
+    plan = _plan(df)
+    # both shapes present: the static plan chose SMJ, runtime chose BHJ
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, sf_dir):
+    # Kill the paged drain after the FIRST committed microbatch, then
+    # restart from the same checkpoint: the resumed query must land
+    # every remaining page exactly once (readBetweenOffsets replay).
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from pg_archiver_spark.sources.pyds import _mk_doc_stream_source
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    page = max(1, (n + 4) // 5)
+    spark.dataSource.register(_mk_doc_stream_source())
+    out = os.path.join(tempfile.gettempdir(), "t7_pyds_resume")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _start():
+        return (
+            spark.readStream.format("pg_doc_pages")
+            .option("path", path)
+            .option("page", page)
+            .option("end", n)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out, "data"))
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    q = _start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        _t.sleep(0.3)
+        if os.path.isdir(os.path.join(out, "ckpt", "commits")) and [
+            f
+            for f in os.listdir(os.path.join(out, "ckpt", "commits"))
+            if not f.startswith(".")
+        ]:
+            break
+    q.stop()  # crash after >=1 batch
+    q.awaitTermination(30)
+
+    q2 = _start()  # resume from the same checkpoint
+    deadline = _t.time() + 90
+    landed = 0
+    while _t.time() < deadline:
+        _t.sleep(0.5)
+        try:
+            landed = spark.read.parquet(os.path.join(out, "data")).count()
+        except Exception:
+            landed = 0
+        if landed >= n:
+            break
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == n
+    assert got.select("doc_id").distinct().count() == n  # exactly once
