@@ -2171,3 +2171,64 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "maintenance_repartition_layout",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY month
+    """,
+)
+def maintenance_repartition_layout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SCHEME MIGRATION (day layout → month layout): the
+    archive was landed `day=YYYY-MM-DD/` (the reference's per-run
+    drop granularity, main.go:225-231) but query patterns read months —
+    so the maintenance job rewrites the layout coarser WITHOUT touching
+    row content. Day-partitioned ingest + month-partitioned serving is
+    the classic mismatch: too-fine partitions at 100 TB mean millions
+    of directories, metadata-bound listings, and KB-scale files; the
+    migration is one partitioned re-write, `partitionOverwriteMode=
+    dynamic`-safe, after which old-layout dirs are retired (the
+    retention machinery, maintenance_retention_drop_partitions).
+
+    Proof: the op lands BOTH layouts, then profiles the MONTH-layout
+    read-back; the oracle computes the same profile from the source
+    table — bit-identical content across the migration. Tests
+    additionally pin the directory collapse (n day dirs >> n month
+    dirs) and that a single-month read of the new layout prunes to
+    one partition (PartitionFilters)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        "layout_mig",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    day_path = os.path.join(base, "by_day")
+    month_path = os.path.join(base, "by_month")
+    ev.write.mode("overwrite").partitionBy("day").parquet(day_path)
+    # The migration: read the OLD layout, re-partition coarser.
+    old = spark.read.parquet(day_path)
+    (
+        old.withColumn("month", F.substring("day", 1, 7))
+        .drop("day")
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(month_path)
+    )
+    back = spark.read.parquet(month_path)
+    return back.groupBy("month").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
