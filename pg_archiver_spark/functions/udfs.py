@@ -447,3 +447,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(_arrow_norms, "vec_id long, l2_norm double")
+
+
+@register(
+    "udf_sql_declarative",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS net_revenue
+    FROM lineitem
+    WHERE l_extendedprice * (1.0 - l_discount) > 1000.0
+    GROUP BY l_returnflag
+    """,
+)
+def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DECLARED scalar function (``CREATE FUNCTION … RETURN expr``,
+    Spark 3.5+) — the missing rung at the TOP of the escape-hatch
+    ladder (module docstring): a reusable, named user function that
+    stays a catalyst EXPRESSION, so unlike every Python UDF variant it
+    inlines into whole-stage codegen, pushes through filters, and
+    costs literally nothing at 100 TB. The first thing to try when a
+    user asks for a UDF is to not write one — this op pins that the
+    declared function's plan is Python-free (tests assert no
+    BatchEvalPython/ArrowEvalPython node) and the oracle states the
+    inlined expression directly.
+
+    net_revenue(price, disc) is the archiver's derived-metric example,
+    used in the WHERE — the inlining means the predicate is an
+    ordinary expression the optimizer can reason about. (The SUM uses
+    the decimal-input form directly: casting the function's DOUBLE
+    product to decimal rounds differently across engines — the G11
+    trap — so exact money math keeps decimals from the inputs up.)"""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlfn_li")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_revenue(
+            price DOUBLE, disc DOUBLE
+        ) RETURNS DOUBLE RETURN price * (1.0 - disc)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS net_revenue
+        FROM sqlfn_li
+        WHERE net_revenue(l_extendedprice, l_discount) > 1000.0
+        GROUP BY l_returnflag
+        """
+    )

@@ -958,3 +958,46 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "l_returnflag string, n_lines long, qty double, share_pm long"
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    WITH counts AS (
+        SELECT p.p_brand AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT item, cnt FROM counts
+    ORDER BY cnt DESC, item
+    LIMIT 10
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` — Spark 4.1's built-in space-saving / heavy-
+    hitter SKETCH as a single aggregate function: fixed memory
+    (maxItemsTracked slots) regardless of key cardinality, mergeable
+    across partitions, one pass — the engine-native replacement for
+    analytics_heavy_hitters_twopass when an ε-approximate answer is
+    acceptable. At fixture cardinality (|brands| = 25 « the 100-slot
+    budget given here) the sketch is provably EXACT, which is what
+    makes this hash-checkable against the DuckDB exact top-k; the
+    docstring contract at 100 TB is the usual space-saving guarantee
+    (count overestimate ≤ ε·N, true heavy hitters never evicted).
+    Output is re-sorted (count DESC, item) because the sketch's own
+    tie order is unspecified."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brands = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    sk = brands.agg(
+        F.expr("approx_top_k(p_brand, 25, 100)").alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+        .limit(10)
+    )

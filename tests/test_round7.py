@@ -1146,3 +1146,32 @@ def test_layout_migration_collapses_partitions_and_prunes(spark, sf_dir):
         F.col("month") == one
     )
     assert "PartitionFilters: [isnotnull(month" in _plan(df)
+
+
+def test_sql_declarative_fn_stays_python_free(spark, sf_dir):
+    df = QUERIES["udf_sql_declarative"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the declared function inlined into ordinary expressions
+    rows = df.collect()
+    assert len(rows) > 0 and all(r.net_revenue > 0 for r in rows)
+
+
+def test_approx_top_k_exact_at_fixture_cardinality(spark, sf_dir):
+    got = [
+        (r.item, r.cnt)
+        for r in QUERIES["agg_approx_top_k"](spark, sf_dir).collect()
+    ]
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    want = [
+        (r.p_brand, r.cnt)
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "p_brand")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want  # 25 keys « 100 slots: the sketch is exact
