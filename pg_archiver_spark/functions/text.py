@@ -604,3 +604,97 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bits_per_bigram"
         ),
     )
+
+
+PMI_TOP_WORDS = 20
+PMI_OUT = 25
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+    top_w AS (
+        SELECT w, COUNT(*) AS df FROM words GROUP BY w
+        ORDER BY df DESC, w LIMIT {PMI_TOP_WORDS}
+    ),
+    hits AS (
+        SELECT wo.doc_id, wo.w, t.df FROM words wo JOIN top_w t USING (w)
+    ),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+               COUNT(*) AS n_ab
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w, a.df, b.df
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln((CAST(n_ab AS DOUBLE) * n.n_docs)
+                    / (CAST(df1 AS DOUBLE) * df2)), 4) AS pmi
+    FROM pairs CROSS JOIN nd n
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_OUT}
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise Mutual Information over DOCUMENT-LEVEL co-occurrence
+    of the {PMI_TOP_WORDS} most frequent terms — the phrase/association
+    detector of word2vec-era preprocessing (Mikolov et al.'s phrase
+    scoring is PMI with a discount): PMI > 0 means two words share
+    documents more than their frequencies predict. Complements
+    text_bigram_logprob, which scores ADJACENCY (directional,
+    position-bound); PMI scores topical association anywhere in the
+    document.
+
+    Bounded by construction: only the top-K vocabulary enters the pair
+    join, so the co-occurrence space is ≤ K² regardless of corpus
+    size, and the per-doc fan-out is ≤ K² too — never vocabulary².
+    One corpus pass for the vocab ranking (TakeOrdered), one for the
+    doc×top-word hits (broadcast semi-join), then a K²-bounded agg.
+    The only float is the final log of a ratio of exact integers,
+    rounded 4dp — cross-engine safe."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    nd = words.agg(F.countDistinct("doc_id").alias("n_docs"))
+    top_w = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(PMI_TOP_WORDS)
+    )
+    hits = words.join(F.broadcast(top_w), "w")
+    a = hits.select(
+        F.col("doc_id"), F.col("w").alias("w1"), F.col("df").alias("df1")
+    )
+    b = hits.select(
+        F.col("doc_id"), F.col("w").alias("w2"), F.col("df").alias("df2")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_OUT)
+    )

@@ -1648,3 +1648,88 @@ def join_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "join_point_in_time_features",
+    oracle="""
+    WITH labels AS (
+        SELECT user_id, epoch_ms(ts) AS label_ms, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, epoch_ms(ts) AS ms FROM events
+        WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, epoch_ms(ts) AS ms FROM events
+        WHERE event_type = 'view'
+    ),
+    feat AS (
+        SELECT l.user_id, l.label_ms,
+               (SELECT COUNT(*) FROM clicks c
+                WHERE c.user_id = l.user_id AND c.ms <= l.label_ms)
+                   AS clicks_before,
+               (SELECT COUNT(*) FROM views v
+                WHERE v.user_id = l.user_id AND v.ms <= l.label_ms)
+                   AS views_before
+        FROM labels l
+    )
+    SELECT CAST(clicks_before > 0 AS VARCHAR) AS had_click,
+           CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(clicks_before) AS BIGINT) AS sum_clicks_before,
+           CAST(SUM(views_before) AS BIGINT) AS sum_views_before
+    FROM feat
+    GROUP BY had_click
+    """,
+)
+def join_point_in_time_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POINT-IN-TIME-correct feature join — the feature-store
+    operation that prevents label leakage: every training label
+    (purchase) is enriched with feature values computed ONLY from
+    events at-or-before the label's timestamp (clicks-so-far,
+    views-so-far). Doing this with a plain join + filter is the classic
+    leakage bug factory; doing it with a per-label correlated subquery
+    (the oracle's spelling) is O(labels × history). The scalable
+    spelling here: union the label and feature streams, ONE shuffle on
+    user_id, and running-count windows — every label row reads its
+    PIT-correct feature for free at O(events log events_per_user), the
+    same envelope as join_asof (this op is its many-features,
+    running-aggregate generalization).
+
+    Output is grouped by a derived cohort (had any click before
+    purchase) so the hash check pins every per-label feature value via
+    the sums."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        "event_type",
+        "event_id",
+    ).filter(F.col("event_type").isin("purchase", "click", "view"))
+    # Order ties so same-ms features COUNT (<= semantics): feature
+    # events sort before the label at equal timestamps.
+    is_label = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", is_label.asc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = ev.withColumn(
+        "clicks_before",
+        F.sum((F.col("event_type") == "click").cast("long")).over(w),
+    ).withColumn(
+        "views_before",
+        F.sum((F.col("event_type") == "view").cast("long")).over(w),
+    )
+    labels = enriched.filter(F.col("event_type") == "purchase")
+    return labels.groupBy(
+        (F.col("clicks_before") > 0).cast("string").alias("had_click")
+    ).agg(
+        F.count("*").alias("n_labels"),
+        F.sum("clicks_before").alias("sum_clicks_before"),
+        F.sum("views_before").alias("sum_views_before"),
+    )

@@ -2232,3 +2232,58 @@ def maintenance_repartition_layout(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "maintenance_content_fingerprint",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+               || '|' || CAST(o_custkey AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM orders
+    UNION ALL
+    SELECT 'documents' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+               || CAST(n_chars AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def maintenance_content_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDER-INVARIANT dataset fingerprint — the reproducibility
+    manifest entry a training run records next to its model card: an
+    additive hash (Σ of each row's md5 prefix as an integer) that is
+    identical for any row order, any partitioning, any file layout —
+    so re-shards, compactions, and engine migrations can be VERIFIED
+    content-preserving with one cheap aggregate instead of a full
+    sort-and-diff (maintenance_dataset_diff is the row-level tool when
+    this detector fires). Commutative+associative by construction, so
+    it map-side combines and merges like any SUM; collision risk is
+    the birthday bound on a 32-bit-per-row additive hash — a CHANGE
+    detector, not a cryptographic attestation (the docstring contract;
+    use the full md5 ledger for adversarial settings).
+
+    Cross-engine exactness: md5-prefix-as-integer is the house
+    deterministic-hash idiom; both engines sum the same integers."""
+    def fp(df, cols, name):
+        key = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).alias("fingerprint"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "fingerprint")
+
+    orders = load(spark, sf_dir, "orders")
+    docs = load(spark, sf_dir, "documents")
+    return fp(
+        orders, ["o_orderkey", "o_orderstatus", "o_custkey"], "orders"
+    ).unionAll(fp(docs, ["doc_id", "lang", "n_chars"], "documents"))

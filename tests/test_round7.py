@@ -1175,3 +1175,65 @@ def test_approx_top_k_exact_at_fixture_cardinality(spark, sf_dir):
         .collect()
     ]
     assert got == want  # 25 keys « 100 slots: the sketch is exact
+
+
+def test_pit_features_never_leak_future(spark, sf_dir):
+    rows = QUERIES["join_point_in_time_features"](spark, sf_dir).collect()
+    total = sum(r.n_labels for r in rows)
+    n_purch = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == n_purch  # every label exactly once
+    # leakage probe: sum of clicks-before over ALL labels can never
+    # exceed labels × total clicks (sanity) and the no-click cohort
+    # must contribute zero
+    for r in rows:
+        if r.had_click == "false":
+            assert r.sum_clicks_before == 0
+
+
+def test_pmi_pairs_bounded_by_top_vocab(spark, sf_dir):
+    from pg_archiver_spark.functions.text import PMI_OUT, PMI_TOP_WORDS
+
+    rows = QUERIES["text_cooccurrence_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_OUT
+    vocab = {w for r in rows for w in (r.w1, r.w2)}
+    assert len(vocab) <= PMI_TOP_WORDS
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.w1 < r.w2 for r in rows)
+
+
+def test_fingerprint_is_order_and_layout_invariant(spark, sf_dir):
+    import os
+    import tempfile
+
+    base = {
+        r.tbl: (r.n_rows, r.fingerprint)
+        for r in QUERIES["maintenance_content_fingerprint"](
+            spark, sf_dir
+        ).collect()
+    }
+    # re-shard orders into a different layout and re-fingerprint
+    out = os.path.join(tempfile.gettempdir(), "t7_fp_reshard")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    orders.repartition(7, "o_orderstatus").write.mode("overwrite").parquet(out)
+    re = spark.read.parquet(out)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in re.columns])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    row = re.agg(F.count("*").alias("n"), F.sum(h).alias("fp")).first()
+    assert (row.n, row.fp) == base["orders"]
+    # and a single-row mutation MUST change the fingerprint
+    mut = re.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 1, F.col("o_custkey") + 1).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    key2 = F.concat_ws("|", *[F.col(c).cast("string") for c in mut.columns])
+    h2 = F.conv(F.substring(F.md5(key2), 1, 8), 16, 10).cast("long")
+    assert mut.agg(F.sum(h2)).first()[0] != base["orders"][1]

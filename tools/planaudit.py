@@ -25,6 +25,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 WHITELIST = {
     # -- round-7 additions (each verified bounded: anchor frame size is
     # a constant or a 1-row aggregate, never corpus-sized) ------------
+    "text_cooccurrence_pmi": "1-row n_docs aggregate crossJoin (the "
+    "PMI denominator anchor); the pair join itself is a doc_id "
+    "equi-join bounded to the top-K vocabulary hits",
     "analytics_funnel_windowed": "three 1-row step-count aggregates "
     "crossJoined into the single report row — the scalar pairing of "
     "already-collapsed per-stage counts (same as analytics_ab_ztest)",
