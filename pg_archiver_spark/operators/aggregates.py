@@ -1001,3 +1001,62 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "item")
         .limit(10)
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               PERCENT_RANK() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS pr
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS trimmed_mean
+    FROM ranked
+    WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIMMED MEAN (10% each tail) per event type — the robust
+    central-tendency metric monitoring systems prefer over the plain
+    mean (one whale order shifts AVG; it can't shift the 10%-trimmed
+    mean) and over the median (which discards all magnitude
+    information inside the kept band). The trim boundary is
+    PERCENT_RANK over a tie-broken total order (value, event_id —
+    G5), so both engines keep exactly the same rows; the kept values
+    accumulate as exact decimals and only the final mean division is
+    float (rounded 4dp).
+
+    Plan: one shuffle on event_type, in-partition sort for the rank,
+    then a map-side-combinable aggregate — the same envelope as any
+    per-group window. Per-group sort is partition-bounded: with
+    |types| groups of corpus/|types| rows this is the standard window
+    cost; for a SINGLE giant group the substitute is
+    agg_approx_percentile's sketch bounds (trim at approximate
+    quantiles, one pass, no sort)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "value",
+        "event_id",
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")
+    )
+    kept = ev.withColumn("pr", pr).filter(
+        (F.col("pr") >= 0.1) & (F.col("pr") <= 0.9)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum("v").cast("double") / F.count("*"), 4
+        ).alias("trimmed_mean"),
+    )

@@ -1237,3 +1237,18 @@ def test_fingerprint_is_order_and_layout_invariant(spark, sf_dir):
     key2 = F.concat_ws("|", *[F.col(c).cast("string") for c in mut.columns])
     h2 = F.conv(F.substring(F.md5(key2), 1, 8), 16, 10).cast("long")
     assert mut.agg(F.sum(h2)).first()[0] != base["orders"][1]
+
+
+def test_trimmed_mean_robust_to_tails(spark, sf_dir):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["agg_trimmed_mean"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    for t, r in rows.items():
+        g = ev.filter(F.col("event_type") == t)
+        n = g.count()
+        # ~80% of rows kept (percent_rank endpoints make it inclusive)
+        assert 0.75 * n <= r.n_kept <= 0.85 * n + 2
+        mn, mx = g.agg(F.min("value"), F.max("value")).first()
+        assert mn < r.trimmed_mean < mx
