@@ -2301,3 +2301,84 @@ def analytics_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Benford first-digit expectation in integer permille: round(log10(1+1/d)*1000)
+_BENFORD_PM = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+@register(
+    "analytics_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        -- FLOOR before the integer cast: DuckDB's double→BIGINT cast
+        -- ROUNDS while Spark's truncates (8999.6 would flip digit 8→9)
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tot_src),
+    tot_src AS (SELECT * FROM digits),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY d
+    ),
+    exp AS (
+        SELECT * FROM (VALUES {", ".join(f"({d}, {pm})" for d, pm in sorted(_BENFORD_PM.items()))})
+               AS t(d, expected_pm)
+    )
+    SELECT o.d AS digit, o.cnt,
+           CAST((o.cnt * 1000) // t.n AS BIGINT) AS observed_pm,
+           CAST(e.expected_pm AS BIGINT) AS expected_pm,
+           CAST(ABS((o.cnt * 1000) // t.n - e.expected_pm) AS BIGINT)
+               AS deviation_pm
+    FROM obs o JOIN exp e ON o.d = e.d CROSS JOIN tot t
+    ORDER BY digit
+    """,
+)
+def analytics_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit over order values — the
+    data-quality / fraud screen auditors run on any money column:
+    naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d), and a column that deviates hard (fabricated
+    numbers, unit bugs, truncation artifacts) flags itself. Output is
+    the per-digit observed vs expected INTEGER permille and the
+    absolute deviation — exact integer arithmetic end-to-end (the
+    expectation table is permille literals, so no engine ever takes a
+    log at query time).
+
+    Plan: one scan, a 9-key map-side-combinable count, a 9-row
+    broadcast join against the literal expectation frame, and a 1-row
+    total anchor — the whole audit is one pass at any corpus size.
+    TPC-H prices are uniform-ish, not Benford (synthetic!), so tests
+    assert structure (permilles sum to ~1000, every digit present)
+    rather than conformance — on real money data the deviation column
+    IS the signal."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    obs = digits.groupBy("d").agg(F.count("*").alias("cnt"))
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_PM.items()), "d long, expected_pm long"
+    )
+    return (
+        obs.join(F.broadcast(exp), "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "cnt",
+            F.expr("(cnt * 1000) DIV n").alias("observed_pm"),
+            "expected_pm",
+            F.abs(
+                F.expr("(cnt * 1000) DIV n") - F.col("expected_pm")
+            ).alias("deviation_pm"),
+        )
+        .orderBy("digit")
+    )

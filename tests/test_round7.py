@@ -1252,3 +1252,16 @@ def test_trimmed_mean_robust_to_tails(spark, sf_dir):
         assert 0.75 * n <= r.n_kept <= 0.85 * n + 2
         mn, mx = g.agg(F.min("value"), F.max("value")).first()
         assert mn < r.trimmed_mean < mx
+
+
+def test_benford_audit_structure(spark, sf_dir):
+    rows = QUERIES["analytics_benford_audit"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    # floor-division permilles: sum within 9 units of 1000
+    s = sum(r.observed_pm for r in rows)
+    assert 1000 - 9 <= s <= 1000
+    assert sum(r.cnt for r in rows) == load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    ).count()
+    # expectation column is the Benford table, independent of data
+    assert rows[0].expected_pm == 301 and rows[8].expected_pm == 46

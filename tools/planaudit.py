@@ -25,6 +25,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 WHITELIST = {
     # -- round-7 additions (each verified bounded: anchor frame size is
     # a constant or a 1-row aggregate, never corpus-sized) ------------
+    "analytics_benford_audit": "1-row total-count aggregate crossJoin "
+    "(the permille denominator anchor) onto the 9-row digit frame; "
+    "the expectation table is a 9-row literal broadcast",
     "text_cooccurrence_pmi": "1-row n_docs aggregate crossJoin (the "
     "PMI denominator anchor); the pair join itself is a doc_id "
     "equi-join bounded to the top-K vocabulary hits",
