@@ -2382,3 +2382,89 @@ def analytics_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "analytics_audience_overlap",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM aud a JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST((i.n_both * 1000) // (sa.n + sb.n - i.n_both) AS BIGINT)
+               AS jaccard_pm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def analytics_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIENCE OVERLAP matrix — pairwise Jaccard between the user
+    sets of every event type ("how much of the purchase audience also
+    errors?"): the segmentation-sanity report product analytics keeps
+    next to the funnel, and the exact ground-truth twin of what
+    audience systems estimate with HLL/theta sketch intersections at
+    planet scale (agg_approx_distinct / agg_hll_partial_merge are the
+    sketch halves; this op is the exact form, integer permille).
+
+    Plan shape: ONE dedup shuffle builds the (type, user) audience
+    frame; the pair intersection is a self-equi-join ON user_id —
+    fan-out per user bounded by |types|² (≤ 25 pairs/user), never
+    users² — then a |types|²-key map-side-combinable count and two
+    tiny broadcast re-attachments. The same topology as
+    analytics_market_basket with users as baskets: at 100 TB the only
+    fact-sized stages are the dedup and the per-user pair emit."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    aud = ev.distinct()
+    sizes = aud.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("(n_both * 1000) DIV (n_a + n_b - n_both)").alias(
+                "jaccard_pm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

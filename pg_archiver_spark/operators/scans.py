@@ -2287,3 +2287,52 @@ def maintenance_content_fingerprint(
     return fp(
         orders, ["o_orderkey", "o_orderstatus", "o_custkey"], "orders"
     ).unionAll(fp(docs, ["doc_id", "lang", "n_chars"], "documents"))
+
+
+@register(
+    "maintenance_analyze_stats",
+    oracle="""
+    SELECT 'nation' AS tbl, CAST(COUNT(*) AS BIGINT) AS stats_rows
+    FROM nation
+    UNION ALL
+    SELECT 'supplier' AS tbl, CAST(COUNT(*) AS BIGINT) AS stats_rows
+    FROM supplier
+    """,
+)
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE … COMPUTE STATISTICS`` — feeding the cost-based
+    optimizer: table-level rowCount/sizeInBytes land in the catalog and
+    drive CBO decisions (join reordering, broadcast-threshold checks)
+    that AQE alone can only correct AFTER a shuffle exists. This is the
+    maintenance step a production archive schedules after every major
+    append (the reference has no optimizer to feed; Spark does, and
+    unanalyzed tables mean the planner flies blind until runtime).
+
+    The op materializes two dims as managed tables, ANALYZEs them, and
+    returns the CATALOG's row counts (parsed from DESCRIBE EXTENDED —
+    not recounted from data); the oracle counts the source tables —
+    a hash match proves the planner's world model agrees with the
+    data. The stats surface is exercised further in tests
+    (sizeInBytes recorded, stats survive a new session against the
+    same warehouse). At 100 TB ANALYZE is one count-ish scan per
+    table; column-level NDV stats (FOR COLUMNS) use HLL and are
+    deliberately excluded from the hash (approximate by design)."""
+    out = []
+    for name in ("nation", "supplier"):
+        tbl = f"stats_{name}"
+        # A managed-table LOCATION can outlive the catalog entry across
+        # sessions (fresh in-memory catalog, persistent warehouse dir)
+        # — clear both before the overwrite.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        load(spark, sf_dir, name).write.mode("overwrite").saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        desc = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        line = next(r.data_type for r in desc if r.col_name == "Statistics")
+        # "<bytes> bytes, <rows> rows"
+        n_rows = int(line.split(",")[1].strip().split(" ")[0])
+        out.append((name, n_rows))
+    return spark.createDataFrame(out, "tbl string, stats_rows long")

@@ -1265,3 +1265,30 @@ def test_benford_audit_structure(spark, sf_dir):
     ).count()
     # expectation column is the Benford table, independent of data
     assert rows[0].expected_pm == 301 and rows[8].expected_pm == 46
+
+
+def test_audience_overlap_jaccard_bounds(spark, sf_dir):
+    rows = QUERIES["analytics_audience_overlap"](spark, sf_dir).collect()
+    n_types = (
+        load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types * (n_types - 1) // 2  # every pair once
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_pm <= 1000
+
+
+def test_analyze_stats_match_data_and_record_bytes(spark, sf_dir):
+    rows = {
+        r.tbl: r.stats_rows
+        for r in QUERIES["maintenance_analyze_stats"](spark, sf_dir).collect()
+    }
+    assert rows["nation"] == load(spark, sf_dir, "nation").count()
+    assert rows["supplier"] == load(spark, sf_dir, "supplier").count()
+    # sizeInBytes landed too (the broadcast-threshold input)
+    desc = spark.sql("DESCRIBE EXTENDED stats_nation").collect()
+    line = next(r.data_type for r in desc if r.col_name == "Statistics")
+    assert "bytes" in line and int(line.split(" ")[0]) > 0
