@@ -1060,3 +1060,33 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double") / F.count("*"), 4
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "agg_boolean_every_any",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 190) AS any_large,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+               AS n_over_100
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_boolean_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (``every`` / ``any`` / ``count_if``) —
+    the data-quality assertion surface expressed as aggregates: "are
+    ALL values non-negative", "did ANY exceed the alert threshold",
+    "how many crossed the soft limit" per group, each a one-pass
+    map-side-combinable reduction (booleans form trivial monoids —
+    AND/OR partials merge losslessly). This is the per-group form of
+    maintenance_constraint_audit's table-level checks, and the
+    cheapest possible screen at 100 TB: no sort, no distinct, the
+    shuffle payload is three booleans and a count per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 190).alias("any_large"),
+        F.count_if(F.col("value") > 100).alias("n_over_100"),
+    )
