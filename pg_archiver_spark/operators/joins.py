@@ -1733,3 +1733,115 @@ def join_point_in_time_features(
         F.sum("clicks_before").alias("sum_clicks_before"),
         F.sum("views_before").alias("sum_views_before"),
     )
+
+
+SPATIAL_BOX = 1_000_000  # micro-degree box (~1.1° square)
+SPATIAL_R = 15_000  # radius in micro-degrees (~1.7 km)
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 7))
+                   ::BIGINT % {SPATIAL_BOX} AS lat,
+               ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 9, 7))
+                   ::BIGINT % {SPATIAL_BOX} AS lon
+        FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST((a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+     AND (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) <= {SPATIAL_R}::BIGINT
+                                                * {SPATIAL_R}
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid-cell bucketing — the
+    proximity-pairs query (customers within ~1.7 km of each other)
+    WITHOUT the quadratic cross join the oracle states. Each point
+    lands in one R×R grid cell; a pair within radius R must sit in the
+    same or an adjacent cell, so the left side fans out to its 3×3
+    cell neighborhood (a 9-element literal explode) and the join is a
+    plain EQUI-join on cell id, refined by the exact integer distance
+    predicate. Each qualifying pair is found exactly once (only one
+    offset aligns the two cells; custkey_a < custkey_b orders it).
+
+    Coordinates are derived deterministically from md5(c_custkey) in
+    integer micro-degrees (the fixtures carry no geo columns), so both
+    engines compute identical points and the distance math is
+    pure-integer — no trig libm drift (the production swap is a
+    haversine refine on the same candidate set, one line).
+
+    Plan: explode(9) → shuffle both sides on cell id → hash equi-join.
+    At 100 TB this is THE scalable shape for spatial joins (geohash /
+    S2-cell bucketing): candidates are bounded by 9·(points per cell),
+    never |points|², and cell id doubles as a physical partition key
+    so a sorted-bucketed layout joins with zero exchanges."""
+    cust = load(spark, sf_dir, "customer")
+    ncells = SPATIAL_BOX // SPATIAL_R + 1
+    pts = cust.select(
+        "c_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % SPATIAL_BOX
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 9, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % SPATIAL_BOX
+        ).alias("lon"),
+    ).withColumn(
+        "cell",
+        (F.col("lat") / SPATIAL_R).cast("bigint") * ncells
+        + (F.col("lon") / SPATIAL_R).cast("bigint"),
+    )
+    offsets = F.array(
+        *[
+            F.lit(dx * ncells + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(offsets).alias("off"),
+        F.col("cell").alias("cell_a"),
+    ).select(
+        "custkey_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cell_a") + F.col("off")).alias("cell"),
+    )
+    right = pts.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cell",
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        left.join(right, "cell")
+        .filter(
+            (F.col("custkey_a") < F.col("custkey_b"))
+            & (dist2 <= SPATIAL_R * SPATIAL_R)
+        )
+        .select("custkey_a", "custkey_b", dist2.cast("bigint").alias("dist2"))
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -1,0 +1,411 @@
+"""Statistical-inference and sketch-estimation operators.
+
+The monitoring side of an archival warehouse (reference README.md:127's
+"monitoring" future work) eventually needs distribution-level answers,
+not just totals: did this week's price distribution SHIFT (KS test)?
+are priority and status INDEPENDENT (chi-square)? is daily revenue
+AUTOCORRELATED (ACF)? how big is the overlap of two huge key sets
+without holding either (KMV sketch)? Each op here computes an exact or
+sketch statistic with cross-engine-deterministic arithmetic: integer /
+decimal sufficient statistics all the way down, one IEEE double
+division (bit-identical across engines) at the very end — never a
+float SUM whose accumulation order could differ (G11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import register
+
+
+@register(
+    "analytics_ks_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND '7'
+                    THEN 1 ELSE 0 END AS is_a
+        FROM orders
+    ),
+    counts AS (
+        SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+        FROM tagged GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+               SUM(cb) OVER (ORDER BY v) AS cum_b,
+               SUM(ca) OVER () AS tot_a,
+               SUM(cb) OVER () AS tot_b
+        FROM counts
+    )
+    SELECT CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b,
+           MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE)))
+               AS ks_d
+    FROM cum
+    """,
+)
+def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the
+    distribution-shift detector. Orders are split into two samples by a
+    deterministic md5 hash band of o_orderkey (the analytics_ab_ztest
+    null-calibration pattern: a hash split of one population has true
+    D ≈ 0, so this run calibrates the pipeline itself), then
+    D = max_v |ECDF_A(v) − ECDF_B(v)| is computed exactly over the
+    merged order statistics.
+
+    Determinism: the ECDFs are integer cumulative counts; each
+    candidate D value is one IEEE subtraction of two divisions
+    (bit-identical across engines), and MAX is order-independent — no
+    float summation anywhere (G11).
+
+    Plan: one scan → groupBy(v) count (shuffle 1, partial-agg combined)
+    → ordered cumulative window → global max (partial-agg). The
+    cumulative window is a single ordered pass over the DISTINCT-value
+    frame (|values| ≤ |orders|, here ~2 000–150 000 rows); at 100 TB
+    swap the plain window for the two-pass partition-offset prefix sum
+    used by window_ntile_scalable — the statistic is unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    is_a = (
+        F.when(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 1
+            ).between("0", "7"),
+            1,
+        )
+        .otherwise(0)
+    )
+    counts = (
+        orders.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("tot_a"),
+        F.sum("cb").over(w_all).alias("tot_b"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("tot_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("tot_b").cast("double")
+    )
+    return cum.agg(
+        F.max("tot_a").cast("bigint").alias("n_a"),
+        F.max("tot_b").cast("bigint").alias("n_b"),
+        F.max(d).alias("ks_d"),
+    )
+
+
+@register(
+    "analytics_chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               COUNT(*) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rowm AS (SELECT priority, SUM(obs) AS r_cnt FROM cells GROUP BY 1),
+    colm AS (SELECT status, SUM(obs) AS c_cnt FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT c.priority, c.status, CAST(c.obs AS BIGINT) AS obs,
+           CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)
+               AS expected,
+           (CAST(c.obs AS DOUBLE)
+            - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (CAST(c.obs AS DOUBLE)
+              - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+           / (CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+               AS chi_cell
+    FROM cells c
+    JOIN rowm r ON c.priority = r.priority
+    JOIN colm col ON c.status = col.status
+    CROSS JOIN tot t
+    ORDER BY c.priority, c.status
+    """,
+)
+def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status — the categorical-drift audit (are cancellations
+    concentrated in some priority band?). Emits the full contingency
+    table with each cell's observed count, expected count under
+    independence (row·col marginals / N), and chi-square contribution.
+
+    The statistic is emitted PER CELL rather than as one summed total:
+    every cell value is exact-integer arithmetic followed by IEEE
+    divisions/products (bit-identical across engines), whereas a
+    float SUM of the ≤|priorities|·|statuses| contributions would
+    depend on accumulation order (G11). The caller sums the tiny
+    cell frame for the test statistic.
+
+    Plan: one scan → groupBy partial+final count (the only data-sized
+    shuffle); the marginals are re-aggregations of the ≤15-row cell
+    frame and re-attach as broadcasts; the 1-row total is a bounded
+    anchor crossJoin (planaudit-whitelisted)."""
+    orders = load(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("obs"))
+    rowm = cells.groupBy("priority").agg(F.sum("obs").alias("r_cnt"))
+    colm = cells.groupBy("status").agg(F.sum("obs").alias("c_cnt"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    expected = (F.col("r_cnt") * F.col("c_cnt")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    dev = F.col("obs").cast("double") - expected
+    return (
+        cells.join(F.broadcast(rowm), "priority")
+        .join(F.broadcast(colm), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            F.col("obs").cast("bigint").alias("obs"),
+            expected.alias("expected"),
+            (dev * dev / expected).alias("chi_cell"),
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "analytics_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    anchored AS (
+        SELECT d,
+               cents * (SELECT COUNT(*) FROM daily)
+                   - (SELECT SUM(cents) FROM daily) AS dev
+        FROM daily
+    ),
+    lagged AS (
+        SELECT dev,
+               {", ".join(f"LEAD(dev, {k}) OVER (ORDER BY d) AS dev_{k}"
+                          for k in range(1, ACF_MAX_LAG + 1))}
+        FROM anchored
+    ),
+    sums AS (
+        SELECT SUM(CAST(dev AS HUGEINT) * dev) AS den,
+               {", ".join(f"SUM(CAST(dev AS HUGEINT) * dev_{k}) AS num_{k}"
+                          for k in range(1, ACF_MAX_LAG + 1))}
+        FROM lagged
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM sums, LATERAL (VALUES
+        {", ".join(f"({k}, num_{k})" for k in range(1, ACF_MAX_LAG + 1))}
+    ) AS t(lag, num)
+    ORDER BY lag
+    """,
+)
+def analytics_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..7) of the daily-revenue
+    series — the weekly-rhythm detector behind capacity planning and
+    anomaly baselines. Lag is positional over the observed daily
+    series (ordered by date), the standard ACF with the overall-mean
+    deviation and full-series denominator.
+
+    Exactness: revenue is summed in cents (DECIMAL→BIGINT, exact);
+    deviations are pre-scaled by n (dev = n·x_t − Σx, exact bigint —
+    the n scale cancels in the num/den ratio, so no rounded mean ever
+    enters); products/sums run in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB), both exact; the ONLY float is the final one-per-lag
+    division of two exactly-representable integers (G11-safe).
+
+    Plan: one scan → groupBy(date) partial+final agg collapses the
+    data to a ≤|days| frame; n and Σx are a 1-row anchor broadcast
+    (planaudit-whitelisted); the lag window is one ordered pass over
+    the tiny daily frame; the 7 lag sums fold in ONE partial-agg pass
+    and unpivot via stack into (lag, acf) rows."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    anchor = daily.agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("sum_cents")
+    )
+    anchored = daily.crossJoin(F.broadcast(anchor)).select(
+        "d",
+        (F.col("cents") * F.col("n_days") - F.col("sum_cents")).alias("dev"),
+    )
+    w = Window.orderBy("d")
+    lagged = anchored.select(
+        F.col("dev").cast("decimal(38,0)").alias("dev"),
+        *[
+            F.lead("dev", k).over(w).cast("decimal(38,0)").alias(f"dev_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    sums = lagged.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (lag, num)".format(
+        n=ACF_MAX_LAG,
+        args=", ".join(
+            f"{k}, num_{k}" for k in range(1, ACF_MAX_LAG + 1)
+        ),
+    )
+    return (
+        sums.select(F.expr(stack_expr), "den")
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+KMV_K = 128
+HEX15_SPACE = float(1 << 60)  # 16^15 — the hash-fraction denominator
+
+
+@register(
+    "agg_kmv_jaccard_estimate",
+    oracle=f"""
+    WITH elems AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS has_a,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS has_b,
+               ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           OR o_orderstatus = 'F'
+    ),
+    sketch AS (
+        SELECT * FROM elems ORDER BY h, o_orderkey LIMIT {KMV_K}
+    ),
+    sk AS (
+        SELECT COUNT(*) AS k, MAX(h) AS kth_hash,
+               SUM(CASE WHEN has_a = 1 AND has_b = 1
+                        THEN 1 ELSE 0 END) AS both_in_sketch
+        FROM sketch
+    ),
+    ex AS (
+        SELECT COUNT(*) AS exact_union,
+               SUM(CASE WHEN has_a = 1 AND has_b = 1
+                        THEN 1 ELSE 0 END) AS exact_both
+        FROM elems
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST(both_in_sketch AS BIGINT) AS both_in_sketch,
+           CAST(k - 1 AS DOUBLE)
+               / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}) AS est_union,
+           CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE)
+               AS est_jaccard,
+           (CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE))
+               * (CAST(k - 1 AS DOUBLE)
+                  / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}))
+               AS est_intersection,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_both AS BIGINT) AS exact_both
+    FROM sk CROSS JOIN ex
+    """,
+)
+def agg_kmv_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch set-overlap estimation —
+    the sketch that, unlike HLL, supports INTERSECTION: keep the k
+    smallest md5 hashes of the union of two key sets (urgent/high-
+    priority orders vs fulfilled orders), estimate |A∪B| from the k-th
+    minimum hash ((k−1)/U_k — the KMV distinct-count estimator), and
+    estimate Jaccard as the fraction of sketch members belonging to
+    both sets. est_intersection = jaccard · union closes the loop —
+    the scale path for analytics_audience_overlap's exact pairwise
+    Jaccard. Exact union/intersection ride along for error inspection
+    (at 100 TB you drop those two columns; the sketch IS the answer).
+
+    Determinism: md5 is engine-identical, the sketch boundary is
+    totally ordered by (h, key), and the estimators are single IEEE
+    ops over exact integers — the whole sketch is task-retry-safe and
+    mergeable (bottom-k commutes with union, per sample_bottomk_sketch).
+
+    Plan: one scan with the A∪B filter pushed down → global bottom-k
+    = TakeOrderedAndProject (each task keeps k rows, no full sort) →
+    1-row sketch stats × 1-row exact stats anchor crossJoin
+    (planaudit-whitelisted)."""
+    orders = load(spark, sf_dir, "orders")
+    elems = (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | (F.col("o_orderstatus") == "F")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("has_a"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("has_b"),
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    sketch = elems.orderBy("h", "o_orderkey").limit(KMV_K)
+    sk = sketch.agg(
+        F.count("*").alias("k"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            ((F.col("has_a") == 1) & (F.col("has_b") == 1)).cast("int")
+        ).alias("both_in_sketch"),
+    )
+    ex = elems.agg(
+        F.count("*").alias("exact_union"),
+        F.sum(
+            ((F.col("has_a") == 1) & (F.col("has_b") == 1)).cast("int")
+        ).alias("exact_both"),
+    )
+    est_union = (F.col("k") - 1).cast("double") / (
+        F.col("kth_hash").cast("double") / F.lit(HEX15_SPACE)
+    )
+    est_jacc = F.col("both_in_sketch").cast("double") / F.col("k").cast(
+        "double"
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("kth_hash").cast("bigint").alias("kth_hash"),
+        F.col("both_in_sketch").cast("bigint").alias("both_in_sketch"),
+        est_union.alias("est_union"),
+        est_jacc.alias("est_jaccard"),
+        (est_jacc * est_union).alias("est_intersection"),
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        F.col("exact_both").cast("bigint").alias("exact_both"),
+    )

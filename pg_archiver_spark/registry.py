@@ -115,6 +115,7 @@ def load_all_operators() -> None:
         scans,
         setops,
         sorts,
+        statistics,
         subqueries,
         windows,
     )

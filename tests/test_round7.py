@@ -1292,3 +1292,93 @@ def test_analyze_stats_match_data_and_record_bytes(spark, sf_dir):
     desc = spark.sql("DESCRIBE EXTENDED stats_nation").collect()
     line = next(r.data_type for r in desc if r.col_name == "Statistics")
     assert "bytes" in line and int(line.split(" ")[0]) > 0
+
+
+# -- round-7 session-3 additions: statistics + spatial ----------------
+
+
+def test_ks_test_null_calibration(spark, sf_dir):
+    row = QUERIES["analytics_ks_test"](spark, sf_dir).collect()[0]
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert row.n_a + row.n_b == n_orders
+    assert 0.0 <= row.ks_d <= 1.0
+    # Hash split of one population: true D = 0, so observed D must sit
+    # under a generous KS critical band (alpha ~ 1e-4 -> c ~ 1.95).
+    bound = 2.2 * ((row.n_a + row.n_b) / (row.n_a * row.n_b)) ** 0.5
+    assert row.ks_d < bound
+
+
+def test_chisq_cells_reconcile_to_marginals(spark, sf_dir):
+    rows = QUERIES["analytics_chisq_independence"](spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.obs for r in rows) == n_orders
+    # Expected counts under independence also sum to N (up to fp eps).
+    assert abs(sum(r.expected for r in rows) - n_orders) < 1e-6 * n_orders
+    for r in rows:
+        assert r.chi_cell >= 0.0
+        assert r.expected > 0.0
+
+
+def test_autocorrelation_bounds_and_shape(spark, sf_dir):
+    rows = QUERIES["analytics_autocorrelation"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:  # Cauchy-Schwarz with the full-series denominator
+        assert -1.0 <= r.acf <= 1.0
+
+
+def test_kmv_estimates_within_sketch_error(spark, sf_dir):
+    row = QUERIES["agg_kmv_jaccard_estimate"](spark, sf_dir).collect()[0]
+    assert row.k <= 128
+    assert row.both_in_sketch <= row.k
+    assert row.exact_both <= row.exact_union
+    if row.k < 128:
+        # Sketch held the whole set: estimates should be near-exact in
+        # membership terms.
+        assert row.both_in_sketch == row.exact_both
+    else:
+        # KMV relative error ~ 1/sqrt(k-2) ~ 9% at k=128; allow 4 sigma.
+        assert abs(row.est_union - row.exact_union) < 0.4 * row.exact_union
+        exact_j = row.exact_both / row.exact_union
+        assert abs(row.est_jaccard - exact_j) < 0.3
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    fast = {
+        (r.custkey_a, r.custkey_b, r.dist2)
+        for r in QUERIES["join_spatial_grid"](spark, sf_dir).collect()
+    }
+    # Brute-force oracle: quadratic cross join on the same derived
+    # coordinates (only run at test SF).
+    from pg_archiver_spark.operators.joins import SPATIAL_BOX, SPATIAL_R
+
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % SPATIAL_BOX
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 9, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % SPATIAL_BOX
+        ).alias("lon"),
+    )
+    a = pts.toPandas()
+    slow = set()
+    recs = list(a.itertuples())
+    for i, p in enumerate(recs):
+        for q in recs[i + 1 :]:
+            d2 = (p.lat - q.lat) ** 2 + (p.lon - q.lon) ** 2
+            if d2 <= SPATIAL_R * SPATIAL_R:
+                x, y = sorted((p.c_custkey, q.c_custkey))
+                slow.add((x, y, d2))
+    assert fast == slow
+    assert len(fast) > 0

@@ -23,6 +23,17 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-7 session-3 additions ----------------------------------
+    "analytics_chisq_independence": "1-row total-count aggregate "
+    "crossJoin (the expected-count denominator anchor) onto the "
+    "|priorities|x|statuses| <= 15-row contingency frame; marginals "
+    "re-attach as tiny broadcast equi-joins",
+    "analytics_autocorrelation": "1-row (n_days, sum_cents) aggregate "
+    "crossJoin onto the <=|days| daily frame — the exact-deviation "
+    "anchor (dev = n*x - S) that keeps the ACF integer-exact",
+    "agg_kmv_jaccard_estimate": "1-row sketch-stats x 1-row exact-stats "
+    "crossJoin — two already-collapsed aggregates paired into the "
+    "single report row (analytics_ab_ztest pattern)",
     # -- round-7 additions (each verified bounded: anchor frame size is
     # a constant or a 1-row aggregate, never corpus-sized) ------------
     "analytics_benford_audit": "1-row total-count aggregate crossJoin "
