@@ -409,3 +409,216 @@ def agg_kmv_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_union").cast("bigint").alias("exact_union"),
         F.col("exact_both").cast("bigint").alias("exact_both"),
     )
+
+
+DID_CUTOFF = "1998-07-01"
+
+
+@register(
+    "analytics_did_estimator",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND '7'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o_orderdate >= DATE '{DID_CUTOFF}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT treated, post, COUNT(*) AS n,
+               CAST(SUM(v * 100) AS BIGINT) AS cents
+        FROM tagged GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT treated, post, CAST(n AS BIGINT) AS n,
+               CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                   AS mean_price
+        FROM cells
+    )
+    SELECT t1.n AS n_treat_pre, t2.n AS n_treat_post,
+           c1.n AS n_ctrl_pre, c2.n AS n_ctrl_post,
+           t1.mean_price AS treat_pre, t2.mean_price AS treat_post,
+           c1.mean_price AS ctrl_pre, c2.mean_price AS ctrl_post,
+           (t2.mean_price - t1.mean_price)
+               - (c2.mean_price - c1.mean_price) AS did_estimate
+    FROM means t1, means t2, means c1, means c2
+    WHERE t1.treated = 1 AND t1.post = 0
+      AND t2.treated = 1 AND t2.post = 1
+      AND c1.treated = 0 AND c1.post = 0
+      AND c2.treated = 0 AND c2.post = 1
+    """,
+)
+def analytics_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the causal-inference
+    workhorse for before/after rollouts: customers are assigned to
+    treatment/control by a deterministic md5 hash band (null
+    calibration: a hash split of one population has true effect 0,
+    same rationale as analytics_ab_ztest), periods split at a fixed
+    cutoff date, and DiD = (T_post − T_pre) − (C_post − C_pre) over
+    the four cell means.
+
+    Determinism: cell sums are exact integer cents (DECIMAL→BIGINT);
+    each mean is one IEEE division of exact integers, and the DiD
+    estimate is three IEEE subtractions — no float accumulation (G11).
+
+    Plan: one scan → 4-group partial+final agg collapses the data to
+    four rows; the 2×2 self-pairing is a trivial broadcast of an
+    already-collapsed frame (the ab_ztest shape)."""
+    orders = load(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(
+            F.substring(
+                F.md5(F.col("o_custkey").cast("string")), 1, 1
+            ).between("0", "7"),
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+        (F.col("o_orderdate") >= F.lit(DID_CUTOFF).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    cells = tagged.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v") * 100).cast("bigint").alias("cents"),
+    )
+    means = cells.select(
+        "treated",
+        "post",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("cents").cast("double") / F.col("n").cast("double") / 100.0
+        ).alias("mean_price"),
+    )
+
+    def cell(treated: int, post: int, tag: str) -> DataFrame:
+        return means.filter(
+            (F.col("treated") == treated) & (F.col("post") == post)
+        ).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("mean_price").alias(tag),
+        )
+
+    t1, t2 = cell(1, 0, "treat_pre"), cell(1, 1, "treat_post")
+    c1, c2 = cell(0, 0, "ctrl_pre"), cell(0, 1, "ctrl_post")
+    return (
+        t1.crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            "n_treat_pre",
+            "n_treat_post",
+            "n_ctrl_pre",
+            "n_ctrl_post",
+            "treat_pre",
+            "treat_post",
+            "ctrl_pre",
+            "ctrl_post",
+            (
+                (F.col("treat_post") - F.col("treat_pre"))
+                - (F.col("ctrl_post") - F.col("ctrl_pre"))
+            ).alias("did_estimate"),
+        )
+    )
+
+
+ALERT_DEBOUNCE_DAYS = 3
+
+
+@register(
+    "window_alert_debounce",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d, COUNT(*) AS n_days_dummy,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    anchored AS (
+        SELECT d, cents,
+               (SELECT COUNT(*) FROM daily) AS n_days,
+               (SELECT SUM(cents) FROM daily) AS sum_cents
+        FROM daily
+    ),
+    flagged AS (
+        -- breach iff daily > 1.05 x mean, cross-multiplied exact:
+        -- 100*n*x > 105*S
+        SELECT d,
+               CASE WHEN 100 * n_days * cents > 105 * sum_cents
+                    THEN 1 ELSE 0 END AS breach
+        FROM anchored
+    ),
+    runs AS (
+        SELECT d, breach,
+               ROW_NUMBER() OVER (ORDER BY d)
+                   - ROW_NUMBER() OVER (PARTITION BY breach ORDER BY d)
+                   AS grp
+        FROM flagged
+    )
+    SELECT MIN(d) AS alert_start, MAX(d) AS alert_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days_breached
+    FROM runs
+    WHERE breach = 1
+    GROUP BY grp
+    HAVING COUNT(*) >= {ALERT_DEBOUNCE_DAYS}
+    ORDER BY alert_start
+    """,
+)
+def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting with debounce — the monitoring rule the
+    reference's README.md:127 'monitoring' future-work implies: flag a
+    revenue surge only after K consecutive breach days (single-day
+    spikes are noise), and emit one row per alert EPISODE
+    (start, end, duration), not one per breach day.
+
+    The breach predicate is cross-multiplied exact integer arithmetic
+    (100·n·x > 105·S — '5% above the mean' without ever materializing
+    the float mean), the consecutive-run grouping is the gaps-islands
+    row_number-difference anchor (window_gaps_islands precedent), and
+    the debounce is a HAVING on run length.
+
+    Plan: one scan → groupBy(date) collapses to the ≤|days| frame;
+    1-row (n, Σ) anchor broadcast (planaudit-whitelisted); two ordered
+    window passes + final group over the tiny daily frame."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    anchor = daily.agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("sum_cents")
+    )
+    flagged = daily.crossJoin(F.broadcast(anchor)).select(
+        "d",
+        (
+            100 * F.col("n_days") * F.col("cents")
+            > 105 * F.col("sum_cents")
+        )
+        .cast("int")
+        .alias("breach"),
+    )
+    w_all = Window.orderBy("d")
+    w_breach = Window.partitionBy("breach").orderBy("d")
+    runs = flagged.select(
+        "d",
+        "breach",
+        (F.row_number().over(w_all) - F.row_number().over(w_breach)).alias(
+            "grp"
+        ),
+    )
+    return (
+        runs.filter(F.col("breach") == 1)
+        .groupBy("grp")
+        .agg(
+            F.min("d").alias("alert_start"),
+            F.max("d").alias("alert_end"),
+            F.count("*").cast("bigint").alias("n_days_breached"),
+        )
+        .filter(F.col("n_days_breached") >= ALERT_DEBOUNCE_DAYS)
+        .select("alert_start", "alert_end", "n_days_breached")
+        .orderBy("alert_start")
+    )

@@ -836,3 +836,59 @@ def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+ANCHOR_BRAND = "Brand#13"
+
+
+@register(
+    "subquery_any_all",
+    oracle=f"""
+    SELECT p_partkey, p_brand, p_retailprice,
+           p_retailprice > ALL (
+               SELECT p_retailprice FROM part
+               WHERE p_brand = '{ANCHOR_BRAND}'
+           ) AS beats_all,
+           TRUE AS beats_any
+    FROM part
+    WHERE p_retailprice > ANY (
+              SELECT p_retailprice FROM part
+              WHERE p_brand = '{ANCHOR_BRAND}'
+          )
+      AND p_brand <> '{ANCHOR_BRAND}'
+    ORDER BY p_partkey
+    """,
+)
+def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ANY/ALL comparison subqueries — parts priced above
+    ANY (resp. ALL) of a reference brand's prices. Spark SQL has no
+    ANY/ALL quantifier, and none is needed: over a non-empty NULL-free
+    anchor set, `x > ALL s` ≡ `x > max(s)` and `x > ANY s` ≡
+    `x > min(s)`, so the subquery collapses to a 1-row (min, max)
+    aggregate broadcast (planaudit-whitelisted anchor crossJoin) and
+    the quantifiers become plain scan predicates — the decorrelation
+    every optimizer (and the 100 TB plan) wants: one extra tiny agg
+    instead of a per-row set probe. (With NULLs or an empty set,
+    ANY/ALL three-valued semantics need the null-aware count guard —
+    documented, not triggered by these fixtures.)
+
+    Plan: anchor scan → 1-row agg broadcast; main scan keeps its
+    column-pruned pushdown; zero joins on the data path."""
+    part = load(spark, sf_dir, "part")
+    anchor = part.filter(F.col("p_brand") == ANCHOR_BRAND).agg(
+        F.min("p_retailprice").alias("lo"),
+        F.max("p_retailprice").alias("hi"),
+    )
+    return (
+        part.filter(F.col("p_brand") != ANCHOR_BRAND)
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("p_retailprice") > F.col("lo"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            (F.col("p_retailprice") > F.col("hi")).alias("beats_all"),
+            F.lit(True).alias("beats_any"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1382,3 +1382,47 @@ def test_spatial_grid_matches_bruteforce(spark, sf_dir):
                 slow.add((x, y, d2))
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_any_all_rewrite_matches_semantics(spark, sf_dir):
+    from pg_archiver_spark.operators.subqueries import ANCHOR_BRAND
+
+    rows = QUERIES["subquery_any_all"](spark, sf_dir).collect()
+    part = load(spark, sf_dir, "part")
+    anchor = [
+        r.p_retailprice
+        for r in part.filter(F.col("p_brand") == ANCHOR_BRAND).collect()
+    ]
+    lo, hi = min(anchor), max(anchor)
+    others = part.filter(F.col("p_brand") != ANCHOR_BRAND).collect()
+    expect_any = {r.p_partkey for r in others if r.p_retailprice > lo}
+    expect_all = {r.p_partkey for r in others if r.p_retailprice > hi}
+    assert {r.p_partkey for r in rows} == expect_any
+    assert {r.p_partkey for r in rows if r.beats_all} == expect_all
+
+
+def test_did_null_calibration_small_effect(spark, sf_dir):
+    row = QUERIES["analytics_did_estimator"](spark, sf_dir).collect()[0]
+    n = row.n_treat_pre + row.n_treat_post + row.n_ctrl_pre + row.n_ctrl_post
+    assert n == load(spark, sf_dir, "orders").count()
+    # Hash split of one population: true effect 0. Allow a generous
+    # sampling band (means are ~190k with sd ~100k; 4-cell diff sd ~
+    # 2*sd/sqrt(n_cell)).
+    n_min = min(
+        row.n_treat_pre, row.n_treat_post, row.n_ctrl_pre, row.n_ctrl_post
+    )
+    assert abs(row.did_estimate) < 10 * 110_000 / (n_min**0.5)
+
+
+def test_alert_debounce_episodes_are_maximal_runs(spark, sf_dir):
+    from pg_archiver_spark.operators.statistics import ALERT_DEBOUNCE_DAYS
+
+    rows = QUERIES["window_alert_debounce"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    prev_end = None
+    for r in rows:
+        assert r.n_days_breached >= ALERT_DEBOUNCE_DAYS
+        assert r.alert_start <= r.alert_end
+        if prev_end is not None:  # episodes are disjoint and ordered
+            assert r.alert_start > prev_end
+        prev_end = r.alert_end

@@ -24,6 +24,15 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-3 additions ----------------------------------
+    "subquery_any_all": "1-row (min, max) anchor-set aggregate "
+    "crossJoin — the ANY/ALL quantifier decorrelated to extreme-value "
+    "scan predicates; no per-row set probe, no data-path join",
+    "analytics_did_estimator": "2x2 pairing of four 1-row cell-mean "
+    "aggregates into the single DiD report row (the ab_ztest "
+    "already-collapsed-frame pattern)",
+    "window_alert_debounce": "1-row (n_days, sum_cents) aggregate "
+    "crossJoin onto the <=|days| daily frame — the cross-multiplied "
+    "integer threshold anchor (100*n*x > 105*S)",
     "analytics_chisq_independence": "1-row total-count aggregate "
     "crossJoin (the expected-count denominator anchor) onto the "
     "|priorities|x|statuses| <= 15-row contingency frame; marginals "
