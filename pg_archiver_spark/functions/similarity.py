@@ -1546,3 +1546,90 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               ((ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                 - 1) * 1000)
+                   // COUNT(*) OVER () AS p_milli
+        FROM orders
+    ),
+    binned AS (
+        SELECT p_milli // 100 AS bin, y, p_milli,
+               (p_milli - 1000 * y) * (p_milli - 1000 * y) AS sq
+        FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000.0 AS mean_p,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS frac_pos,
+           CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000.0 AS brier
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability bins — the ML-eval primitive
+    behind every probability-producing model's QA: bucket predictions
+    into deciles, compare mean predicted probability against observed
+    positive rate per bucket, and report per-bin Brier score. The
+    'model' here is the price-rank score (predicted probability =
+    exact rank fraction of o_totalprice, in integer milli-units) with
+    fulfilled-status as the label — on these fixtures price rank
+    carries no signal, so the reliability curve should be FLAT at the
+    base rate, which the sibling test pins (a calibration harness must
+    not invent calibration).
+
+    Determinism: the score is an exact integer rank fraction
+    ((r−1)·1000 DIV n), the per-bin sufficient statistics (Σp, Σy,
+    Σ(p−1000y)²) are exact integers, and each reported metric is one
+    IEEE division (G11) — no float accumulates anywhere.
+
+    Plan: one scan → global rank window (single ordered pass; at
+    100 TB swap in the window_ntile_scalable two-pass partition-offset
+    rank — same integers) → 10-group partial+final agg."""
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.expr(
+            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
+            " * 1000) DIV (count(*) OVER ())"
+        ).alias("p_milli"),
+    )
+    binned = scored.select(
+        (F.col("p_milli") / 100).cast("bigint").alias("bin"),
+        "y",
+        "p_milli",
+        (
+            (F.col("p_milli") - 1000 * F.col("y"))
+            * (F.col("p_milli") - 1000 * F.col("y"))
+        ).alias("sq"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.sum("p_milli").cast("double")
+                / F.count("*").cast("double")
+                / 1000.0
+            ).alias("mean_p"),
+            (
+                F.sum("y").cast("double") / F.count("*").cast("double")
+            ).alias("frac_pos"),
+            (
+                F.sum("sq").cast("double")
+                / F.count("*").cast("double")
+                / 1000000.0
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )

@@ -2336,3 +2336,77 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = int(line.split(",")[1].strip().split(" ")[0])
         out.append((name, n_rows))
     return spark.createDataFrame(out, "tbl string, stats_rows long")
+
+
+@register(
+    "maintenance_backfill_overwrite",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY year
+    ORDER BY year
+    """,
+)
+def maintenance_backfill_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition backfill via DYNAMIC partition overwrite — the repair
+    primitive of every partitioned lake: a bad load lands a corrupted
+    year partition; the fix rewrites ONLY that partition
+    (`partitionOverwriteMode=dynamic` as a write option, so
+    mode=overwrite replaces just the partitions present in the
+    incoming frame instead of truncating the table), and the job is
+    idempotent — re-running the backfill produces byte-identical
+    content, the property that makes scheduled re-runs safe.
+
+    The op stages orders partitioned by year with year 1997 CORRUPTED
+    (half its rows dropped), backfills 1997 from source, and returns
+    the healed per-year profile — the oracle states the profile
+    relationally from the source table, so an overwrite that clobbered
+    other partitions (static mode's failure) or missed rows
+    hash-fails. The sibling test pins that untouched partitions' files
+    are not rewritten (mtime-stable) and that re-backfilling is a
+    no-op on content.
+
+    At 100 TB: backfill cost is O(partition), not O(table) — the
+    entire point; with object-store committers the partition swap is
+    a directory-scoped commit, and concurrent readers see old-or-new
+    atomically per partition."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        f"backfill_orders-{uuid.uuid4().hex[:8]}",
+    )
+    # Bad load: year 1997 lands with half its rows missing.
+    corrupted = orders.filter(
+        (F.col("year") != 1997) | (F.col("o_orderkey") % 2 == 0)
+    )
+    corrupted.write.mode("overwrite").partitionBy("year").parquet(base)
+    # Backfill: rewrite ONLY the 1997 partition from source.
+    (
+        orders.filter(F.col("year") == 1997)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    result = (
+        back.groupBy(F.col("year").cast("long").alias("year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("year")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

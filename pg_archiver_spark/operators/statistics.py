@@ -622,3 +622,141 @@ def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("alert_start", "alert_end", "n_days_breached")
         .orderBy("alert_start")
     )
+
+
+BOOT_B = 32
+# Poisson(1) CDF thresholds scaled to the 16^15 = 2^60 hash space:
+# a uniform hash h maps to weight w = #{t in THRESH : h >= t}.
+POISSON1_THRESH = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+]
+
+
+def _boot_oracle() -> str:
+    def h(b: int) -> str:
+        return (
+            "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) "
+            f"|| '_{b}'), 1, 15))::BIGINT"
+        )
+
+    def w(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {h(b)} >= {t} THEN 1 ELSE 0 END)"
+            for t in POISSON1_THRESH
+        )
+
+    sums = ",\n               ".join(
+        f"CAST(SUM(({w(b)}) * cents) AS BIGINT) AS wc_{b},\n"
+        f"               CAST(SUM({w(b)}) AS BIGINT) AS wn_{b}"
+        for b in range(BOOT_B)
+    )
+    vals = ", ".join(
+        f"(CAST(wc_{b} AS DOUBLE) / CAST(wn_{b} AS DOUBLE) / 100.0)"
+        for b in range(BOOT_B)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot_cents,
+               {sums}
+        FROM base
+    ),
+    means AS (
+        SELECT n, tot_cents, unnest([{vals}]) AS m
+        FROM sums
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS b_resamples,
+           MAX(CAST(tot_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+               AS mean_price,
+           quantile_cont(m, 0.025) AS ci_lo,
+           quantile_cont(m, 0.975) AS ci_hi
+    FROM means
+    """
+
+
+@register("analytics_bootstrap_ci", oracle=_boot_oracle())
+def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value —
+    the single-pass, task-retry-safe bootstrap used at scale (Chamandy
+    et al.'s "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): classical resampling needs the whole sample in one
+    place, but drawing each row's multiplicity as an INDEPENDENT
+    Poisson(1) gives each resample the right marginal distribution and
+    makes the whole procedure embarrassingly parallel. Weights are
+    DETERMINISTIC — w(row, b) counts md5(key‖b) hash thresholds of the
+    exact Poisson(1) CDF quantized to the 2^60 hash space — so retries
+    and both engines reproduce bit-identical resamples (rand() would
+    resample per attempt).
+
+    All B=32 weighted sums fold in ONE partial-agg pass over one scan
+    (64 integer agg columns, no explode, no extra shuffle); each
+    resample mean is one IEEE division of exact integer totals; the CI
+    is an exact interpolated percentile over the 32-value frame
+    (agg_percentile precedent).
+
+    At 100 TB the shape is unchanged: B·2 integer partials per task,
+    merge cost B, output 1 row."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def weight(b: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"_{b}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        w = F.lit(0)
+        for t in POISSON1_THRESH:
+            w = w + (h >= F.lit(t)).cast("int")
+        return w
+
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+    ]
+    for b in range(BOOT_B):
+        wb = weight(b)
+        aggs.append(F.sum(wb * F.col("cents")).cast("bigint").alias(f"wc_{b}"))
+        aggs.append(F.sum(wb).cast("bigint").alias(f"wn_{b}"))
+    sums = base.agg(*aggs)
+    mean_exprs = F.array(
+        *[
+            F.col(f"wc_{b}").cast("double")
+            / F.col(f"wn_{b}").cast("double")
+            / 100.0
+            for b in range(BOOT_B)
+        ]
+    )
+    means = sums.select(
+        "n", "tot_cents", F.explode(mean_exprs).alias("m")
+    )
+    return means.agg(
+        F.lit(BOOT_B).cast("bigint").alias("b_resamples"),
+        F.max(
+            F.col("tot_cents").cast("double") / F.col("n").cast("double")
+            / 100.0
+        ).alias("mean_price"),
+        F.expr("percentile(m, 0.025)").alias("ci_lo"),
+        F.expr("percentile(m, 0.975)").alias("ci_hi"),
+    )

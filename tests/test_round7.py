@@ -1426,3 +1426,80 @@ def test_alert_debounce_episodes_are_maximal_runs(spark, sf_dir):
         if prev_end is not None:  # episodes are disjoint and ordered
             assert r.alert_start > prev_end
         prev_end = r.alert_end
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    df = QUERIES["analytics_bootstrap_ci"](spark, sf_dir)
+    r1 = df.collect()[0]
+    r2 = QUERIES["analytics_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert (r1.ci_lo, r1.ci_hi) == (r2.ci_lo, r2.ci_hi)  # retry-safe
+    assert r1.ci_lo < r1.ci_hi
+    # The CI is for the mean of THIS sample's distribution: the full-
+    # sample mean sits inside (Poisson bootstrap centers on it).
+    assert r1.ci_lo <= r1.mean_price <= r1.ci_hi
+    # Width sanity: a few sd/sqrt(n), never degenerate or huge.
+    assert (r1.ci_hi - r1.ci_lo) < 0.5 * r1.mean_price
+
+
+def test_backfill_overwrite_touches_only_target_partition(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "year", SF.year("o_orderdate")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"test_backfill-{uuid.uuid4().hex[:8]}"
+    )
+    corrupted = orders.filter(
+        (SF.col("year") != 1997) | (SF.col("o_orderkey") % 2 == 0)
+    )
+    corrupted.write.mode("overwrite").partitionBy("year").parquet(base)
+
+    def listing(year):
+        d = os.path.join(base, f"year={year}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_1996 = listing(1996)
+    fix = orders.filter(SF.col("year") == 1997)
+    fix.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("year").parquet(base)
+    # Untouched partition: same files, same mtimes (not rewritten).
+    assert listing(1996) == before_1996
+    # Target partition healed.
+    healed = spark.read.parquet(base).filter(SF.col("year") == 1997)
+    assert healed.count() == fix.count()
+    # Idempotent: re-running the backfill keeps content identical.
+    fix.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("year").parquet(base)
+    again = spark.read.parquet(base).filter(SF.col("year") == 1997)
+    assert again.count() == fix.count()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_calibration_bins_flat_on_signal_free_score(spark, sf_dir):
+    rows = QUERIES["ml_calibration_bins"](spark, sf_dir).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    n_total = sum(r.n for r in rows)
+    base_rate = sum(r.frac_pos * r.n for r in rows) / n_total
+    # Bin sizes are balanced by construction (exact rank deciles).
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    for r in rows:
+        # mean_p tracks the bin center (exact rank fractions).
+        assert abs(r.mean_p - (r.bin / 10 + 0.05)) < 0.01
+        # Price rank carries ~no signal for status: observed rate per
+        # bin stays within a sampling band of the base rate.
+        se = (base_rate * (1 - base_rate) / r.n) ** 0.5
+        assert abs(r.frac_pos - base_rate) < 6 * se + 0.02
+        assert 0.0 <= r.brier <= 1.0
