@@ -500,3 +500,92 @@ def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+class _SessionGapStats:
+    """Python UDTF consuming a TABLE ARGUMENT with PARTITION BY /
+    ORDER BY: Spark instantiates one UDTF per partition key and feeds
+    it that user's rows in time order — the engine-managed form of
+    'sequential scan per entity' that applyInPandasWithState provides
+    for streams, here on the batch SQL surface."""
+
+    def __init__(self):
+        self._user = None
+        self._n = 0
+        self._gaps = 0
+        self._max_gap = 0
+        self._last = None
+
+    def eval(self, row):
+        self._user = row["user_id"]
+        ms = row["ms"]
+        if self._last is not None:
+            gap = ms - self._last
+            if gap > 3_600_000:
+                self._gaps += 1
+            if gap > self._max_gap:
+                self._max_gap = gap
+        self._last = ms
+        self._n += 1
+
+    def terminate(self):
+        if self._user is not None:
+            yield self._user, self._n, self._gaps, self._max_gap
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_ms
+    FROM seq
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4 SQL surface):
+    `gap_stats(TABLE(v) PARTITION BY user_id ORDER BY ms)` hands the
+    UDTF one ENTITY AT A TIME in timestamp order — per-user gap
+    statistics computed by a plain sequential Python loop, with the
+    engine owning the shuffle (PARTITION BY) and the in-partition sort
+    (ORDER BY). This is the third member of the UDTF ladder: static
+    schema (udtf_split) → plan-time polymorphic schema
+    (udtf_analyze_dynamic) → table-argument iteration (this).
+
+    The oracle states the same statistics relationally (LAG window +
+    group), so the partition routing, ordering contract, and
+    per-partition instance lifecycle (fresh __init__ per user,
+    terminate() emission) are all hash-checked.
+
+    At 100 TB: one shuffle on the entity key — identical movement to
+    the window formulation; use the UDTF form when the per-entity
+    logic is genuinely sequential (state machines, parsers) and the
+    window form when it's expressible as frames (stay JVM-side)."""
+    events = load(spark, sf_dir, "events")
+    spark.udtf.register("gap_stats", F.udtf(
+        _SessionGapStats,
+        returnType="user_id bigint, n_events bigint, n_gaps bigint,"
+        " max_gap_ms bigint",
+    ))
+    events.select(
+        "user_id", F.expr("ts_ns DIV 1000000").alias("ms"), "event_id"
+    ).createOrReplaceTempView("events_for_gap_udtf")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_gaps, max_gap_ms
+        FROM gap_stats(TABLE(events_for_gap_udtf)
+                       PARTITION BY user_id ORDER BY (ms, event_id))
+        ORDER BY user_id
+        """
+    )

@@ -1090,3 +1090,57 @@ def agg_boolean_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("value") > 190).alias("any_large"),
         F.count_if(F.col("value") > 100).alias("n_over_100"),
     )
+
+
+@register(
+    "agg_ohlc_candles",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_id,
+           arg_min(value, printf('%020d-%020d', epoch_ms(ts), event_id))
+               AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, printf('%020d-%020d', epoch_ms(ts), event_id))
+               AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY event_type, day_id
+    ORDER BY event_type, day_id
+    """,
+)
+def agg_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling — the canonical time-series resample
+    (open/high/low/close/volume per instrument per day) every market /
+    metrics store serves. High/low/volume are ordinary min/max/count;
+    open and close are FIRST/LAST-BY-TIME, expressed as min_by/max_by
+    over a zero-padded (epoch_ms, event_id) string key — a total order
+    both engines compare identically (event_id breaks timestamp ties),
+    which turns 'first per group' into a plain associative aggregate:
+    no window, no sort, map-side combinable.
+
+    That is the 100 TB point: the window formulation (row_number = 1
+    per group) shuffles every row then sorts each group; min_by folds
+    to one candidate per (group × task) before the exchange — the
+    shuffle carries |groups|·|tasks| rows, not the data.
+
+    Plan: one scan → single partial+final agg keyed on
+    (event_type, day)."""
+    events = load(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%020d", F.expr("ts_ns DIV 1000000"), F.col("event_id")
+    )
+    return (
+        events.groupBy(
+            "event_type",
+            F.expr("ts_ns DIV 1000000 DIV 86400000").alias("day_id"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("bigint").alias("volume"),
+        )
+        .orderBy("event_type", "day_id")
+    )

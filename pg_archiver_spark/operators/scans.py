@@ -2410,3 +2410,81 @@ def maintenance_backfill_overwrite(
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "maintenance_deletion_vectors",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 100000)
+    GROUP BY year
+    ORDER BY year
+    """,
+)
+def maintenance_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion vectors from first principles — the merge-on-read
+    DELETE every modern lakehouse format (Delta DVs, Iceberg v2
+    positional deletes) uses instead of rewriting data files: the
+    delete predicate is resolved ONCE to a sidecar of
+    (file_name, row_index) positions, data files stay immutable, and
+    reads subtract the sidecar. Spark's `_metadata.file_name` /
+    `_metadata.row_index` columns provide exactly the positional
+    identity this needs (the mechanism scan_metadata_columns
+    introduced; this op closes the loop by USING it for MoR deletes).
+
+    Stages orders as immutable parquet, materializes the deletion
+    vector for `status='P' AND totalprice<100000`, then serves the
+    MoR read: scan ⟕ anti-join sidecar on (file, row_index). The
+    oracle states the surviving rows relationally, so a positional
+    mismatch (off-by-one row_index, wrong file attribution)
+    hash-fails. The sibling test pins that data files are untouched
+    byte-for-byte after the 'delete'.
+
+    At 100 TB: DELETE cost is O(matching rows) sidecar write, zero
+    data rewrite; the read-side anti-join keys on (file, pos) — both
+    sides partition by file, so the join is file-local and the
+    sidecar side is usually small enough to broadcast. Compaction
+    (maintenance_compact) later folds DVs back in."""
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        f"dv_orders-{uuid.uuid4().hex[:8]}",
+    )
+    orders.write.mode("overwrite").parquet(base)
+    table = spark.read.parquet(base).select(
+        "*",
+        F.col("_metadata.file_name").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    # DELETE ... WHERE: resolve the predicate to positions, once.
+    dv = table.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 100000)
+    ).select("_file", "_pos")
+    dv_path = base + "_dv"
+    dv.write.mode("overwrite").parquet(dv_path)
+    # Merge-on-read: scan minus deletion vector, positionally.
+    dv_back = spark.read.parquet(dv_path)
+    live = table.join(
+        F.broadcast(dv_back), on=["_file", "_pos"], how="left_anti"
+    )
+    result = (
+        live.groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_live"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("n_f"),
+        )
+        .orderBy("year")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(dv_path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -1503,3 +1503,95 @@ def test_calibration_bins_flat_on_signal_free_score(spark, sf_dir):
         se = (base_rate * (1 - base_rate) / r.n) ** 0.5
         assert abs(r.frac_pos - base_rate) < 6 * se + 0.02
         assert 0.0 <= r.brier <= 1.0
+
+
+def test_ohlc_candles_consistent_and_first_last_correct(spark, sf_dir):
+    rows = QUERIES["agg_ohlc_candles"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.volume > 0
+    # Spot-check open/close against an explicit time sort for one group.
+    g = rows[0]
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == g.event_type)
+        .withColumn("ms", F.expr("ts_ns DIV 1000000"))
+        .filter(F.expr(f"ms DIV 86400000 = {g.day_id}"))
+        .orderBy("ms", "event_id")
+        .select("value")
+        .collect()
+    )
+    assert ev[0].value == g.open
+    assert ev[-1].value == g.close
+    assert len(ev) == g.volume
+
+
+def test_deletion_vectors_leave_data_files_untouched(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(), f"test_dv-{uuid.uuid4().hex[:8]}"
+    )
+    orders.write.mode("overwrite").parquet(base)
+
+    def digest():
+        out = {}
+        for f in os.listdir(base):
+            if f.endswith(".parquet"):
+                with open(os.path.join(base, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest()
+    table = spark.read.parquet(base).select(
+        "*",
+        F.col("_metadata.file_name").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    dv = table.filter(F.col("o_orderstatus") == "P").select("_file", "_pos")
+    n_dead = dv.count()
+    live = table.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+    assert live.count() == orders.count() - n_dead
+    # The "delete" rewrote nothing: data files byte-identical.
+    assert digest() == before
+    # Positional identity is unique — no double-deletes possible.
+    assert dv.distinct().count() == n_dead
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_udtf_table_arg_matches_window_formulation(spark, sf_dir):
+    rows = {
+        r.user_id: r
+        for r in QUERIES["udtf_table_arg"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    ref = (
+        ev.withColumn("ms", F.expr("ts_ns DIV 1000000"))
+        .withColumn("gap", F.col("ms") - F.lag("ms").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("gap") > 3_600_000).cast("int")).alias("n_gaps"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_ms"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(rows)
+    for r in ref:
+        got = rows[r.user_id]
+        assert (got.n_events, got.n_gaps, got.max_gap_ms) == (
+            r.n_events,
+            r.n_gaps or 0,
+            r.max_gap_ms,
+        )
