@@ -1606,3 +1606,118 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionAll(parts[1]).orderBy("epoch", "pos")
+
+
+UNIGRAM_MAX_SUB = 4  # max candidate substring length
+UNIGRAM_MIN_FREQ = 3  # seed-vocab frequency floor
+UNIGRAM_TOPK = 200  # report size
+
+
+@register("pipeline_unigram_tokenizer_em")  # rows-only: Viterbi-EM DP
+def pipeline_unigram_tokenizer_em(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's model family,
+    Kudo 2018) — the OTHER trainable tokenizer next to BPE
+    (pipeline_bpe_merges): seed a candidate vocabulary from substring
+    counts, then run one hard-EM (Viterbi-EM) refinement: E-step
+    segments every word optimally under current token probabilities
+    (O(len·L) DP per word), M-step re-estimates probabilities from
+    segment usage. Emits the post-EM top tokens with usage counts and
+    integer-ppm probabilities.
+
+    The Spark shape is what matters at 100 TB: every per-string stage
+    runs on the DISTINCT-WORD frame with corpus counts attached
+    (vocabulary-bounded, not corpus-bounded — the same collapse
+    pipeline_bpe_pair_counts uses), the token table rides to
+    executors as one broadcast dict inside the mapInPandas closure,
+    and both the substring fan-out and the segment-usage M-step are
+    plain groupBy aggregations. Corpus size only enters through the
+    one word-count pass.
+
+    Rows-only: the Viterbi DP is not SQL-expressible; the sibling
+    tests pin the EM contract instead (segmentations reconstruct
+    their words, corpus Viterbi log-likelihood does not decrease
+    across the EM step, runs are deterministic)."""
+    import math
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # Seed vocabulary: substring counts over the distinct-word frame
+    # (weighted by corpus word counts), frequency floor, plus all
+    # single characters for guaranteed coverage.
+    def substrings(pdfs):
+        for pdf in pdfs:
+            out_t, out_c = [], []
+            for w, n in zip(pdf["w"], pdf["n"]):
+                for i in range(len(w)):
+                    for j in range(
+                        i + 1, min(i + 1 + UNIGRAM_MAX_SUB, len(w) + 1)
+                    ):
+                        out_t.append(w[i:j])
+                        out_c.append(n)
+            yield pd.DataFrame({"tok": out_t, "c": out_c})
+
+    seed = (
+        words.mapInPandas(substrings, "tok string, c long")
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c"))
+        .filter(
+            (F.length("tok") == 1) | (F.col("c") >= UNIGRAM_MIN_FREQ)
+        )
+    )
+    vocab = {r.tok: r.c for r in seed.collect()}
+    total = sum(vocab.values())
+    logp = {t: math.log(c / total) for t, c in vocab.items()}
+
+    def viterbi(word: str, table: dict) -> list:
+        best = [0.0] + [-math.inf] * len(word)
+        back = [0] * (len(word) + 1)
+        for j in range(1, len(word) + 1):
+            for i in range(max(0, j - UNIGRAM_MAX_SUB), j):
+                t = word[i:j]
+                if t in table and best[i] + table[t] > best[j]:
+                    best[j] = best[i] + table[t]
+                    back[j] = i
+        toks, j = [], len(word)
+        while j > 0:
+            i = back[j]
+            toks.append(word[i:j])
+            j = i
+        return toks[::-1]
+
+    # E-step + M-step fused: segment each distinct word under the
+    # seed model, count weighted segment usage.
+    def segment_usage(pdfs):
+        for pdf in pdfs:
+            out_t, out_c = [], []
+            for w, n in zip(pdf["w"], pdf["n"]):
+                for t in viterbi(w, logp):
+                    out_t.append(t)
+                    out_c.append(n)
+            yield pd.DataFrame({"tok": out_t, "c": out_c})
+
+    usage = (
+        words.mapInPandas(segment_usage, "tok string, c long")
+        .groupBy("tok")
+        .agg(F.sum("c").alias("n_uses"))
+    )
+    tot_uses = usage.agg(F.sum("n_uses").alias("t"))
+    return (
+        usage.crossJoin(F.broadcast(tot_uses))
+        .select(
+            "tok",
+            "n_uses",
+            F.expr("(n_uses * 1000000) DIV t").alias("prob_ppm"),
+        )
+        .orderBy(F.desc("n_uses"), "tok")
+        .limit(UNIGRAM_TOPK)
+    )

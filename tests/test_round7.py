@@ -1595,3 +1595,93 @@ def test_udtf_table_arg_matches_window_formulation(spark, sf_dir):
             r.n_gaps or 0,
             r.max_gap_ms,
         )
+
+
+def test_unigram_em_monotone_likelihood_and_reconstruction(spark, sf_dir):
+    import math
+
+    from pg_archiver_spark.functions.curation import (
+        UNIGRAM_MAX_SUB,
+        UNIGRAM_MIN_FREQ,
+    )
+
+    # Rebuild the same word frame the op uses.
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    words = {r.w: r["count"] for r in wc}
+
+    def seed_model():
+        cnt = {}
+        for w, n in words.items():
+            for i in range(len(w)):
+                for j in range(i + 1, min(i + 1 + UNIGRAM_MAX_SUB, len(w) + 1)):
+                    cnt[w[i:j]] = cnt.get(w[i:j], 0) + n
+        cnt = {
+            t: c
+            for t, c in cnt.items()
+            if len(t) == 1 or c >= UNIGRAM_MIN_FREQ
+        }
+        tot = sum(cnt.values())
+        return {t: math.log(c / tot) for t, c in cnt.items()}
+
+    def viterbi(word, logp):
+        best = [0.0] + [-math.inf] * len(word)
+        back = [0] * (len(word) + 1)
+        for j in range(1, len(word) + 1):
+            for i in range(max(0, j - UNIGRAM_MAX_SUB), j):
+                t = word[i:j]
+                if t in logp and best[i] + logp[t] > best[j]:
+                    best[j] = best[i] + logp[t]
+                    back[j] = i
+        toks, j = [], len(word)
+        while j > 0:
+            toks.append(word[back[j]:j])
+            j = back[j]
+        return toks[::-1]
+
+    def corpus_ll(logp):
+        return sum(
+            n * sum(logp[t] for t in viterbi(w, logp))
+            for w, n in words.items()
+        )
+
+    def m_step(logp):
+        usage = {}
+        for w, n in words.items():
+            for t in viterbi(w, logp):
+                usage[t] = usage.get(t, 0) + n
+        tot = sum(usage.values())
+        # Keep the full support (unused tokens get a floor) so the
+        # next Viterbi is total; hard-EM monotonicity needs usage
+        # tokens to dominate.
+        out = dict(logp)
+        for t, c in usage.items():
+            out[t] = math.log(c / tot)
+        return out, usage
+
+    seed = seed_model()
+    # Every word reconstructs exactly from its segmentation.
+    for w in words:
+        assert "".join(viterbi(w, seed)) == w
+    ll0 = corpus_ll(seed)
+    m1, usage = m_step(seed)
+    ll1 = corpus_ll(m1)
+    assert ll1 >= ll0 - 1e-9  # hard-EM never decreases likelihood
+
+    # The registered op reports exactly the M-step usage table (top-K).
+    rows = QUERIES["pipeline_unigram_tokenizer_em"](spark, sf_dir).collect()
+    tot_uses = sum(usage.values())
+    for r in rows:
+        assert usage.get(r.tok) == r.n_uses
+        assert r.prob_ppm == (r.n_uses * 1_000_000) // tot_uses
+    # Determinism across runs.
+    rows2 = QUERIES["pipeline_unigram_tokenizer_em"](spark, sf_dir).collect()
+    assert [(r.tok, r.n_uses) for r in rows] == [
+        (r.tok, r.n_uses) for r in rows2
+    ]

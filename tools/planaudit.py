@@ -24,6 +24,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-3 additions ----------------------------------
+    "pipeline_unigram_tokenizer_em": "1-row total-usage aggregate "
+    "crossJoin (the prob_ppm denominator anchor) onto the "
+    "vocabulary-bounded token-usage frame",
     "subquery_any_all": "1-row (min, max) anchor-set aggregate "
     "crossJoin — the ANY/ALL quantifier decorrelated to extreme-value "
     "scan predicates; no per-row set probe, no data-path join",
