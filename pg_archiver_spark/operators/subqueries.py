@@ -892,3 +892,50 @@ def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "sql_named_parameters",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-01-01'
+      AND o_totalprice > 150000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named parameter markers — the
+    injection-safe query surface (`:cutoff`, `:min_price` bound via
+    `spark.sql(query, args={...})`) an archival service exposes to
+    callers instead of string-spliced SQL; the reference's extraction
+    query binds its cutoff exactly this way with $1 placeholders
+    (main.go:88-93, `cutoffDate` passed as a bind parameter).
+    Parameters are bound at PARSE time as literals, so Catalyst
+    constant-folds them and both predicates reach the parquet scan as
+    PushedFilters — a bound parameter costs nothing vs an inlined
+    literal (the sibling plan assertion pins the pushdown).
+
+    Plan: scan with both pushed predicates → 5-group partial+final
+    agg."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_for_params"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders_for_params
+        WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+          AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1998-01-01", "min_price": 150000},
+    )

@@ -473,3 +473,73 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    cums AS (
+        SELECT d, SUM(cents) OVER (ORDER BY d) AS cum
+        FROM daily
+    ),
+    curve AS (
+        SELECT d, cum, MAX(cum) OVER (ORDER BY d) AS peak
+        FROM cums
+    )
+    SELECT d AS trough_day,
+           CAST(peak - cum AS BIGINT) AS drawdown_cents,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(peak AS BIGINT) AS peak_cents
+    FROM curve
+    ORDER BY drawdown_cents DESC, trough_day ASC
+    LIMIT 1
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue curve — the
+    risk metric every financial / capacity dashboard tracks: the
+    largest peak-to-trough fall, found as max over days of
+    (running-max-of-cumsum − cumsum). Stacked windows over the SAME
+    ordering share one sort: Catalyst evaluates cumsum and
+    running-max-of-cumsum in a single Window operator pass.
+
+    Exactness: the curve is integer cents end to end (DECIMAL→BIGINT
+    daily sums, integer prefix sums and maxima) — no floats at all;
+    the earliest-trough tiebreak makes the reported day total-ordered.
+
+    Plan: one scan → groupBy(date) collapses to the ≤|days| frame →
+    one ordered window pass → TakeOrderedAndProject(1). The ordered
+    window runs on the aggregated frame (window_running_sum
+    precedent; two-pass prefix-sum swap documented there for when
+    even that frame is huge)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "d",
+        F.sum("cents").over(w).alias("cum"),
+    ).select("d", "cum", F.max("cum").over(w).alias("peak"))
+    return (
+        curve.select(
+            F.col("d").alias("trough_day"),
+            (F.col("peak") - F.col("cum")).cast("bigint").alias(
+                "drawdown_cents"
+            ),
+            F.col("cum").cast("bigint").alias("cum_cents"),
+            F.col("peak").cast("bigint").alias("peak_cents"),
+        )
+        .orderBy(F.desc("drawdown_cents"), F.asc("trough_day"))
+        .limit(1)
+    )

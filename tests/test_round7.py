@@ -1685,3 +1685,104 @@ def test_unigram_em_monotone_likelihood_and_reconstruction(spark, sf_dir):
     assert [(r.tok, r.n_uses) for r in rows] == [
         (r.tok, r.n_uses) for r in rows2
     ]
+
+
+def test_max_drawdown_matches_python_scan(spark, sf_dir):
+    row = QUERIES["window_max_drawdown"](spark, sf_dir).collect()[0]
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            ).cast("bigint").alias("cents")
+        )
+        .orderBy("o_orderdate")
+        .collect()
+    )
+    cum = peak = best = 0
+    for r in daily:
+        cum += r.cents
+        peak = max(peak, cum)
+        best = max(best, peak - cum)
+    assert row.drawdown_cents == best
+    assert row.peak_cents - row.cum_cents == row.drawdown_cents
+    assert row.drawdown_cents >= 0
+
+
+def test_parquet_bloom_filter_physical_evidence(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from pg_archiver_spark.operators.scans import BLOOM_KEY_OFFSET
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") + F.lit(BLOOM_KEY_OFFSET)).alias("lookup_key"),
+        "value",
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"test_bloom-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        events.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#lookup_key", "true")
+        .option("parquet.bloom.filter.expected.ndv#lookup_key", "100000")
+        .parquet(base + "_on")
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(base + "_off")
+
+    f_on = glob.glob(base + "_on/*.parquet")[0]
+    f_off = glob.glob(base + "_off/*.parquet")[0]
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f_on), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    rg = reader.getFooter().getBlocks().get(0)
+    blooms = {}
+    for i in range(rg.getColumns().size()):
+        cc = rg.getColumns().get(i)
+        blooms[cc.getPath().toDotString()] = (
+            cc.getBloomFilterOffset(),
+            reader.readBloomFilter(cc),
+        )
+    # Bloom present for the enrolled column ONLY.
+    assert blooms["lookup_key"][0] > 0 and blooms["lookup_key"][1] is not None
+    assert blooms["event_id"][0] == -1
+    assert blooms["value"][0] == -1
+
+    bf = blooms["lookup_key"][1]
+    n = load(spark, sf_dir, "events").count()
+    # Present keys: never a false negative (keys > 2^31 so py4j
+    # dispatches the hash(long) overload parquet-mr used at write).
+    for eid in [0, 1, n // 2, n - 1]:
+        assert bf.findHash(bf.hash(eid + BLOOM_KEY_OFFSET))
+    # Absent keys: mostly rejected (~1% fpp; allow generous slack).
+    absent_hits = sum(
+        1
+        for k in range(10_000_000, 10_000_100)
+        if bf.findHash(bf.hash(k + BLOOM_KEY_OFFSET))
+    )
+    assert absent_hits <= 10
+    reader.close()
+
+    # The bloom costs real bytes: enrolled file strictly larger.
+    assert os.path.getsize(f_on) > os.path.getsize(f_off)
+    import shutil
+
+    shutil.rmtree(base + "_on", ignore_errors=True)
+    shutil.rmtree(base + "_off", ignore_errors=True)
+
+
+def test_named_parameters_push_down_to_scan(spark, sf_dir):
+    df = QUERIES["sql_named_parameters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Bound parameters constant-fold into pushed parquet filters.
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
