@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.registry import register
@@ -1632,4 +1633,136 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brier"),
         )
         .orderBy("bin")
+    )
+
+
+MRL_DIMS = [64, 32, 16]
+MRL_N_QUERIES = 20
+MRL_TOPK = 10
+
+
+@register(
+    "sim_matryoshka_eval",
+    oracle=f"""
+    WITH dims(d) AS (VALUES (64), (32), (16)),
+    scored AS (
+        SELECT a.vec_id AS q_id, dims.d, b.vec_id,
+               ROUND(CAST(list_cosine_similarity(
+                   b.embedding[1:dims.d], a.embedding[1:dims.d]
+               ) AS DOUBLE), 4) AS s
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        CROSS JOIN dims
+        WHERE a.vec_id < {MRL_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT q_id, d, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id, d ORDER BY s DESC, vec_id
+               ) AS rnk
+        FROM scored
+    ),
+    topk AS (
+        SELECT q_id, d, vec_id FROM ranked WHERE rnk <= {MRL_TOPK}
+    ),
+    ref AS (SELECT q_id, vec_id FROM topk WHERE d = 64)
+    SELECT CAST(t.d AS BIGINT) AS dim,
+           CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST((SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000) // ({MRL_N_QUERIES} * {MRL_TOPK})
+                AS BIGINT) AS recall_pm
+    FROM topk t
+    LEFT JOIN ref r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+    GROUP BY t.d
+    ORDER BY dim DESC
+    """,
+)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (MRL, Kusupati 2022 —
+    the public trick behind 'shortened' embedding APIs): score recall@10
+    of cosine search when vectors are truncated to prefix dims 32 and
+    16 against the full 64-dim ranking, over a 20-query panel. This is
+    the eval harness a team runs BEFORE shipping truncated embeddings
+    to cut ANN memory 2-4×; the op reports (dim, n_overlap, recall
+    permille), with the full dim pinned at recall 1000 as the
+    self-anchor.
+
+    Determinism: scores ROUND to 4dp before ranking with vec_id
+    tiebreaks (sim_cosine_topk precedent), overlap and recall are
+    exact integers (DIV — G11).
+
+    Plan: the 20-query panel broadcasts; scoring is ONE map pass over
+    the corpus fan-out (queries × dims), top-k per (query, dim) is a
+    bounded window on the scored frame; the overlap join keys on
+    (q_id, vec_id) against the ≤ 20·10-row reference — broadcast. At
+    100 TB corpus the scoring pass swaps to the IVF candidate set
+    (sim_ann_ivf) with this same eval unchanged — that is the point
+    of an eval op: it rides any retrieval backend."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < MRL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored_cols = [
+        F.round(
+            cosine_expr(
+                F.slice(F.col("embedding"), 1, d),
+                F.slice(F.col("q_emb"), 1, d),
+            ),
+            4,
+        ).alias(f"s_{d}")
+        for d in MRL_DIMS
+    ]
+    scored = pairs.select("q_id", "vec_id", *scored_cols).select(
+        "q_id",
+        "vec_id",
+        F.expr(
+            "stack({n}, {args}) as (d, s)".format(
+                n=len(MRL_DIMS),
+                args=", ".join(f"{d}, s_{d}" for d in MRL_DIMS),
+            )
+        ),
+    )
+    w = Window.partitionBy("q_id", "d").orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MRL_TOPK)
+        .select("q_id", "d", "vec_id")
+    )
+    ref = (
+        topk.filter(F.col("d") == 64)
+        .select(
+            F.col("q_id").alias("ref_q"), F.col("vec_id").alias("ref_vec")
+        )
+        .withColumn("in_ref", F.lit(1))
+    )
+    return (
+        topk.join(
+            F.broadcast(ref),
+            (F.col("q_id") == F.col("ref_q"))
+            & (F.col("vec_id") == F.col("ref_vec")),
+            "left",
+        )
+        .groupBy(F.col("d").cast("bigint").alias("dim"))
+        .agg(
+            F.countDistinct("q_id").cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("in_ref"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "dim",
+            "n_queries",
+            "n_overlap",
+            F.expr(
+                f"(n_overlap * 1000) DIV ({MRL_N_QUERIES} * {MRL_TOPK})"
+            ).alias("recall_pm"),
+        )
+        .orderBy(F.desc("dim"))
     )

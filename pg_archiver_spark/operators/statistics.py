@@ -760,3 +760,91 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(m, 0.025)").alias("ci_lo"),
         F.expr("percentile(m, 0.975)").alias("ci_hi"),
     )
+
+
+@register(
+    "analytics_seasonal_residual_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               (epoch_ms(o_orderdate) // 86400000) % 7 AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    season AS (
+        SELECT dow, CAST(SUM(cents) AS BIGINT) AS sum_dow,
+               CAST(COUNT(*) AS BIGINT) AS n_dow
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.d, d.dow, d.cents,
+               CAST(d.cents AS DOUBLE)
+                   - CAST(s.sum_dow AS DOUBLE) / CAST(s.n_dow AS DOUBLE)
+                   AS dev
+        FROM daily d JOIN season s ON d.dow = s.dow
+    ),
+    scale AS (
+        SELECT quantile_cont(ABS(dev), 0.5) AS mad FROM dev
+    )
+    SELECT dev.d, CAST(dev.dow AS BIGINT) AS dow, dev.cents, dev.dev
+    FROM dev CROSS JOIN scale
+    WHERE ABS(dev.dev) > 3 * 1.4826 * scale.mad
+    ORDER BY dev.d
+    """,
+)
+def analytics_seasonal_residual_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the STL-lite screen a
+    monitoring stack runs on business metrics with weekly rhythm:
+    remove the day-of-week seasonal component (per-dow mean), then
+    flag days whose residual exceeds 3 robust sigmas (MAD·1.4826 —
+    the 50%-breakdown scale, analytics_mad_outliers' estimator applied
+    to the DESEASONALIZED series). A plain z-score screen fires every
+    weekend on weekly-seasonal data; this op only fires on days
+    abnormal FOR THEIR WEEKDAY.
+
+    Determinism: daily totals exact cents; each deseasonalized
+    residual is one IEEE subtraction of one division; the MAD is an
+    exact interpolated median over the |days| frame; the flag compares
+    identically-computed doubles (G11).
+
+    Plan: one scan → groupBy(date) collapse; the 7-row seasonal table
+    re-attaches as a broadcast equi-join; the 1-row MAD anchor
+    crossJoins back (planaudit-whitelisted). Everything after the
+    first agg runs on the ≤|days| frame."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("d"),
+        # Engine-neutral weekday id: epoch-day mod 7 (Spark's
+        # dayofweek is 1-7 Sunday-first, DuckDB's 0-6 — same partition
+        # of days, different labels; the raw residue avoids the remap).
+        F.expr(
+            "((unix_timestamp(o_orderdate) * 1000) DIV 86400000) % 7"
+        ).alias("dow"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    season = daily.groupBy("dow").agg(
+        F.sum("cents").cast("bigint").alias("sum_dow"),
+        F.count("*").cast("bigint").alias("n_dow"),
+    )
+    dev = daily.join(F.broadcast(season), "dow").select(
+        "d",
+        "dow",
+        "cents",
+        (
+            F.col("cents").cast("double")
+            - F.col("sum_dow").cast("double") / F.col("n_dow").cast("double")
+        ).alias("dev"),
+    )
+    scale = dev.agg(F.expr("percentile(abs(dev), 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(scale))
+        .filter(F.abs(F.col("dev")) > 3 * 1.4826 * F.col("mad"))
+        .select("d", F.col("dow").cast("bigint").alias("dow"), "cents", "dev")
+        .orderBy("d")
+    )

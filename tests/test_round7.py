@@ -1786,3 +1786,49 @@ def test_named_parameters_push_down_to_scan(spark, sf_dir):
     # Bound parameters constant-fold into pushed parquet filters.
     assert "PushedFilters" in plan
     assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
+
+
+def test_matryoshka_recall_monotone_in_dim(spark, sf_dir):
+    rows = {
+        r.dim: r for r in QUERIES["sim_matryoshka_eval"](spark, sf_dir).collect()
+    }
+    assert rows[64].recall_pm == 1000  # full dim is its own reference
+    # More dimensions never hurt recall on average (MRL premise).
+    assert rows[64].recall_pm >= rows[32].recall_pm >= rows[16].recall_pm
+    for r in rows.values():
+        assert 0 <= r.recall_pm <= 1000
+        assert r.n_overlap <= r.n_queries * 10
+
+
+def test_seasonal_outliers_abnormal_for_their_weekday(spark, sf_dir):
+    rows = QUERIES["analytics_seasonal_residual_outliers"](
+        spark, sf_dir
+    ).collect()
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("d"),
+            F.expr(
+                "((unix_timestamp(o_orderdate) * 1000) DIV 86400000) % 7"
+            ).alias("dow"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    )
+    import statistics as st
+
+    by_dow = {}
+    for r in daily:
+        by_dow.setdefault(r.dow, []).append(r.cents)
+    means = {k: sum(v) / len(v) for k, v in by_dow.items()}
+    devs = [r.cents - means[r.dow] for r in daily]
+    mad = st.median(abs(x) for x in devs)
+    expect = {
+        r.d for r in daily if abs(r.cents - means[r.dow]) > 3 * 1.4826 * mad
+    }
+    assert {r.d for r in rows} == expect
+    assert len(rows) > 0

@@ -24,6 +24,12 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-3 additions ----------------------------------
+    "sim_matryoshka_eval": "20-row query-panel broadcast onto the "
+    "corpus scoring pass (the sim_batch_knn_join shape); the overlap "
+    "join is a <=200-row reference broadcast equi-join",
+    "analytics_seasonal_residual_outliers": "1-row MAD-scale aggregate "
+    "crossJoin onto the <=|days| deseasonalized frame; the 7-row "
+    "seasonal table re-attaches as a broadcast equi-join",
     "pipeline_unigram_tokenizer_em": "1-row total-usage aggregate "
     "crossJoin (the prob_ppm denominator anchor) onto the "
     "vocabulary-bounded token-usage frame",
