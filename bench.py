@@ -58,13 +58,20 @@ HEADLINE = [
     # this round.
     "dedup_paragraph",
     "sim_scalar_quantize_int8",
+    # Round-7 session-3 representatives: the grid-bucketed spatial
+    # radius join (cell-id equi-join + 9-cell explode fan-out) and the
+    # single-pass 32-resample Poisson bootstrap (64 integer agg
+    # columns over one scan) — both scale-pattern additions whose
+    # regressions would hide without bench coverage.
+    "join_spatial_grid",
+    "analytics_bootstrap_ci",
 ]
 
 # The headline set is VERSIONED (r6 verdict task 4): bump this when the
 # list above changes so cross-round totals are never compared across
 # different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
 # stable cross-round series.
-HEADLINE_SET_VERSION = 4  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2)
+HEADLINE_SET_VERSION = 5  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2)
 
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the

