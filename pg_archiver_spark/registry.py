@@ -65,6 +65,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (analytics_market_basket ... pipeline_length_batching, registration
 # order) — queue them AFTER the 28 above in the r8/r9 windows, again
 # sql-checked first; all 19 carry local gate evidence at three SFs.
+# Session-3 of r7 added 20 more (analytics_ks_test ...
+# analytics_seasonal_residual_outliers, registration order; 19
+# sql-checked + 1 rows-only) — queue them last in the r8/r9 rotation;
+# all 20 carry local 3-SF gate evidence and op-level pytest.
 _DRIVER_PRIORITY = [
     # -- last driver evidence r2 (17 ops) -----------------------------
     "date_arith_retention",
