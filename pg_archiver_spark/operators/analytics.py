@@ -2468,3 +2468,130 @@ def analytics_audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register("analytics_markov_removal_attribution")  # rows-only: linear solve
+def analytics_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014 —
+    the data-driven alternative to position rules like
+    analytics_attribution_position): model each user's pre-conversion
+    event sequence as a first-order chain START → channels → {CONV,
+    DROP}, then credit each channel by its REMOVAL EFFECT — the
+    relative drop in absorption probability into CONV when that
+    channel's outgoing edges are redirected to DROP. Shares are the
+    normalized removal effects.
+
+    Distribution-of-work shape: everything data-sized happens as exact
+    transition COUNTS in Spark (one shuffle on user_id for the ordered
+    lag, counts collapse to ≤(|channels|+3)² rows — the
+    analytics_markov_transitions frame plus START/CONV/DROP); only the
+    tiny matrix reaches the driver, where the absorption
+    probabilities solve a ≤|channels|-dim linear system per removal
+    (numpy, deterministic — the ml_pca_project K-sized-driver-solve
+    precedent). At 100 TB the count pass is the whole cost.
+
+    Rows-only: the fundamental-matrix solve is not SQL-expressible;
+    the sibling test pins the chain's stochastic invariants (rows sum
+    to 1, effects in [0,1], shares sum to 1000, removal never helps
+    conversion) and determinism."""
+    import numpy as np
+
+    events = load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    first_conv = (
+        ev.filter(F.col("state") == "CONV")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("conv_ms"))
+    )
+    pruned = (
+        ev.join(first_conv, "user_id", "left")
+        .filter(F.col("conv_ms").isNull() | (F.col("ms") <= F.col("conv_ms")))
+        # Keep only the FIRST conversion event at the boundary ms.
+        .filter(
+            (F.col("state") != "CONV")
+            | (F.col("ms") == F.col("conv_ms"))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = pruned.select(
+        "user_id",
+        "state",
+        F.row_number().over(w).alias("pos"),
+        F.lead("state").over(w).alias("nxt"),
+    )
+    # Edges: START->first state, state->next, last non-CONV ->DROP.
+    e1 = seq.filter(F.col("pos") == 1).select(
+        F.lit("START").alias("src"), F.col("state").alias("dst")
+    )
+    e2 = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("state").alias("src"), F.col("nxt").alias("dst")
+    )
+    e3 = seq.filter(
+        F.col("nxt").isNull() & (F.col("state") != "CONV")
+    ).select(F.col("state").alias("src"), F.lit("DROP").alias("dst"))
+    counts = (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .filter(F.col("src") != "CONV")  # CONV is absorbing
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+
+    states = sorted({r.src for r in counts} | {r.dst for r in counts})
+    transient = [s for s in states if s not in ("CONV", "DROP")]
+    idx = {s: i for i, s in enumerate(transient)}
+    n_t = len(transient)
+
+    def absorption(removed: str | None) -> float:
+        # P(absorb in CONV | START) with `removed` redirected to DROP.
+        q = np.zeros((n_t, n_t))
+        r = np.zeros(n_t)
+        row_tot = {s: 0 for s in transient}
+        for row in counts:
+            if row.src in row_tot:
+                row_tot[row.src] += row.n
+        for row in counts:
+            if row.src not in idx or row_tot[row.src] == 0:
+                continue
+            p = row.n / row_tot[row.src]
+            if row.dst == removed:
+                continue  # redirected mass falls through to DROP
+            if row.dst == "CONV":
+                r[idx[row.src]] += p
+            elif row.dst in idx:
+                q[idx[row.src], idx[row.dst]] += p
+        if removed is not None and removed in idx:
+            # Removed channel emits nothing (all mass to DROP).
+            q[idx[removed], :] = 0.0
+            r[idx[removed]] = 0.0
+        a = np.linalg.solve(np.eye(n_t) - q, r)
+        return float(a[idx["START"]])
+
+    base = absorption(None)
+    channels = [s for s in transient if s != "START"]
+    effects = {}
+    for c in channels:
+        removed_p = absorption(c)
+        effects[c] = (base - removed_p) / base if base > 0 else 0.0
+    tot_eff = sum(effects.values())
+    rows = [
+        (
+            c,
+            int(round(effects[c] * 1000)),
+            int(round(effects[c] / tot_eff * 1000)) if tot_eff > 0 else 0,
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect_pm long, attribution_pm long"
+    )

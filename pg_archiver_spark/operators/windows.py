@@ -543,3 +543,72 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drawdown_cents"), F.asc("trough_day"))
         .limit(1)
     )
+
+
+@register(
+    "window_running_sum_scalable",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT))
+                OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS cum_cents
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def window_running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running sum over EVERY order row WITHOUT a single-task
+    window — the two-pass partition-offset prefix sum, executed with
+    semantic range buckets: (1) bucket each row by month id (a pure
+    function of the sort key, so bucketing needs no sampling shuffle
+    and is fully deterministic), compute the within-bucket cumsum with
+    an ordinary partitioned window; (2) aggregate per-bucket totals
+    (≤|months| rows), turn them into bucket offsets with a cumulative
+    window over that tiny frame, and broadcast the offsets back:
+    global cum = bucket offset + local cum. Identical output to
+    `SUM() OVER (ORDER BY ...)` — the oracle states exactly that — but
+    the largest task holds one month, not the table.
+
+    This is the row-scale proof of the pattern window_ntile_scalable /
+    analytics_ks_test only document: at 100 TB pick the bucket
+    granularity to match task sizing (days instead of months) — the
+    offset frame stays metadata-sized.
+
+    Plan: one hash shuffle on bucket id (the only data movement), one
+    in-bucket sort; the offset side is a ≤|months|-row agg + window +
+    broadcast equi-join. Exact integer cents throughout."""
+    orders = load(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "bucket"
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rows.withColumn("local_cum", F.sum("cents").over(w_local))
+    totals = rows.groupBy("bucket").agg(F.sum("cents").alias("tot"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("off") + F.col("local_cum")).cast("bigint").alias(
+                "cum_cents"
+            ),
+        )
+        .orderBy("cum_cents")
+    )

@@ -1832,3 +1832,45 @@ def test_seasonal_outliers_abnormal_for_their_weekday(spark, sf_dir):
     }
     assert {r.d for r in rows} == expect
     assert len(rows) > 0
+
+
+def test_prefix_sum_scalable_has_no_single_task_window(spark, sf_dir):
+    df = QUERIES["window_running_sum_scalable"](spark, sf_dir)
+    rows = df.collect()
+    # Monotone non-decreasing global prefix sums ending at the total.
+    total = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            ).cast("bigint")
+        )
+        .collect()[0][0]
+    )
+    assert rows[-1].cum_cents == total
+    assert all(
+        rows[i].cum_cents <= rows[i + 1].cum_cents
+        for i in range(len(rows) - 1)
+    )
+    # The data-sized window is PARTITIONED (by bucket) — the only
+    # unpartitioned window in the plan is the tiny offsets frame,
+    # which sits on an Aggregate, never on the scan.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_markov_removal_attribution_invariants(spark, sf_dir):
+    rows = QUERIES["analytics_markov_removal_attribution"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 3  # the non-purchase channels
+    for r in rows:
+        assert 0 <= r.removal_effect_pm <= 1000  # removal never helps
+        assert 0 <= r.attribution_pm <= 1000
+    # Shares normalize to ~1000 permille (integer rounding slack).
+    assert abs(sum(r.attribution_pm for r in rows) - 1000) <= len(rows)
+    # Deterministic across runs.
+    rows2 = QUERIES["analytics_markov_removal_attribution"](
+        spark, sf_dir
+    ).collect()
+    assert rows == rows2
