@@ -812,3 +812,101 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("dup_id").alias("n_removed"),
         )
     )
+
+
+@register("pipeline_neardup_eval_pr")  # rows-only: LSH candidates not in SQL
+def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall evaluation of the MinHash-LSH candidate stage
+    against exact-Jaccard ground truth — the tuning harness for the
+    band/row trade-off (b=12, r=2 here): before shipping an LSH config
+    over 100 TB you measure, on a slice, how many true near-dup pairs
+    the buckets CATCH (recall — LSH's probabilistic miss) and how much
+    verify work the buckets WASTE (precision — candidate pairs below
+    threshold). The eval sibling of sim_matryoshka_eval: it rides the
+    production machinery (minhash_neardup's exact signature/band
+    construction) rather than reimplementing it.
+
+    Ground truth: the shared-shingle equi-join (any pair with
+    Jaccard > 0 shares a shingle, so it enumerates ALL qualifying
+    pairs — dedup_ngram_jaccard's exact frame). Candidates: the LSH
+    band-bucket join BEFORE verification. Both sets are deterministic,
+    so TP/precision/recall are exact integers (permille DIV).
+
+    Rows-only (LSH banding has no SQL oracle); the sibling test pins
+    set algebra (TP ≤ both sides) and the banding bound (recall
+    consistent with 1-(1-s^r)^b at the fixture's similarity levels)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).cache()
+
+    # Exact ground truth via shared-shingle equi-join.
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
+    a = ex.select(F.col("doc_id").alias("doc1"), "h")
+    b = ex.select(F.col("doc_id").alias("doc2"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1"))
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2"))
+    exact = (
+        shared.join(sh1, "doc1")
+        .join(sh2, "doc2")
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("s1", "s2")).cast("double")
+            / F.size(F.array_union("s1", "s2")),
+        )
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2")
+    )
+
+    # LSH candidates: same signature/band construction as
+    # minhash_neardup, WITHOUT the verify step.
+    exh = sh.select("doc_id", F.explode("shingles").alias("h"))
+    sig = exh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
+            for k in range(MINHASH_HASHES)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    cand = (
+        bands.select("band", "bucket", F.col("doc_id").alias("doc1"))
+        .join(
+            bands.select("band", "bucket", F.col("doc_id").alias("doc2")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+    tp = cand.join(exact, ["doc1", "doc2"], "left_semi")
+    stats = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
+        .crossJoin(F.broadcast(tp.agg(F.count("*").alias("n_tp"))))
+    )
+    return stats.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        F.expr("(n_tp * 1000) DIV n_cand").alias("precision_pm"),
+        F.expr("(n_tp * 1000) DIV n_exact").alias("recall_pm"),
+    )

@@ -2595,3 +2595,109 @@ def analytics_markov_removal_attribution(
     return spark.createDataFrame(
         rows, "channel string, removal_effect_pm long, attribution_pm long"
     )
+
+
+SEQ_CHAR = {
+    "view": "v",
+    "click": "c",
+    "signup": "s",
+    "purchase": "p",
+    "error": "e",
+}
+
+
+@register(
+    "analytics_sequence_pattern_regex",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                              WHEN 'view' THEN 'v'
+                              WHEN 'click' THEN 'c'
+                              WHEN 'signup' THEN 's'
+                              WHEN 'purchase' THEN 'p'
+                              WHEN 'error' THEN 'e'
+                          END, '' ORDER BY epoch_ms(ts), event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_click_buy,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v[^e]*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean_convert,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'p.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_buyers,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e[^p]*$')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error_no_recovery
+    FROM seqs
+    """,
+)
+def analytics_sequence_pattern_regex(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-sequence pattern matching — MATCH_RECOGNIZE-lite: encode
+    each user's time-ordered event history as a compact symbol string
+    (one char per event) and express behavioral patterns as ordinary
+    regexes over it: view→click→purchase in order, conversion with no
+    intervening error, repeat purchase, trailing unrecovered error.
+    Funnels (analytics_funnel) count FIXED ordered steps; the regex
+    form expresses negations, adjacency, and repetition the funnel
+    join cannot, while staying pure SQL in both engines.
+
+    Determinism: the per-user string is built under an explicit
+    (epoch_ms, event_id) total order — Spark sorts (ms,id,chr) structs
+    (array_sort is lexicographic by field), DuckDB uses ordered
+    string_agg; regex classes used are engine-portable (literals,
+    '.', '*', negated classes, '$' — no lookaround).
+
+    Plan: one shuffle on user_id collapses events to |users| strings
+    (bounded per user); the four pattern screens are a single
+    partial-agg pass of regexp predicates over that frame. At 100 TB
+    sequences cap per user (any real pipeline truncates pathological
+    actors) and the symbol table extends per event taxonomy."""
+    events = load(spark, sf_dir, "events")
+    chr_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in SEQ_CHAR.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.expr("ts_ns DIV 1000000").alias("ms"),
+                F.col("event_id").alias("eid"),
+                chr_col.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("seq").rlike("v.*c.*p").cast("int"))
+        .cast("bigint")
+        .alias("n_view_click_buy"),
+        F.sum(F.col("seq").rlike("v[^e]*p").cast("int"))
+        .cast("bigint")
+        .alias("n_clean_convert"),
+        F.sum(F.col("seq").rlike("p.*p").cast("int"))
+        .cast("bigint")
+        .alias("n_repeat_buyers"),
+        F.sum(F.col("seq").rlike("e[^p]*$").cast("int"))
+        .cast("bigint")
+        .alias("n_error_no_recovery"),
+    )

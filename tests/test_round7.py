@@ -1874,3 +1874,55 @@ def test_markov_removal_attribution_invariants(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert rows == rows2
+
+
+def test_sequence_patterns_nest_logically(spark, sf_dir):
+    r = QUERIES["analytics_sequence_pattern_regex"](spark, sf_dir).collect()[0]
+    # clean-convert (v then p, no e between) implies view→…→purchase
+    # exists, so it can't exceed users with v.*p at all; and every
+    # count is bounded by the user population.
+    for c in (
+        r.n_view_click_buy,
+        r.n_clean_convert,
+        r.n_repeat_buyers,
+        r.n_error_no_recovery,
+    ):
+        assert 0 <= c <= r.n_users
+    # Cross-check one pattern in Python.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts_ns DIV 1000000").alias("ms"),
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    import re
+    from collections import defaultdict
+
+    from pg_archiver_spark.operators.analytics import SEQ_CHAR
+
+    seqs = defaultdict(list)
+    for e in ev:
+        seqs[e.user_id].append((e.ms, e.event_id, SEQ_CHAR[e.event_type]))
+    n = sum(
+        1
+        for u, items in seqs.items()
+        if re.search(
+            "v.*c.*p", "".join(ch for _, _, ch in sorted(items))
+        )
+    )
+    assert r.n_view_click_buy == n
+
+
+def test_neardup_eval_pr_set_algebra_and_banding(spark, sf_dir):
+    r = QUERIES["pipeline_neardup_eval_pr"](spark, sf_dir).collect()[0]
+    assert r.n_tp <= min(r.n_exact, r.n_candidates)
+    assert 0 <= r.precision_pm <= 1000
+    assert 0 <= r.recall_pm <= 1000
+    # b=12 bands of r=2: catch probability 1-(1-s^2)^12 >= 0.97 for
+    # s >= 0.5, so fixture recall should be near-total.
+    assert r.recall_pm >= 900
+    assert r.n_exact > 0 and r.n_candidates > 0

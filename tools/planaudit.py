@@ -24,6 +24,11 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-3 additions ----------------------------------
+    "pipeline_neardup_eval_pr": "three 1-row count aggregates "
+    "(exact / candidates / true-positives) crossJoined into the "
+    "single PR report row — already-collapsed frames (ab_ztest "
+    "pattern); the pair joins themselves are shingle/bucket "
+    "equi-joins",
     "sim_matryoshka_eval": "20-row query-panel broadcast onto the "
     "corpus scoring pass (the sim_batch_knn_join shape); the overlap "
     "join is a <=200-row reference broadcast equi-join",
