@@ -1766,3 +1766,113 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dim"))
     )
+
+
+HNM_N_ANCHORS = 32
+
+
+@register(
+    "pipeline_hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS a_label,
+               b.vec_id, b.label,
+               ROUND(CAST(list_cosine_similarity(b.embedding, a.embedding)
+                          AS DOUBLE), 3) AS s
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {HNM_N_ANCHORS}
+    ),
+    ranked AS (
+        SELECT anchor_id, vec_id, s,
+               label = a_label AS same,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id, label = a_label
+                   ORDER BY s DESC, vec_id
+               ) AS rnk
+        FROM scored
+    ),
+    pos AS (
+        SELECT anchor_id, vec_id AS pos_id, s AS pos_sim
+        FROM ranked WHERE same AND rnk = 1
+    ),
+    neg AS (
+        SELECT anchor_id, vec_id AS neg_id, s AS neg_sim
+        FROM ranked WHERE NOT same AND rnk = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           p.pos_sim - n.neg_sim AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    ORDER BY p.anchor_id
+    """,
+)
+def pipeline_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training — the
+    data-prep step behind every dual-encoder fine-tune: for each
+    anchor in the mining batch, pair the nearest SAME-label vector
+    (the positive) with the nearest DIFFERENT-label vector (the hard
+    negative — random negatives are trivially separable and teach
+    nothing), and report the margin between them; near-zero or
+    negative margins are exactly the informative triplets.
+
+    Determinism: scores ROUND to 3dp before ranking (4dp hit a
+    half-even boundary where the two engines' dot-fold orders differ
+    by 1 ulp — sim_label_avg's precedent) with vec_id
+    tiebreaks (sim_cosine_topk precedent); both argmaxes are rank-1
+    rows of one shared window family; margin subtracts
+    identically-computed doubles (G11).
+
+    Plan: the anchor batch broadcasts (sim_batch_knn_join shape — at
+    100 TB you iterate mining batches, each one corpus map pass, or
+    swap the scorer for the IVF candidate set); one scoring pass, two
+    rank-1 windows partitioned by (anchor, same-label), a tiny
+    pos⋈neg join on anchor id."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HNM_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            (F.col("label") == F.col("a_label")).alias("same"),
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("a_emb")), 3
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    pos = ranked.filter(F.col("same")).select(
+        "anchor_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("s").alias("pos_sim"),
+    )
+    neg = ranked.filter(~F.col("same")).select(
+        F.col("anchor_id").alias("n_anchor"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("s").alias("neg_sim"),
+    )
+    return (
+        pos.join(
+            F.broadcast(neg), pos.anchor_id == neg.n_anchor
+        )
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

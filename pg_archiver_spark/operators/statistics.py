@@ -865,3 +865,89 @@ def analytics_seasonal_residual_outliers(
         .select("d", F.col("dow").cast("bigint").alias("dow"), "cents", "dev")
         .orderBy("d")
     )
+
+
+@register(
+    "analytics_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.priority,
+               CAST(b.cents - a.cents AS DOUBLE) / (b.m - a.m) AS s
+        FROM monthly a JOIN monthly b
+          ON a.priority = b.priority AND a.m < b.m
+    )
+    SELECT priority,
+           CAST((SELECT COUNT(*) FROM monthly mm
+                 WHERE mm.priority = slopes.priority) AS BIGINT)
+               AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_cont(s, 0.5) AS sen_slope
+    FROM slopes
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator — the median of all pairwise
+    slopes of each priority band's monthly-revenue series: up to ~29%
+    of the points can be corrupted (outlier months, backfill glitches)
+    without moving the estimate, where the OLS slope
+    (analytics_linreg_trend) chases every outlier. The robust sibling
+    completing the set with analytics_mad_outliers.
+
+    Determinism: monthly sums are exact cents; each pairwise slope is
+    ONE IEEE division of exact integers; the median is the exact
+    interpolated percentile over the slope frame (agg_percentile
+    precedent) — no float accumulation anywhere (G11).
+
+    Plan: one scan → groupBy((priority, month)) collapse → group-local
+    self-equi-join on priority (pairs = |months|²/2 per group — frames
+    are month-granular so this stays metadata-sized; at finer grain or
+    longer history, sample pairs: Theil-Sen over a uniform pair sample
+    is the standard scale variant) → per-group percentile."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = monthly.select(
+        "priority", F.col("m").alias("m1"), F.col("cents").alias("c1")
+    )
+    b = monthly.select(
+        "priority", F.col("m").alias("m2"), F.col("cents").alias("c2")
+    )
+    slopes = (
+        a.join(b, "priority")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "priority",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("m2") - F.col("m1"))
+            ).alias("s"),
+        )
+    )
+    n_months = monthly.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_months")
+    )
+    return (
+        slopes.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("percentile(s, 0.5)").alias("sen_slope"),
+        )
+        .join(F.broadcast(n_months), "priority")
+        .select("priority", "n_months", "n_pairs", "sen_slope")
+        .orderBy("priority")
+    )

@@ -1926,3 +1926,62 @@ def test_neardup_eval_pr_set_algebra_and_banding(spark, sf_dir):
     # s >= 0.5, so fixture recall should be near-total.
     assert r.recall_pm >= 900
     assert r.n_exact > 0 and r.n_candidates > 0
+
+
+def test_hard_negative_margins_and_labels(spark, sf_dir):
+    rows = QUERIES["pipeline_hard_negative_mining"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    emb = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows:
+        assert emb[r.pos_id] == emb[r.anchor_id]  # positive: same label
+        assert emb[r.neg_id] != emb[r.anchor_id]  # negative: different
+        assert r.pos_id != r.anchor_id
+        assert abs(r.margin - (r.pos_sim - r.neg_sim)) < 1e-12
+
+
+def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
+    rows = QUERIES["analytics_theil_sen_trend"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs == r.n_months * (r.n_months - 1) // 2
+    # Robustness: recompute one group's slope in Python with one month
+    # corrupted 100x — the Sen slope must barely move relative to the
+    # corruption's OLS impact.
+    import statistics as st
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .orderBy("m")
+        .collect()
+    )
+    pts = [(r.m, float(r.cents)) for r in monthly]
+
+    def sen(points):
+        slopes = [
+            (y2 - y1) / (m2 - m1)
+            for i, (m1, y1) in enumerate(points)
+            for (m2, y2) in points[i + 1 :]
+        ]
+        return st.median(slopes)
+
+    base = sen(pts)
+    corrupted = [
+        (m, y * 100 if i == len(pts) // 2 else y)
+        for i, (m, y) in enumerate(pts)
+    ]
+    spread = max(y for _, y in pts) - min(y for _, y in pts)
+    assert abs(sen(corrupted) - base) < spread  # bounded movement
+    got = [r.sen_slope for r in rows if r.priority == "1-URGENT"][0]
+    assert abs(got - base) < 1e-6 * max(1.0, abs(base))
