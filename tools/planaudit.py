@@ -24,6 +24,10 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-3 additions ----------------------------------
+    "pipeline_hard_negative_mining": "32-row anchor-batch broadcast "
+    "onto the corpus scoring pass (sim_batch_knn_join shape — "
+    "O(N·batch), never corpus²); the pos-neg pairing join is a "
+    "32-row broadcast equi-join on anchor id",
     "pipeline_neardup_eval_pr": "three 1-row count aggregates "
     "(exact / candidates / true-positives) crossJoined into the "
     "single PR report row — already-collapsed frames (ab_ztest "
