@@ -1394,3 +1394,204 @@ def stream_multisink_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+DDW_SPLIT_DAY = 19738  # Jan 16 2024 — the F1/F2 feed boundary
+DDW_DUP_DAY = 19737  # dup keys drawn from F1's last day (still in state)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN epoch_ms(ts) // 86400000 = {DDW_DUP_DAY}
+                          AND event_id % 3 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted
+    FROM events
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the BOUNDED-state streaming
+    dedup API (Spark 3.5+), and a live proof of its eviction contract,
+    which plain dropDuplicates (stream_dedup_watermark) can't show:
+    dedup state is guaranteed only within the watermark delay; once
+    the watermark passes a key's event time + delay the state row is
+    EVICTED — and (measured on 4.1.2, pinned here) a far-late REPLAY
+    of that key is then filtered by the operator's late-row gate
+    before it can re-enter, so it reaches neither the state store nor
+    the sink. That is the bounded-state trade every 100 TB ingest
+    makes: state ~ delay·rate instead of |all keys ever|, with
+    anything beyond the delay handled by the downstream compactor
+    (merge_cdc_apply), not the stream.
+
+    Feed: F1 = first half of events; F2 = second half PLUS duplicates
+    of F1's last-day keys (within delay → suppressed BY STATE); F3 =
+    the SAME duplicates again, now ~14 days beyond the watermark
+    (→ filtered as late). So n_emitted == n_base EXACTLY despite 2·9
+    duplicate feeds at two different state lifetimes — the oracle pins
+    it; a dedup that leaks either path hash-fails. File order is
+    pinned with ascending mtimes + maxFilesPerTrigger=1 (G-streaming
+    replay order)."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    day = F.expr("ts_ns DIV 1000000 DIV 86400000")
+    events_d = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", day.alias("day")
+    )
+    staging = _fresh_dir("ddw", "staging")
+    checkpoint = _fresh_dir("ddw", "checkpoint")
+    tmp = _fresh_dir("ddw", "tmp")
+
+    f1 = events_d.filter(F.col("day") < DDW_SPLIT_DAY).drop("day")
+    dups = events_d.filter(
+        (F.col("day") == DDW_DUP_DAY) & (F.col("event_id") % 3 == 0)
+    ).drop("day")
+    f2 = events_d.filter(F.col("day") >= DDW_SPLIT_DAY).drop("day").unionByName(dups)
+    f3 = dups
+
+    for i, frame in enumerate((f1, f2, f3), start=1):
+        part_dir = os.path.join(tmp, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(staging, f"f{i}.parquet")
+        shutil.copyfile(os.path.join(part_dir, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    deduped = stream.withWatermark(
+        "ts", "1 day"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n_base = events.count()
+    n_dup_keys = dups.count()
+    n_emitted = spark.table("ddw_sink").count()
+    return spark.createDataFrame(
+        [(n_base, n_dup_keys, n_emitted)],
+        "n_base long, n_dup_keys long, n_emitted long",
+    )
+
+
+@register(
+    "stream_chained_window_agg",
+    oracle="""
+    SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day_id
+    ORDER BY day_id
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (Spark 3.4+/4.x multiple-
+    stateful-operator support): a 6-hour windowed aggregate feeds a
+    1-day rollup window INSIDE THE SAME streaming query, chained via
+    `window_time()` as the second stage's event-time column — the
+    streaming materialized-rollup ladder (raw → 6h → daily) that
+    previously required two queries with an intermediate sink, each
+    with its own checkpoint and replay cost.
+
+    Both stages run in append mode off one watermark; the daily output
+    is pinned equal to the one-shot batch daily profile (the oracle
+    states it relationally over the same events). Decimal partials
+    keep the chained sums exact at any merge order (G2).
+
+    At 100 TB this collapses the rollup pipeline's operational surface:
+    one checkpoint, one replay domain, and the 6h stage's state bounds
+    the daily stage's input to |windows| rows, not |events|."""
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    staging = _fresh_dir("chain", "staging")
+    checkpoint = _fresh_dir("chain", "checkpoint")
+    # Range files: part-NNNNN index == time order for
+    # repartitionByRange, so the mtime stamping below replays a
+    # time-ordered feed — with an unordered feed and a 0s watermark,
+    # later batches' early-timestamp rows would be dropped as late.
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        staging
+    )
+    data_files = sorted(
+        n for n in os.listdir(staging) if n.endswith(".parquet")
+    )
+    # Two far-future sentinel heartbeats in their OWN later batches:
+    # batch(s1) advances the watermark past every data window; batch(s2)
+    # runs with that watermark and flushes both chained stages' final
+    # windows (append mode emits a window only in a batch whose STARTING
+    # watermark has passed its end — the stream_stream_left_outer
+    # sentinel pattern, needed twice because the watermark advances
+    # between batches, not within one).
+    for j, sent_ts in enumerate(("2024-03-15 00:00:00", "2024-04-01 00:00:00")):
+        sent = spark.createDataFrame(
+            [(-1 - j,)], "event_id long"
+        ).select(
+            "event_id",
+            F.lit(sent_ts).cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(staging)
+    sentinel_files = [
+        n
+        for n in sorted(os.listdir(staging))
+        if n.endswith(".parquet") and n not in set(data_files)
+    ]
+    for i, name in enumerate(data_files + sentinel_files):
+        os.utime(
+            os.path.join(staging, name),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withWatermark("ts", "0 seconds")
+    )
+    six_hourly = stream.groupBy(F.window("ts", "6 hours")).agg(
+        F.count("*").alias("n6"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v6"),
+    )
+    daily = (
+        six_hourly.groupBy(
+            F.window(F.window_time("window"), "1 day").alias("dwin")
+        )
+        .agg(
+            F.sum("n6").cast("bigint").alias("n_events"),
+            F.sum("v6").cast("double").alias("sum_value"),
+        )
+    )
+    query = (
+        daily.writeStream.format("memory")
+        .queryName("chain_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(
+        """
+        SELECT CAST(unix_timestamp(dwin.start) * 1000 DIV 86400000
+                    AS BIGINT) AS day_id,
+               n_events, sum_value
+        FROM chain_sink
+        WHERE dwin.start < TIMESTAMP '2024-03-01 00:00:00'
+        ORDER BY day_id
+        """
+    )

@@ -147,3 +147,38 @@ def test_stream_stream_join_equals_batch_join(spark, sf_dir):
         batch.n_users,
         batch.id_checksum,
     )
+
+
+def test_dedup_within_watermark_bounds_state_and_filters_late(spark, sf_dir):
+    from pg_archiver_spark.registry import QUERIES
+
+    r = QUERIES["stream_dedup_within_watermark"](spark, sf_dir).collect()[0]
+    # 9-ish keys were fed three times total (once base, twice dup),
+    # yet output equals the base exactly: in-delay dups suppressed by
+    # state, beyond-delay replays filtered by the late gate.
+    assert r.n_dup_keys > 0
+    assert r.n_emitted == r.n_base
+
+
+def test_chained_window_agg_equals_batch_daily(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.registry import QUERIES
+
+    got = QUERIES["stream_chained_window_agg"](spark, sf_dir).collect()
+    ref = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_ns DIV 1000000 DIV 86400000").alias("day_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day_id")
+        .collect()
+    )
+    assert [(r.day_id, r.n_events, r.sum_value) for r in got] == [
+        (r.day_id, r.n_events, r.sum_value) for r in ref
+    ]
