@@ -135,7 +135,7 @@ def load_all_operators() -> None:
     )
     from pg_archiver_spark.streaming import windows as stream_windows  # noqa: F401
     from pg_archiver_spark.streaming import archival  # noqa: F401
-    from pg_archiver_spark.sources import jdbc, pyds  # noqa: F401
+    from pg_archiver_spark.sources import jdbc, pyds, warc  # noqa: F401
 
     ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES] + [
         n for n in QUERIES if n not in _DRIVER_PRIORITY

@@ -1985,3 +1985,38 @@ def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
     assert abs(sen(corrupted) - base) < spread  # bounded movement
     got = [r.sen_slope for r in rows if r.priority == "1-URGENT"][0]
     assert abs(got - base) < 1e-6 * max(1.0, abs(base))
+
+
+def test_warc_record_roundtrip_and_corruption_detection(spark, sf_dir):
+    import pytest as _pytest
+
+    from pg_archiver_spark.sources.warc import build_record, parse_shard
+
+    # Per-record byte-level roundtrip, including a payload containing
+    # the record separator (legal per spec; length-driven parse).
+    tricky = "line one\r\n\r\nline two with blank separator inside"
+    recs = (
+        build_record(1, "web", "en", "hello world")
+        + build_record(2, "books", "de", tricky)
+    )
+    parsed = parse_shard(recs)
+    assert [(r[0], r[1], r[2]) for r in parsed] == [
+        (1, "web", "en"),
+        (2, "books", "de"),
+    ]
+    assert parsed[1][4] == tricky
+    assert parsed[0][3] == len(b"hello world")
+
+    # Corrupt version line → hard error, not silent skip.
+    bad = b"HTTP/1.0\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n"
+    with _pytest.raises(ValueError):
+        parse_shard(bad)
+
+    # Full-corpus text fidelity through the distributed path: every
+    # doc's text survives byte-identically.
+    from pg_archiver_spark.registry import QUERIES
+
+    row = QUERIES["source_warc_ingest"](spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents")
+    assert row.n_records == docs.count()
+    assert row.total_chars == docs.agg(F.sum(F.length("text"))).collect()[0][0]
