@@ -951,3 +951,116 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n_months", "n_pairs", "sen_slope")
         .orderBy("priority")
     )
+
+
+@register(
+    "analytics_mannwhitney_u",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND '7'
+                    THEN 1 ELSE 0 END AS is_a
+        FROM orders
+    ),
+    vals AS (
+        SELECT v, COUNT(*) AS t, SUM(is_a) AS ta
+        FROM tagged GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, t, ta,
+               1 + COALESCE(SUM(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS r_min
+        FROM vals
+    ),
+    sums AS (
+        SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+               CAST(SUM(t - ta) AS BIGINT) AS n_b,
+               CAST(SUM(ta * (2 * r_min + t - 1)) AS BIGINT) AS sum_avg2_a,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(sum_avg2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           (CAST(sum_avg2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           / sqrt(
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(tie_cube AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * CAST(n_a + n_b - 1 AS DOUBLE)))
+           ) AS z_score
+    FROM sums
+    """,
+)
+def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test — the NONPARAMETRIC two-sample
+    location test (no normality assumption, robust to the heavy tails
+    that break the t/z test), completing the inference family with
+    analytics_ab_ztest (parametric) and analytics_ks_test (full
+    distribution). Same deterministic hash-split null calibration.
+
+    Exactness: tied ranks are handled with integer DOUBLED average
+    ranks (2·avg_rank = 2·r_min + t − 1, always an integer), so the
+    rank sum and U statistic are exact bigints (u2_a = 2·U_A); the
+    tie-corrected normal approximation's z is a fixed dag of IEEE
+    ops over exact integers — no float accumulation (G11), one sqrt
+    (correctly rounded per IEEE 754, engine-identical).
+
+    Plan: the analytics_ks_test machinery — one scan → groupBy(v)
+    (the only data-sized shuffle, partial-agg combined) → ordered
+    cumulative window over the distinct-value frame for min ranks →
+    one final partial-agg row. Same 100 TB note: swap the plain
+    cumulative window for the window_running_sum_scalable
+    bucket-offset pass."""
+    orders = load(spark, sf_dir, "orders")
+    is_a = (
+        F.when(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 1
+            ).between("0", "7"),
+            1,
+        )
+        .otherwise(0)
+    )
+    vals = (
+        orders.select(F.col("o_totalprice").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"), F.sum("is_a").alias("ta"))
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "r_min", F.lit(1) + F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+    )
+    sums = ranked.agg(
+        F.sum("ta").cast("bigint").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ta") * (2 * F.col("r_min") + F.col("t") - 1)
+        )
+        .cast("bigint")
+        .alias("sum_avg2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("bigint")
+        .alias("tie_cube"),
+    )
+    u2_a = F.col("sum_avg2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (na_d * nb_d / 12.0) * (
+        (F.col("n_a") + F.col("n_b") + 1).cast("double")
+        - F.col("tie_cube").cast("double")
+        / (n_d * (F.col("n_a") + F.col("n_b") - 1).cast("double"))
+    )
+    z = (u2_a.cast("double") / 2.0 - na_d * nb_d / 2.0) / F.sqrt(var)
+    return sums.select(
+        "n_a",
+        "n_b",
+        u2_a.cast("bigint").alias("u2_a"),
+        z.alias("z_score"),
+    )

@@ -2020,3 +2020,37 @@ def test_warc_record_roundtrip_and_corruption_detection(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     assert row.n_records == docs.count()
     assert row.total_chars == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+
+
+def test_mannwhitney_matches_scipy_formula(spark, sf_dir):
+    r = QUERIES["analytics_mannwhitney_u"](spark, sf_dir).collect()[0]
+    # Recompute from first principles in Python.
+    vals = [
+        (row.v, row.is_a)
+        for row in load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_totalprice AS v",
+            "CASE WHEN substring(md5(CAST(o_orderkey AS STRING)), 1, 1)"
+            " BETWEEN '0' AND '7' THEN 1 ELSE 0 END AS is_a",
+        )
+        .collect()
+    ]
+    vals.sort()
+    n = len(vals)
+    n_a = sum(a for _, a in vals)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of ranks i+1..j
+        ranks[vals[i][0]] = (avg, j - i)
+        i = j
+    r_a = sum(ranks[v][0] for v, a in vals if a == 1)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    assert abs(r.u2_a / 2 - u_a) < 1e-6
+    assert r.n_a == n_a and r.n_b == n - n_a
+    # Null calibration: |z| small-ish under the hash split.
+    assert abs(r.z_score) < 5.0
