@@ -1876,3 +1876,126 @@ def pipeline_hard_negative_mining(
         )
         .orderBy("anchor_id")
     )
+
+
+KNN_EVAL_QUERIES = 64
+KNN_EVAL_K = 5
+
+
+@register(
+    "ml_knn_eval_accuracy",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS q_id, a.label AS true_label,
+               b.vec_id, b.label,
+               ROUND(CAST(list_cosine_similarity(b.embedding, a.embedding)
+                          AS DOUBLE), 3) AS s
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {KNN_EVAL_QUERIES}
+    ),
+    topk AS (
+        SELECT q_id, true_label, label
+        FROM (
+            SELECT q_id, true_label, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY s DESC, vec_id
+                   ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_EVAL_K}
+    ),
+    votes AS (
+        SELECT q_id, true_label, label, COUNT(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT q_id, true_label, label AS pred_label
+        FROM (
+            SELECT q_id, true_label, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY n_votes DESC, label
+                   ) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 1000) // COUNT(*) AS BIGINT) AS accuracy_pm
+    FROM pred
+    GROUP BY true_label
+    ORDER BY true_label
+    """,
+)
+def ml_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation — leave-one-out 5-NN majority-vote
+    label prediction over a 64-query panel, reported as per-class
+    accuracy: the embedding-quality probe every retrieval/labeling
+    pipeline runs (if k-NN can't recover the labels, the embeddings
+    don't separate the classes — do not ship them to the ANN index).
+    Completes the eval trio: calibration (ml_calibration_bins),
+    truncation robustness (sim_matryoshka_eval), label recovery
+    (this).
+
+    Determinism: scores ROUND to 3dp before ranking with vec_id
+    tiebreaks; majority ties break toward the smaller label; accuracy
+    is integer permille (DIV).
+
+    Plan: query-panel broadcast → one corpus scoring pass → top-k
+    window → votes collapse to ≤panel·|labels| rows → rank-1 vote
+    window → per-class agg. At 100 TB the scorer swaps to the IVF
+    candidate set (sim_ann_ivf) unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("q_emb")), 3
+            ).alias("s"),
+        )
+    )
+    w_k = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w_k)).filter(
+        F.col("rnk") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("q_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_v = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_v))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("bigint").alias("true_label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            F.expr("(n_correct * 1000) DIV n_queries").alias("accuracy_pm"),
+        )
+        .orderBy("true_label")
+    )

@@ -2054,3 +2054,11 @@ def test_mannwhitney_matches_scipy_formula(spark, sf_dir):
     assert r.n_a == n_a and r.n_b == n - n_a
     # Null calibration: |z| small-ish under the hash split.
     assert abs(r.z_score) < 5.0
+
+
+def test_knn_eval_counts_partition_the_panel(spark, sf_dir):
+    rows = QUERIES["ml_knn_eval_accuracy"](spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == 64  # every query predicted once
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.accuracy_pm == (r.n_correct * 1000) // r.n_queries
