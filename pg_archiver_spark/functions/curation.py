@@ -1721,3 +1721,94 @@ def pipeline_unigram_tokenizer_em(
         .orderBy(F.desc("n_uses"), "tok")
         .limit(UNIGRAM_TOPK)
     )
+
+
+@register(
+    "pipeline_fim_transform",
+    oracle="""
+    WITH cuts AS (
+        SELECT doc_id, text, length(text) AS n,
+               1 + ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_a'),
+                                      1, 7))::BIGINT % length(text) AS c1,
+               1 + ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_b'),
+                                      1, 7))::BIGINT % length(text) AS c2
+        FROM documents WHERE length(text) >= 20
+    ),
+    spans AS (
+        SELECT doc_id, text, n,
+               LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+        FROM cuts
+    )
+    SELECT doc_id,
+           '<PRE>' || substring(text, 1, lo - 1)
+               || '<SUF>' || substring(text, hi, n - hi + 1)
+               || '<MID>' || substring(text, lo, hi - lo)
+               AS fim_text,
+           CAST(n AS BIGINT) AS orig_len,
+           CAST(lo AS BIGINT) AS cut_lo,
+           CAST(hi AS BIGINT) AS cut_hi
+    FROM spans
+    ORDER BY doc_id
+    """,
+)
+def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transform (Bavarian et al.
+    2022 — the code-LLM pretraining trick): split each document at two
+    deterministic cut points into (prefix, middle, suffix) and emit
+    the PSM permutation `<PRE>prefix<SUF>suffix<MID>middle`, teaching
+    the model to infill. The sibling of pipeline_span_corruption (T5
+    masking) — same family, different objective format.
+
+    Cut points are md5-derived from doc_id (task-retry-safe — rand()
+    would re-split per attempt, G-sampling), and the whole transform
+    is JVM-side string slicing: one scan, zero shuffles, zero Python.
+    Character-count conservation (|prefix|+|middle|+|suffix| = n) is
+    structural and pinned by the sibling test; the oracle re-states
+    the exact slicing so an off-by-one in either engine hash-fails.
+
+    At 100 TB this is the ideal operator shape: embarrassingly
+    parallel, pushdown-friendly (length filter reaches the scan),
+    output size = input size."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    h = lambda salt: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.length("text")
+        + 1
+    )
+    cuts = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        h("_a").alias("c1"),
+        h("_b").alias("c2"),
+    )
+    spans = cuts.select(
+        "doc_id",
+        "text",
+        "n",
+        F.least("c1", "c2").alias("lo"),
+        F.greatest("c1", "c2").alias("hi"),
+    )
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substring(text, 1, lo - 1)"),
+        F.lit("<SUF>"),
+        F.expr("substring(text, hi, n - hi + 1)"),
+        F.lit("<MID>"),
+        F.expr("substring(text, lo, hi - lo)"),
+    )
+    return spans.select(
+        "doc_id",
+        fim.alias("fim_text"),
+        F.col("n").cast("bigint").alias("orig_len"),
+        F.col("lo").cast("bigint").alias("cut_lo"),
+        F.col("hi").cast("bigint").alias("cut_hi"),
+    ).orderBy("doc_id")

@@ -201,3 +201,85 @@ def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+FW_WIDTHS = {"event_id": 12, "user_id": 8, "event_type": 10, "value": 12}
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingestion — the mainframe/legacy-feed format
+    (COBOL copybook extracts, bank settlement files) every archival
+    engine eventually receives: no delimiters, each field a fixed byte
+    span. Events are serialized to a right-padded fixed-width layout
+    (12/8/10/12 chars), written as plain text, and re-ingested by a
+    pure-substring parser — `spark.read.text` + JVM `substring`/`trim`
+    per field, so the parse stays inside whole-stage codegen with NO
+    Python and NO regex; the oracle pins the round-tripped profile to
+    the source table, catching any column-boundary off-by-one.
+
+    Value fidelity: `value` is written as its exact DECIMAL(18,2)
+    string (left-padded to the field width) and re-read through
+    DECIMAL(18,2), so the round trip is exact (G2), never a float
+    re-parse drift.
+
+    At 100 TB: text lines split by byte ranges scale like any
+    line-oriented scan (splittable at newlines); schema lives in the
+    width map (the copybook), and a malformed line surfaces as a cast
+    NULL caught by the null-audit, not a crash."""
+    events = load(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        f"fixedwidth-{uuid.uuid4().hex[:8]}",
+    )
+    line = F.concat(
+        F.format_string("%12d", "event_id"),
+        F.format_string("%8d", "user_id"),
+        F.rpad(F.col("event_type"), 10, " "),
+        F.lpad(
+            F.col("value").cast("decimal(18,2)").cast("string"), 12, " "
+        ),
+    )
+    events.select(line.alias("value")).write.mode("overwrite").text(base)
+
+    pos = 1
+    fields = []
+    for name, width in FW_WIDTHS.items():
+        fields.append((name, pos, width))
+        pos += width
+    raw = spark.read.text(base)
+    parsed = raw.select(
+        *[
+            F.trim(F.substring("value", p, w)).alias(n)
+            for n, p, w in fields
+        ]
+    ).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    result = (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value").cast("double").alias("sum_value"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

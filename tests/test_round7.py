@@ -2062,3 +2062,43 @@ def test_knn_eval_counts_partition_the_panel(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
         assert r.accuracy_pm == (r.n_correct * 1000) // r.n_queries
+
+
+def test_fim_transform_conserves_characters(spark, sf_dir):
+    rows = QUERIES["pipeline_fim_transform"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 20)
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        body = r.fim_text
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        # PSM reassembly reproduces the document exactly.
+        assert pre + mid + suf == docs[r.doc_id]
+        assert len(pre) == r.cut_lo - 1
+        assert len(mid) == r.cut_hi - r.cut_lo
+
+
+def test_fixed_width_roundtrip_exact(spark, sf_dir):
+    rows = QUERIES["source_fixed_width"](spark, sf_dir).collect()
+    ref = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [(r.event_type, r.n_events, r.sum_value, r.max_event_id) for r in rows] == [
+        (r.event_type, r.n_events, r.sum_value, r.max_event_id) for r in ref
+    ]

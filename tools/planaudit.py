@@ -23,6 +23,11 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-7 session-4 additions ----------------------------------
+    "ml_knn_eval_accuracy": "64-row query-panel broadcast onto the "
+    "corpus scoring pass (the sim_batch_knn_join shape — O(N·panel), "
+    "never corpus²); votes collapse to <=panel·|labels| rows before "
+    "the rank-1 majority window",
     # -- round-7 session-3 additions ----------------------------------
     "pipeline_hard_negative_mining": "32-row anchor-batch broadcast "
     "onto the corpus scoring pass (sim_batch_knn_join shape — "
