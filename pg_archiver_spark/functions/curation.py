@@ -1812,3 +1812,147 @@ def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").cast("bigint").alias("cut_lo"),
         F.col("hi").cast("bigint").alias("cut_hi"),
     ).orderBy("doc_id")
+
+
+KFOLD_K = 5
+
+
+@register(
+    "pipeline_kfold_assign",
+    oracle=f"""
+    WITH folds AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_kf'),
+                                  1, 7))::BIGINT % {KFOLD_K} AS fold,
+               length(string_split(text, ' ')) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    per_fold AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM folds GROUP BY fold
+    )
+    SELECT fold, n_docs, n_tokens, n_chars,
+           CAST(SUM(n_docs) OVER () - n_docs AS BIGINT) AS n_train_docs,
+           CAST(SUM(n_tokens) OVER () - n_tokens AS BIGINT)
+               AS n_train_tokens
+    FROM per_fold
+    ORDER BY fold
+    """,
+)
+def pipeline_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-fold cross-validation assignment — the eval
+    harness's split contract: fold = md5(doc_id)-derived hash mod K, so
+    every worker (and every retry, and every engine) routes a document
+    to the same fold with no coordination, no stored fold table, and
+    structural disjointness (fold is a FUNCTION of doc_id — a doc
+    cannot land in two folds). Reports the per-fold audit a CV harness
+    needs before training K models: held-out size and the complement
+    train-set size per fold (fold balance ≈ 1/K is what reviewers
+    check; the complement columns come from an unbounded window over
+    the K-row frame, not a second corpus pass).
+
+    Same family as pipeline_train_test_split (one static split); this
+    is the K-model rotation form. At 100 TB the fold column is a pure
+    codegen expression on the scan — one pass, one K-row shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_kf"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD_K
+    )
+    per_fold = (
+        docs.select(
+            fold.alias("fold"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_fold.select(
+        "fold",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.sum("n_docs").over(w) - F.col("n_docs"))
+        .cast("bigint")
+        .alias("n_train_docs"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("n_train_tokens"),
+    ).orderBy("fold")
+
+
+@register(
+    "pipeline_chat_template",
+    oracle="""
+    WITH cuts AS (
+        SELECT doc_id, text, length(text) AS n, length(text) // 2 AS p
+        FROM documents WHERE length(text) >= 20
+    )
+    SELECT doc_id,
+           '<|im_start|>user' || chr(10) || substring(text, 1, p)
+               || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
+               || chr(10) || substring(text, p + 1, n - p)
+               || '<|im_end|>' AS chat_text,
+           CAST(16 + 1 + p + 10 + 1 + 21 + 1 AS BIGINT) AS mask_len,
+           CAST(16 + 1 + p + 10 + 1 + 21 + 1 + (n - p) + 10 AS BIGINT)
+               AS total_len
+    FROM cuts
+    ORDER BY doc_id
+    """,
+)
+def pipeline_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template formatting — the instruction-tuning prep step:
+    each document becomes a role-tagged training example
+    (`<|im_start|>user … <|im_end|> <|im_start|>assistant … <|im_end|>`,
+    the ChatML shape), split deterministically at the character
+    midpoint into the user prompt and the assistant completion, with
+    `mask_len` = the byte boundary up to which SFT loss is masked
+    (everything through the assistant header) — the one number the
+    training loader actually consumes, so the oracle pins it exactly
+    (a drifting mask boundary silently trains on the prompt).
+
+    Same ideal shape as pipeline_fim_transform: JVM-side string
+    assembly, one scan, zero shuffles, output proportional to input;
+    the template literals are codegen constants."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    cuts = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        (F.length("text") / 2).cast("bigint").alias("p"),
+    )
+    chat = F.concat(
+        F.lit("<|im_start|>user\n"),
+        F.expr("substring(text, 1, p)"),
+        F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+        F.expr("substring(text, p + 1, n - p)"),
+        F.lit("<|im_end|>"),
+    )
+    # mask_len counts: '<|im_start|>user' (16) + '\n' + prompt (p) +
+    # '<|im_end|>' (10) + '\n' + '<|im_start|>assistant' (21) + '\n'.
+    mask_len = (F.lit(16 + 1) + F.col("p") + F.lit(10 + 1 + 21 + 1)).cast("bigint")
+    return cuts.select(
+        "doc_id",
+        chat.alias("chat_text"),
+        mask_len.alias("mask_len"),
+        (mask_len + (F.col("n") - F.col("p")) + F.lit(10))
+        .cast("bigint")
+        .alias("total_len"),
+    ).orderBy("doc_id")

@@ -2701,3 +2701,88 @@ def analytics_sequence_pattern_regex(
         .cast("bigint")
         .alias("n_error_no_recovery"),
     )
+
+
+@register(
+    "analytics_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    * 10000 AS BIGINT) AS rev_ten_thousandths
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    ranked AS (
+        SELECT brand, rev_ten_thousandths,
+               CAST(SUM(rev_ten_thousandths)
+                    OVER (ORDER BY rev_ten_thousandths DESC, brand)
+                    AS BIGINT) AS cum,
+               CAST(SUM(rev_ten_thousandths) OVER () AS BIGINT) AS total
+        FROM rev
+    )
+    SELECT brand,
+           CAST(rev_ten_thousandths AS DOUBLE) / 10000 AS revenue,
+           CAST(cum * 1000 // total AS BIGINT) AS cum_permille,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY cum_permille, brand
+    """,
+)
+def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification — the 80/20 analysis every
+    revenue warehouse runs: rank brands by discounted revenue, take the
+    running share of total, and band them A (the head that carries 80%
+    of revenue), B (to 95%), C (the long tail) — the classification
+    that drives stocking policy, account tiering, and which SKUs get a
+    dedicated pipeline.
+
+    Exactness: revenue stays DECIMAL through the aggregate, is scaled
+    to integer ten-thousandths (scale-4 product of two scale-2
+    decimals) BEFORE the cumulative window, and every threshold is a
+    cross-multiplied integer compare (cum*5 <= total*4 is the 80%
+    band) — no float ever enters the classification, so the A/B/C
+    boundary cannot drift between engines (G11).
+
+    Scale: one fact-table pass (partial-agg before the brand shuffle),
+    then both windows run over the |brands|-row aggregated frame —
+    bounded by the brand vocabulary, corpus-size-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rev_ten_thousandths")
+        )
+    )
+    w_cum = Window.orderBy(F.desc("rev_ten_thousandths"), "brand")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "brand",
+        "rev_ten_thousandths",
+        F.sum("rev_ten_thousandths").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("rev_ten_thousandths").over(w_all).cast("bigint").alias("total"),
+    )
+    return ranked.select(
+        "brand",
+        (F.col("rev_ten_thousandths").cast("double") / 10000).alias("revenue"),
+        F.expr("CAST(cum * 1000 DIV total AS BIGINT)").alias("cum_permille"),
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("cum_permille", "brand")

@@ -1064,3 +1064,134 @@ def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2_a.cast("bigint").alias("u2_a"),
         z.alias("z_score"),
     )
+
+
+PERM_B = 32  # number of deterministic relabelings
+
+
+def _perm_oracle() -> str:
+    s_cols = ",\n               ".join(
+        "CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) "
+        f"|| '_p{b}'), 1, 1) BETWEEN '0' AND '7' THEN v ELSE 0 END) "
+        f"AS DECIMAL(18,2)) AS s{b},\n               "
+        "CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) "
+        f"|| '_p{b}'), 1, 1) BETWEEN '0' AND '7' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n{b}"
+        for b in range(PERM_B)
+    )
+    extreme = " + ".join(
+        f"CASE WHEN ABS(CAST(s{b} AS DOUBLE) / n{b} "
+        f"- CAST(s_tot - s{b} AS DOUBLE) / (n_tot - n{b})) "
+        ">= ABS(diff_obs) THEN 1 ELSE 0 END"
+        for b in range(PERM_B)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+               CAST(SUM(v) AS DECIMAL(18,2)) AS s_tot,
+               CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)
+                    || '_obs'), 1, 1) BETWEEN '0' AND '7'
+                    THEN v ELSE 0 END) AS DECIMAL(18,2)) AS s_obs,
+               CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)
+                    || '_obs'), 1, 1) BETWEEN '0' AND '7'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+               {s_cols}
+        FROM base
+    ),
+    obs AS (
+        SELECT *,
+               CAST(s_obs AS DOUBLE) / n_obs
+                   - CAST(s_tot - s_obs AS DOUBLE) / (n_tot - n_obs)
+                   AS diff_obs
+        FROM agg
+    )
+    SELECT n_tot, n_obs, diff_obs,
+           CAST({extreme} AS BIGINT) AS n_extreme,
+           CAST((({extreme}) + 1) * 1000 // ({PERM_B} + 1) AS BIGINT)
+               AS p_permille
+    FROM obs
+    """
+
+
+@register("analytics_permutation_test", oracle=_perm_oracle())
+def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for a difference in means — the
+    assumption-free significance test (no normality, no variance
+    formula: the null distribution is built by RELABELING). The
+    observed split is a deterministic md5 hash band (the ab_ztest
+    null-calibration pattern — true diff ≈ 0, so the reported p should
+    be large, which the test pins); each of the B=32 permutation
+    replicates relabels every order by an independent salted hash, and
+    the add-one Monte-Carlo p-value is (1 + #extreme) / (B + 1),
+    reported as integer permille.
+
+    Determinism/exactness: per-replicate sums are DECIMAL-exact and
+    count integers accumulated in the SAME single partial-agg pass
+    (the Poisson-bootstrap fan-out shape: 2(B+1) agg columns, ONE scan,
+    no shuffle growth with B); each replicate's mean difference is one
+    IEEE double division per side — bit-identical across engines — and
+    the extreme-count compare happens on those doubles, so the
+    permille p-value is hash-stable (G11).
+
+    At 100 TB: identical plan to agg_global_stats — map + partial agg
+    to a 1-row frame; B scales the column count, never the row count
+    or shuffle width. Salted-hash relabeling is task-retry-safe where
+    rand() relabelings are not (G-sampling)."""
+    orders = load(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def band(salt: str):
+        return F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(salt))), 1, 1
+        ).between("0", "7")
+
+    aggs = [
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.sum(v).cast("decimal(18,2)").alias("s_tot"),
+        F.sum(F.when(band("_obs"), v).otherwise(F.lit(0)))
+        .cast("decimal(18,2)")
+        .alias("s_obs"),
+        F.sum(F.when(band("_obs"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_obs"),
+    ]
+    for b in range(PERM_B):
+        aggs.append(
+            F.sum(F.when(band(f"_p{b}"), v).otherwise(F.lit(0)))
+            .cast("decimal(18,2)")
+            .alias(f"s{b}")
+        )
+        aggs.append(
+            F.sum(F.when(band(f"_p{b}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{b}")
+        )
+    agg = orders.agg(*aggs)
+    obs = agg.withColumn(
+        "diff_obs",
+        F.col("s_obs").cast("double") / F.col("n_obs")
+        - (F.col("s_tot") - F.col("s_obs")).cast("double")
+        / (F.col("n_tot") - F.col("n_obs")),
+    )
+    extreme = None
+    for b in range(PERM_B):
+        diff_b = F.col(f"s{b}").cast("double") / F.col(f"n{b}") - (
+            F.col("s_tot") - F.col(f"s{b}")
+        ).cast("double") / (F.col("n_tot") - F.col(f"n{b}"))
+        ind = F.when(F.abs(diff_b) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
+        extreme = ind if extreme is None else extreme + ind
+    return obs.select(
+        "n_tot", "n_obs", "diff_obs", extreme.cast("bigint").alias("n_extreme")
+    ).select(
+        "n_tot",
+        "n_obs",
+        "diff_obs",
+        "n_extreme",
+        F.expr(
+            f"CAST((n_extreme + 1) * 1000 DIV ({PERM_B} + 1) AS BIGINT)"
+        ).alias("p_permille"),
+    )

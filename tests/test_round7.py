@@ -2102,3 +2102,106 @@ def test_fixed_width_roundtrip_exact(spark, sf_dir):
     assert [(r.event_type, r.n_events, r.sum_value, r.max_event_id) for r in rows] == [
         (r.event_type, r.n_events, r.sum_value, r.max_event_id) for r in ref
     ]
+
+
+def test_kfold_assign_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["pipeline_kfold_assign"](spark, sf_dir).collect()
+    total_docs = load(spark, sf_dir, "documents").count()
+    assert sorted(r.fold for r in rows) == list(range(len(rows)))
+    # Folds partition the corpus; each complement is exactly the rest.
+    assert sum(r.n_docs for r in rows) == total_docs
+    for r in rows:
+        assert r.n_train_docs == total_docs - r.n_docs
+        # Balance: each fold within a loose band of 1/K.
+        assert abs(r.n_docs - total_docs / len(rows)) < total_docs * 0.2
+
+
+def test_chat_template_mask_boundary_exact(spark, sf_dir):
+    rows = QUERIES["pipeline_chat_template"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 20)
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        assert len(r.chat_text) == r.total_len
+        # The character AT the mask boundary is the first completion
+        # char; everything before it is prompt + template scaffolding.
+        masked = r.chat_text[: r.mask_len]
+        assert masked.endswith("<|im_start|>assistant\n")
+        completion = r.chat_text[r.mask_len : -len("<|im_end|>")]
+        prompt = masked[len("<|im_start|>user\n") : masked.index("<|im_end|>")]
+        assert prompt + completion == docs[r.doc_id]
+
+
+def test_pareto_abc_bands_are_monotone(spark, sf_dir):
+    rows = QUERIES["analytics_pareto_abc"](spark, sf_dir).collect()
+    # Cumulative share is nondecreasing and ends at 100%.
+    pm = [r.cum_permille for r in rows]
+    assert pm == sorted(pm)
+    assert 999 <= pm[-1] <= 1000
+    # Class bands appear in order A..B..C with no interleaving.
+    classes = "".join(r.abc_class for r in rows)
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+    assert classes.count("A") >= 1 and classes.count("C") >= 1
+    # Revenue is sorted descending within the A-head ordering.
+    revs = [r.revenue for r in rows]
+    assert all(revs[i] >= revs[i + 1] for i in range(len(revs) - 1))
+
+
+def test_fuzzy_blocked_matches_quadratic_oracle(spark, sf_dir):
+    from pg_archiver_spark.operators.joins import FUZZY_MAX_DIST
+
+    rows = QUERIES["join_fuzzy_blocked"](spark, sf_dir).collect()
+    # Ground truth by brute force over the (small) part table.
+    import itertools
+
+    parts = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .collect()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    blocks = {}
+    for p in parts:
+        blocks.setdefault((p.p_brand, p.p_size), []).append(p)
+    expected = set()
+    for members in blocks.values():
+        for x, y in itertools.combinations(
+            sorted(members, key=lambda p: p.p_partkey), 2
+        ):
+            if lev(x.p_name, y.p_name) <= FUZZY_MAX_DIST:
+                expected.add((x.p_partkey, y.p_partkey))
+    got = {(r.id_a, r.id_b) for r in rows}
+    # Blocking on the equality keys loses nothing within blocks; the
+    # length band is a necessary condition of distance <= 2... only if
+    # band >= max dist, which the constants guarantee.
+    assert got == expected
+    for r in rows:
+        assert 0 <= r.edit_dist <= FUZZY_MAX_DIST and r.id_a < r.id_b
+
+
+def test_permutation_test_null_is_calibrated(spark, sf_dir):
+    row = QUERIES["analytics_permutation_test"](spark, sf_dir).collect()[0]
+    from pg_archiver_spark.operators.statistics import PERM_B
+
+    assert row.n_extreme <= PERM_B
+    assert row.p_permille == (row.n_extreme + 1) * 1000 // (PERM_B + 1)
+    # Null calibration: the observed "effect" is itself a hash split,
+    # so it should NOT be extreme vs the permutation distribution.
+    assert row.p_permille >= 100
