@@ -357,3 +357,75 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status_label")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "string_collation_groupby",
+    oracle="""
+    WITH cased AS (
+        SELECT CASE substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                 WHEN '0' THEN upper(event_type)
+                 WHEN '1' THEN upper(event_type)
+                 WHEN '2' THEN upper(substring(event_type, 1, 1))
+                               || substring(event_type, 2)
+                 WHEN '3' THEN upper(substring(event_type, 1, 1))
+                               || substring(event_type, 2)
+                 ELSE event_type END AS raw
+        FROM events
+    )
+    SELECT lower(raw) AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_case_variants
+    FROM cased
+    GROUP BY lower(raw)
+    ORDER BY event_type
+    """,
+)
+def string_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a feed whose
+    producers disagree on casing ('purchase' / 'Purchase' / 'PURCHASE'
+    — deterministically re-cased here off an md5 band so the fixture
+    exhibits the mess) is aggregated under the UTF8_LCASE collation,
+    so the GROUP BY itself is case-insensitive — the engine-native
+    form of the lower()-wrapping workaround, and unlike the wrapper it
+    also drives joins, ORDER BY, and comparisons once the column's
+    collation is declared. The group representative under a collation
+    is whichever variant a task saw first (nondeterministic), so the
+    output key is normalized with lower() — the oracle states the
+    whole thing relationally with lower() grouping, pinning that
+    collated grouping loses/merges nothing vs the classic rewrite.
+    `n_case_variants` counts the raw spellings each group absorbed
+    (binary-distinct inside a collated group).
+
+    Scale: identical plan to any single-key agg — partial agg then a
+    |event types|-bounded shuffle; collation compares stay JVM-side
+    (ICU/UTF8 comparators in codegen), no Python."""
+    events = load(spark, sf_dir, "events")
+    c1 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    raw = (
+        F.when(c1.isin("0", "1"), F.upper("event_type"))
+        .when(
+            c1.isin("2", "3"),
+            F.concat(
+                F.upper(F.expr("substring(event_type, 1, 1)")),
+                F.expr("substring(event_type, 2)"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+    )
+    cased = events.select(raw.alias("raw"))
+    return (
+        cased.groupBy(F.expr("collate(raw, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct(F.expr("collate(raw, 'UTF8_BINARY')"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("event_type"),
+            "n_events",
+            "n_case_variants",
+        )
+        .orderBy("event_type")
+    )

@@ -1999,3 +1999,91 @@ def ml_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+MMR_K = 5
+MMR_CAND = 20
+MMR_LAMBDA = 0.7
+
+
+@register("sim_mmr_rerank", oracle=None)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware re-rank every RAG retriever runs on
+    its candidate list: greedily pick argmax λ·rel(d) −
+    (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate hits that
+    would waste context-window slots are demoted in favor of novel
+    ones. rows-only by contract: the greedy argmax is inherently
+    sequential (each pick changes the next objective), which SQL
+    cannot state non-recursively; the pytest twin recomputes the
+    selection brute-force and pins exact equality, plus the
+    redundancy property (MMR's picks are strictly more diverse than
+    the top-K head).
+
+    Scale shape — the serving topology, honestly split: the
+    EXPENSIVE part (corpus → top-MMR_CAND candidates by rounded
+    cosine) is fully distributed (broadcast 1-row query, one corpus
+    pass, TakeOrderedAndProject); the greedy loop then runs on the
+    K·CAND bounded frame DRIVER-side over collected rows — the same
+    bounded-driver contract as the k-means/PQ codebooks (CAND=20
+    rows, corpus-size-independent). Scores are 6dp-rounded before
+    every compare with vec_id tiebreaks, so the selection is
+    deterministic across runs, partitionings, and retries."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_CAND)
+        .collect()  # bounded: MMR_CAND rows (driver-codebook contract)
+    )
+    ids = [r.vec_id for r in cands]
+    rel = {r.vec_id: r.rel for r in cands}
+    mat = np.array([r.embedding for r in cands], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = np.round(unit @ unit.T, 6)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    selected: list[int] = []
+    remaining = list(ids)
+    while remaining and len(selected) < MMR_K:
+        best = None
+        for v in remaining:
+            red = max((sim[idx[v], idx[s]] for s in selected), default=0.0)
+            score = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 6)
+            # deterministic: higher score wins, then smaller vec_id
+            key = (score, -v)
+            if best is None or key > best[0]:
+                best = (key, v, score, red)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    rows = []
+    # rebuild scores in selection order for the report
+    chosen: list[int] = []
+    for rank_pos, v in enumerate(selected, 1):
+        red = max((sim[idx[v], idx[s]] for s in chosen), default=0.0)
+        score = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 6)
+        rel_rank = 1 + sorted(
+            ((rel[u], -u) for u in ids), reverse=True
+        ).index((rel[v], -v))
+        rows.append(
+            (rank_pos, int(v), float(rel[v]), float(red), float(score), rel_rank)
+        )
+        chosen.append(v)
+    return spark.createDataFrame(
+        rows,
+        "mmr_rank int, vec_id bigint, rel double, redundancy double, "
+        "mmr_score double, rel_rank int",
+    )

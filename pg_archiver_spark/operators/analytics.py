@@ -2786,3 +2786,164 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     ).orderBy("cum_permille", "brand")
+
+
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # bits 1,2,4,8
+
+
+def _shapley_oracle() -> str:
+    n = len(SHAPLEY_CHANNELS)
+    fact = [1, 1, 2, 6, 24]
+    # v(S) = converters whose touched-set is a subset of S.
+    v = {
+        s: f"SUM(CASE WHEN mask & {15 - s} = 0 THEN cnt ELSE 0 END)"
+        for s in range(16)
+    }
+    rows = []
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        terms = []
+        for s in range(16):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            w24 = fact[size] * fact[n - 1 - size]  # x 4! denominator
+            terms.append(f"{w24} * (({v[s | bit]}) - ({v[s]}))")
+        rows.append(
+            f"SELECT '{ch}' AS channel, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS shapley_x24 FROM by_mask"
+        )
+    union = "\n        UNION ALL\n        ".join(rows)
+    return f"""
+    WITH first_purchase AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS fp_ms
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touched AS (
+        SELECT f.user_id,
+            MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) * 1
+          + MAX(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) * 2
+          + MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) * 4
+          + MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) * 8
+              AS mask
+        FROM first_purchase f
+        LEFT JOIN events e
+          ON e.user_id = f.user_id
+         AND epoch_ms(e.ts) < f.fp_ms
+         AND e.event_type <> 'purchase'
+        GROUP BY f.user_id
+    ),
+    by_mask AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM touched GROUP BY mask
+    ),
+    shap AS (
+        {union}
+    )
+    SELECT channel, shapley_x24,
+           CAST(shapley_x24 AS DOUBLE) / 24 AS shapley
+    FROM shap
+    ORDER BY channel
+    """
+
+
+@register("analytics_shapley_attribution", oracle=_shapley_oracle())
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution — the game-theoretic
+    credit split (Shapley 1953; the IJCAI'18 marketing-attribution
+    formulation) and the axiomatic sibling of
+    analytics_markov_removal_attribution: each channel's credit is its
+    average marginal contribution across all orderings of the channel
+    set. Exact Shapley is famously 2^n — tractable here because the
+    characteristic function needs only the 2^|channels| TOUCHED-SET
+    counts, never per-user enumeration: v(S) = #converters whose
+    pre-first-purchase channel set ⊆ S is a subset-sum over the
+    16-row mask frame, and every weight |S|!(n-1-|S|)!/n! is inlined
+    ×4! as an INTEGER literal, so `shapley_x24` is exact integer
+    arithmetic end-to-end (the only float is the final /24 display
+    division — bit-identical IEEE, G11).
+
+    Scale: one events pass to per-user first-purchase, one equi-join
+    back (shuffle on user_id), collapse to ≤2^n mask rows; the Shapley
+    algebra itself runs on that bounded frame — corpus-size-
+    independent, the same collapsed-frame contract as the chi-square
+    and DiD ops. Efficiency axiom (Σφ = v(C) − v(∅)) is pinned in
+    pytest."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("fp_ms"))
+    )
+    e = events.alias("e")
+    touched = (
+        fp.alias("f")
+        .join(
+            e,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("e.ms") < F.col("f.fp_ms"))
+            & (F.col("e.event_type") != "purchase"),
+            "left",
+        )
+        .groupBy(F.col("f.user_id"))
+        .agg(
+            sum(
+                [
+                    F.max(
+                        F.when(F.col("e.event_type") == ch, 1).otherwise(0)
+                    )
+                    * (1 << i)
+                    for i, ch in enumerate(SHAPLEY_CHANNELS)
+                ],
+                F.lit(0),
+            ).alias("mask")
+        )
+    )
+    by_mask = touched.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+    def v(s: int):
+        return F.sum(
+            F.when(F.col("mask").bitwiseAND(15 - s) == 0, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+
+    fact = [1, 1, 2, 6, 24]
+    n = len(SHAPLEY_CHANNELS)
+    shap_cols = []
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        phi = None
+        for s in range(16):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            w24 = fact[size] * fact[n - 1 - size]
+            term = F.lit(w24) * (v(s | bit) - v(s))
+            phi = term if phi is None else phi + term
+        shap_cols.append(phi.cast("bigint").alias(f"x24_{ch}"))
+    wide = by_mask.agg(*shap_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(ch).alias("channel"),
+                F.col(f"x24_{ch}").alias("shapley_x24"),
+            )
+            for ch in SHAPLEY_CHANNELS
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.channel").alias("channel"),
+            F.col("p.shapley_x24").alias("shapley_x24"),
+            (F.col("p.shapley_x24").cast("double") / 24).alias("shapley"),
+        )
+        .orderBy("channel")
+    )

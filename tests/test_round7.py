@@ -2205,3 +2205,83 @@ def test_permutation_test_null_is_calibrated(spark, sf_dir):
     # Null calibration: the observed "effect" is itself a hash split,
     # so it should NOT be extreme vs the permutation distribution.
     assert row.p_permille >= 100
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    rows = QUERIES["analytics_shapley_attribution"](spark, sf_dir).collect()
+    assert sorted(r.channel for r in rows) == ["click", "error", "signup", "view"]
+    # Monotone characteristic function => every Shapley value >= 0.
+    for r in rows:
+        assert r.shapley_x24 >= 0
+        assert r.shapley == r.shapley_x24 / 24
+    # Efficiency: sum of attributions == v(all channels) - v(empty set)
+    # = converters with a nonempty pre-purchase touch set.
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000000").alias("ms")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("fp_ms"))
+    )
+    touched = (
+        fp.join(ev, "user_id")
+        .filter((F.col("ms") < F.col("fp_ms")) & (F.col("event_type") != "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.shapley_x24 for r in rows) == 24 * touched
+
+
+def test_collation_groupby_merges_case_variants(spark, sf_dir):
+    rows = QUERIES["string_collation_groupby"](spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert sorted(r.event_type for r in rows) == [
+        "click", "error", "purchase", "signup", "view"
+    ]
+    assert sum(r.n_events for r in rows) == n_events
+    # The md5 re-casing produced multiple spellings per type, and the
+    # collated GROUP BY absorbed them all.
+    assert all(2 <= r.n_case_variants <= 3 for r in rows)
+
+
+def test_mmr_rerank_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    from pg_archiver_spark.functions.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_LAMBDA,
+    )
+
+    rows = QUERIES["sim_mmr_rerank"](spark, sf_dir).collect()
+    assert [r.mmr_rank for r in rows] == list(range(1, MMR_K + 1))
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0] / np.linalg.norm(emb[0])
+
+    def cos(a, b):
+        return float(
+            np.round(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+        )
+
+    rel = {v: cos(e, emb[0]) for v, e in emb.items() if v != 0}
+    cands = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_CAND]
+    selected = []
+    while cands and len(selected) < MMR_K:
+        best = None
+        for v in cands:
+            red = max((cos(emb[v], emb[s]) for s in selected), default=0.0)
+            score = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 6)
+            key = (score, -v)
+            if best is None or key > best[0]:
+                best = (key, v)
+        selected.append(best[1])
+        cands.remove(best[1])
+    assert [r.vec_id for r in rows] == selected
+    # First pick is the pure-relevance winner; later picks trade
+    # relevance for novelty (the property MMR exists for).
+    assert rows[0].rel_rank == 1 and rows[0].redundancy == 0.0
+    assert any(r.rel_rank > r.mmr_rank for r in rows)
