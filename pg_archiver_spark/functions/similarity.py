@@ -2087,3 +2087,90 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank int, vec_id bigint, rel double, redundancy double, "
         "mmr_score double, rel_rank int",
     )
+
+
+OLS_BASE_DATE = "1992-01-01"
+
+
+@register("ml_ols_normal_eq", oracle=None)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ordinary least squares via distributed NORMAL
+    EQUATIONS — the closed-form regression a warehouse runs when it
+    wants coefficients, not gradients: price ~ intercept + order-day
+    trend + urgency + fulfilled-status. Completes the classical-ML
+    family (ml_logreg_gd is the iterative/GD shape, ml_pca_project the
+    eigen shape, analytics_linreg_trend the per-group single-feature
+    special case): X'X (d(d+1)/2 sums) and X'y (d sums) accumulate in
+    ONE partial-agg pass — the only shuffle is 14 numbers — the d×d
+    solve happens on the DRIVER (bounded: 4×4, the PCA/k-means
+    codebook contract), and a second pass with the coefficients baked
+    in as CODEGEN LITERALS computes R² from residual/total sums of
+    squares. rows-only by contract: float accumulation order makes
+    the trailing digits run-dependent; pytest pins the coefficients
+    against numpy lstsq on the same rows (rtol 1e-6) instead.
+
+    At 100 TB: two scans, no joins, no windows; d² stays constant, so
+    the driver solve never grows with data — the textbook scalable
+    shape for d ≪ n regression (Chen et al., large-scale OLS)."""
+    import numpy as np
+
+    orders = load(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_totalprice").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.datediff(F.col("o_orderdate"), F.lit(OLS_BASE_DATE))
+        .cast("double")
+        .alias("x1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("x3"),
+    )
+    xs = ["x0", "x1", "x2", "x3"]
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i, xi in enumerate(xs):
+        for xj in xs[i:]:
+            aggs.append(
+                F.sum(F.col(xi) * F.col(xj)).alias(f"xx_{xi}_{xj}")
+            )
+        aggs.append(F.sum(F.col(xi) * F.col("y")).alias(f"xy_{xi}"))
+    row = feats.agg(*aggs).collect()[0]  # bounded: d(d+1)/2 + d + 1 numbers
+    d = len(xs)
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i, xi in enumerate(xs):
+        for j in range(i, d):
+            v = row[f"xx_{xi}_{xs[j]}"]
+            xtx[i, j] = xtx[j, i] = v
+        xty[i] = row[f"xy_{xi}"]
+    beta = np.linalg.solve(xtx, xty)
+    n = row["n"]
+    ybar = row["xy_x0"] / n
+    pred = sum(
+        (F.lit(float(b)) * F.col(x) for b, x in zip(beta, xs)),
+        F.lit(0.0),
+    )
+    fit = feats.agg(
+        F.sum((F.col("y") - pred) * (F.col("y") - pred)).alias("rss"),
+        F.sum(
+            (F.col("y") - F.lit(float(ybar)))
+            * (F.col("y") - F.lit(float(ybar)))
+        ).alias("tss"),
+    ).collect()[0]
+    r2 = 1.0 - fit["rss"] / fit["tss"]
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                float(beta[0]),
+                float(beta[1]),
+                float(beta[2]),
+                float(beta[3]),
+                float(r2),
+            )
+        ],
+        "n bigint, beta_intercept double, beta_day double, "
+        "beta_urgent double, beta_status_f double, r2 double",
+    )

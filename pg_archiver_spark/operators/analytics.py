@@ -2947,3 +2947,241 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+FCST_CUTOFF = "1998-01-01"  # orders span 1992-01..1998-08
+FCST_BASE = "1992-01-01"
+
+
+@register(
+    "analytics_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '{FCST_BASE}',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    train AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(t) AS DECIMAL(38,0)) AS st,
+               CAST(SUM(t * t) AS DECIMAL(38,0)) AS stt,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(t * cents) AS DECIMAL(38,0)) AS sty
+        FROM daily WHERE day < DATE '{FCST_CUTOFF}'
+    ),
+    fit AS (
+        SELECT CAST(n * sty - st * sy AS DOUBLE)
+                   / CAST(n * stt - st * st AS DOUBLE) AS b,
+               n, st, sy
+        FROM train
+    ),
+    ab AS (
+        SELECT b,
+               (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+        FROM fit
+    )
+    SELECT d.day, d.t, d.cents AS actual_cents,
+           ab.a + ab.b * d.t AS forecast_cents,
+           ABS(ab.a + ab.b * d.t - d.cents) AS abs_err_cents
+    FROM daily d CROSS JOIN ab
+    WHERE d.day >= DATE '{FCST_CUTOFF}'
+    ORDER BY d.day
+    """,
+)
+def analytics_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout forecast backtest — the evaluation loop every
+    capacity/revenue forecaster runs before anyone trusts it: fit the
+    trend ONLY on days before the cutoff (no look-ahead leakage — the
+    same discipline as join_point_in_time_features), then score each
+    HELD-OUT day with its absolute error. Per-day errors are emitted
+    instead of a summed MAE so no float accumulation enters the
+    result: every output value is one IEEE expression over exact
+    sufficient statistics (G11) — the caller can aggregate however it
+    likes.
+
+    Exactness: daily revenue in integer cents; the OLS slope comes
+    from the classic closed form with all four sufficient sums held
+    as DECIMAL(38,0) (n·Σty − Σt·Σy overflows BIGINT at warehouse
+    scale — the widening is deliberate, not cosmetic), and only the
+    final slope/intercept divisions are float.
+
+    Scale: one orders pass → ≤|calendar| daily frame; the train
+    statistics collapse to ONE row that broadcast-crossJoins back onto
+    the test slice (planaudit-whitelisted anchor pattern). Nothing
+    grows with corpus size except the first partial agg."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "day",
+            F.datediff("day", F.lit(FCST_BASE)).cast("bigint").alias("t"),
+            "cents",
+        )
+    )
+    train = daily.filter(F.col("day") < FCST_CUTOFF).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum("cents").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).cast("decimal(38,0)").alias("sty"),
+    )
+    fit = train.select(
+        (
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+                "double"
+            )
+        ).alias("b"),
+        "n",
+        "st",
+        "sy",
+    ).select(
+        "b",
+        (
+            (F.col("sy").cast("double") - F.col("b") * F.col("st").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    test = daily.filter(F.col("day") >= FCST_CUTOFF)
+    forecast = F.col("a") + F.col("b") * F.col("t")
+    return (
+        test.crossJoin(F.broadcast(fit))
+        .select(
+            "day",
+            "t",
+            F.col("cents").alias("actual_cents"),
+            forecast.alias("forecast_cents"),
+            F.abs(forecast - F.col("cents")).alias("abs_err_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+BFS_MAX_DEPTH = 4  # dense 25-node graph: diameter < 4; caps oracle walks
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT x.brand AS a, y.brand AS b, COUNT(*) AS pn
+        FROM items x JOIN items y
+          ON x.okey = y.okey AND x.brand < y.brand
+        GROUP BY x.brand, y.brand
+    ),
+    edges AS (
+        SELECT a, b FROM pairs ORDER BY pn DESC, a, b LIMIT {TRI_EDGES}
+    ),
+    undirected AS (
+        SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ),
+    src AS (SELECT MIN(a) AS s FROM undirected),
+    walk AS (
+        SELECT s AS brand, 0 AS dist FROM src
+        UNION ALL
+        SELECT u.b, w.dist + 1
+        FROM walk w JOIN undirected u ON u.a = w.brand
+        WHERE w.dist < {BFS_MAX_DEPTH}
+    )
+    SELECT brand, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY brand
+    ORDER BY dist, brand
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path distance (hop count) over the
+    undirected brand co-occurrence graph — the graph primitive behind
+    'how related is X to Y' features, influence radii, and
+    k-hop neighborhood extraction; completes the graph family
+    (pagerank = importance, triangles = cohesion, CC = membership,
+    BFS = distance). Source node = the lexicographically smallest
+    endpoint, depth capped at BFS_MAX_DEPTH (part of the spec: a
+    k-hop BFS, matching how feature pipelines bound neighborhood
+    blowup).
+
+    Spark side is the iterative FRONTIER join (Pregel superstep
+    shape): per level, frontier ⋈ edges → new nodes (anti-join against
+    visited), visited ∪= frontier — bounded iterations, flat lineage
+    (the dedup_cluster_cc loop contract). Here the edge list is the
+    TakeOrdered-capped TRI_EDGES frame, so every superstep runs on a
+    constant-size broadcastable frame; for a fact-sized edge list the
+    SAME loop shuffle-partitions on the frontier key — each level one
+    equi-join, state = |reached nodes|, never |paths|. The oracle
+    states BFS as a recursive CTE whose walk enumeration is safe ONLY
+    because of the depth cap — exactly why the Spark side iterates
+    frontiers instead (path-count explosion is the scale killer; the
+    docstring is the A/B).
+
+    Cited reference scope: README.md:88-102 (analytics over archived
+    facts); graph topology shared with graph_triangle_count."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    x = items.alias("x")
+    y = items.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.okey") == F.col("y.okey"))
+            & (F.col("x.brand") < F.col("y.brand")),
+        )
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
+        .agg(F.count("*").alias("pn"))
+        .orderBy(F.desc("pn"), "a", "b")
+        .limit(TRI_EDGES)
+        .select("a", "b")
+    )
+    undirected = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    try:
+        src = undirected.agg(F.min("a")).collect()[0][0]  # 1 scalar
+        dist = spark.createDataFrame(
+            [(src, 0)], "brand string, dist int"
+        ).cache()
+        frontier = dist
+        for level in range(1, BFS_MAX_DEPTH + 1):
+            nxt = (
+                frontier.join(
+                    undirected, frontier["brand"] == undirected["a"]
+                )
+                .select(F.col("b").alias("brand"), F.lit(level).alias("dist"))
+                .distinct()
+                .join(dist.select("brand"), "brand", "left_anti")
+                .cache()
+            )
+            if nxt.count() == 0:
+                break
+            dist = dist.union(nxt).cache()
+            frontier = nxt
+        out = (
+            dist.select("brand", F.col("dist").cast("bigint").alias("dist"))
+            .orderBy("dist", "brand")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        undirected.unpersist()

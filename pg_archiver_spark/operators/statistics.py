@@ -1195,3 +1195,118 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((n_extreme + 1) * 1000 DIV ({PERM_B} + 1) AS BIGINT)"
         ).alias("p_permille"),
     )
+
+
+PSI_BUCKETS = 16
+PSI_WIDTH = 32.0  # events.value ∈ [0, ~490] at every SF
+PSI_CUTOFF_DAY = 19738  # 2024-01-16 — fixture span is 2024-01
+
+
+@register(
+    "analytics_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST({PSI_BUCKETS - 1},
+                     CAST(FLOOR(value / {PSI_WIDTH}) AS BIGINT)) AS bucket,
+               CASE WHEN epoch_ms(ts) // 86400000 < {PSI_CUTOFF_DAY}
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    spine AS (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket),
+    counts AS (
+        SELECT s.bucket,
+               CAST(COALESCE(SUM(b.is_ref), 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(SUM(1 - b.is_ref), 0) AS BIGINT) AS n_cur
+        FROM spine s LEFT JOIN binned b ON b.bucket = s.bucket
+        GROUP BY s.bucket
+    ),
+    tot AS (
+        SELECT bucket, n_ref, n_cur,
+               SUM(n_ref) OVER () + {PSI_BUCKETS} AS d_ref,
+               SUM(n_cur) OVER () + {PSI_BUCKETS} AS d_cur
+        FROM counts
+    ),
+    pq AS (
+        SELECT bucket, n_ref, n_cur,
+               CAST(n_ref + 1 AS DOUBLE) / d_ref AS p,
+               CAST(n_cur + 1 AS DOUBLE) / d_cur AS q
+        FROM tot
+    )
+    SELECT bucket, n_ref, n_cur,
+           CAST(ROUND((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psi_nano,
+           CAST(SUM(CAST(ROUND((p - q) * ln(p / q) * 1e9) AS BIGINT))
+                OVER () AS BIGINT) AS psi_total_nano
+    FROM pq
+    ORDER BY bucket
+    """,
+)
+def analytics_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring drift metric
+    (the credit-scoring standard: PSI < 0.1 stable, > 0.25 retrain):
+    Σ (p_b − q_b)·ln(p_b/q_b) between the event-value distribution of
+    the reference period (days before the fixed cutoff) and the
+    current period, over fixed-width bins with add-one (Laplace)
+    smoothing so an empty bin never produces ln(0). Complements
+    analytics_ks_test: KS detects ANY shift with a supremum statistic;
+    PSI localizes WHERE the mass moved, bin by bin — which is what an
+    on-call engineer actually reads.
+
+    Determinism (G11): each bin's PSI term is rounded to integer
+    NANO-units and the total is an INTEGER window sum of those — sum
+    order cannot perturb it, unlike a float Σ. The bin spine is
+    generated (sequence 0..15) and left-joined so silent-empty bins
+    are reported as explicit zeros — absence and stability look
+    different. One events pass, ≤16-key partial agg, windows on the
+    16-row frame: the analytics_histogram plan with a second
+    conditional count."""
+    events = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1), F.floor(F.col("value") / PSI_WIDTH)
+    ).cast("bigint")
+    is_ref = F.when(
+        F.expr("ts_ns DIV 1000000") / 86400000
+        < F.lit(PSI_CUTOFF_DAY),
+        1,
+    ).otherwise(0)
+    binned = events.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+    counts = binned.groupBy("bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    filled = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pq = filled.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") + 1).cast("double")
+            / (F.sum("n_ref").over(w) + PSI_BUCKETS)
+        ).alias("p"),
+        (
+            (F.col("n_cur") + 1).cast("double")
+            / (F.sum("n_cur").over(w) + PSI_BUCKETS)
+        ).alias("q"),
+    )
+    psi_nano = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1e9
+    ).cast("bigint")
+    return (
+        pq.select("bucket", "n_ref", "n_cur", psi_nano.alias("psi_nano"))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            "psi_nano",
+            F.sum("psi_nano").over(w).cast("bigint").alias("psi_total_nano"),
+        )
+        .orderBy("bucket")
+    )

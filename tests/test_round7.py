@@ -2285,3 +2285,79 @@ def test_mmr_rerank_matches_bruteforce(spark, sf_dir):
     # relevance for novelty (the property MMR exists for).
     assert rows[0].rel_rank == 1 and rows[0].redundancy == 0.0
     assert any(r.rel_rank > r.mmr_rank for r in rows)
+
+
+def test_psi_drift_null_calibrated_and_zero_filled(spark, sf_dir):
+    from pg_archiver_spark.operators.statistics import PSI_BUCKETS
+
+    rows = QUERIES["analytics_psi_drift"](spark, sf_dir).collect()
+    # Every bin reported exactly once, empty ones as explicit zeros.
+    assert [r.bucket for r in rows] == list(range(PSI_BUCKETS))
+    assert len({r.psi_total_nano for r in rows}) == 1
+    assert sum(r.psi_nano for r in rows) == rows[0].psi_total_nano
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n_events
+    # Both halves draw from the same distribution: PSI far below the
+    # 0.1 'stable' industry threshold (in nano units).
+    assert abs(rows[0].psi_total_nano) < 0.1e9
+
+
+def test_ols_normal_eq_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    row = QUERIES["ml_ols_normal_eq"](spark, sf_dir).collect()[0]
+    from pg_archiver_spark.functions.similarity import OLS_BASE_DATE
+
+    feats = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_totalprice").cast("double").alias("y"),
+            F.datediff("o_orderdate", F.lit(OLS_BASE_DATE))
+            .cast("double")
+            .alias("x1"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
+            .otherwise(0.0)
+            .alias("x2"),
+            F.when(F.col("o_orderstatus") == "F", 1.0)
+            .otherwise(0.0)
+            .alias("x3"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r.x1, r.x2, r.x3] for r in feats])
+    yv = np.array([r.y for r in feats])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    got = [row.beta_intercept, row.beta_day, row.beta_urgent, row.beta_status_f]
+    assert np.allclose(got, beta, rtol=1e-6)
+    pred = X @ beta
+    r2 = 1 - ((yv - pred) ** 2).sum() / ((yv - yv.mean()) ** 2).sum()
+    assert abs(row.r2 - r2) < 1e-6
+    assert row.n == len(feats)
+
+
+def test_forecast_backtest_no_leakage(spark, sf_dir):
+    from pg_archiver_spark.operators.analytics import FCST_CUTOFF
+
+    rows = QUERIES["analytics_forecast_backtest"](spark, sf_dir).collect()
+    assert all(str(r.day) >= FCST_CUTOFF for r in rows)
+    for r in rows:
+        assert r.abs_err_cents == abs(r.forecast_cents - r.actual_cents)
+    # The fitted trend extrapolates sanely: forecasts stay positive
+    # and within an order of magnitude of actuals on average.
+    mean_actual = sum(r.actual_cents for r in rows) / len(rows)
+    mean_forecast = sum(r.forecast_cents for r in rows) / len(rows)
+    assert 0 < mean_forecast < 10 * mean_actual
+
+
+def test_bfs_distance_triangle_inequality_and_source(spark, sf_dir):
+    rows = QUERIES["graph_bfs_distance"](spark, sf_dir).collect()
+    dists = {r.brand: r.dist for r in rows}
+    src = min(dists)
+    # BFS source is the smallest endpoint at distance 0; levels are
+    # contiguous (a node at dist d implies some node at dist d-1).
+    assert dists[src] == 0
+    levels = sorted(set(dists.values()))
+    assert levels == list(range(len(levels)))
+    from pg_archiver_spark.operators.analytics import BFS_MAX_DEPTH
+
+    assert max(levels) <= BFS_MAX_DEPTH

@@ -24,6 +24,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-4 additions ----------------------------------
+    "analytics_forecast_backtest": "1-row train-window sufficient-"
+    "statistics aggregate (slope/intercept) crossJoin onto the "
+    "<=|calendar| held-out daily frame — the linreg anchor pattern",
     "ml_knn_eval_accuracy": "64-row query-panel broadcast onto the "
     "corpus scoring pass (the sim_batch_knn_join shape — O(N·panel), "
     "never corpus²); votes collapse to <=panel·|labels| rows before "
