@@ -1956,3 +1956,98 @@ def pipeline_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_dpo_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               CAST(length(list_distinct(string_split(lower(text), ' ')))
+                    * 1000 // length(string_split(text, ' '))
+                    AS BIGINT) AS score_pm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score_pm DESC, doc_id) AS rk_best,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY score_pm ASC, doc_id) AS rk_worst,
+               COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+        FROM scored
+    )
+    SELECT b.lang, b.source,
+           CAST(b.grp_n AS BIGINT) AS grp_n,
+           b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+           b.score_pm AS chosen_score_pm, w.score_pm AS rejected_score_pm,
+           b.score_pm - w.score_pm AS margin_pm
+    FROM ranked b JOIN ranked w
+      ON b.lang = w.lang AND b.source = w.source
+    WHERE b.rk_best = 1 AND w.rk_worst = 1 AND b.doc_id <> w.doc_id
+    ORDER BY b.lang, b.source
+    """,
+)
+def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training
+    (Rafailov et al. 2023): within each prompt group (proxied by the
+    (lang, source) cell of the corpus), pair the highest-quality
+    member as `chosen` with the lowest as `rejected`, carrying the
+    quality MARGIN — near-zero margins are the pairs a trainer
+    down-weights or drops (no signal), exactly why the margin column
+    exists. Quality here is the deterministic lexical-diversity
+    permille (distinct words / words — integer floor arithmetic, the
+    house ratio convention) so both engines rank identically with
+    doc_id tiebreaks; a real pipeline swaps in its reward-model score
+    and NOTHING else changes.
+
+    Scale: one scan → two windows over the SAME (lang, source)
+    partitioning (one shuffle, shared exchange), then a self-join of
+    the two rank-1 slices on the group key — |groups| rows each side.
+    Degenerate single-doc groups are excluded (a doc can't be its own
+    rejected twin) by the `chosen <> rejected` predicate, pinned in
+    pytest."""
+    docs = load(spark, sf_dir, "documents")
+    score = (
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000"
+            " DIV size(split(text, ' '))"
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id", "lang", "source", score.alias("score_pm")
+    )
+    w_best = Window.partitionBy("lang", "source").orderBy(
+        F.desc("score_pm"), "doc_id"
+    )
+    w_worst = Window.partitionBy("lang", "source").orderBy(
+        "score_pm", "doc_id"
+    )
+    w_grp = Window.partitionBy("lang", "source")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_worst).alias("rk_worst"),
+        F.count("*").over(w_grp).alias("grp_n"),
+    )
+    b = ranked.filter(F.col("rk_best") == 1).alias("b")
+    w = ranked.filter(F.col("rk_worst") == 1).alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.lang") == F.col("w.lang"))
+            & (F.col("b.source") == F.col("w.source"))
+            & (F.col("b.doc_id") != F.col("w.doc_id")),
+        )
+        .select(
+            F.col("b.lang").alias("lang"),
+            F.col("b.source").alias("source"),
+            F.col("b.grp_n").cast("bigint").alias("grp_n"),
+            F.col("b.doc_id").alias("chosen_doc_id"),
+            F.col("w.doc_id").alias("rejected_doc_id"),
+            F.col("b.score_pm").alias("chosen_score_pm"),
+            F.col("w.score_pm").alias("rejected_score_pm"),
+            (F.col("b.score_pm") - F.col("w.score_pm")).alias("margin_pm"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -612,3 +612,103 @@ def window_running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cum_cents")
     )
+
+
+ROLLREG_WINDOW = 14  # trailing days
+
+
+@register(
+    "window_rolling_regression",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    winsums AS (
+        SELECT day, t, cents,
+               COUNT(*) OVER w AS n,
+               SUM(t) OVER w AS st,
+               SUM(t * t) OVER w AS stt,
+               SUM(cents) OVER w AS sy,
+               SUM(t * cents) OVER w AS sty
+        FROM daily
+        WINDOW w AS (ORDER BY t RANGE BETWEEN {ROLLREG_WINDOW - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, t, cents, CAST(n AS BIGINT) AS n_window,
+           CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS slope_cents_per_day
+    FROM winsums
+    WHERE n >= 2
+    ORDER BY day
+    """,
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window least-squares trend — the 'is the last two weeks
+    trending up' line every ops dashboard draws, computed properly:
+    for each day, the OLS slope of daily revenue over the trailing
+    14-day RANGE frame (range, not rows — gap days shrink the sample
+    instead of silently stretching the window back in time). All five
+    sufficient statistics are INTEGER window sums over the frame; the
+    slope is the one closed-form IEEE division per row. Degenerate
+    single-point windows (only the first calendar day can be one) are
+    EXCLUDED (n >= 2) on both engines rather than emitted as NULL —
+    oracle NULLs round-trip as NaN through the driver's pandas fetch
+    (G13), so filtering is the hash-stable form of the guard.
+
+    The window-stack sibling of window_ewma (exponential weighting)
+    and the sliding twin of analytics_linreg_trend (global per-group
+    fit) / analytics_forecast_backtest (train/test split): same exact
+    arithmetic, different temporal scope.
+
+    Scale: the fact-sized work is one partial-agg to the daily frame;
+    the five window sums share ONE sort over ≤|calendar| rows. At
+    100 TB the daily frame is still |calendar|-bounded — this op's
+    cost never grows with raw event volume."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "day",
+            F.datediff("day", F.lit("1992-01-01")).cast("bigint").alias("t"),
+            "cents",
+        )
+    )
+    w = (
+        Window.orderBy("t")
+        .rangeBetween(-(ROLLREG_WINDOW - 1), Window.currentRow)
+    )
+    winsums = daily.select(
+        "day",
+        "t",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).over(w).alias("sty"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    return (
+        winsums.filter(F.col("n") >= 2)
+        .select(
+            "day",
+            "t",
+            "cents",
+            F.col("n").cast("bigint").alias("n_window"),
+            (num.cast("double") / den.cast("double")).alias(
+                "slope_cents_per_day"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -2361,3 +2361,61 @@ def test_bfs_distance_triangle_inequality_and_source(spark, sf_dir):
     from pg_archiver_spark.operators.analytics import BFS_MAX_DEPTH
 
     assert max(levels) <= BFS_MAX_DEPTH
+
+
+def test_dpo_pairs_margin_and_group_semantics(spark, sf_dir):
+    rows = QUERIES["pipeline_dpo_pairs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        assert (r.lang, r.source) not in seen  # one pair per group
+        seen.add((r.lang, r.source))
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert r.margin_pm == r.chosen_score_pm - r.rejected_score_pm
+        assert r.margin_pm >= 0
+        assert r.grp_n >= 2  # single-doc groups excluded
+
+
+def test_rolling_regression_agrees_with_numpy_on_a_window(spark, sf_dir):
+    import numpy as np
+
+    rows = QUERIES["window_rolling_regression"](spark, sf_dir).collect()
+    from pg_archiver_spark.operators.windows import ROLLREG_WINDOW
+
+    daily = {r.t: r.cents for r in rows}
+    # Recompute the slope for a handful of rows from raw window points.
+    for r in rows[50:55]:
+        ts = [
+            t for t in daily if r.t - (ROLLREG_WINDOW - 1) <= t <= r.t
+        ]
+        ys = [daily[t] for t in ts]
+        assert len(ts) == r.n_window or r.t - (ROLLREG_WINDOW - 1) < min(
+            daily
+        )
+        slope = np.polyfit(ts, ys, 1)[0]
+        assert abs(slope - r.slope_cents_per_day) < max(
+            1e-6 * abs(slope), 1e-6
+        )
+    assert all(r.n_window >= 2 for r in rows)
+
+
+def test_winsorized_mean_bounds_effect(spark, sf_dir):
+    rows = QUERIES["agg_winsorized_mean"](spark, sf_dir).collect()
+    raw = {
+        r.priority: (r.n, r.mean_price)
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("o_totalprice").alias("mean_price"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, raw_mean = raw[r.priority]
+        assert r.n == n
+        # ~10% of mass is clamped (5% each tail), never more than 12%.
+        assert 0 < r.n_clamped <= 0.12 * n + 2
+        # Winsorizing moves the mean, but not beyond the raw extremes.
+        assert abs(r.winsor_mean - raw_mean) / raw_mean < 0.25
+        assert r.winsor_sum_cents / r.n / 100 == r.winsor_mean
