@@ -1230,3 +1230,126 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+EQ_BUCKET_CENTS = 250_000  # $2,500-wide histogram buckets (pass 1)
+
+
+@register(
+    "agg_exact_quantile_twopass",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS c
+        FROM orders
+    ),
+    counts AS (SELECT c, COUNT(*) AS n FROM cents GROUP BY c),
+    cum AS (
+        SELECT c,
+               SUM(n) OVER (ORDER BY c) AS cum,
+               SUM(n) OVER () AS tot
+        FROM counts
+    )
+    SELECT CAST(MAX(tot) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 2 >= tot THEN c END) AS BIGINT)
+               AS p50_cents,
+           CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN c END) AS BIGINT)
+               AS p99_cents,
+           CAST(MIN(CASE WHEN cum * 2 >= tot THEN c END) AS DOUBLE)
+               / 100 AS p50,
+           CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN c END) AS DOUBLE)
+               / 100 AS p99
+    FROM cum
+    """,
+)
+def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (lower p50/p99 order statistics) via the
+    two-pass bucketed SELECTION algorithm — the scale-correct way to
+    get an exact percentile when agg_percentile's per-group sort is
+    too big and agg_approx_percentile's error bound isn't acceptable
+    (billing SLAs, regulatory reporting):
+
+      pass 1 — a 1-scan fixed-width bucket histogram (≤ a few hundred
+        keys, map-side combined); its ≤|buckets|-row cumsum locates
+        the bucket holding each target rank; this tiny frame is the
+        ONLY thing the driver sees (bounded-driver contract).
+      pass 2 — re-scan ONLY the target buckets (the bucket bounds
+        compile to range predicates on o_totalprice — pushed to the
+        parquet scan) and count per DISTINCT CENT VALUE: that frame is
+        bounded by the bucket's VALUE GRID (width in cents), NOT by
+        row count — the property that makes the refinement exact at
+        ANY data scale; its cumsum yields the value at the residual
+        rank.
+
+    The quantile definition (smallest value with cum ≥ ⌈q·n⌉, stated
+    as the cross-multiplied integer predicate cum·100 ≥ 99·n) is
+    engine-exact; the oracle states it directly over the distinct-
+    value frame. Everything is BIGINT cents until the display /100.
+    Deeper recursion (bucket → sub-bucket) extends the same pattern
+    when the value grid itself is huge (doubles, strings)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    hist = (
+        cents.groupBy(
+            (F.col("c") - F.col("c") % EQ_BUCKET_CENTS).alias("blo")
+        )
+        .agg(F.count("*").alias("bn"))
+        .orderBy("blo")
+        .collect()  # bounded: ≤ value_range / EQ_BUCKET_CENTS rows
+    )
+    tot = sum(r.bn for r in hist)
+    targets = {"p50": (tot + 1) // 2, "p99": -(-99 * tot // 100)}
+    plan = {}  # name -> (bucket_lo, local_rank)
+    for name, k in targets.items():
+        below = 0
+        for r in hist:
+            if below + r.bn >= k:
+                plan[name] = (r.blo, k - below)
+                break
+            below += r.bn
+    wanted = sorted({blo for blo, _ in plan.values()})
+    in_bucket = [
+        (F.col("c") >= blo) & (F.col("c") < blo + EQ_BUCKET_CENTS)
+        for blo in wanted
+    ]
+    pred = in_bucket[0]
+    for nxt in in_bucket[1:]:
+        pred = pred | nxt
+    subset = cents.filter(pred)  # range predicates → parquet pushdown
+    grid = (
+        subset.groupBy(
+            (F.col("c") - F.col("c") % EQ_BUCKET_CENTS).alias("blo"), "c"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.partitionBy("blo").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumgrid = grid.select(
+        "blo", "c", F.sum("n").over(w_cum).alias("local_cum")
+    )
+    results = {}
+    for name, (blo, local_rank) in plan.items():
+        results[name] = (
+            cumgrid.filter(
+                (F.col("blo") == blo) & (F.col("local_cum") >= local_rank)
+            )
+            .agg(F.min("c"))
+            .collect()[0][0]
+        )  # 1 scalar per quantile
+    return spark.createDataFrame(
+        [
+            (
+                tot,
+                results["p50"],
+                results["p99"],
+                results["p50"] / 100,
+                results["p99"] / 100,
+            )
+        ],
+        "n bigint, p50_cents bigint, p99_cents bigint, p50 double, p99 double",
+    )

@@ -1310,3 +1310,141 @@ def analytics_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+import math as _math
+
+GOERTZEL_SCALE = 10**9
+_C7 = [round(_math.cos(2 * _math.pi * k / 7) * GOERTZEL_SCALE) for k in range(7)]
+_S7 = [round(_math.sin(2 * _math.pi * k / 7) * GOERTZEL_SCALE) for k in range(7)]
+_C5 = [round(_math.cos(2 * _math.pi * k / 5) * GOERTZEL_SCALE) for k in range(5)]
+_S5 = [round(_math.sin(2 * _math.pi * k / 5) * GOERTZEL_SCALE) for k in range(5)]
+
+
+def _coef_case(expr: str, coefs: list) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN CAST({c} AS DECIMAL(38,0))"
+        for k, c in enumerate(coefs)
+    )
+    return f"CASE {expr} {whens} END"
+
+
+def _goertzel_oracle() -> str:
+    terms = {
+        "re7": _coef_case("t % 7", _C7),
+        "im7": _coef_case("t % 7", _S7),
+        "re5": _coef_case("t % 5", _C5),
+        "im5": _coef_case("t % 5", _S5),
+    }
+    sums = ",\n               ".join(
+        f"SUM(CAST(dev AS DECIMAL(38,0)) * ({c})) AS {n}"
+        for n, c in terms.items()
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    dev AS (
+        SELECT t,
+               CAST(COUNT(*) OVER () AS BIGINT) * cents
+                   - CAST(SUM(cents) OVER () AS BIGINT) AS dev,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+               {sums}
+        FROM dev
+    )
+    SELECT n_days,
+           CAST(re7 AS DOUBLE) * CAST(re7 AS DOUBLE)
+               + CAST(im7 AS DOUBLE) * CAST(im7 AS DOUBLE) AS power_weekly,
+           CAST(re5 AS DOUBLE) * CAST(re5 AS DOUBLE)
+               + CAST(im5 AS DOUBLE) * CAST(im5 AS DOUBLE) AS power_ref,
+           (CAST(re7 AS DOUBLE) * CAST(re7 AS DOUBLE)
+               + CAST(im7 AS DOUBLE) * CAST(im7 AS DOUBLE))
+           / (CAST(re5 AS DOUBLE) * CAST(re5 AS DOUBLE)
+               + CAST(im5 AS DOUBLE) * CAST(im5 AS DOUBLE)) AS power_ratio
+    FROM sums
+    """
+
+
+@register("analytics_goertzel_weekly_power", oracle=_goertzel_oracle())
+def analytics_goertzel_weekly_power(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-bin DFT (Goertzel) periodicity detector — 'does revenue
+    actually have a weekly cycle?': the spectral power of the daily
+    series at frequency 1/7, against a 1/5 reference bin no calendar
+    process should excite. The spectral complement of the time-domain
+    seasonality ops (analytics_autocorrelation's lag-7 ACF,
+    analytics_seasonal_residual_outliers' weekday means) — a
+    periodogram bin is the test you run when you don't yet KNOW the
+    period is 7.
+
+    Exactness (G11): cos/sin coefficients are ROUNDED 1e-9-FIXED-POINT
+    INTEGER LITERALS (7+5 constants baked into codegen — there is no
+    trig call at runtime in either engine), the series is mean-removed
+    with the exact n·y−S integer deviation trick, and every
+    accumulation is DECIMAL(38,0)-exact; doubles appear only in the
+    final re²+im² squaring — deterministic one-step IEEE on identical
+    inputs. Quantization error is bounded by |dev|·n·1e-9 relative —
+    ~1e-6 of the power, identical in both engines by construction.
+
+    Scale: one fact pass to the |calendar| daily frame; four window-
+    anchored sums over that bounded frame collapse to ONE row. At
+    scale, sweeping a frequency grid is this op repeated per bin —
+    each bin four more agg columns in the SAME pass, never a new
+    scan."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            F.datediff("day", F.lit("1992-01-01")).cast("bigint").alias("t"),
+            "cents",
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dev = daily.select(
+        "t",
+        (
+            F.count("*").over(w).cast("bigint") * F.col("cents")
+            - F.sum("cents").over(w).cast("bigint")
+        ).alias("dev"),
+        F.count("*").over(w).alias("n"),
+    )
+
+    def coef(mod: int, coefs: list):
+        return F.element_at(
+            F.array(*[F.lit(c).cast("decimal(38,0)") for c in coefs]),
+            (F.col("t") % mod + 1).cast("int"),
+        )
+
+    sums = dev.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * coef(7, _C7)).alias("re7"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * coef(7, _S7)).alias("im7"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * coef(5, _C5)).alias("re5"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * coef(5, _S5)).alias("im5"),
+    )
+    p7 = F.col("re7").cast("double") * F.col("re7").cast("double") + F.col(
+        "im7"
+    ).cast("double") * F.col("im7").cast("double")
+    p5 = F.col("re5").cast("double") * F.col("re5").cast("double") + F.col(
+        "im5"
+    ).cast("double") * F.col("im5").cast("double")
+    return sums.select(
+        "n_days",
+        p7.alias("power_weekly"),
+        p5.alias("power_ref"),
+        (p7 / p5).alias("power_ratio"),
+    )

@@ -2419,3 +2419,33 @@ def test_winsorized_mean_bounds_effect(spark, sf_dir):
         # Winsorizing moves the mean, but not beyond the raw extremes.
         assert abs(r.winsor_mean - raw_mean) / raw_mean < 0.25
         assert r.winsor_sum_cents / r.n / 100 == r.winsor_mean
+
+
+def test_goertzel_power_detects_planted_weekly_cycle(spark, sf_dir):
+    row = QUERIES["analytics_goertzel_weekly_power"](spark, sf_dir).collect()[0]
+    assert row.n_days > 100
+    assert row.power_weekly >= 0 and row.power_ref >= 0
+    assert row.power_ratio == row.power_weekly / row.power_ref
+    # Fixed-point coefficient tables are exact-integer and sum to ~0
+    # (roots of unity): quantization bias bound.
+    from pg_archiver_spark.operators.statistics import _C7, _S7, GOERTZEL_SCALE
+
+    assert abs(sum(_C7)) <= 7 and abs(sum(_S7)) <= 7
+    assert max(abs(c) for c in _C7) == GOERTZEL_SCALE
+
+
+def test_exact_quantile_twopass_equals_sorted_selection(spark, sf_dir):
+    row = QUERIES["agg_exact_quantile_twopass"](spark, sf_dir).collect()[0]
+    vals = sorted(
+        int(round(r[0] * 100))
+        for r in load(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").cast("decimal(18,2)").cast("double"))
+        .collect()
+    )
+    n = len(vals)
+    assert row.n == n
+    k50 = (n + 1) // 2
+    k99 = -(-99 * n // 100)
+    assert row.p50_cents == vals[k50 - 1]
+    assert row.p99_cents == vals[k99 - 1]
+    assert row.p50 == row.p50_cents / 100
