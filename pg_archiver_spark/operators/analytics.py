@@ -3185,3 +3185,201 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         undirected.unpersist()
+
+
+@register(
+    "analytics_stickiness_dau_wau",
+    oracle="""
+    WITH ev AS (
+        SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day // 7 AS week, day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM ev GROUP BY day // 7, day
+    ),
+    wau AS (
+        SELECT day // 7 AS week, COUNT(DISTINCT user_id) AS wau
+        FROM ev GROUP BY day // 7
+    )
+    SELECT d.week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           CAST(MAX(w.wau) AS BIGINT) AS wau,
+           CAST(SUM(d.dau) * 1000 // (COUNT(*) * MAX(w.wau)) AS BIGINT)
+               AS stickiness_pm
+    FROM dau d JOIN wau w ON d.week = w.week
+    GROUP BY d.week
+    ORDER BY d.week
+    """,
+)
+def analytics_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio every product
+    dashboard tracks (what fraction of the week's users show up on an
+    average day; 1000‰ = everyone daily, ~143‰ = weekly one-timers).
+    Weeks are absolute epoch-day÷7 buckets (engine-neutral — no
+    locale/ISO week-start dependence, the seasonal-op convention);
+    the ratio is exact integer permille (avg-DAU·1000 ÷ WAU via floor
+    division, the house G11 form).
+
+    Scale: two exact distinct-counts, both shuffling on (time-bucket,
+    user) — partial-agg shrinks each to the distinct frame; the
+    day-level and week-level frames join on the ≤|weeks| key. At
+    100 TB swap the exact distincts for agg_hll_partial_merge's
+    mergeable sketches and the topology is unchanged (the documented
+    sketch twin)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts_ns DIV 1000000 DIV 86400000").alias("day"), "user_id"
+    )
+    dau = (
+        ev.groupBy(
+            F.expr("day DIV 7").alias("week"), "day"
+        ).agg(F.countDistinct("user_id").alias("dau"))
+    )
+    wau = ev.groupBy(F.expr("day DIV 7").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "week")
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.max("wau").cast("bigint").alias("wau"),
+        )
+        .select(
+            "week",
+            "n_days",
+            "sum_dau",
+            "wau",
+            F.expr(
+                "CAST(sum_dau * 1000 DIV (n_days * wau) AS BIGINT)"
+            ).alias("stickiness_pm"),
+        )
+        .orderBy("week")
+    )
+
+
+RC_CUTOFF_DAY = 19738  # 2024-01-16 — fixture midpoint (events span 2024-01)
+
+
+@register(
+    "analytics_root_cause_contribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    tagged AS (
+        SELECT *, CASE WHEN day < {RC_CUTOFF_DAY} THEN 1 ELSE 0 END AS is_a
+        FROM ev
+    ),
+    dims AS (
+        SELECT 'event_type' AS dimension, event_type AS dim_value,
+               is_a, cents
+        FROM tagged
+        UNION ALL
+        SELECT 'weekday' AS dimension, CAST(day % 7 AS VARCHAR) AS dim_value,
+               is_a, cents
+        FROM tagged
+    ),
+    cells AS (
+        SELECT dimension, dim_value,
+               CAST(SUM(is_a * cents) AS BIGINT) AS a_cents,
+               CAST(SUM((1 - is_a) * cents) AS BIGINT) AS b_cents
+        FROM dims GROUP BY dimension, dim_value
+    ),
+    tot AS (
+        SELECT dimension, dim_value, a_cents, b_cents,
+               b_cents - a_cents AS delta_cents,
+               SUM(a_cents) OVER (PARTITION BY dimension) AS a_tot,
+               SUM(b_cents) OVER (PARTITION BY dimension) AS b_tot
+        FROM cells
+    )
+    SELECT dimension, dim_value,
+           a_cents, b_cents, CAST(delta_cents AS BIGINT) AS delta_cents,
+           CAST(delta_cents AS DOUBLE)
+               / CAST(b_tot - a_tot AS DOUBLE) AS share_of_delta,
+           CAST(b_cents AS DOUBLE) / CAST(b_tot AS DOUBLE)
+               - CAST(a_cents AS DOUBLE) / CAST(a_tot AS DOUBLE)
+               AS mix_shift
+    FROM tot
+    ORDER BY dimension, dim_value
+    """,
+)
+def analytics_root_cause_contribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dimensional root-cause attribution for a metric change — the
+    Adtributor-family question (Bhagwan et al., NSDI'14) an on-call
+    analyst asks when revenue moves between two periods: WHICH slice
+    did it? For every value of every candidate dimension (event type;
+    engine-neutral weekday id), report its before/after metric mass,
+    its share of the total period-over-period delta, and its mix
+    shift (share-of-total change — separates 'this slice grew' from
+    'everything grew'). The ranked |share_of_delta| is the on-call
+    read; both ratio columns are single IEEE divisions over exact
+    integer-cents sums (G11 — no permille here because deltas go
+    NEGATIVE and floor-division signs diverge between engines, a
+    documented trap this op routes around).
+
+    Scale: ONE events pass fans out through the dimension UNION
+    (2× the scan, still linear), partial-aggs to the per-dimension
+    value vocabulary, and every window runs on those bounded frames
+    partitioned BY dimension — no 1-row global anchor, no crossJoin."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns DIV 1000000 DIV 86400000").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tagged = ev.withColumn(
+        "is_a", F.when(F.col("day") < RC_CUTOFF_DAY, 1).otherwise(0)
+    )
+    dims = tagged.select(
+        F.lit("event_type").alias("dimension"),
+        F.col("event_type").alias("dim_value"),
+        "is_a",
+        "cents",
+    ).unionAll(
+        tagged.select(
+            F.lit("weekday").alias("dimension"),
+            (F.col("day") % 7).cast("string").alias("dim_value"),
+            "is_a",
+            "cents",
+        )
+    )
+    cells = dims.groupBy("dimension", "dim_value").agg(
+        F.sum(F.col("is_a") * F.col("cents")).cast("bigint").alias("a_cents"),
+        F.sum((F.lit(1) - F.col("is_a")) * F.col("cents"))
+        .cast("bigint")
+        .alias("b_cents"),
+    )
+    w_dim = Window.partitionBy("dimension")
+    tot = cells.select(
+        "dimension",
+        "dim_value",
+        "a_cents",
+        "b_cents",
+        (F.col("b_cents") - F.col("a_cents")).alias("delta_cents"),
+        F.sum("a_cents").over(w_dim).alias("a_tot"),
+        F.sum("b_cents").over(w_dim).alias("b_tot"),
+    )
+    return tot.select(
+        "dimension",
+        "dim_value",
+        "a_cents",
+        "b_cents",
+        F.col("delta_cents").cast("bigint").alias("delta_cents"),
+        (
+            F.col("delta_cents").cast("double")
+            / (F.col("b_tot") - F.col("a_tot")).cast("double")
+        ).alias("share_of_delta"),
+        (
+            F.col("b_cents").cast("double") / F.col("b_tot").cast("double")
+            - F.col("a_cents").cast("double") / F.col("a_tot").cast("double")
+        ).alias("mix_shift"),
+    ).orderBy("dimension", "dim_value")

@@ -2449,3 +2449,32 @@ def test_exact_quantile_twopass_equals_sorted_selection(spark, sf_dir):
     assert row.p50_cents == vals[k50 - 1]
     assert row.p99_cents == vals[k99 - 1]
     assert row.p50 == row.p50_cents / 100
+
+
+def test_stickiness_bounds_and_identity(spark, sf_dir):
+    rows = QUERIES["analytics_stickiness_dau_wau"](spark, sf_dir).collect()
+    assert len(rows) >= 4  # the fixture month spans 4+ epoch-weeks
+    for r in rows:
+        # avg DAU can never exceed WAU; stickiness ∈ (0, 1000].
+        assert 0 < r.stickiness_pm <= 1000
+        assert r.stickiness_pm == r.sum_dau * 1000 // (r.n_days * r.wau)
+        assert r.wau >= max(1, r.sum_dau // r.n_days)
+        assert 1 <= r.n_days <= 7
+
+
+def test_root_cause_shares_sum_to_one_per_dimension(spark, sf_dir):
+    rows = QUERIES["analytics_root_cause_contribution"](spark, sf_dir).collect()
+    dims = {}
+    for r in rows:
+        dims.setdefault(r.dimension, []).append(r)
+    assert set(dims) == {"event_type", "weekday"}
+    for dim, rs in dims.items():
+        # Conservation: per-dimension deltas sum to the SAME global
+        # metric delta, and shares sum to 1.
+        assert abs(sum(x.share_of_delta for x in rs) - 1.0) < 1e-9
+        assert abs(sum(x.mix_shift for x in rs)) < 1e-9
+        for x in rs:
+            assert x.delta_cents == x.b_cents - x.a_cents
+    d1 = sum(x.delta_cents for x in dims["event_type"])
+    d2 = sum(x.delta_cents for x in dims["weekday"])
+    assert d1 == d2
