@@ -1595,3 +1595,105 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day_id
         """
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "stream_rocksdb_state_store",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation on the ROCKSDB state store — the
+    production state backend for 100 TB streaming: the default
+    HDFS-backed provider keeps every key IN EXECUTOR HEAP (state ∝
+    keys → OOM is the scale ceiling), while RocksDB spills state to
+    local SSD with incremental changelog checkpointing, which is how
+    real deployments hold billions of keys. The query itself is the
+    stream_tumbling_daily shape (watermarked 1-day windows over the
+    events replay); what this operator pins is the ENGINE
+    configuration path: an isolated session sets
+    spark.sql.streaming.stateStore.providerClass to RocksDB, the op
+    HARD-FAILS unless the query's own progress telemetry reports
+    RocksDB custom metrics (rocksdbGet/Put counts — proof the provider
+    actually engaged, not just the conf string), and the emitted
+    windows hash-match the batch oracle — same answers, scale-ready
+    state.
+
+    (The newer per-op surface on this backend is
+    stream_transform_with_state; this op covers the drop-in provider
+    swap every EXISTING stateful query gets for free.)"""
+    staging = _fresh_dir("rocksdb", "staging")
+    checkpoint = _fresh_dir("rocksdb", "checkpoint")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .select("event_id", "ts", "value")
+    )
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staging)
+    for i, name in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        os.utime(
+            os.path.join(staging, name), (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+
+    clone = spark.newSession()
+    clone.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    stream = (
+        clone.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withWatermark("ts", "30 days")
+    )
+    windowed = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("rocksdb_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    progress = query.lastProgress
+    metrics = (progress.get("stateOperators") or [{}])[0].get(
+        "customMetrics", {}
+    )
+    if not any(k.startswith("rocksdb") for k in metrics):
+        raise RuntimeError(
+            "RocksDB state store did not engage; customMetrics="
+            f"{sorted(metrics)[:8]}"
+        )
+    out = clone.sql(
+        "SELECT day, n_events, sum_value FROM rocksdb_sink ORDER BY day"
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -2478,3 +2478,23 @@ def test_root_cause_shares_sum_to_one_per_dimension(spark, sf_dir):
     d1 = sum(x.delta_cents for x in dims["event_type"])
     d2 = sum(x.delta_cents for x in dims["weekday"])
     assert d1 == d2
+
+
+def test_rocksdb_state_store_engages_and_matches_batch(spark, sf_dir):
+    rows = QUERIES["stream_rocksdb_state_store"](spark, sf_dir).collect()
+    ref = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    assert [(r.day, r.n_events, r.sum_value) for r in rows] == [
+        (r.day, r.n_events, r.sum_value) for r in ref
+    ]
