@@ -65,13 +65,22 @@ HEADLINE = [
     # regressions would hide without bench coverage.
     "join_spatial_grid",
     "analytics_bootstrap_ci",
+    # Round-7 session-4 representatives: exact Shapley attribution
+    # (events pass -> 2^n mask frame -> integer-weight algebra), DPO
+    # preference pairs (shared-exchange double window + group-key
+    # self-join), and the two-pass exact-quantile selection (bucket
+    # histogram + value-grid refinement under pushed range predicates)
+    # — the new analytics/LLM-prep hot paths of this session.
+    "analytics_shapley_attribution",
+    "pipeline_dpo_pairs",
+    "agg_exact_quantile_twopass",
 ]
 
 # The headline set is VERSIONED (r6 verdict task 4): bump this when the
 # list above changes so cross-round totals are never compared across
 # different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
 # stable cross-round series.
-HEADLINE_SET_VERSION = 5  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2)
+HEADLINE_SET_VERSION = 6  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3)
 
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the
