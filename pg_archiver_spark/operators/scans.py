@@ -2555,3 +2555,84 @@ def layout_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "scan_nested_schema_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning + pushdown through struct columns — the
+    scan discipline for the struct-heavy layouts real archives use
+    (an `info struct<price, priority, clerk, comment>` envelope per
+    order, the shape JSON-born data lands in): selecting
+    `info.priority` and filtering on `info.price` must NOT read the
+    whole struct. Orders are rewritten with a 4-field struct envelope;
+    the query touches two leaves, and the op HARD-FAILS unless the
+    executed plan's ReadSchema contains a PRUNED struct (the envelope
+    with only the two referenced leaves — no clerk/comment) — the
+    `spark.sql.optimizer.nestedSchemaPruning.enabled` contract,
+    asserted on evidence, not configuration. The oracle states the
+    same profile over the flat table, so the struct round-trip is also
+    value-checked.
+
+    At 100 TB the difference is reading 2 of 4 struct leaves (parquet
+    stores leaves as independent column chunks) — same win as flat
+    column pruning, commonly LOST the moment anyone materializes the
+    full struct first; this op is the regression trip-wire."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pg_archiver_spark-{os.getpid()}",
+        f"nested-{uuid.uuid4().hex[:8]}",
+    )
+    orders = load(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("info"),
+    )
+    nested.write.mode("overwrite").parquet(base)
+
+    df = spark.read.parquet(base)
+    result = (
+        df.filter(F.col("info.price") > 100000)
+        .groupBy(F.col("info.priority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("info.price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema must show the pruned struct: price+priority only.
+    import re as _re  # noqa: PLC0415
+
+    m = _re.search(r"ReadSchema: ([^\n]*)", plan)
+    schema_line = m.group(1) if m else ""
+    if "custkey" in schema_line or "status" in schema_line:
+        raise RuntimeError(
+            f"nested pruning failed — full struct read: {schema_line}"
+        )
+    if "price" not in schema_line or "priority" not in schema_line:
+        raise RuntimeError(
+            f"nested pruning evidence missing from plan: {schema_line}"
+        )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

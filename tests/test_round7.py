@@ -2498,3 +2498,26 @@ def test_rocksdb_state_store_engages_and_matches_batch(spark, sf_dir):
     assert [(r.day, r.n_events, r.sum_value) for r in rows] == [
         (r.day, r.n_events, r.sum_value) for r in ref
     ]
+
+
+def test_nested_schema_pruning_reads_only_touched_leaves(spark, sf_dir):
+    # The op hard-fails internally if ReadSchema carries untouched
+    # struct leaves, so a clean run IS the plan assertion; verify the
+    # values too.
+    rows = QUERIES["scan_nested_schema_pruning"](spark, sf_dir).collect()
+    ref = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+        .collect()
+    )
+    assert [(r.priority, r.n_orders, r.sum_price) for r in rows] == [
+        (r.priority, r.n_orders, r.sum_price) for r in ref
+    ]
