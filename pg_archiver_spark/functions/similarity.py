@@ -2174,3 +2174,86 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, beta_intercept double, beta_day double, "
         "beta_urgent double, beta_status_f double, r2 double",
     )
+
+
+def _pack_bits_expr(col: str, lo_offset: int) -> str:
+    # Sign bits of dims [lo_offset, lo_offset+32) packed into a BIGINT.
+    return (
+        f"aggregate(transform(slice({col}, {lo_offset + 1}, 32), "
+        "(x, i) -> CASE WHEN x >= 0 THEN CAST(pow(2, i) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+@register(
+    "sim_binary_quantize_hamming",
+    oracle="""
+    WITH bits AS (
+        SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    packed AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN e >= 0 AND i <= 32
+                             THEN CAST(2 AS BIGINT) ** (i - 1)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN e >= 0 AND i > 32
+                             THEN CAST(2 AS BIGINT) ** (i - 33)
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT lo, hi FROM packed WHERE vec_id = 0)
+    SELECT p.vec_id,
+           CAST(bit_count(xor(p.lo, q.lo))
+                + bit_count(xor(p.hi, q.hi)) AS BIGINT) AS hamming
+    FROM packed p CROSS JOIN q
+    WHERE p.vec_id <> 0
+    ORDER BY hamming, p.vec_id
+    LIMIT 10
+    """,
+)
+def sim_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (1-bit) vector quantization + Hamming top-k — the
+    64×-compression retrieval mode production vector stores ship
+    (sign bit per dimension; distance = popcount of XOR): a 64-dim
+    float vector becomes two packed 32-bit halves in BIGINTs, and the
+    scan-side distance is two XORs + two bit_counts — no floats, no
+    multiplies, SIMD-friendly, and exactly the re-rankable coarse
+    pass int8 quantization (sim_scalar_quantize_int8) refines. The
+    family line: dedup_simhash packs sign bits of TEXT token hashes
+    for dedup; sim_ann_lsh uses a 16-bit sketch to BUCKET candidates;
+    this op makes the packed code itself the SEARCHED representation
+    with exact integer Hamming ranking — hash-checked end-to-end
+    (bit packing is integer-exact in both engines: powers of two
+    summed per sign, Spark transform's 0-based index vs the oracle's
+    1-based generate_subscripts aligned by construction).
+
+    At 100 TB: codes are 8 bytes/vector (vs 256 for float32) — the
+    whole corpus' codes fit where 3% of the floats would; the top-k
+    is TakeOrderedAndProject over one map pass with a 1-row query
+    broadcast (the sim_cosine_topk plan on 1/32 the bytes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        F.expr(_pack_bits_expr("embedding", 0)).alias("lo"),
+        F.expr(_pack_bits_expr("embedding", 32)).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    return (
+        packed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

@@ -589,3 +589,65 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "udtf_arrow_char_ngrams",
+    oracle="""
+    WITH pos AS (
+        SELECT text, unnest(range(1, length(text) - 1)) AS i
+        FROM documents WHERE length(text) >= 3
+    ),
+    grams AS (
+        SELECT substring(text, CAST(i AS INTEGER), 3) AS trigram FROM pos
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 20
+    """,
+)
+def udtf_arrow_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED Python UDTF (Spark 4's `useArrow=True`) — the
+    last rung of the UDTF performance ladder (udtf_split = pickled
+    row-at-a-time, udtf_analyze_dynamic = plan-time schema,
+    udtf_table_arg = partitioned table input; this one moves the
+    row transport to Arrow batches, the same serialization jump that
+    separates `udf_python_scalar` from `udf_pandas_scalar`). The
+    function itself is the character-trigram expander a langid/
+    fingerprinting stage uses — a row-multiplying transform (doc →
+    len−2 rows) that SQL can only express with a LATERAL series join,
+    which is exactly what the DuckDB oracle does, pinning the
+    expansion row-for-row. Top-20 profile with deterministic (count
+    DESC, trigram) ordering.
+
+    Scale: the UDTF runs per input partition with Arrow transfer and
+    no shuffle of its own; the trigram agg behind it partial-aggs the
+    |Σ^3|-bounded vocabulary. The Python boundary is per-batch, not
+    per-row — at 100 TB the cost model matches the Pandas-UDF ops,
+    and a pure-JVM rewrite (sequence + explode + substring) remains
+    the zero-Python alternative the docstring names for the hot
+    path."""
+
+    @udtf(returnType="trigram string", useArrow=True)
+    class CharTrigrams:
+        def eval(self, text: str):
+            if text is None or len(text) < 3:
+                return
+            for i in range(len(text) - 2):
+                yield (text[i : i + 3],)
+
+    spark.udtf.register("char_trigrams_arrow", CharTrigrams)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_ngrams")
+    return spark.sql(
+        """
+        SELECT g.trigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM docs_for_ngrams d,
+             LATERAL char_trigrams_arrow(d.text) g
+        GROUP BY g.trigram
+        ORDER BY n DESC, g.trigram
+        LIMIT 20
+        """
+    )

@@ -2521,3 +2521,46 @@ def test_nested_schema_pruning_reads_only_touched_leaves(spark, sf_dir):
     assert [(r.priority, r.n_orders, r.sum_price) for r in rows] == [
         (r.priority, r.n_orders, r.sum_price) for r in ref
     ]
+
+
+def test_binary_quantize_hamming_matches_python_recompute(spark, sf_dir):
+    rows = QUERIES["sim_binary_quantize_hamming"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def code(v):
+        return sum(1 << i for i, x in enumerate(v) if x >= 0)
+
+    q = code(emb[0])
+    dists = sorted(
+        (bin(code(v) ^ q).count("1"), vid)
+        for vid, v in emb.items()
+        if vid != 0
+    )[:10]
+    assert [(r.hamming, r.vec_id) for r in rows] == dists
+    assert all(0 <= r.hamming <= 64 for r in rows)
+
+
+def test_arrow_udtf_ngrams_match_jvm_expansion(spark, sf_dir):
+    rows = QUERIES["udtf_arrow_char_ngrams"](spark, sf_dir).collect()
+    # Zero-Python JVM twin: sequence + explode + substring.
+    ref = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+        .collect()
+    )
+    assert [(r.trigram, r.n) for r in rows] == [(r.trigram, r.n) for r in ref]

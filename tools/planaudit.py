@@ -24,6 +24,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-7 session-4 additions ----------------------------------
+    "sim_binary_quantize_hamming": "1-row packed-query-code broadcast "
+    "onto the corpus Hamming pass (the sim_cosine_topk anchor shape); "
+    "top-k is TakeOrderedAndProject",
     "analytics_forecast_backtest": "1-row train-window sufficient-"
     "statistics aggregate (slope/intercept) crossJoin onto the "
     "<=|calendar| held-out daily frame — the linreg anchor pattern",
