@@ -1332,15 +1332,19 @@ def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumgrid = grid.select(
         "blo", "c", F.sum("n").over(w_cum).alias("local_cum")
     )
-    results = {}
-    for name, (blo, local_rank) in plan.items():
-        results[name] = (
-            cumgrid.filter(
-                (F.col("blo") == blo) & (F.col("local_cum") >= local_rank)
+    # Both quantiles resolve in ONE refinement job: conditional MINs
+    # over the shared cumgrid frame (one scan of the target buckets).
+    sel = [
+        F.min(
+            F.when(
+                (F.col("blo") == blo) & (F.col("local_cum") >= local_rank),
+                F.col("c"),
             )
-            .agg(F.min("c"))
-            .collect()[0][0]
-        )  # 1 scalar per quantile
+        ).alias(name)
+        for name, (blo, local_rank) in plan.items()
+    ]
+    row = cumgrid.agg(*sel).collect()[0]  # 2 scalars
+    results = {name: row[name] for name in plan}
     return spark.createDataFrame(
         [
             (

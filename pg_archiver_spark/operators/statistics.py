@@ -1448,3 +1448,131 @@ def analytics_goertzel_weekly_power(
         p5.alias("power_ref"),
         (p7 / p5).alias("power_ratio"),
     )
+
+
+SPRT_P0 = 0.20  # H0 conversion rate (purchase share of events)
+SPRT_P1 = 0.25  # H1 rate the test is powered against
+SPRT_ALPHA = 0.05
+# Nano-scaled integer log-likelihood increments and Wald boundaries —
+# the ONLY transcendentals, evaluated once in Python and inlined as
+# literals so both engines do pure integer arithmetic.
+_SPRT_L_SUCC = round(_math.log(SPRT_P1 / SPRT_P0) * 1e9)
+_SPRT_L_FAIL = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e9)
+_SPRT_UPPER = round(_math.log((1 - SPRT_ALPHA) / SPRT_ALPHA) * 1e9)
+_SPRT_LOWER = -_SPRT_UPPER
+
+
+@register(
+    "analytics_sprt_sequential",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY day
+    ),
+    cum AS (
+        SELECT day,
+               SUM(n) OVER w AS cum_n,
+               SUM(x) OVER w AS cum_x,
+               CAST(SUM(x) OVER w * {_SPRT_L_SUCC}
+                    + (SUM(n) OVER w - SUM(x) OVER w) * {_SPRT_L_FAIL}
+                    AS BIGINT) AS llr_nano
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    crossed AS (
+        SELECT *,
+               MIN(CASE WHEN llr_nano >= {_SPRT_UPPER}
+                        OR llr_nano <= {_SPRT_LOWER}
+                        THEN day END) OVER () AS cross_day
+        FROM cum
+    )
+    SELECT day, CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_x AS BIGINT) AS cum_x, llr_nano,
+           CASE WHEN cross_day IS NULL OR day < cross_day THEN 'continue'
+                WHEN llr_nano >= {_SPRT_UPPER} THEN 'accept_h1'
+                WHEN llr_nano <= {_SPRT_LOWER} THEN 'accept_h0'
+                ELSE 'decided' END AS decision
+    FROM crossed
+    ORDER BY day
+    """,
+)
+def analytics_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test — the PEEKING-SAFE
+    monitoring the fixed-horizon z-test (analytics_ab_ztest) cannot
+    give: checking a fixed-horizon test daily inflates false positives
+    to near-certainty, while the SPRT's log-likelihood boundaries
+    ln((1−α)/α) guarantee the error rates AT ANY LOOK — the reason
+    every modern experimentation platform runs sequential tests. Here
+    the daily purchase share is monitored against H0: p=0.20 vs
+    H1: p=0.25; each day emits the cumulative trials/successes, the
+    running LLR, and the decision state (continue until the first
+    boundary crossing, then frozen — first-crossing semantics via a
+    window MIN, not a mutable loop).
+
+    Determinism (G11): the two log-likelihood increments and both Wald
+    boundaries are nano-scaled INTEGER LITERALS (the Goertzel
+    fixed-point trick); the LLR is an integer window sum and every
+    decision is an integer compare — no float ever accumulates.
+
+    Scale: one events pass partial-aggs to the |calendar| daily frame;
+    the cumulative window and the global first-crossing MIN both run
+    on that bounded frame. The same shape monitors any rate metric at
+    100 TB — the fact-sized work never changes."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts_ns DIV 1000000 DIV 86400000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("x"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("x").over(w).cast("bigint").alias("cum_x"),
+    ).select(
+        "day",
+        "cum_n",
+        "cum_x",
+        (
+            F.col("cum_x") * _SPRT_L_SUCC
+            + (F.col("cum_n") - F.col("cum_x")) * _SPRT_L_FAIL
+        )
+        .cast("bigint")
+        .alias("llr_nano"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    crossed = cum.withColumn(
+        "cross_day",
+        F.min(
+            F.when(
+                (F.col("llr_nano") >= _SPRT_UPPER)
+                | (F.col("llr_nano") <= _SPRT_LOWER),
+                F.col("day"),
+            )
+        ).over(w_all),
+    )
+    decision = (
+        F.when(
+            F.col("cross_day").isNull() | (F.col("day") < F.col("cross_day")),
+            "continue",
+        )
+        .when(F.col("llr_nano") >= _SPRT_UPPER, "accept_h1")
+        .when(F.col("llr_nano") <= _SPRT_LOWER, "accept_h0")
+        .otherwise("decided")
+    )
+    return (
+        crossed.select(
+            "day", "cum_n", "cum_x", "llr_nano", decision.alias("decision")
+        )
+        .orderBy("day")
+    )

@@ -2564,3 +2564,30 @@ def test_arrow_udtf_ngrams_match_jvm_expansion(spark, sf_dir):
         .collect()
     )
     assert [(r.trigram, r.n) for r in rows] == [(r.trigram, r.n) for r in ref]
+
+
+def test_sprt_first_crossing_freezes_decision(spark, sf_dir):
+    from pg_archiver_spark.operators.statistics import (
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+    )
+
+    rows = QUERIES["analytics_sprt_sequential"](spark, sf_dir).collect()
+    assert [r.day for r in rows] == sorted(r.day for r in rows)
+    crossed = False
+    for r in rows:
+        out = r.llr_nano >= _SPRT_UPPER or r.llr_nano <= _SPRT_LOWER
+        if not crossed and out:
+            crossed = True
+            first = r
+        if not crossed:
+            assert r.decision == "continue"
+        else:
+            # Decision frozen at the first crossing's direction.
+            assert r.decision in ("accept_h0", "accept_h1", "decided")
+    # Monotone bookkeeping: cumulative counts never decrease.
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_n >= a.cum_n and b.cum_x >= a.cum_x
+    # Null-calibrated fixture (purchase share ~0.20 = p0): the test
+    # must end in accept_h0, never accept_h1.
+    assert rows[-1].decision == "accept_h0"
