@@ -1264,8 +1264,7 @@ def analytics_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PSI_BUCKETS - 1), F.floor(F.col("value") / PSI_WIDTH)
     ).cast("bigint")
     is_ref = F.when(
-        F.expr("ts_ns DIV 1000000") / 86400000
-        < F.lit(PSI_CUTOFF_DAY),
+        F.expr("ts_ns DIV 1000000 DIV 86400000") < F.lit(PSI_CUTOFF_DAY),
         1,
     ).otherwise(0)
     binned = events.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
