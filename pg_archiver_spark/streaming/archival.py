@@ -1697,3 +1697,81 @@ def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "source_state_store_reader",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE DATA SOURCE (Spark 4, SPARK-45511) — read a
+    streaming query's checkpointed state back as a plain DataFrame:
+    the operational surface for debugging stuck streaming jobs
+    ('what is actually IN the state store for key X?'), state-size
+    audits, and offline state migrations — previously impossible
+    without replaying the stream. A per-user count+sum aggregation
+    runs over the events replay (complete mode, availableNow), then
+    `spark.read.format("statestore").load(checkpoint)` opens the
+    LAST committed state snapshot directly from the checkpoint files;
+    the op unpacks (key, aggregation buffer) structs and the DuckDB
+    oracle pins the recovered state EQUAL to the batch GROUP BY — the
+    state on disk IS the aggregate, row for row, which is precisely
+    the exactly-once argument made data-visible.
+
+    At 100 TB the reader scans state shards in parallel like any file
+    source (one task per state partition); no replay, no driver
+    funnel."""
+    staging = _fresh_dir("statesrc", "staging")
+    checkpoint = _fresh_dir("statesrc", "checkpoint")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "cents",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .select("event_id", "user_id", "cents")
+    )
+    ev.write.mode("overwrite").parquet(staging)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, cents long"
+    ).parquet(staging)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("statesrc_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    state = spark.read.format("statestore").load(checkpoint)
+    # key = (user_id), value = the aggregation buffer in agg order:
+    # (n_events, sum_cents). Unpack positionally so buffer-internal
+    # field naming can't break the contract.
+    kcols = state.select("key.*").columns
+    vcols = state.select("value.*").columns
+    out = (
+        state.select(
+            F.col(f"key.{kcols[0]}").cast("bigint").alias("user_id"),
+            F.col(f"value.{vcols[0]}").cast("bigint").alias("n_events"),
+            F.col(f"value.{vcols[1]}").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -2591,3 +2591,22 @@ def test_sprt_first_crossing_freezes_decision(spark, sf_dir):
     # Null-calibrated fixture (purchase share ~0.20 = p0): the test
     # must end in accept_h0, never accept_h1.
     assert rows[-1].decision == "accept_h0"
+
+
+def test_state_store_reader_recovers_exact_aggregate(spark, sf_dir):
+    rows = QUERIES["source_state_store_reader"](spark, sf_dir).collect()
+    ref = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.n_events, r.sum_cents) for r in rows] == [
+        (r.user_id, r.n_events, r.sum_cents) for r in ref
+    ]
