@@ -1575,3 +1575,143 @@ def analytics_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "analytics_pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    vals AS (SELECT cents, COUNT(*) AS t FROM daily GROUP BY cents),
+    ranked AS (
+        SELECT cents,
+               2 * (1 + COALESCE(SUM(t) OVER (
+                   ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)) + t - 1 AS r2
+        FROM vals
+    ),
+    seq AS (
+        SELECT d.day,
+               ROW_NUMBER() OVER (ORDER BY d.day) AS i,
+               r.r2,
+               COUNT(*) OVER () AS tt
+        FROM daily d JOIN ranked r ON d.cents = r.cents
+    ),
+    u AS (
+        SELECT day, i, tt,
+               CAST(SUM(r2) OVER (ORDER BY i) - i * (tt + 1) AS BIGINT)
+                   AS u_t
+        FROM seq
+    ),
+    kmax AS (
+        SELECT *, MAX(ABS(u_t)) OVER () AS k_stat
+        FROM u WHERE i < tt
+    ),
+    k AS (
+        SELECT *,
+               MIN(CASE WHEN ABS(u_t) = k_stat THEN i END) OVER () AS tau_i
+        FROM kmax
+    )
+    SELECT CAST(MAX(tt) AS BIGINT) AS t_days,
+           strftime(MIN(CASE WHEN i = tau_i THEN day END), '%Y-%m-%d')
+               AS tau_day,
+           CAST(MAX(k_stat) AS BIGINT) AS k_stat,
+           2 * exp(-6.0 * CAST(MAX(k_stat) AS DOUBLE)
+                   * CAST(MAX(k_stat) AS DOUBLE)
+                   / (CAST(MAX(tt) AS DOUBLE) * CAST(MAX(tt) AS DOUBLE)
+                      * CAST(MAX(tt) AS DOUBLE)
+                      + CAST(MAX(tt) AS DOUBLE) * CAST(MAX(tt) AS DOUBLE)))
+               AS p_approx
+    FROM k
+    """,
+)
+def analytics_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) — the NONPARAMETRIC
+    complement to analytics_cusum_changepoint exactly as
+    analytics_mannwhitney_u complements the z-test: CUSUM detects a
+    mean shift assuming well-behaved residuals; Pettitt asks whether
+    ANY split point divides the daily-revenue series into two samples
+    with different distributions, using rank statistics immune to
+    heavy tails and outliers. U_t = 2·Σ_{i≤t}R_i − t(T+1) over
+    tie-adjusted DOUBLED midranks (the mannwhitney integer-rank trick
+    — r2 = 2·r_min + ties − 1, so every U_t is exact BIGINT), the
+    statistic is K = max|U_t| with the FIRST maximizing day as the
+    changepoint estimate (deterministic tiebreak), and the classic
+    p ≈ 2·exp(−6K²/(T³+T²)) is the single transcendental, evaluated
+    once on identical integers in both engines.
+
+    Scale: one fact pass to the |calendar| daily frame; ranking and
+    the U-walk are windows over that bounded frame — the
+    analytics_ks_test topology with a different statistic. A
+    null-ish fixture should yield a large p (pinned in pytest)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    vals = daily.groupBy("cents").agg(F.count("*").alias("t"))
+    w_rank = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "cents",
+        (
+            2 * (1 + F.coalesce(F.sum("t").over(w_rank), F.lit(0)))
+            + F.col("t")
+            - 1
+        ).alias("r2"),
+    )
+    w_seq = Window.orderBy("day")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = (
+        daily.join(ranked, "cents")
+        .select(
+            "day",
+            F.row_number().over(w_seq).alias("i"),
+            "r2",
+            F.count("*").over(w_all).alias("tt"),
+        )
+    )
+    w_cum = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = seq.select(
+        "day",
+        "i",
+        "tt",
+        (F.sum("r2").over(w_cum) - F.col("i") * (F.col("tt") + 1))
+        .cast("bigint")
+        .alias("u_t"),
+    ).filter(F.col("i") < F.col("tt"))
+    k = u.select(
+        "*",
+        F.max(F.abs("u_t")).over(w_all).alias("k_stat"),
+    ).select(
+        "*",
+        F.min(
+            F.when(F.abs("u_t") == F.col("k_stat"), F.col("i"))
+        )
+        .over(w_all)
+        .alias("tau_i"),
+    )
+    ttd = F.max("tt").cast("double")
+    ks = F.max("k_stat").cast("double")
+    return k.agg(
+        F.max("tt").cast("bigint").alias("t_days"),
+        F.date_format(
+            F.min(F.when(F.col("i") == F.col("tau_i"), F.col("day"))),
+            "yyyy-MM-dd",
+        ).alias("tau_day"),
+        F.max("k_stat").cast("bigint").alias("k_stat"),
+        (
+            F.lit(2.0)
+            * F.exp(-F.lit(6.0) * ks * ks / (ttd * ttd * ttd + ttd * ttd))
+        ).alias("p_approx"),
+    )

@@ -2610,3 +2610,46 @@ def test_state_store_reader_recovers_exact_aggregate(spark, sf_dir):
     assert [(r.user_id, r.n_events, r.sum_cents) for r in rows] == [
         (r.user_id, r.n_events, r.sum_cents) for r in ref
     ]
+
+
+def test_pettitt_matches_bruteforce_sign_pairs(spark, sf_dir):
+    row = QUERIES["analytics_pettitt_changepoint"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (
+            (r.day, r.cents)
+            for r in load(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderdate").alias("day"))
+            .agg(
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("bigint")
+                .alias("cents")
+            )
+            .collect()
+        ),
+    )
+    xs = [c for _, c in daily]
+    T = len(xs)
+    assert row.t_days == T
+    # Midrank-based U_t (the op's formulation) recomputed directly.
+    order = sorted(range(T), key=lambda i: xs[i])
+    r2 = [0] * T
+    i = 0
+    while i < T:
+        j = i
+        while j < T and xs[order[j]] == xs[order[i]]:
+            j += 1
+        # doubled midrank = (i+1) + (j) in 1-based = i+j+1
+        for k in range(i, j):
+            r2[order[k]] = (i + 1) + j
+        i = j
+    s = 0
+    best = (-1, None)
+    for t in range(1, T):
+        s += r2[t - 1]
+        u = s - t * (T + 1)
+        if abs(u) > best[0]:
+            best = (abs(u), t)
+    assert row.k_stat == best[0]
+    assert str(row.tau_day) == str(daily[best[1] - 1][0])[:10]
+    # No planted shift in the fixture: large p expected.
+    assert row.p_approx > 0.01
