@@ -1918,3 +1918,66 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "size", "id_a", "id_b")
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY HINTS — the per-query physical-plan control
+    surface a tuning engineer reaches for when the optimizer's
+    default is wrong for a known workload: a big-big equi-join above
+    the broadcast threshold defaults to SortMergeJoin (sort both
+    sides, spill-friendly), but when the build side's PER-PARTITION
+    slice fits in memory, SHUFFLE_HASH skips both sorts — often the
+    single biggest win on a join whose output feeds an aggregation
+    (no downstream order to reuse). The op runs the hinted join and
+    HARD-FAILS unless the executed plan actually contains
+    ShuffledHashJoin (hints are advisory — silently ignored hints are
+    precisely the production failure mode this pins); pytest asserts
+    the unhinted twin picks SortMergeJoin, so the evidence covers
+    both directions. Results hash-match the plain-SQL oracle — the
+    strategy changes the plan, never the answer.
+
+    At 100 TB the tradeoff is real: SMJ's sorts cost CPU but degrade
+    gracefully to disk; SHUFFLE_HASH wins while build partitions fit
+    (size via spark.sql.shuffle.partitions) and AQE's
+    skew-join splitting keeps the hash side bounded."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = li.join(
+        orders.hint("SHUFFLE_HASH"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    result = (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    if "ShuffledHashJoin" not in plan:
+        raise RuntimeError(
+            "SHUFFLE_HASH hint did not take effect — executed plan has: "
+            + ", ".join(
+                n for n in ("SortMergeJoin", "BroadcastHashJoin") if n in plan
+            )
+        )
+    return result

@@ -2653,3 +2653,34 @@ def test_pettitt_matches_bruteforce_sign_pairs(spark, sf_dir):
     assert str(row.tau_day) == str(daily[best[1] - 1][0])[:10]
     # No planted shift in the fixture: large p expected.
     assert row.p_approx > 0.01
+
+
+def test_join_hint_flips_strategy_not_answer(spark, sf_dir):
+    rows = QUERIES["join_hint_shuffle_hash"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # Unhinted twin (broadcast disabled so size can't short-circuit it):
+    # the default big-big strategy is SortMergeJoin.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy("priority")
+        )
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert [(r.priority, r.n_items, r.sum_price) for r in rows] == [
+            (r.priority, r.n_items, r.sum_price) for r in plain.collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
