@@ -126,3 +126,119 @@ def test_block_pair_join_meets_every_pair_exactly_once(spark, n, b):
     got = sorted((r.p1, r.p2) for r in pairs.collect())
     want = sorted((i, j) for i in range(n) for j in range(i + 1, n))
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",)  # no lone surrogates
+            ),
+            min_size=20,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_fim_psm_reassembles_any_text(spark, texts):
+    """pipeline_fim_transform invariant: for ANY document (any unicode,
+    any length >= 20), prefix+middle+suffix reassembles the original
+    and the cut points respect 1 <= lo <= hi <= n."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    h = lambda salt: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.length("text")
+        + 1
+    )
+    cuts = df.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.least(h("_a"), h("_b")).alias("lo"),
+        F.greatest(h("_a"), h("_b")).alias("hi"),
+    )
+    out = cuts.select(
+        "doc_id",
+        "text",
+        "n",
+        "lo",
+        "hi",
+        F.expr("substring(text, 1, lo - 1)").alias("pre"),
+        F.expr("substring(text, lo, hi - lo)").alias("mid"),
+        F.expr("substring(text, hi, n - hi + 1)").alias("suf"),
+    ).collect()
+    for r in out:
+        assert 1 <= r.lo <= r.hi <= r.n
+        assert r.pre + r.mid + r.suf == r.text
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_binary_quantize_hamming_metric_properties(spark, vecs):
+    """sim_binary_quantize_hamming's packing invariants for ANY
+    vectors: Hamming(a,a)=0, symmetry, range [0,64], and equality
+    with the directly-computed sign-bit distance."""
+    from pg_archiver_spark.functions.similarity import _pack_bits_expr
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    packed = {
+        r.vec_id: (r.lo, r.hi)
+        for r in df.select(
+            "vec_id",
+            F.expr(_pack_bits_expr("embedding", 0)).alias("lo"),
+            F.expr(_pack_bits_expr("embedding", 32)).alias("hi"),
+        ).collect()
+    }
+    # Spark casts the python floats to float32; recompute signs from
+    # the values Spark actually stored.
+    stored = {r.vec_id: r.embedding for r in df.collect()}
+
+    def code(v):
+        return sum(1 << i for i, x in enumerate(v) if x >= 0)
+
+    for vid, (lo, hi) in packed.items():
+        full = code(stored[vid])
+        assert lo == full & 0xFFFFFFFF
+        assert hi == full >> 32
+    ids = list(packed)
+    for a in ids:
+        for b in ids:
+            da = bin(
+                (packed[a][0] ^ packed[b][0]) | ((packed[a][1] ^ packed[b][1]) << 32)
+            ).count("1")
+            assert 0 <= da <= 64
+            db = bin(code(stored[a]) ^ code(stored[b])).count("1")
+            assert da == db
+            if a == b:
+                assert da == 0
