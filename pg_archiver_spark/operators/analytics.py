@@ -3383,3 +3383,72 @@ def analytics_root_cause_contribution(
             - F.col("a_cents").cast("double") / F.col("a_tot").cast("double")
         ).alias("mix_shift"),
     ).orderBy("dimension", "dim_value")
+
+
+@register(
+    "analytics_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+               CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mo,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY yr, mo
+    )
+    SELECT c.yr, c.mo, c.cents AS cents,
+           p.cents AS prior_cents,
+           CAST(c.cents - p.cents AS BIGINT) AS delta_cents,
+           CAST(c.cents - p.cents AS DOUBLE) / CAST(p.cents AS DOUBLE)
+               AS yoy_growth
+    FROM monthly c JOIN monthly p
+      ON c.yr = p.yr + 1 AND c.mo = p.mo
+    ORDER BY c.yr, c.mo
+    """,
+)
+def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month — the single most-reported BI
+    number, computed the CORRECT way: the monthly frame joins to
+    itself on explicit calendar keys (yr = yr+1, same month), NOT
+    `LAG(12)` — the lag shortcut silently compares wrong months the
+    moment any month is missing from the series, which is the classic
+    dashboard bug this op exists to not have. Revenue is exact integer
+    cents; growth is one IEEE division (double, not permille — deltas
+    go negative and floor-division signs diverge between engines,
+    the root_cause-op rule). Months without a prior-year twin are
+    excluded by the inner join — absent and flat look different.
+
+    Scale: one fact pass partial-aggs to the ≤|months| frame; the
+    self-join is a tiny equi-join on (yr, mo). The same shape does
+    MoM/WoW by changing the join keys."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = monthly.alias("c")
+    p = monthly.alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.yr") == F.col("p.yr") + 1)
+            & (F.col("c.mo") == F.col("p.mo")),
+        )
+        .select(
+            F.col("c.yr").alias("yr"),
+            F.col("c.mo").alias("mo"),
+            F.col("c.cents").alias("cents"),
+            F.col("p.cents").alias("prior_cents"),
+            (F.col("c.cents") - F.col("p.cents"))
+            .cast("bigint")
+            .alias("delta_cents"),
+            (
+                (F.col("c.cents") - F.col("p.cents")).cast("double")
+                / F.col("p.cents").cast("double")
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -2684,3 +2684,32 @@ def test_join_hint_flips_strategy_not_answer(spark, sf_dir):
         ]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_yoy_growth_join_alignment(spark, sf_dir):
+    rows = QUERIES["analytics_yoy_growth"](spark, sf_dir).collect()
+    monthly = {
+        (r.yr, r.mo): r.cents
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        assert monthly[(r.yr, r.mo)] == r.cents
+        assert monthly[(r.yr - 1, r.mo)] == r.prior_cents
+        assert r.delta_cents == r.cents - r.prior_cents
+        assert abs(r.yoy_growth - r.delta_cents / r.prior_cents) < 1e-12
+    # Every month with a prior-year twin is present — none dropped.
+    expected = {
+        (y, m) for (y, m) in monthly if (y - 1, m) in monthly
+    }
+    assert {(r.yr, r.mo) for r in rows} == expected
