@@ -3452,3 +3452,100 @@ def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+@register(
+    "analytics_attribution_rules",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS fp_ms
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type AS channel,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY epoch_ms(e.ts), e.event_id)
+                   AS pos,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS path_len
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE epoch_ms(e.ts) < fp.fp_ms AND e.event_type <> 'purchase'
+    ),
+    per_user_channel AS (
+        SELECT user_id, channel,
+               MAX(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS is_first,
+               MAX(CASE WHEN pos = path_len THEN 1 ELSE 0 END) AS is_last,
+               CAST(COUNT(*) * 1000 // MAX(path_len) AS BIGINT)
+                   AS linear_pm
+        FROM touches GROUP BY user_id, channel
+    )
+    SELECT channel,
+           CAST(SUM(is_first) AS BIGINT) AS first_touch,
+           CAST(SUM(is_last) AS BIGINT) AS last_touch,
+           CAST(SUM(linear_pm) AS BIGINT) AS linear_credit_pm
+    FROM per_user_channel
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def analytics_attribution_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-based conversion attribution — first-touch, last-touch,
+    and linear credit per channel: the three models most marketing
+    warehouses ACTUALLY run daily, completing the attribution family's
+    methodological ladder (rules → analytics_markov_removal_attribution
+    → analytics_shapley_attribution, increasing rigor and cost; a
+    report that shows all three disagreeing is how an analyst argues
+    for the model upgrade). Touchpoints are each user's pre-first-
+    purchase non-purchase events in (event-time, event_id) order —
+    the deterministic tiebreak matters because same-millisecond events
+    exist at scale.
+
+    Linear credit is integer permille per (user, channel):
+    cnt·1000 ÷ path_len by FLOOR division — per-user rounding then
+    INTEGER summation, so the result is order-independent (G11) where
+    a float 1/len sum would not be; the ≤999-permille-per-user dust
+    is the documented cost of determinism (positive operands only, so
+    Spark DIV == DuckDB // here).
+
+    Scale: one events pass, one user_id-keyed shuffle for the window
+    pair (shared partitioning), then a |channels|-bounded agg."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("channel"),
+        F.expr("ts_ns DIV 1000000").alias("ms"),
+    )
+    fp = (
+        ev.filter(F.col("channel") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("fp_ms"))
+    )
+    touches = (
+        ev.join(fp, "user_id")
+        .filter((F.col("ms") < F.col("fp_ms")) & (F.col("channel") != "purchase"))
+    )
+    w_pos = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    w_len = Window.partitionBy("user_id")
+    positioned = touches.select(
+        "user_id",
+        "channel",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count("*").over(w_len).alias("path_len"),
+    )
+    per_uc = positioned.groupBy("user_id", "channel").agg(
+        F.max(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("is_first"),
+        F.max(
+            F.when(F.col("pos") == F.col("path_len"), 1).otherwise(0)
+        ).alias("is_last"),
+        F.expr("CAST(COUNT(*) * 1000 DIV MAX(path_len) AS BIGINT)").alias(
+            "linear_pm"
+        ),
+    )
+    return (
+        per_uc.groupBy("channel")
+        .agg(
+            F.sum("is_first").cast("bigint").alias("first_touch"),
+            F.sum("is_last").cast("bigint").alias("last_touch"),
+            F.sum("linear_pm").cast("bigint").alias("linear_credit_pm"),
+        )
+        .orderBy("channel")
+    )

@@ -2713,3 +2713,29 @@ def test_yoy_growth_join_alignment(spark, sf_dir):
         (y, m) for (y, m) in monthly if (y - 1, m) in monthly
     }
     assert {(r.yr, r.mo) for r in rows} == expected
+
+
+def test_attribution_rules_conservation(spark, sf_dir):
+    rows = QUERIES["analytics_attribution_rules"](spark, sf_dir).collect()
+    # Converters with a nonempty path (reuse the shapley test's frame).
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000000").alias("ms")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("fp_ms"))
+    )
+    with_path = (
+        fp.join(ev, "user_id")
+        .filter((F.col("ms") < F.col("fp_ms")) & (F.col("event_type") != "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # First/last credits each sum to exactly the converter count.
+    assert sum(r.first_touch for r in rows) == with_path
+    assert sum(r.last_touch for r in rows) == with_path
+    # Linear credit sums to ~1000 permille per converter (floor dust).
+    total_pm = sum(r.linear_credit_pm for r in rows)
+    assert with_path * 900 < total_pm <= with_path * 1000
