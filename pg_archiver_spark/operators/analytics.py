@@ -3549,3 +3549,106 @@ def analytics_attribution_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+PRICE_INDEX_BASE_YEAR = 1995
+
+
+@register(
+    "analytics_price_index",
+    oracle=f"""
+    WITH py AS (
+        SELECT l_partkey AS part,
+               CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS ext_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY part, yr
+    ),
+    base AS (
+        SELECT part, ext_cents AS ext0, qty AS qty0 FROM py
+        WHERE yr = {PRICE_INDEX_BASE_YEAR}
+    ),
+    matched AS (
+        SELECT c.yr, c.part,
+               CAST(ROUND(1e6 * CAST(c.ext_cents AS DOUBLE)
+                          * CAST(b.qty0 AS DOUBLE)
+                          / CAST(c.qty AS DOUBLE)) AS BIGINT) AS num_micro,
+               b.ext0
+        FROM py c JOIN base b ON c.part = b.part
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
+           CAST(SUM(ext0) AS BIGINT) AS base_value_cents,
+           CAST(SUM(num_micro) AS BIGINT) AS current_value_micro,
+           CAST(SUM(num_micro) AS DOUBLE) / 1e6
+               / CAST(SUM(ext0) AS DOUBLE) AS laspeyres_index
+    FROM matched
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship-year — the fixed-basket price
+    level every economics/procurement team reports (CPI's formula):
+    value the BASE year's quantities at each year's unit prices and
+    divide by the base-year value, over the MATCHED basket (parts
+    traded in both periods — the inner join is the method, not a
+    shortcut; an unmatched basket silently measures mix, not price).
+    The base-period denominator Σp₀q₀ is EXACTLY the base revenue in
+    integer cents (p₀·q₀ ≡ revenue — no division at all); each
+    current-period term p_y·q₀ = (ext_y/qty_y)·q₀ takes ONE IEEE
+    division+round to integer MICRO-units per (part, year) and then
+    integer-sums through a DECIMAL(38,0) accumulator (the PSI pattern
+    with overflow headroom — a nano-unit BIGINT sum overflows at
+    sf0.01 already, which ANSI mode correctly refuses), so
+    accumulation order cannot move the index (G11). Swapping which year supplies quantities gives
+    Paasche; their geometric mean is Fisher — same frame, same plan.
+
+    Scale: one lineitem pass partial-aggs to the (part, year) frame;
+    the base-year slice re-attaches by an equi-join on part — at
+    100 TB both sides shuffle on the part key, everything downstream
+    is |parts × years|-bounded."""
+    li = load(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+    ).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("ext_cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    base = py.filter(F.col("yr") == PRICE_INDEX_BASE_YEAR).select(
+        "part",
+        F.col("ext_cents").alias("ext0"),
+        F.col("qty").alias("qty0"),
+    )
+    matched = py.join(base, "part").select(
+        "yr",
+        F.round(
+            F.lit(1e6)
+            * F.col("ext_cents").cast("double")
+            * F.col("qty0").cast("double")
+            / F.col("qty").cast("double")
+        )
+        .cast("bigint")
+        .alias("num_micro"),
+        "ext0",
+    )
+    return (
+        matched.groupBy("yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts_matched"),
+            F.sum("ext0").cast("bigint").alias("base_value_cents"),
+            F.sum(F.col("num_micro").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("current_value_micro"),
+            (
+                F.sum(F.col("num_micro").cast("decimal(38,0)")).cast("double")
+                / 1e6
+                / F.sum("ext0").cast("double")
+            ).alias("laspeyres_index"),
+        )
+        .orderBy("yr")
+    )

@@ -2739,3 +2739,23 @@ def test_attribution_rules_conservation(spark, sf_dir):
     # Linear credit sums to ~1000 permille per converter (floor dust).
     total_pm = sum(r.linear_credit_pm for r in rows)
     assert with_path * 900 < total_pm <= with_path * 1000
+
+
+def test_price_index_base_year_is_unity(spark, sf_dir):
+    from pg_archiver_spark.operators.analytics import PRICE_INDEX_BASE_YEAR
+
+    rows = QUERIES["analytics_price_index"](spark, sf_dir).collect()
+    by_year = {r.yr: r for r in rows}
+    assert PRICE_INDEX_BASE_YEAR in by_year
+    base = by_year[PRICE_INDEX_BASE_YEAR]
+    # Valuing base quantities at base prices IS the base value:
+    # index(base year) == 1 up to per-part micro rounding.
+    assert abs(base.laspeyres_index - 1.0) < 1e-6
+    assert (
+        abs(base.current_value_micro - base.base_value_cents * 10**6)
+        <= base.n_parts_matched
+    )
+    for r in rows:
+        assert r.n_parts_matched > 0 and r.base_value_cents > 0
+        # Synthetic prices are stable: index stays in a sane band.
+        assert 0.2 < r.laspeyres_index < 5.0
