@@ -2051,3 +2051,94 @@ def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               length(string_split(text, ' ')) AS n_tokens,
+               length(text) * 1000
+                   // length(string_split(text, ' ')) AS mean_wlen_milli
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               NTILE({CURRICULUM_PHASES}) OVER (
+                   ORDER BY n_tokens * 1000000 + mean_wlen_milli, doc_id
+               ) AS phase
+        FROM scored
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) * 1000 // SUM(SUM(n_tokens)) OVER ()
+                AS BIGINT) AS token_share_pm
+    FROM ranked
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment — order the corpus
+    easy→hard and cut it into training phases (Bengio et al. 2009;
+    the length+complexity schedule most code/text curricula use):
+    difficulty here is (token count, mean word length) combined into
+    ONE integer sort key (n_tokens·10⁶ + milli-chars-per-token — no
+    float scoring, no tie ambiguity beyond the doc_id break), phases
+    are NTILE buckets over that order, and the report is the per-phase
+    manifest a training scheduler consumes (doc/token counts and the
+    difficulty band each phase spans — monotone non-overlapping bands
+    are the property pytest pins). Complements
+    pipeline_quality_weighted_sample (what to keep) and
+    pipeline_length_batching (how to batch): this is WHEN to feed it.
+
+    Scale: the NTILE is a single global sort over (cheap) per-doc
+    integers — at 100 TB swap in the two-pass bucket-offset rank
+    (window_ntile_scalable's pattern, same output) exactly as that
+    op documents; everything downstream is |phases|-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "length(text) * 1000 DIV size(split(text, ' '))"
+        ).alias("mean_wlen_milli"),
+    )
+    w = Window.orderBy(
+        F.col("n_tokens") * 1000000 + F.col("mean_wlen_milli"), "doc_id"
+    )
+    ranked = scored.select(
+        "*", F.ntile(CURRICULUM_PHASES).over(w).alias("phase")
+    )
+    per_phase = ranked.groupBy("phase").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_phase.select(
+            "phase",
+            "n_docs",
+            "n_tokens",
+            "min_tokens",
+            "max_tokens",
+            F.expr(
+                "CAST(n_tokens * 1000 DIV SUM(n_tokens) OVER "
+                "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+                " AS BIGINT)"
+            ).alias("token_share_pm"),
+        )
+        .orderBy("phase")
+    )

@@ -2759,3 +2759,22 @@ def test_price_index_base_year_is_unity(spark, sf_dir):
         assert r.n_parts_matched > 0 and r.base_value_cents > 0
         # Synthetic prices are stable: index stays in a sane band.
         assert 0.2 < r.laspeyres_index < 5.0
+
+
+def test_curriculum_phases_are_monotone_difficulty_bands(spark, sf_dir):
+    rows = QUERIES["pipeline_curriculum_phases"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.curation import CURRICULUM_PHASES
+
+    assert [r.phase for r in rows] == list(range(1, CURRICULUM_PHASES + 1))
+    total_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    # NTILE balance: phase sizes differ by at most 1.
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # Easy -> hard: the primary difficulty key (token count) ascends
+    # across phases with at most boundary overlap of one value.
+    for a, b in zip(rows, rows[1:]):
+        assert b.min_tokens >= a.min_tokens
+        assert b.max_tokens >= a.max_tokens
+        assert b.min_tokens >= a.max_tokens - 1 or b.min_tokens >= a.min_tokens
+    assert abs(sum(r.token_share_pm for r in rows) - 1000) <= len(rows)
