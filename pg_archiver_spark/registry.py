@@ -69,17 +69,23 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # analytics_seasonal_residual_outliers, registration order; 19
 # sql-checked + 1 rows-only) — queue them last in the r8/r9 rotation;
 # all 20 carry local 3-SF gate evidence and op-level pytest.
-# Session-4 of r7 added 28 more (bucket-offset prefix sum, Markov
-# removal attribution, regex sequence screen, minhash PR eval,
-# hard-negative mining, Theil-Sen, watermark-dedup contract, chained
-# streaming rollup, WARC ingest, Mann-Whitney U, kNN label-recovery
-# eval, FIM transform, fixed-width source, k-fold assign, chat
-# template, Pareto ABC, blocked fuzzy join, permutation test, Shapley
-# attribution, collation groupby, MMR rerank, PSI drift, OLS normal
-# equations, forecast backtest, BFS distance, DPO pairs, rolling
-# regression, winsorized mean; mostly sql-checked) — queue them after
-# the session-2/3 tails in the r8/r9/r10 rotation, sql-checked first;
-# all carry local 3-SF gate evidence and op-level pytest.
+# Session-4 of r7 added 44 more, closing the round at 352 registered
+# (313 sql-checked): bucket-offset prefix sum, Markov removal
+# attribution, regex sequence screen, minhash PR eval, hard-negative
+# mining, Theil-Sen, watermark-dedup contract, chained streaming
+# rollup, WARC ingest, Mann-Whitney U, kNN label-recovery eval, FIM
+# transform, fixed-width source, k-fold assign, chat template, Pareto
+# ABC, blocked fuzzy join, permutation test, Shapley attribution,
+# collation groupby, MMR rerank, PSI drift, OLS normal equations,
+# forecast backtest, BFS distance, DPO pairs, rolling regression,
+# winsorized mean, Goertzel weekly power, two-pass exact quantile,
+# DAU/WAU stickiness, root-cause contribution, SPRT sequential,
+# RocksDB state store, state-store reader, nested schema pruning,
+# binary-quantize Hamming, Arrow UDTF ngrams, Pettitt changepoint,
+# shuffle-hash hint, YoY growth, attribution rules, price index,
+# curriculum phases — queue them after the session-2/3 tails in the
+# r8/r9/r10 rotation, sql-checked first; all carry local 3-SF gate
+# evidence and op-level pytest.
 _DRIVER_PRIORITY = [
     # -- last driver evidence r2 (17 ops) -----------------------------
     "date_arith_retention",
