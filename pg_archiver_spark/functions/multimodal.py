@@ -564,3 +564,100 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("zero_crossings").alias("total_zero_crossings"),
         F.max("peak").alias("max_peak"),
     )
+
+
+PHASH_MAX_DIST = 10
+PHASH_BRIGHTNESS = 4  # planted-twin brightness shift (ASCII never clips)
+
+
+@register("multimodal_phash_neardup")  # rows-only: PNG synthesis +
+# Python decode kernel — no SQL-expressible oracle; recall/precision
+# are pinned by the planted-twin pytest.
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate detection — the visual
+    sibling of minhash_neardup/dedup_simhash, completing the dedup
+    family across modalities (text shingles → MinHash; embeddings →
+    cosine; images → aHash): decode each PNG for real, downsample to
+    the 8×8 thumbnail grid, threshold against the thumbnail mean
+    (average-hash), pack the 64 sign bits into two 32-bit halves (the
+    sim_binary_quantize_hamming layout), then find pairs by a BAND
+    equi-join on the top half and refine with exact JVM-side Hamming
+    (xor + bit_count) ≤ PHASH_MAX_DIST — never an all-pairs scan.
+
+    Ground truth is PLANTED: every doc_id % 10 == 0 image gets a twin
+    (negative id namespace, the dataset-diff convention) with a +4
+    brightness shift — a global shift moves pixels AND the mean
+    together, so aHash is mathematically INVARIANT to it (the property
+    that makes average-hash a perceptual hash at all); the pytest
+    therefore demands 100% recall of planted twins, and precision is
+    reported as a column rather than assumed. Single-band blocking is
+    the honest fixture-scale choice; at 100 TB you run the minhash
+    multi-band OR over 4×16-bit bands — same machinery, documented
+    recall/grid tradeoff.
+
+    Kernel cost model: Arrow-batched mapInPandas, numpy gather for the
+    thumbnail, no per-pixel Python in the hash path; the pair stage is
+    pure JVM equi-join + bit arithmetic."""
+    import numpy as np  # noqa: PLC0415
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
+
+    def phash_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                variants = [(int(doc_id), bytes(payload))]
+                if doc_id % 10 == 0:
+                    w, h, ch, px = decode_png_pixels(bytes(payload))
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    shifted = np.minimum(
+                        255, arr.astype(np.int32) + PHASH_BRIGHTNESS
+                    ).astype(np.uint8)
+                    variants.append(
+                        (-int(doc_id) - 1, encode_png(w, h, shifted.tobytes()))
+                    )
+                for vid, pl in variants:
+                    w, h, ch, px = decode_png_pixels(pl)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w * ch)
+                    t = THUMB_SIZE
+                    sy = np.minimum(h - 1, (np.arange(t) * h) // t)
+                    sx = np.minimum(w - 1, (np.arange(t) * w) // t) * ch
+                    thumb = arr[np.ix_(sy, sx)].astype(np.int32)
+                    bits = (thumb.ravel() > thumb.mean()).astype(np.int64)
+                    code = int((bits << np.arange(64, dtype=np.int64)).sum())
+                    rows.append(
+                        (vid, code & 0xFFFFFFFF, (code >> 32) & 0xFFFFFFFF)
+                    )
+            yield pd.DataFrame(rows, columns=["img_id", "lo", "hi"])
+
+    hashed = media.mapInPandas(
+        phash_kernel, schema="img_id long, lo long, hi long"
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hi") == F.col("b.hi"))  # band block: top 32 bits
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_DIST)
+        .orderBy("id_a", "id_b")
+    )
+    rows = pairs.collect()
+    return spark.createDataFrame(rows, pairs.schema)

@@ -2778,3 +2778,26 @@ def test_curriculum_phases_are_monotone_difficulty_bands(spark, sf_dir):
         assert b.max_tokens >= a.max_tokens
         assert b.min_tokens >= a.max_tokens - 1 or b.min_tokens >= a.min_tokens
     assert abs(sum(r.token_share_pm for r in rows) - 1000) <= len(rows)
+
+
+def test_phash_neardup_finds_all_planted_twins(spark, sf_dir):
+    rows = QUERIES["multimodal_phash_neardup"](spark, sf_dir).collect()
+    planted = {
+        int(r.doc_id)
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        .collect()
+    }
+    got_pairs = {(r.id_a, r.id_b) for r in rows}
+    # 100% recall: a global brightness shift is aHash-invariant, so
+    # every planted (twin, original) pair must surface at hamming 0.
+    for d in planted:
+        assert (-d - 1, d) in got_pairs
+    for r in rows:
+        if r.id_a < 0 and r.id_b == -r.id_a - 1:
+            assert r.hamming == 0
+    # Precision report: planted twins dominate the pair set.
+    twin_pairs = sum(1 for r in rows if r.id_a < 0 and r.id_b == -r.id_a - 1)
+    assert twin_pairs == len(planted)
+    assert twin_pairs / len(rows) > 0.5
