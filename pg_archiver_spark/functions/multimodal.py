@@ -661,3 +661,110 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = pairs.collect()
     return spark.createDataFrame(rows, pairs.schema)
+
+
+AUDIO_FP_FRAMES = 64
+AUDIO_FP_MAX_DIST = 10
+AUDIO_TWIN_SCALE = 2  # planted twin: amplitude halved (integer shift)
+
+
+@register("multimodal_audio_fingerprint_neardup")  # rows-only: WAV
+# synthesis + Python decode kernel — recall pinned by the planted-twin
+# pytest (no SQL-expressible oracle).
+def multimodal_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio FINGERPRINT near-duplicate detection — the audio member
+    of the cross-modal dedup family (text → MinHash, embeddings →
+    cosine, images → multimodal_phash_neardup, audio → this): decode
+    each WAV's PCM frames for real, split into AUDIO_FP_FRAMES energy
+    windows, threshold each window's energy against the clip mean
+    (the Haitsma–Kalker energy-sign idea, mono-band form), pack the
+    sign bits into two 32-bit halves, and pair by the banded
+    Hamming join (top-half equi-block + exact xor/bit_count refine —
+    the multimodal_phash_neardup machinery verbatim, which is the
+    point: ONE pair-stage design serves every modality once content
+    is reduced to sign bits).
+
+    The fingerprint is AMPLITUDE-INVARIANT by construction — scaling
+    every sample scales window energies and their mean together, so
+    the planted twins (negative-id namespace, amplitude halved by an
+    integer shift) must be recovered at small Hamming distance
+    (truncation can flip only near-threshold windows); pytest demands
+    full recall within AUDIO_FP_MAX_DIST and reports precision.
+
+    Kernel: Arrow-batched mapInPandas, numpy square-sum per window —
+    no per-sample Python; the pair stage never leaves the JVM."""
+    import numpy as np  # noqa: PLC0415
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
+
+    def fp_kernel(batches):
+        import io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        def samples_of(payload: bytes) -> "np.ndarray":
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                frames = w.readframes(w.getnframes())
+            return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+
+        def code_of(samples: "np.ndarray") -> int:
+            n = AUDIO_FP_FRAMES
+            # pad to a multiple of n, square-sum per window
+            pad = (-len(samples)) % n
+            s = np.pad(samples, (0, pad))
+            win = s.reshape(n, -1)
+            energy = (win * win).sum(axis=1)
+            bits = (energy > energy.mean()).astype(np.int64)
+            return int((bits << np.arange(n, dtype=np.int64)).sum())
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = samples_of(bytes(payload))
+                code = code_of(s)
+                rows.append(
+                    (int(doc_id), code & 0xFFFFFFFF, (code >> 32) & 0xFFFFFFFF)
+                )
+                if doc_id % 10 == 5:
+                    twin = code_of(s // AUDIO_TWIN_SCALE)
+                    rows.append(
+                        (
+                            -int(doc_id) - 1,
+                            twin & 0xFFFFFFFF,
+                            (twin >> 32) & 0xFFFFFFFF,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["clip_id", "lo", "hi"])
+
+    hashed = media.mapInPandas(
+        fp_kernel, schema="clip_id long, lo long, hi long"
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hi") == F.col("b.hi"))
+            & (F.col("a.clip_id") < F.col("b.clip_id")),
+        )
+        .select(
+            F.col("a.clip_id").alias("id_a"),
+            F.col("b.clip_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_DIST)
+        .orderBy("id_a", "id_b")
+    )
+    rows = pairs.collect()
+    return spark.createDataFrame(rows, pairs.schema)

@@ -2801,3 +2801,26 @@ def test_phash_neardup_finds_all_planted_twins(spark, sf_dir):
     twin_pairs = sum(1 for r in rows if r.id_a < 0 and r.id_b == -r.id_a - 1)
     assert twin_pairs == len(planted)
     assert twin_pairs / len(rows) > 0.5
+
+
+def test_audio_fingerprint_recovers_planted_twins(spark, sf_dir):
+    rows = QUERIES["multimodal_audio_fingerprint_neardup"](
+        spark, sf_dir
+    ).collect()
+    planted = {
+        int(r.doc_id)
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 10 == 5))
+        .collect()
+    }
+    got_pairs = {(r.id_a, r.id_b) for r in rows}
+    # Amplitude invariance: every halved-amplitude twin must pair with
+    # its original within the Hamming budget.
+    for d in planted:
+        assert (-d - 1, d) in got_pairs
+    twin_pairs = sum(1 for r in rows if r.id_a < 0 and r.id_b == -r.id_a - 1)
+    assert twin_pairs == len(planted)
+    assert twin_pairs / len(rows) > 0.5
+    for r in rows:
+        assert 0 <= r.hamming <= 10 and r.id_a < r.id_b
