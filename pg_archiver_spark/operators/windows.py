@@ -712,3 +712,78 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "window_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(d) FROM daily), (SELECT MAX(d) FROM daily)
+        )) AS d
+    ),
+    joined AS (
+        SELECT s.d, daily.cents FROM spine s
+        LEFT JOIN daily ON s.d = daily.d
+    )
+    SELECT d,
+           CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_filled,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS is_filled
+    FROM joined
+    ORDER BY d
+    """,
+)
+def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LAST OBSERVATION CARRIED FORWARD over a
+    generated calendar spine — the step-function twin of
+    analytics_interpolate_linear (same topology, different fill
+    semantics; LOCF is correct for STATE-like series — a price or
+    config holds until changed — where linear interpolation would
+    invent values nobody set). The spine is `sequence(min_day,
+    max_day)` exploded from the 1-row extremes aggregate (gap days
+    EXIST as rows — a dashboard that skips missing days lies about
+    them); observed days left-join on, and the fill is
+    `last_value(IGNORE NULLS)` over the ordered frame, with an
+    `is_filled` audit flag so filled and observed values stay
+    distinguishable downstream. The spine starts AT the first
+    observed day, so the fill is total — no leading NULL ever reaches
+    the output (the G13 NULL/NaN trap is avoided structurally).
+
+    Scale: one fact pass to the daily frame; the spine is
+    |calendar|-bounded and the LOCF window is one ordered pass over
+    it — swap in the bucket-offset prefix pattern if |calendar| ever
+    outgrows a task (it doesn't)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    spine = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi)")).alias("d"))
+    joined = spine.join(daily, "d", "left")
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "d",
+        F.last("cents", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("cents_filled"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("is_filled"),
+    ).orderBy("d")

@@ -2824,3 +2824,33 @@ def test_audio_fingerprint_recovers_planted_twins(spark, sf_dir):
     assert twin_pairs / len(rows) > 0.5
     for r in rows:
         assert 0 <= r.hamming <= 10 and r.id_a < r.id_b
+
+
+def test_gap_fill_locf_step_semantics(spark, sf_dir):
+    rows = QUERIES["window_gap_fill_locf"](spark, sf_dir).collect()
+    observed = {
+        r.d: r.cents
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff("o_orderdate", F.lit("1992-01-01"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    }
+    # Dense spine: every day between min and max is present exactly once.
+    ds = [r.d for r in rows]
+    assert ds == list(range(min(observed), max(observed) + 1))
+    last = None
+    for r in rows:
+        if r.d in observed:
+            assert r.is_filled == 0 and r.cents_filled == observed[r.d]
+            last = observed[r.d]
+        else:
+            assert r.is_filled == 1 and r.cents_filled == last
+    assert sum(r.is_filled for r in rows) == len(rows) - len(observed)
