@@ -2257,3 +2257,99 @@ def sim_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+ROC_SCORE_DIMS = 8  # leading embedding dims folded into the score
+
+
+@register(
+    "ml_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(list_sum(embedding[1:{ROC_SCORE_DIMS}]) * 1e6)
+                    AS BIGINT) AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT score, COUNT(*) AS t, SUM(pos) AS tp
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT score, t, tp,
+               1 + COALESCE(SUM(t) OVER (
+                   ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS r_min
+        FROM vals
+    ),
+    sums AS (
+        SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+               CAST(SUM(t - tp) AS BIGINT) AS n_neg,
+               CAST(SUM(tp * (2 * r_min + t - 1)) AS BIGINT) AS sum_avg2_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(sum_avg2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(sum_avg2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               AS auc
+    FROM sums
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC by the EXACT rank-statistic identity AUC = U/(n₊·n₋) —
+    the ranking-quality half of model evaluation
+    (ml_calibration_bins is the probability-honesty half; a model can
+    ace one and fail the other, which is why both ship). The score is
+    an integer-quantized fold of the leading embedding dims (×10⁶,
+    rounded — scores must be integers BEFORE ranking or cross-engine
+    float ordering can disagree, the house ranking rule), the U
+    statistic reuses analytics_mannwhitney_u's tie-adjusted doubled-
+    midrank machinery (sum of 2·midrank over positives, exact
+    BIGINT — ties get the standard 0.5 credit automatically), and the
+    single IEEE division at the end is the AUC. No sampling, no
+    trapezoid approximation: this IS the exact area.
+
+    Scale: groupBy(score) partial-agg → cumulative window over the
+    distinct-score frame (bounded by score cardinality, not rows) →
+    1-row sums. The same plan computes AUC at any corpus size; a
+    per-segment AUC is one partitionBy away."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(
+            F.expr(
+                f"aggregate(slice(embedding, 1, {ROC_SCORE_DIMS}), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1e6"
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    vals = scored.groupBy("score").agg(
+        F.count("*").alias("t"), F.sum("pos").alias("tp")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "score",
+        "t",
+        "tp",
+        (1 + F.coalesce(F.sum("t").over(w), F.lit(0))).alias("r_min"),
+    )
+    sums = ranked.agg(
+        F.sum("tp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("tp")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("tp") * (2 * F.col("r_min") + F.col("t") - 1))
+        .cast("bigint")
+        .alias("sum_avg2_pos"),
+    )
+    u2 = F.col("sum_avg2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("bigint").alias("u2"),
+        (
+            u2.cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )

@@ -2854,3 +2854,33 @@ def test_gap_fill_locf_step_semantics(spark, sf_dir):
         else:
             assert r.is_filled == 1 and r.cents_filled == last
     assert sum(r.is_filled for r in rows) == len(rows) - len(observed)
+
+
+def test_roc_auc_matches_pairwise_definition(spark, sf_dir):
+    from pg_archiver_spark.functions.similarity import ROC_SCORE_DIMS
+
+    row = QUERIES["ml_roc_auc"](spark, sf_dir).collect()[0]
+    data = [
+        (
+            round(sum(r.embedding[:ROC_SCORE_DIMS]) * 1e6),
+            1 if r.label < 5 else 0,
+        )
+        for r in load(spark, sf_dir, "embeddings").collect()
+    ]
+    pos = [s for s, p in data if p]
+    neg = [s for s, p in data if not p]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    # AUC == P(score_pos > score_neg) + 0.5 P(tie), the pairwise form.
+    import bisect
+
+    neg_sorted = sorted(neg)
+    wins = ties = 0
+    for s in pos:
+        lo = bisect.bisect_left(neg_sorted, s)
+        hi = bisect.bisect_right(neg_sorted, s)
+        wins += lo
+        ties += hi - lo
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - auc) < 1e-12
+    # Arbitrary embedding fold vs labels: near-chance AUC expected.
+    assert 0.3 < row.auc < 0.7
