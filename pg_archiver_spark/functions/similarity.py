@@ -2353,3 +2353,100 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )
+
+
+LIFT_DECILES = 10
+
+
+@register(
+    "ml_lift_gains_table",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id,
+               CAST(ROUND(list_sum(embedding[1:{ROC_SCORE_DIMS}]) * 1e6)
+                    AS BIGINT) AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT *, NTILE({LIFT_DECILES}) OVER (
+                   ORDER BY score DESC, vec_id) AS decile
+        FROM scored
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) * 1000
+                // SUM(n_pos) OVER () AS BIGINT) AS cum_capture_pm,
+           CAST(n_pos * SUM(n) OVER () * 1000
+                // (n * SUM(n_pos) OVER ()) AS BIGINT) AS lift_milli
+    FROM per_decile
+    ORDER BY decile
+    """,
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile GAINS/LIFT table — the third leg of the model-eval stool
+    (ml_roc_auc = global ranking quality, ml_calibration_bins =
+    probability honesty, this = WHERE in the ranking the positives
+    concentrate): rank by the quantized score, cut into deciles, and
+    report each decile's cumulative positive capture (the gains
+    curve — 'top 20% of the list reaches X‰ of all positives', the
+    number a campaign-targeting or review-queue owner actually acts
+    on) and its lift over the base rate, both as cross-multiplied
+    integer ratios (capture·1000÷total, n_pos·N·1000÷(n·N_pos) — all
+    operands positive, floor division identical in both engines).
+
+    Scale: the NTILE is a global sort over integer scores — at 100 TB
+    swap in window_ntile_scalable's two-pass bucket-offset rank (the
+    documented substitute); everything after is |deciles|-bounded."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                f"aggregate(slice(embedding, 1, {ROC_SCORE_DIMS}), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1e6"
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    w_rank = Window.orderBy(F.desc("score"), "vec_id")
+    ranked = scored.select(
+        "*", F.ntile(LIFT_DECILES).over(w_rank).alias("decile")
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_decile.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr(
+                "CAST(SUM(n_pos) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 "
+                "DIV SUM(n_pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND UNBOUNDED FOLLOWING) AS BIGINT)"
+            ).alias("cum_capture_pm"),
+            F.expr(
+                "CAST(n_pos * SUM(n) OVER (ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND UNBOUNDED FOLLOWING) * 1000 DIV "
+                "(n * SUM(n_pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND UNBOUNDED FOLLOWING)) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("decile")
+    )

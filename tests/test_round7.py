@@ -2884,3 +2884,21 @@ def test_roc_auc_matches_pairwise_definition(spark, sf_dir):
     assert abs(row.auc - auc) < 1e-12
     # Arbitrary embedding fold vs labels: near-chance AUC expected.
     assert 0.3 < row.auc < 0.7
+
+
+def test_lift_gains_conservation_and_monotone_capture(spark, sf_dir):
+    rows = QUERIES["ml_lift_gains_table"](spark, sf_dir).collect()
+    from pg_archiver_spark.functions.similarity import LIFT_DECILES
+
+    assert [r.decile for r in rows] == list(range(1, LIFT_DECILES + 1))
+    total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == total
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance
+    caps = [r.cum_capture_pm for r in rows]
+    assert caps == sorted(caps)  # gains curve is nondecreasing
+    assert 999 <= caps[-1] <= 1000  # full capture at decile 10
+    n_tot = sum(r.n for r in rows)
+    p_tot = sum(r.n_pos for r in rows)
+    for r in rows:
+        assert r.lift_milli == r.n_pos * n_tot * 1000 // (r.n * p_tot)
