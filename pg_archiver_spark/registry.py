@@ -69,8 +69,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # analytics_seasonal_residual_outliers, registration order; 19
 # sql-checked + 1 rows-only) — queue them last in the r8/r9 rotation;
 # all 20 carry local 3-SF gate evidence and op-level pytest.
-# Session-4 of r7 added 44 more, closing the round at 352 registered
-# (313 sql-checked): bucket-offset prefix sum, Markov removal
+# Session-4 of r7 added 49 more, closing the round at 357 registered
+# (316 sql-checked): bucket-offset prefix sum, Markov removal
 # attribution, regex sequence screen, minhash PR eval, hard-negative
 # mining, Theil-Sen, watermark-dedup contract, chained streaming
 # rollup, WARC ingest, Mann-Whitney U, kNN label-recovery eval, FIM
@@ -83,7 +83,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # RocksDB state store, state-store reader, nested schema pruning,
 # binary-quantize Hamming, Arrow UDTF ngrams, Pettitt changepoint,
 # shuffle-hash hint, YoY growth, attribution rules, price index,
-# curriculum phases — queue them after the session-2/3 tails in the
+# curriculum phases, pHash image near-dup, audio fingerprint near-dup,
+# LOCF gap fill, exact ROC AUC, lift/gains table — queue them after
+# the session-2/3 tails in the
 # r8/r9/r10 rotation, sql-checked first; all carry local 3-SF gate
 # evidence and op-level pytest.
 _DRIVER_PRIORITY = [
