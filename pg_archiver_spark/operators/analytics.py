@@ -3652,3 +3652,87 @@ def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# CV² thresholds ×10⁴ for the X/Y/Z bands (CV ≤ 0.43 / ≤ 0.46 / above).
+XYZ_T1_SQ_X1E4 = 1849
+XYZ_T2_SQ_X1E4 = 2116
+
+
+@register(
+    "analytics_xyz_classification",
+    oracle=f"""
+    WITH wk AS (
+        SELECT p.p_brand AS brand,
+               epoch_ms(l.l_shipdate) // 604800000 AS wk_id,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, wk_id
+    ),
+    stats AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss
+        FROM wk GROUP BY brand
+    )
+    SELECT brand, n_weeks,
+           CAST(s * 1000 // n_weeks AS BIGINT) AS mean_qty_milli,
+           sqrt(CAST(n_weeks * ss - s * s AS DOUBLE)) / CAST(s AS DOUBLE)
+               AS cv,
+           CASE WHEN (n_weeks * ss - s * s) * 10000
+                     <= s * s * {XYZ_T1_SQ_X1E4} THEN 'X'
+                WHEN (n_weeks * ss - s * s) * 10000
+                     <= s * s * {XYZ_T2_SQ_X1E4} THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM stats
+    ORDER BY brand
+    """,
+)
+def analytics_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the other axis of the
+    ABC-XYZ inventory matrix (analytics_pareto_abc is the value axis;
+    crossing them is how planners pick forecast-driven vs
+    safety-stock vs make-to-order policies): per brand, the
+    coefficient of variation of WEEKLY demand, banded X (steady,
+    forecastable) / Y / Z (erratic). The band decision never touches
+    a float: CV² = (n·Σq² − S²)/S² compares to each threshold by
+    cross-multiplication against integer ×10⁴ constants (G11), with
+    the exact integer sufficient statistics (n, S, Σq²) from one
+    partial-agg pass; the reported cv column is a single
+    sqrt-of-exact-integers divide (bit-identical both engines).
+    Weeks are absolute epoch-week buckets (the stickiness-op
+    convention).
+
+    Scale: fact pass → (brand, week) partial agg → |brands|-bounded
+    stats frame. Thresholds are declared constants tuned to the
+    fixture's CV range (0.39-0.50) exactly as PSI's bin edges are —
+    swap per deployment, the algebra is what's under test."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    wk = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "(unix_timestamp(l_shipdate) * 1000) DIV 604800000"
+            ).alias("wk_id"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    stats = wk.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_weeks"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    var_n2 = F.col("n_weeks") * F.col("ss") - F.col("s") * F.col("s")
+    return stats.select(
+        "brand",
+        "n_weeks",
+        F.expr("CAST(s * 1000 DIV n_weeks AS BIGINT)").alias("mean_qty_milli"),
+        (F.sqrt(var_n2.cast("double")) / F.col("s").cast("double")).alias("cv"),
+        F.when(var_n2 * 10000 <= F.col("s") * F.col("s") * XYZ_T1_SQ_X1E4, "X")
+        .when(var_n2 * 10000 <= F.col("s") * F.col("s") * XYZ_T2_SQ_X1E4, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    ).orderBy("brand")

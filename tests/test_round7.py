@@ -2902,3 +2902,25 @@ def test_lift_gains_conservation_and_monotone_capture(spark, sf_dir):
     p_tot = sum(r.n_pos for r in rows)
     for r in rows:
         assert r.lift_milli == r.n_pos * n_tot * 1000 // (r.n * p_tot)
+
+
+def test_xyz_classification_band_consistency(spark, sf_dir):
+    from pg_archiver_spark.operators.analytics import (
+        XYZ_T1_SQ_X1E4,
+        XYZ_T2_SQ_X1E4,
+    )
+
+    rows = QUERIES["analytics_xyz_classification"](spark, sf_dir).collect()
+    assert len(rows) == 25  # one row per brand
+    import math
+
+    for r in rows:
+        assert r.n_weeks > 0 and r.mean_qty_milli > 0
+        # The float cv column and the integer band decision agree.
+        t1, t2 = math.sqrt(XYZ_T1_SQ_X1E4 / 1e4), math.sqrt(XYZ_T2_SQ_X1E4 / 1e4)
+        if r.xyz_class == "X":
+            assert r.cv <= t1 + 1e-9
+        elif r.xyz_class == "Y":
+            assert t1 - 1e-9 <= r.cv <= t2 + 1e-9
+        else:
+            assert r.cv >= t2 - 1e-9
