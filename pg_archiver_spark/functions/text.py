@@ -698,3 +698,95 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_OUT)
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+        SELECT lower(unnest(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM words WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
+        FROM freq
+    ),
+    logs AS (
+        SELECT CAST(ROUND(1e9 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+               CAST(ROUND(1e9 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx
+        FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the corpus-linguistics diagnostic every
+    dataset card should carry: the log-log slope of word frequency
+    against frequency rank (natural language sits near −1; a slope
+    far off flags templated/boilerplate or synthetic text, the
+    corpus-level complement of the per-document screens
+    text_repetition and text_entropy_quality). Ranks are fully
+    deterministic (freq DESC, word); each ln is nano-rounded to an
+    INTEGER once per DISTINCT WORD (the PSI fixed-point pattern), the
+    OLS sufficient sums accumulate in DECIMAL(38,0) (products of two
+    1e9-scale ints overflow BIGINT — the price-index lesson), and
+    the slope is the single closed-form IEEE division.
+
+    Scale: explode → word-frequency partial agg (the text_wordcount
+    shuffle); everything after runs on the VOCABULARY frame — ranking
+    included, so the global sort is |vocab|-bounded, not corpus-bound
+    (swap in the bucket-offset rank if a web-scale vocab ever
+    outgrows a task)."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w_rank = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.select("f", F.row_number().over(w_rank).alias("r"))
+    logs = ranked.select(
+        F.round(F.lit(1e9) * F.log(F.col("r").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.lit(1e9) * F.log(F.col("f").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = logs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )

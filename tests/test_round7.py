@@ -2924,3 +2924,28 @@ def test_xyz_classification_band_consistency(spark, sf_dir):
             assert t1 - 1e-9 <= r.cv <= t2 + 1e-9
         else:
             assert r.cv >= t2 - 1e-9
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    row = QUERIES["text_zipf_fit"](spark, sf_dir).collect()[0]
+    freqs = sorted(
+        (
+            r.f
+            for r in load(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("f"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    assert row.n_vocab == len(freqs)
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log(np.array(freqs, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    # Nano-quantized fixed-point OLS tracks the float fit closely.
+    assert abs(row.zipf_slope - slope) < 1e-6
+    assert -3.0 < row.zipf_slope < 0.0
