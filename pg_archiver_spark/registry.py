@@ -69,8 +69,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # analytics_seasonal_residual_outliers, registration order; 19
 # sql-checked + 1 rows-only) — queue them last in the r8/r9 rotation;
 # all 20 carry local 3-SF gate evidence and op-level pytest.
-# Session-4 of r7 added 49 more, closing the round at 357 registered
-# (316 sql-checked): bucket-offset prefix sum, Markov removal
+# Session-4 of r7 added 51 more, closing the round at 359 registered
+# (318 sql-checked): bucket-offset prefix sum, Markov removal
 # attribution, regex sequence screen, minhash PR eval, hard-negative
 # mining, Theil-Sen, watermark-dedup contract, chained streaming
 # rollup, WARC ingest, Mann-Whitney U, kNN label-recovery eval, FIM
@@ -84,7 +84,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # binary-quantize Hamming, Arrow UDTF ngrams, Pettitt changepoint,
 # shuffle-hash hint, YoY growth, attribution rules, price index,
 # curriculum phases, pHash image near-dup, audio fingerprint near-dup,
-# LOCF gap fill, exact ROC AUC, lift/gains table — queue them after
+# LOCF gap fill, exact ROC AUC, lift/gains table, XYZ variability
+# bands, Zipf fit — queue them after
 # the session-2/3 tails in the
 # r8/r9/r10 rotation, sql-checked first; all carry local 3-SF gate
 # evidence and op-level pytest.
