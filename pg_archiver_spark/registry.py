@@ -42,88 +42,178 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Names the correctness driver should reach FIRST. The driver checks
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
-# every round (the list does not rotate by itself). Round-7 spend:
-# CORRECTNESS_r06 was 50/50 green (24 r1-stale + 26 r2-stale retired),
-# so the remaining backlog is 44 stale ops (17 r2-latest + 27 r3-latest
-# — all pre-fixture-regen evidence) and 23 never-checked r6 additions.
-# This round's window (slots 1-50), per VERDICT r6 item #1:
-#   slots 1-17  — the 17 r2-latest ops;
-#   slots 18-44 — the 27 r3-latest ops;
-#   slots 45-50 — six sql-checked never-checked r6 ops (hash verdicts).
-# ROUND-8 PIN (write it now so the rotation survives a context reset):
-# slots 1-17 of r8 = the remaining never-checked tail in the order they
-# appear below after the slot-50 boundary (composed_q2_min_cost_supplier
-# ... multimodal_audio_features, minus the six promoted this round),
-# slots 18-45 = the 28 round-7 additions in registration order (the 8
-# early-r7 ops sink_manifest_committer / maintenance_materialized_rollup
-# / json_variant_shred / sql_pipe_syntax / sql_recursive_date_spine /
-# analytics_heavy_hitters_twopass / sim_vector_pq_search /
-# maintenance_constraint_audit, then the 20 late-r7 ops join_full_outer
-# ... stream_multisink_atomic), preferring sql-checked ops first so the
-# window yields hash verdicts; remaining slots = oldest fresh greens
-# (r4-latest ops). Session-2 of r7 added 19 more never-checked ops
-# (analytics_market_basket ... pipeline_length_batching, registration
-# order) — queue them AFTER the 28 above in the r8/r9 windows, again
-# sql-checked first; all 19 carry local gate evidence at three SFs.
-# Session-3 of r7 added 20 more (analytics_ks_test ...
-# analytics_seasonal_residual_outliers, registration order; 19
-# sql-checked + 1 rows-only) — queue them last in the r8/r9 rotation;
-# all 20 carry local 3-SF gate evidence and op-level pytest.
-# Session-4 of r7 added 51 more, closing the round at 359 registered
-# (318 sql-checked): bucket-offset prefix sum, Markov removal
-# attribution, regex sequence screen, minhash PR eval, hard-negative
-# mining, Theil-Sen, watermark-dedup contract, chained streaming
-# rollup, WARC ingest, Mann-Whitney U, kNN label-recovery eval, FIM
-# transform, fixed-width source, k-fold assign, chat template, Pareto
-# ABC, blocked fuzzy join, permutation test, Shapley attribution,
-# collation groupby, MMR rerank, PSI drift, OLS normal equations,
-# forecast backtest, BFS distance, DPO pairs, rolling regression,
-# winsorized mean, Goertzel weekly power, two-pass exact quantile,
-# DAU/WAU stickiness, root-cause contribution, SPRT sequential,
-# RocksDB state store, state-store reader, nested schema pruning,
-# binary-quantize Hamming, Arrow UDTF ngrams, Pettitt changepoint,
-# shuffle-hash hint, YoY growth, attribution rules, price index,
-# curriculum phases, pHash image near-dup, audio fingerprint near-dup,
-# LOCF gap fill, exact ROC AUC, lift/gains table, XYZ variability
-# bands, Zipf fit — queue them after
-# the session-2/3 tails in the
-# r8/r9/r10 rotation, sql-checked first; all carry local 3-SF gate
-# evidence and op-level pytest.
+# every round (the list does not rotate by itself).
+# ROUND-8 PIN (executes VERDICT r7 item #1): the list below is exactly
+# the 159 operators that have NEVER appeared in any driver CORRECTNESS
+# window (union of CORRECTNESS_r01..r07 keys vs the 359-op registry),
+# ordered sql-checked first (142 ops -> hash verdicts) then rows-only
+# (17 ops). Slots 1-50 of round 8 are therefore the first 50 sql-checked
+# never-checked ops (composed_q2_min_cost_supplier ...
+# join_point_in_time_features); the remaining 92 sql-checked + 17
+# rows-only names pre-queue rounds 9-10. After the never-checked tail
+# drains, rotate oldest-driver-evidence-first (r4-latest greens next).
+# ROUND-9 PIN (write now in case of context reset): delete the first 50
+# names below (they will hold r8 evidence) and keep the rest in order.
 _DRIVER_PRIORITY = [
-    # -- last driver evidence r2 (17 ops) -----------------------------
-    "date_arith_retention",
-    "math_funcs", "case_when", "array_funcs",
-    "array_higher_order", "struct_nested", "map_funcs",
-    "text_wordcount", "text_stats", "text_langid",
-    "text_quality", "text_tokencount", "text_fingerprint",
-    "udf_apply_in_pandas", "multimodal_frame_sample",
-    "join_bucketed_colocated", "join_skew_salted",
-    # -- last driver evidence r3 (27 ops) -----------------------------
-    "minhash_neardup", "scan_filter_prune", "join_inner_equi",
-    "agg_stats_moments", "except_keys", "global_topk_orders",
-    "sink_json_roundtrip", "sink_orc_roundtrip", "composed_q5_local_supplier",
-    "window_cume_dist", "dedup_simhash", "dedup_cluster_cc",
-    "pipeline_contamination", "pipeline_token_budget", "pipeline_domain_quota",
-    "pipeline_pii_redact", "pipeline_train_test_split", "text_repetition",
-    "pipeline_doc_chunking", "pipeline_seq_packing", "pipeline_source_mix",
-    "multimodal_binary_features", "sim_ann_lsh", "sim_ann_ivf",
-    "sim_ann_ivf_partitioned", "sim_cosine_topk_arrow", "text_tfidf",
-    # -- never-checked r6 ops promoted into r7's window (sql-checked,
-    #    so each yields a hash verdict rather than rows-only) ---------
-    "dedup_containment", "pipeline_incremental_neardup",
-    "sim_vector_pq_encode", "composed_q21_waiting_orders",
-    "maintenance_snapshot_time_travel", "window_percent_rank",
-    # ---- slot-50 boundary: names below land in round 8's window -----
-    "composed_q2_min_cost_supplier", "composed_q15_top_supplier",
-    "composed_q20_part_surplus", "composed_q22_global_sales",
-    "stream_cdc_changelog", "sink_avro_roundtrip", "sink_s3_object_store",
-    "composed_q8_market_share", "composed_q9_product_profit",
-    "composed_q11_important_stock", "composed_q13_order_distribution",
-    "composed_q16_supplier_part_cnt", "composed_q17_small_qty_revenue",
-    "analytics_cusum_changepoint", "agg_count_min_sketch",
-    "multimodal_image_resize", "multimodal_audio_features",
-    # Everything not named here (the r4/r5/r6-fresh greens) follows in
-    # registration order via load_all_operators()'s fallback.
+    "composed_q2_min_cost_supplier",
+    "composed_q15_top_supplier",
+    "composed_q20_part_surplus",
+    "composed_q22_global_sales",
+    "sink_avro_roundtrip",
+    "composed_q8_market_share",
+    "composed_q9_product_profit",
+    "composed_q11_important_stock",
+    "composed_q13_order_distribution",
+    "composed_q16_supplier_part_cnt",
+    "composed_q17_small_qty_revenue",
+    "analytics_cusum_changepoint",
+    "sql_pipe_syntax",
+    "agg_corr_matrix",
+    "agg_weighted_median",
+    "agg_observe_metrics",
+    "agg_approx_top_k",
+    "agg_trimmed_mean",
+    "agg_boolean_every_any",
+    "agg_ohlc_candles",
+    "agg_winsorized_mean",
+    "agg_exact_quantile_twopass",
+    "analytics_heavy_hitters_twopass",
+    "analytics_gini_concentration",
+    "analytics_life_table",
+    "analytics_cohort_ltv",
+    "analytics_attribution_position",
+    "window_rolling_median",
+    "analytics_seasonal_naive_backtest",
+    "analytics_session_paths",
+    "analytics_market_basket",
+    "graph_triangle_count",
+    "analytics_interpolate_linear",
+    "analytics_funnel_windowed",
+    "analytics_benford_audit",
+    "analytics_audience_overlap",
+    "analytics_sequence_pattern_regex",
+    "analytics_pareto_abc",
+    "analytics_shapley_attribution",
+    "analytics_forecast_backtest",
+    "graph_bfs_distance",
+    "analytics_stickiness_dau_wau",
+    "analytics_root_cause_contribution",
+    "analytics_yoy_growth",
+    "analytics_attribution_rules",
+    "analytics_price_index",
+    "analytics_xyz_classification",
+    "join_full_outer",
+    "join_aqe_runtime_broadcast",
+    "join_point_in_time_features",
+    "join_spatial_grid",
+    "join_fuzzy_blocked",
+    "join_hint_shuffle_hash",
+    "maintenance_materialized_rollup",
+    "maintenance_constraint_audit",
+    "maintenance_snapshot_vacuum",
+    "scan_bucket_pruned",
+    "scan_agg_pushdown_footer",
+    "source_binaryfile",
+    "source_xml_roundtrip",
+    "scan_columnar_cache_reuse",
+    "scan_ignore_corrupt_files",
+    "maintenance_repartition_layout",
+    "maintenance_content_fingerprint",
+    "maintenance_analyze_stats",
+    "maintenance_backfill_overwrite",
+    "maintenance_deletion_vectors",
+    "layout_parquet_bloom_filter",
+    "scan_nested_schema_pruning",
+    "merge_scd2_upsert",
+    "sample_bottomk_sketch",
+    "analytics_ks_test",
+    "analytics_chisq_independence",
+    "analytics_autocorrelation",
+    "agg_kmv_jaccard_estimate",
+    "analytics_did_estimator",
+    "window_alert_debounce",
+    "analytics_bootstrap_ci",
+    "analytics_seasonal_residual_outliers",
+    "analytics_theil_sen_trend",
+    "analytics_mannwhitney_u",
+    "analytics_permutation_test",
+    "analytics_psi_drift",
+    "analytics_goertzel_weekly_power",
+    "analytics_sprt_sequential",
+    "analytics_pettitt_changepoint",
+    "sql_recursive_date_spine",
+    "sql_recursive_reachability",
+    "sql_scripting_batch",
+    "subquery_any_all",
+    "sql_named_parameters",
+    "window_max_drawdown",
+    "window_running_sum_scalable",
+    "window_rolling_regression",
+    "window_gap_fill_locf",
+    "dedup_paragraph",
+    "dedup_semantic_cluster",
+    "pipeline_mix_temperature",
+    "pipeline_span_corruption",
+    "pipeline_rlhf_pair_prep",
+    "pipeline_length_batching",
+    "pipeline_epoch_shuffle",
+    "pipeline_fim_transform",
+    "pipeline_kfold_assign",
+    "pipeline_chat_template",
+    "pipeline_dpo_pairs",
+    "pipeline_curriculum_phases",
+    "json_variant_shred",
+    "string_collation_groupby",
+    "sim_vector_pq_search",
+    "sim_scalar_quantize_int8",
+    "sim_maxsim_multivector",
+    "sim_rrf_fusion",
+    "ml_feature_hashing",
+    "ml_calibration_bins",
+    "sim_matryoshka_eval",
+    "pipeline_hard_negative_mining",
+    "ml_knn_eval_accuracy",
+    "sim_binary_quantize_hamming",
+    "ml_roc_auc",
+    "ml_lift_gains_table",
+    "text_bigram_logprob",
+    "text_cooccurrence_pmi",
+    "text_zipf_fit",
+    "udtf_analyze_dynamic",
+    "udf_pandas_iter",
+    "udf_cogroup_pandas",
+    "udf_map_in_arrow",
+    "udf_sql_declarative",
+    "udtf_table_arg",
+    "udtf_arrow_char_ngrams",
+    "stream_stream_left_outer",
+    "stream_multisink_atomic",
+    "stream_dedup_within_watermark",
+    "stream_chained_window_agg",
+    "stream_rocksdb_state_store",
+    "source_state_store_reader",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
+    "source_warc_ingest",
+    "source_fixed_width",
+    "stream_cdc_changelog",
+    "sink_s3_object_store",
+    "agg_count_min_sketch",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "analytics_markov_removal_attribution",
+    "sink_manifest_committer",
+    "pipeline_neardup_eval_pr",
+    "pipeline_bpe_merges",
+    "pipeline_bpe_apply",
+    "pipeline_unigram_tokenizer_em",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "sim_ann_ivf_multiprobe",
+    "ml_logreg_gd",
+    "sim_mmr_rerank",
+    "ml_ols_normal_eq",
 ]
 
 
