@@ -179,6 +179,24 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST ~2000 chars of stdout; the full
+    # JSON above outgrew that in round 7 and the summary metrics were
+    # truncated away (VERDICT r7 item #2). Re-print a compact totals-only
+    # line LAST so the tail capture always retains the envelope verdict.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "headline_set_version": HEADLINE_SET_VERSION,
+                "value_r1_subset": r1_subset,
+                "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
+                "value_tpch_suite": round(sum(tpch.values()), 3),
+                "sf": float(sf),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
