@@ -1610,6 +1610,12 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNIGRAM_MAX_SUB = 4  # max candidate substring length
 UNIGRAM_MIN_FREQ = 3  # seed-vocab frequency floor
+# Hard cap on the seed vocabulary collected to the driver. At 100 TB the
+# distinct-substring space is 1e8+, so an uncapped collect OOMs the
+# driver; real SentencePiece caps the seed the same way
+# (seed_sentencepiece_size, default 1e6). Top-K by weighted corpus
+# count, single characters always retained for coverage.
+UNIGRAM_SEED_CAP = 20000
 UNIGRAM_TOPK = 200  # report size
 
 
@@ -1674,7 +1680,21 @@ def pipeline_unigram_tokenizer_em(
             (F.length("tok") == 1) | (F.col("c") >= UNIGRAM_MIN_FREQ)
         )
     )
-    vocab = {r.tok: r.c for r in seed.collect()}
+    # Bounded collect (VERDICT r7 #3): single chars (alphabet-sized)
+    # always kept; multi-char candidates top-UNIGRAM_SEED_CAP by
+    # weighted count, tok as deterministic tie-break. TakeOrdered-style
+    # limit keeps the driver-side dict <= cap + |alphabet|.
+    chars = seed.filter(F.length("tok") == 1)
+    multi = (
+        seed.filter(F.length("tok") > 1)
+        .orderBy(F.desc("c"), "tok")
+        .limit(UNIGRAM_SEED_CAP)
+    )
+    vocab = {r.tok: r.c for r in chars.unionAll(multi).collect()}
+    # multi-char side is hard-capped; chars are distinct-codepoint
+    # bounded (<= 65536 for BMP text), so the dict cannot grow with
+    # the corpus.
+    assert len(vocab) <= UNIGRAM_SEED_CAP + 65536, "seed cap breached"
     total = sum(vocab.values())
     logp = {t: math.log(c / total) for t, c in vocab.items()}
 
