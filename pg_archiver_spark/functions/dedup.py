@@ -491,7 +491,49 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     return labels
 
 
-@register("dedup_cluster_cc")  # rows-only: iterative algorithm, no SQL form
+@register(
+    "dedup_cluster_cc",
+    # Converted from rows-only in round 8 (VERDICT r7 #5): the min-label
+    # fixpoint IS expressible — a recursive transitive closure over the
+    # near-dup edge set, component label = min reachable doc_id. The
+    # oracle's edges are the EXACT-Jaccard pairs (dedup_ngram_jaccard's
+    # oracle); the Spark side uses the LSH-verified pairs, so the hash
+    # check also pins LSH recall = 1 at fixture scale (independently
+    # measured by pipeline_neardup_eval_pr).
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    bidir AS (
+        SELECT doc1 AS src, doc2 AS dst FROM edges
+        UNION
+        SELECT doc2, doc1 FROM edges
+    ),
+    reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+    )
+    SELECT label AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT src, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src)
+    GROUP BY label
+    ORDER BY cluster_rep
+    """,
+)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS via iterative min-label propagation —
     the step real dedup pipelines need after pair detection: A≈B and
@@ -909,4 +951,146 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tp").cast("bigint").alias("n_tp"),
         F.expr("(n_tp * 1000) DIV n_cand").alias("precision_pm"),
         F.expr("(n_tp * 1000) DIV n_exact").alias("recall_pm"),
+    )
+
+
+SPAN_K = 6  # window length (tokens) for repeated-substring detection
+
+
+@register(
+    "dedup_repeated_substring_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(len(toks) - {SPAN_K - 1}),
+                   i -> {{'pos': i,
+                         'win': array_to_string(toks[i+1:i+{SPAN_K}], ' ')}}
+               )) AS u
+        FROM d WHERE len(toks) >= {SPAN_K}
+    ),
+    w2 AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM w),
+    rep AS (
+        SELECT win FROM w2 GROUP BY win
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    r AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN rep USING (win)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR pos > MAX(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        + {SPAN_K - 1}
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM r
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, isl_id,
+               MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+        FROM isl2 GROUP BY doc_id, isl_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_repeated_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REPEATED-SUBSTRING span detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    recipe): find, per document, the MAXIMAL token spans whose every
+    {SPAN_K}-token window also occurs in some OTHER document. Document-
+    and paragraph-level dedup (dedup_exact / dedup_paragraph) miss
+    these partial overlaps — boilerplate headers, license blocks,
+    syndicated fragments — which are exactly the memorization-prone
+    content. The suffix-array machinery of the paper collapses to
+    relational form: overlapping windows (the suffix-array probe),
+    cross-doc frequency filter, then interval-union via a running-max
+    gaps-and-islands pass merges overlapping window hits into maximal
+    spans — a span of any length is detected from its length-{SPAN_K}
+    windows, the classic k-mer reduction.
+
+    Scale: windows explode is a map stage; the cross-doc filter is one
+    groupBy on the window key (hashed to 8-byte longs Spark-side, the
+    dedup-stack convention; the oracle compares the strings — w.h.p.
+    identical, 64-bit collisions ~N²/2⁶⁵); islands run inside a
+    per-doc window partition. A production hot-window df cap slots in
+    exactly like MAX_SHINGLE_DF in the Jaccard twin.
+    """
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(split(text,' ')) - {SPAN_K}), "
+                f"i -> xxhash64(array_join(slice(split(text,' '), i+1, {SPAN_K}), ' ')))"
+            )
+        ).alias("pos", "wh"),
+    ).filter(F.expr(f"size(split(text,' ')) >= {SPAN_K}"))
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    r = wins.join(rep, "wh").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = r.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.max("pos").over(w_prev).isNull()
+            | (F.col("pos") > F.max("pos").over(w_prev) + (SPAN_K - 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl2 = isl.select(
+        "doc_id", "pos", F.sum("new_isl").over(w_run).alias("isl_id")
+    )
+    spans = isl2.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (SPAN_K - 1)).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("max_span_len"),
+        )
+        .orderBy("doc_id")
     )

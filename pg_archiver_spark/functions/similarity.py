@@ -134,7 +134,13 @@ def sim_label_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ANN scale paths (rows-only: bucketing is engine-specific) --------
+# --- ANN scale paths ---------------------------------------------------
+#
+# Round 8 (VERDICT r7 item 5): these were rows-only through round 7;
+# every stage is deterministic relational math, so each now carries a
+# DuckDB oracle replicating the SAME index construction (centroid
+# assignment / hyperplane sketches) rather than comparing against the
+# exact scorer — the oracle checks the algorithm, not just recall.
 
 _LSH_BITS = 16
 
@@ -165,7 +171,38 @@ def _sketch_expr(emb: Column) -> Column:
     return sketch
 
 
-@register("sim_ann_lsh")  # rows-only
+def _lsh_oracle() -> str:
+    """DuckDB twin of the LSH pipeline: the same 16 deterministic
+    hyperplanes inlined as literals, sign-bit sketch packed into a
+    BIGINT, Hamming probe via xor + bit_count, exact re-rank."""
+    bit_terms = []
+    for b, plane in enumerate(_hyperplanes()):
+        lit = "[" + ",".join(repr(v) for v in plane) + "]"
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    sketch = " + ".join(bit_terms)
+    return f"""
+    WITH sk AS (
+        SELECT vec_id, embedding, ({sketch}) AS sketch FROM embeddings
+    ),
+    q AS (
+        SELECT embedding AS q_emb, sketch AS q_sketch
+        FROM sk WHERE vec_id = 0
+    )
+    SELECT a.vec_id,
+           ROUND(CAST(list_cosine_similarity(a.embedding, q.q_emb)
+                      AS DOUBLE), 4) AS cos_sim
+    FROM sk a CROSS JOIN q
+    WHERE a.vec_id <> 0
+      AND bit_count(xor(a.sketch, q.q_sketch)) <= 5
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_lsh", oracle=_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: query vec_id=0, candidates = vectors
     whose 16-bit sketch is within Hamming distance 5 of the query's
@@ -207,8 +244,48 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 8
 
+# Shared oracle prefix for the IVF family: deterministic centroids
+# (first _IVF_CELLS vectors by vec_id), argmax-cosine assignment with
+# the same lowest-cell tie-break Spark's max_by struct encodes.
+_IVF_ORACLE_ASSIGN = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb
+        FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               CAST(list_cosine_similarity(e.embedding, c.c_emb)
+                    AS DOUBLE) AS c_cos
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+"""
 
-@register("sim_ann_ivf")  # rows-only
+_IVF_ORACLE_SINGLE_PROBE = (
+    _IVF_ORACLE_ASSIGN
+    + """
+    , q AS (
+        SELECT cell AS q_cell, embedding AS q_emb
+        FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id,
+           ROUND(CAST(list_cosine_similarity(a.embedding, q.q_emb)
+                      AS DOUBLE), 4) AS cos_sim
+    FROM assigned a CROSS JOIN q
+    WHERE a.cell = q.q_cell AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """
+)
+
+
+@register("sim_ann_ivf", oracle=_IVF_ORACLE_SINGLE_PROBE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse centroids = the first _IVF_CELLS vectors by
     vec_id (deterministic 'training'); every vector is assigned to its
@@ -258,7 +335,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf_partitioned")  # rows-only: bucketing is engine-specific
+# Same oracle as sim_ann_ivf: the physical partitionBy("cell") layout
+# changes WHERE the bytes live, never the probed cell's result set.
+@register("sim_ann_ivf_partitioned", oracle=_IVF_ORACLE_SINGLE_PROBE)
 def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the cell id as a PHYSICAL partition column — the at-rest
     form of sim_ann_ivf's pruning story, demonstrated for real: the
@@ -316,7 +395,22 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_topk_arrow")  # rows-only: BLAS sum order != SQL fold order
+@register(
+    "sim_cosine_topk_arrow",
+    # Same contract as sim_cosine_topk, so the same oracle. BLAS
+    # pairwise summation reorders the double adds vs the sequential
+    # fold (≈1e-15 relative), but both sides round to 4dp before
+    # ranking — converted from rows-only in round 8 (VERDICT r7 #5)
+    # after the 1e-15-vs-5e-5 margin held at all three SFs.
+    oracle="""
+    SELECT b.vec_id,
+           ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id = 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
 def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs vec_id=0 through the Arrow/NumPy
     fast path: `mapInPandas` streams Arrow batches, each scored with
@@ -1150,8 +1244,33 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIPROBE_CELLS = 3
 
 
-@register("sim_ann_ivf_multiprobe")  # rows-only: probe-set depends on
-# engine-identical float argmax; the recall pin lives in pytest
+@register(
+    "sim_ann_ivf_multiprobe",
+    # Converted from rows-only in round 8 (VERDICT r7 #5): the probe
+    # set is pinned relationally — same centroid assignment CTE as
+    # sim_ann_ivf, probe = top-3 cells by query→centroid cosine.
+    oracle=_IVF_ORACLE_ASSIGN
+    + f"""
+    , probe AS (
+        SELECT cell FROM scored WHERE vec_id = 0
+        ORDER BY c_cos DESC, cell LIMIT {_MULTIPROBE_CELLS}
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT a.cell, a.vec_id,
+               ROUND(CAST(list_cosine_similarity(a.embedding, q.q_emb)
+                          AS DOUBLE), 4) AS cos_sim
+        FROM assigned a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                AS BIGINT) AS rank,
+           vec_id, cell, cos_sim
+    FROM cand
+    """,
+)
 def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with MULTI-PROBE: the query searches its top-3 nearest
     cells (by query→centroid cosine) instead of only its own — the
@@ -2352,6 +2471,94 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             u2.cast("double")
             / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
+    )
+
+
+@register(
+    "ml_pr_auc_average_precision",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(list_sum(embedding[1:{ROC_SCORE_DIMS}]) * 1e6)
+                    AS BIGINT) AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT score, COUNT(*) AS t, SUM(pos) AS tp
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT score, t, tp,
+               SUM(t) OVER (ORDER BY score DESC) AS cum_n,
+               SUM(tp) OVER (ORDER BY score DESC) AS cum_tp
+        FROM vals
+    ),
+    sums AS (
+        SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+               CAST(SUM(t - tp) AS BIGINT) AS n_neg,
+               CAST(SUM(tp * cum_tp * 1000000 // cum_n) AS BIGINT)
+                   AS ap_num
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(ap_num // n_pos AS BIGINT) AS ap_micro,
+           CAST(n_pos * 1000000 // (n_pos + n_neg) AS BIGINT)
+               AS prevalence_micro
+    FROM sums
+    """,
+)
+def ml_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL AUC (average precision) — the ranking metric
+    that matters when positives are rare (near-dup detection, quality
+    screening), where ROC AUC (ml_roc_auc) looks deceptively good
+    because it credits true negatives. AP = Σ_g Δrecall_g·precision_g
+    over distinct-score groups ranked descending (ties grouped, the
+    sklearn step convention); every term is exact integer arithmetic —
+    per-group term = tp·cumTP·10⁶ DIV cumN, total DIV n_pos — so both
+    engines floor-quantize identically (the house integer-ratio rule)
+    and the result is deterministic to the micro digit.
+
+    Scale: same shape as ml_roc_auc — one groupBy(score) partial agg,
+    one cumulative window over the distinct-score frame (score-
+    cardinality-bounded, not corpus-bounded), one 1-row reduce."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(
+            F.expr(
+                f"aggregate(slice(embedding, 1, {ROC_SCORE_DIMS}), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1e6"
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    vals = scored.groupBy("score").agg(
+        F.count("*").alias("t"), F.sum("pos").alias("tp")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "t",
+        "tp",
+        F.sum("t").over(w).alias("cum_n"),
+        F.sum("tp").over(w).alias("cum_tp"),
+    )
+    sums = ranked.agg(
+        F.sum("tp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("tp")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.expr("tp * cum_tp * 1000000 DIV cum_n")
+        ).cast("bigint").alias("ap_num"),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        F.expr("ap_num DIV n_pos").cast("bigint").alias("ap_micro"),
+        F.expr("n_pos * 1000000 DIV (n_pos + n_neg)")
+        .cast("bigint")
+        .alias("prevalence_micro"),
     )
 
 

@@ -790,3 +790,176 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[aeiouy]+')) AS n_syll
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_syll) AS BIGINT) AS total_syllables,
+           CAST(SUM(n_tokens) * 1000 // COUNT(*) AS BIGINT)
+               AS tokens_per_doc_milli,
+           CAST(SUM(n_syll) * 1000 // SUM(n_tokens) AS BIGINT)
+               AS syll_per_word_milli,
+           CAST(206835
+                - 1015 * (SUM(n_tokens) * 1000 // COUNT(*)) // 1000
+                - 84600 * (SUM(n_syll) * 1000 // SUM(n_tokens)) // 1000
+                AS BIGINT) AS flesch_est_milli
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style READABILITY profile per language — the
+    classic curation signal next to the entropy/Gopher screens: long
+    sentences and polysyllabic words read harder. The fixture text has
+    no sentence punctuation, so the documented proxy treats each
+    document as one sentence (ASL = tokens/doc) and estimates
+    syllables as maximal vowel-group runs (`[aeiouy]+`) — the standard
+    cheap syllable heuristic. The Flesch formula's constants are
+    applied in scaled INTEGER arithmetic (milli units, floor division
+    at every step — the house cross-engine ratio rule), so both
+    engines quantize identically; the per-language sums are exact
+    BIGINTs.
+
+    Scale: one map stage (split + regexp count per row, all
+    whole-stage-codegen'd) and one small groupBy(lang) — the same two
+    stages at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syll"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_syll").cast("bigint").alias("total_syllables"),
+    )
+    return (
+        agg.select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_syllables",
+            F.expr("total_tokens * 1000 DIV n_docs").alias(
+                "tokens_per_doc_milli"
+            ),
+            F.expr("total_syllables * 1000 DIV total_tokens").alias(
+                "syll_per_word_milli"
+            ),
+            F.expr(
+                "206835 - 1015 * (total_tokens * 1000 DIV n_docs) DIV 1000"
+                " - 84600 * (total_syllables * 1000 DIV total_tokens)"
+                " DIV 1000"
+            ).alias("flesch_est_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+NOVELTY_NGRAM = 3  # token n-gram order for the novelty curve
+NOVELTY_DECILES = 10
+
+
+@register(
+    "text_ngram_novelty_decay",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - {NOVELTY_NGRAM - 1}),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i+1:i+{NOVELTY_NGRAM}], ' ')
+               ))) AS g
+        FROM documents
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT gr.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM grams gr JOIN firsts f ON gr.g = f.g
+        GROUP BY gr.doc_id
+    ),
+    anchor AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents)
+    SELECT CAST(p.doc_id * {NOVELTY_DECILES} // a.n_docs AS BIGINT)
+               AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS total_ngrams,
+           CAST(SUM(p.n_novel) * 1000 // SUM(p.n_grams) AS BIGINT)
+               AS novel_permille
+    FROM per_doc p CROSS JOIN anchor a
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY DECAY — the corpus-freshness curve data teams
+    watch while accumulating training data: for each document (in
+    doc_id ingest order), what fraction of its distinct 3-gram phrases
+    has never appeared in ANY earlier document? Healthy corpora decay
+    slowly; a collapsing curve means the crawl is re-reading itself
+    and more data is buying memorization risk, not information (the
+    monitoring companion to the dedup stack — this op measures
+    cross-doc repetition BELOW the near-dup threshold where
+    minhash_neardup fires). Reported as a permille novelty rate per
+    doc_id decile.
+
+    Scale: first-occurrence attribution is one groupBy(min) over the
+    exploded n-gram frame and an equi-join back — the exact shape of
+    dedup_exact's first-occurrence ledger; the decile reduce makes the
+    output 10 rows at any corpus size. The 1-row MAX anchor broadcast
+    is the standard whitelisted pattern."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(split(text,' ')) - {NOVELTY_NGRAM}), "
+                    f"i -> array_join(slice(split(text,' '), i+1, {NOVELTY_NGRAM}), ' '))"
+                )
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    anchor = docs.agg((F.max("doc_id") + 1).alias("n_docs_total"))
+    return (
+        per_doc.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            F.expr(f"doc_id * {NOVELTY_DECILES} DIV n_docs_total")
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_ngrams"),
+            F.expr("SUM(n_novel) * 1000 DIV SUM(n_grams)")
+            .cast("bigint")
+            .alias("novel_permille"),
+        )
+        .orderBy("decile")
+    )
