@@ -23,6 +23,11 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-8 additions --------------------------------------------
+    "text_ngram_novelty_decay": "1-row MAX(doc_id) anchor aggregate "
+    "crossJoined onto the per-doc novelty frame to form deciles — the "
+    "standard anchor-broadcast shape; every other stage is equi-join/"
+    "groupBy",
     # -- round-7 session-4 additions ----------------------------------
     "sim_binary_quantize_hamming": "1-row packed-query-code broadcast "
     "onto the corpus Hamming pass (the sim_cosine_topk anchor shape); "
