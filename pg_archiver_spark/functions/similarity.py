@@ -510,9 +510,79 @@ def _kmeans_step(
     return new
 
 
-@register("ml_kmeans_lloyd")  # rows-only: Lloyd's algorithm is an
-# iterative fixpoint, not a SQL expression; tests pin monotone inertia,
-# determinism, and full point coverage instead.
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the Lloyd loop, UNROLLED (fixed KMEANS_ITERS —
+    same convertibility argument as graph_pagerank): per round one
+    argmin-assignment CTE (squared distance computed with the SAME
+    sequential index-fold Spark's zip_with/aggregate runs, so per-pair
+    distances are bit-identical and argmin ties resolve identically)
+    and one per-(cid,pos) mean CTE rebuilt into centroid lists; empty
+    clusters COALESCE to the previous round's centroid."""
+    dist = (
+        "list_sum(list_transform(range(len(e.v)), "
+        "i -> (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1])))"
+    )
+    parts = [
+        f"""
+    ev AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               v AS c
+        FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {KMEANS_K})
+    )"""
+    ]
+    for k in range(KMEANS_ITERS):
+        parts.append(f"""
+    a{k} AS (
+        SELECT vec_id, v, cid, dist FROM (
+            SELECT e.vec_id, e.v, c.cid, {dist} AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cid) AS rn
+            FROM ev e CROSS JOIN c{k} c
+        ) WHERE rn = 1
+    ),
+    u{k} AS (
+        SELECT cid,
+               unnest(list_transform(range(len(v)),
+                                     i -> {{'pos': i, 'x': v[i+1]}})) AS u
+        FROM a{k}
+    ),
+    m{k} AS (
+        SELECT cid, list(m ORDER BY pos) AS c
+        FROM (SELECT cid, u.pos AS pos, AVG(u.x) AS m
+              FROM u{k} GROUP BY cid, u.pos)
+        GROUP BY cid
+    ),
+    c{k + 1} AS (
+        SELECT p.cid, COALESCE(m.c, p.c) AS c
+        FROM c{k} p LEFT JOIN m{k} m ON p.cid = m.cid
+    )""")
+    final = f"""
+    afinal AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT e.vec_id, c.cid, {dist} AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cid) AS rn
+            FROM ev e CROSS JOIN c{KMEANS_ITERS} c
+        ) WHERE rn = 1
+    ),
+    tot AS (SELECT ROUND(SUM(dist), 4) AS total_inertia FROM afinal)
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG(dist), 6) AS mean_sq_dist,
+           ANY_VALUE(t.total_inertia) AS total_inertia
+    FROM afinal CROSS JOIN tot t
+    GROUP BY cid
+    ORDER BY cid
+    """
+    return "WITH " + ",".join(parts) + ",\n" + final
+
+
+@register("ml_kmeans_lloyd", oracle=_kmeans_oracle())
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding table — the
     semantic-clustering step (topic bucketing, cluster-balanced
@@ -621,7 +691,38 @@ def sim_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_batch_knn_ivf")  # rows-only: IVF cell assignment is engine-specific
+@register(
+    "sim_batch_knn_ivf",
+    # Converted from rows-only in round 8 (VERDICT r7 #5): cell
+    # assignment + probe-set + candidate join are all pinned
+    # relationally via the shared IVF assign CTE.
+    oracle=_IVF_ORACLE_ASSIGN
+    + f"""
+    , q AS (
+        SELECT q_id, q_emb, q_cell FROM (
+            SELECT s.vec_id AS q_id, s.embedding AS q_emb,
+                   s.cell AS q_cell,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY s.c_cos DESC, s.cell) AS pr
+            FROM scored s WHERE s.vec_id IN {tuple(_KNN_BATCH_IDS)}
+        ) WHERE pr <= {_KNN_NPROBE}
+    ),
+    cand AS (
+        SELECT q.q_id, a.vec_id, a.cell,
+               ROUND(CAST(list_cosine_similarity(q.q_emb, a.embedding)
+                          AS DOUBLE), 4) AS cos_sim
+        FROM assigned a JOIN q ON a.cell = q.q_cell
+        WHERE a.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cell, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
 def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN through the IVF cell-probe: the sub-linear scale path
     for `sim_batch_knn_join`. Corpus and queries are both assigned to
