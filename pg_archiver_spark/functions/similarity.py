@@ -2226,7 +2226,71 @@ MMR_CAND = 20
 MMR_LAMBDA = 0.7
 
 
-@register("sim_mmr_rerank", oracle=None)
+def _mmr_oracle() -> str:
+    """DuckDB twin of the greedy MMR loop, UNROLLED (MMR_K picks — the
+    same fixed-step convertibility as graph_pagerank/ml_kmeans_lloyd,
+    round 8, VERDICT r7 #5): pick k is one argmax CTE over the
+    remaining candidates with redundancy = max 6dp-rounded cosine to
+    the already-picked set; scores are rounded before every compare
+    with the vec_id tiebreak, exactly the Spark/driver loop."""
+    lam = MMR_LAMBDA
+    steps = [f"""
+    p1 AS (
+        SELECT vec_id, rel, 0.0 AS red,
+               ROUND({lam} * rel, 6) AS score
+        FROM cand
+        ORDER BY ROUND({lam} * rel, 6) DESC, vec_id LIMIT 1
+    )"""]
+    for k in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, k)
+        )
+        steps.append(f"""
+    p{k} AS (
+        SELECT c.vec_id, c.rel, r.red,
+               ROUND({lam} * c.rel - {round(1 - lam, 6)} * r.red, 6)
+                   AS score
+        FROM cand c
+        JOIN (SELECT v1 AS vec_id, MAX(s) AS red
+              FROM sims WHERE v2 IN ({sel}) GROUP BY v1) r
+          USING (vec_id)
+        WHERE c.vec_id NOT IN ({sel})
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    )""")
+    picks = " UNION ALL ".join(
+        f"SELECT {k} AS mmr_rank, vec_id, rel, red, score FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH cand AS (
+        SELECT b.vec_id, b.embedding,
+               ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 6) AS rel
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = 0
+        ORDER BY rel DESC, b.vec_id LIMIT {MMR_CAND}
+    ),
+    sims AS (
+        SELECT x.vec_id AS v1, y.vec_id AS v2,
+               ROUND(CAST(list_cosine_similarity(x.embedding, y.embedding)
+                          AS DOUBLE), 6) AS s
+        FROM cand x, cand y
+    ),
+    {",".join(steps)},
+    relranks AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY rel DESC, vec_id)
+                    AS INT) AS rel_rank
+        FROM cand
+    )
+    SELECT CAST(p.mmr_rank AS INT) AS mmr_rank, p.vec_id, p.rel,
+           p.red AS redundancy, p.score AS mmr_score, rr.rel_rank
+    FROM ({picks}) p JOIN relranks rr USING (vec_id)
+    ORDER BY mmr_rank
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversity-aware re-rank every RAG retriever runs on
