@@ -130,6 +130,12 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # Round 8: the oracle now uses the SAME shared-shingle equi-join
+    # shape as the Spark side (unnest → self-join on shingle → pair
+    # counts) instead of the quadratic all-pairs list_intersect — the
+    # math is identical (docs sharing no shingle can't reach a
+    # positive threshold), and the sf0.1 oracle drops from minutes to
+    # seconds, keeping the full-registry sf0.1 gate tractable.
     oracle=f"""
     WITH sh AS (
         SELECT doc_id,
@@ -138,16 +144,24 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
                )) AS shingles
         FROM documents
+    ),
+    e AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
+        FROM e a JOIN e b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
     )
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 3) AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
-      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    SELECT doc1, doc2,
+           ROUND(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 3)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
+          >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,13 +523,20 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                )) AS shingles
         FROM documents
     ),
+    ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
     edges AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles)))
+        SELECT doc1, doc2 FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
               >= {JACCARD_THRESHOLD}
     ),
     bidir AS (
@@ -562,6 +583,8 @@ CONTAINMENT_THRESHOLD = 0.8
 
 @register(
     "dedup_containment",
+    # Round 8: equi-join oracle form (see dedup_ngram_jaccard) — the
+    # all-pairs list_intersect was the sf0.1 gate's pacing item.
     oracle=f"""
     WITH sh AS (
         SELECT doc_id,
@@ -571,14 +594,22 @@ CONTAINMENT_THRESHOLD = 0.8
                        string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
                )) AS shingles
         FROM documents
+    ),
+    e AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh WHERE len(shingles) > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+               a.n_sh AS n_a, COUNT(*) AS n_common
+        FROM e a JOIN e b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2, 3
     )
-    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
-           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(a.shingles), 3) AS containment
-    FROM sh a, sh b
-    WHERE a.doc_id <> b.doc_id AND len(a.shingles) > 0
-      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(a.shingles) >= {CONTAINMENT_THRESHOLD}
+    SELECT contained_doc, container_doc,
+           ROUND(CAST(n_common AS DOUBLE) / n_a, 3) AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / n_a >= {CONTAINMENT_THRESHOLD}
     ORDER BY contained_doc, container_doc
     """,
 )
