@@ -1340,7 +1340,72 @@ def _bpe_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("pipeline_bpe_merges")  # rows-only: iterative training loop
+def _bpe_oracle_ctes() -> str:
+    """Shared DuckDB CTE chain replicating the BPE training loop,
+    UNROLLED over BPE_MERGE_ITERS (converted from rows-only in round 8
+    — the fixed-iteration convertibility of graph_pagerank/kmeans/MMR,
+    and here every quantity is an INTEGER, so there is no float risk
+    at all). The merge-application fold maps onto leftmost
+    non-overlapping string replace over a doubled-separator encoding:
+    syms are joined with chr(31)chr(31) (outer pads included) and the
+    pattern `␟a␟␟b␟` keeps one separator on each flank, so a match
+    consumes its trailing flank and the next adjacent occurrence still
+    matches — exactly the Spark aggregate-fold's greedy-leftmost
+    overlap rule ('aaa' + (a,a) → ['aa','a'])."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    parts = [
+        """
+    v0 AS (
+        SELECT w, cnt,
+               list_append(
+                   list_transform(range(length(w)), i -> w[i+1]),
+                   '</w>') AS syms
+        FROM (SELECT w, COUNT(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY w)
+    )"""
+    ]
+    for k in range(1, BPE_MERGE_ITERS + 1):
+        parts.append(f"""
+    p{k} AS (
+        SELECT u.a AS a, u.b AS b, SUM(cnt) AS n
+        FROM (SELECT cnt,
+                     unnest(list_transform(
+                         range(len(syms) - 1),
+                         i -> {{'a': syms[i+1], 'b': syms[i+2]}})) AS u
+              FROM v{k - 1})
+        GROUP BY u.a, u.b
+    ),
+    t{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    v{k} AS (
+        SELECT w, cnt,
+               string_split(
+                   trim(replace(
+                       {sep2} || array_to_string(syms, {sep2}) || {sep2},
+                       {sep} || t.a || {sep2} || t.b || {sep},
+                       {sep} || t.a || t.b || {sep}), chr(31)),
+                   {sep2}) AS syms
+        FROM v{k - 1} CROSS JOIN t{k} t
+    )""")
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration, a AS \"left\", "
+        f"b AS \"right\", a || b AS merged, CAST(n AS BIGINT) "
+        f"AS pair_count FROM t{k}"
+        for k in range(1, BPE_MERGE_ITERS + 1)
+    )
+    return (
+        _bpe_oracle_ctes()
+        + f"\n    SELECT * FROM ({picks}) ORDER BY iteration\n"
+    )
+
+
+@register("pipeline_bpe_merges", oracle=_bpe_merges_oracle())
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer-training loop (Sennrich et al. 2016), three
     merge iterations: count weighted adjacent symbol pairs → merge the
@@ -1371,10 +1436,32 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_bpe_apply")  # rows-only: encodes with the
-# data-dependent trained merge table — no SQL-expressible oracle;
-# correctness is pinned by the in-op reconstruction invariant plus the
-# monotone token-count checks in tests.
+def _bpe_apply_oracle() -> str:
+    return (
+        _bpe_oracle_ctes()
+        + f""",
+    wa AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w) + 1) AS BIGINT) AS char_tokens,
+           CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens,
+           CAST((SUM(length(w) + 1) - SUM(len(syms))) * 1000
+                // SUM(length(w) + 1) AS BIGINT) AS saved_pm
+    FROM wa JOIN v{BPE_MERGE_ITERS} USING (w)
+    GROUP BY source
+    ORDER BY source
+    """
+    )
+
+
+@register("pipeline_bpe_apply", oracle=_bpe_apply_oracle())
+# Converted from rows-only in round 8: the trained merge table IS
+# SQL-derivable (see _bpe_oracle_ctes), so the encode join is too; the
+# in-op reconstruction invariant stays as a second, independent check.
 def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the other half of pipeline_bpe_merges:
     encode the corpus with the trained merge table and report, per
