@@ -384,16 +384,35 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("maintenance_compact")  # rows-only: filesystem profile
+@register(
+    "maintenance_compact",
+    # Round-8 conversion (rows-only → sql-checked): every output field
+    # is deterministic — n_files_before is pinned by repartition(64)
+    # (Spark writes one part file per shuffle partition, empty or not),
+    # files_reduced/rows_match are the compaction invariants, and the
+    # row counts are plain COUNT(*). Only the post-compaction file
+    # COUNT (coalesce merges the small-file read groups, whose number
+    # depends on maxPartitionBytes/openCostInBytes at each SF) is
+    # environment-shaped, so it is reported as the boolean invariant
+    # rather than a raw count.
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           TRUE AS files_reduced,
+           COUNT(*) AS n_rows_before,
+           COUNT(*) AS n_rows_after,
+           TRUE AS rows_match
+    FROM events
+    """,
+)
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the archive-maintenance job every
     long-running ingest needs: streaming/micro-batch writers leave
     thousands of KB-scale files per partition, and at 100 TB the
     resulting task-scheduling and open() overhead dominates scans.
     Rewrites a deliberately fragmented copy of events (64 files) into
-    ~`maxRecordsPerFile`-bounded files via a single coalesced pass,
-    preserving every row. Returns (n_files_before, n_files_after,
-    n_rows_before, n_rows_after)."""
+    a handful via a single coalesced pass, preserving every row.
+    Returns (n_files_before, files_reduced, n_rows_before,
+    n_rows_after, rows_match)."""
     frag = os.path.join(tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "frag_events")
     compact = os.path.join(
         tempfile.gettempdir(), f"pg_archiver_spark-{os.getpid()}", "compact_events"
@@ -414,16 +433,20 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = spark.read.parquet(frag)
     before.coalesce(4).write.mode("overwrite").parquet(compact)
     after = spark.read.parquet(compact)
+    n_before, n_after = before.count(), after.count()
+    f_before, f_after = n_parquet_files(frag), n_parquet_files(compact)
     return spark.createDataFrame(
         [
             (
-                n_parquet_files(frag),
-                n_parquet_files(compact),
-                before.count(),
-                after.count(),
+                f_before,
+                f_after < f_before,
+                n_before,
+                n_after,
+                n_before == n_after,
             )
         ],
-        "n_files_before long, n_files_after long, n_rows_before long, n_rows_after long",
+        "n_files_before long, files_reduced boolean, n_rows_before long, "
+        "n_rows_after long, rows_match boolean",
     )
 
 

@@ -165,7 +165,23 @@ def stream_archival_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_count")  # rows-only: custom state machine
+@register(
+    "stream_stateful_count",
+    # Round-8 conversion (rows-only → sql-checked): the per-user FINAL
+    # state after an exhaustive availableNow replay is deterministic
+    # regardless of micro-batch slicing — a running count and max are
+    # order-insensitive folds, so final state ≡ the batch aggregate.
+    # Update-mode intermediates stay untested (they depend on the file
+    # grouping); the MAX-per-user reduction below selects exactly the
+    # final state, which SQL can pin.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_epoch_ms
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event counter whose state (count, last epoch-ms)
