@@ -222,7 +222,24 @@ def delete_archived(
     return int(counts.sum())
 
 
-@register("source_jdbc")  # rows-only: environment-dependent source
+@register(
+    "source_jdbc",
+    # Round-8 conversion (rows-only → sql-checked): the round-trip
+    # counts are deterministic — staging events into Derby and reading
+    # them back through range-partitioned JDBC cursors must preserve
+    # every row, so the extracted profile equals the same profile on
+    # the parquet source. `live` pins that a real database path ran
+    # (not the parquet fallback): a degraded environment now FAILS the
+    # hash instead of passing rows-only — Derby ships in Spark's own
+    # classpath, so a fallback is a defect worth failing on.
+    oracle="""
+    SELECT TRUE AS live,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
 def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC round-trip profile over a LIVE database in every
     environment: an external one when PG_ARCHIVER_JDBC_URL is set, else
@@ -231,7 +248,7 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch with range-partitioned parallel cursors executes (reference
     extraction main.go:88-121), not the parquet stand-in. The parquet
     fallback survives only as the degraded path when even the embedded
-    staging fails."""
+    staging fails (and is now a hash FAIL, by design)."""
     url = os.environ.get(_URL_ENV)
     driver = None
     backend = "external"
@@ -256,14 +273,39 @@ def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
     return extracted.agg(
-        F.lit(mode).alias("source_mode"),
-        F.lit(backend).alias("backend"),
+        F.lit(mode == "jdbc" and backend != "parquet-fallback").alias("live"),
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
 
-@register("source_jdbc_poll")  # rows-only: live-database incremental poll
+@register(
+    "source_jdbc_poll",
+    # Round-8 conversion (rows-only → sql-checked): both polls are
+    # deterministic functions of the fixture. Poll 1 sees the staged
+    # first half (event_id < total//2); poll 2 sees exactly the
+    # appended second half, because the watermark after poll 1 is
+    # MAX(event_id < mid) and no fixture id falls in (wm1, mid). The
+    # oracle restates that partition relationally; a poll loop that
+    # lost or duplicated rows (or a watermark predicate that failed to
+    # push down correctly) hash-fails.
+    oracle="""
+    WITH t AS (SELECT COUNT(*) // 2 AS mid FROM events),
+    p1 AS (
+        SELECT COUNT(*) AS n, MAX(event_id) AS wm
+        FROM events WHERE event_id < (SELECT mid FROM t)
+    )
+    SELECT CAST(1 AS BIGINT) AS poll,
+           CAST(n AS BIGINT) AS n_new_rows,
+           CAST(wm AS BIGINT) AS watermark
+    FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(event_id) AS BIGINT)
+    FROM events WHERE event_id > (SELECT wm FROM p1)
+    """,
+)
 def source_jdbc_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental poll-loop extraction keyed on a monotonically
     increasing id — the Spark-side stand-in for the reference's

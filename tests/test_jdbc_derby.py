@@ -19,8 +19,7 @@ def test_source_jdbc_runs_live_jdbc_branch(spark, sf_dir):
     embedded Derby and run the REAL jdbc read path — and its counts
     must match the same extraction over the parquet fixture."""
     row = QUERIES["source_jdbc"](spark, sf_dir).first()
-    assert row.source_mode == "jdbc"
-    assert row.backend == "derby-embedded"
+    assert row.live is True  # jdbc mode on a non-fallback backend
     expected = (
         load(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))

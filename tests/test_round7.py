@@ -192,7 +192,7 @@ def test_manifest_committer_commits_live(spark, sf_dir):
     assert row.committer == "ManifestCommitter"
     assert row.success is True
     assert row.n_job_commits == 1
-    assert row.n_task_commits >= 1  # one per write task
+    assert row.tasks_committed is True  # >=1 task commit recorded
     assert row.n_rows == _load(spark, sf_dir, "events").count()
     # and the factory conf was unset afterwards (no leakage into other
     # writes in the same session)
