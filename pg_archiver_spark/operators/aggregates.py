@@ -190,14 +190,42 @@ def agg_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@register(
+    "agg_approx_distinct",
+    # Round-8 conversion (rows-only → sql-checked): the HLL++ estimate
+    # itself is engine-specific, but it IS deterministic — registers
+    # are a max-merge, insensitive to partitioning and order — so the
+    # "within 3·rsd of exact" flag is a fixed fact of the fixture, and
+    # the exact per-group distinct is plain SQL. A sketch regression
+    # (or a broken merge) now hash-fails instead of passing rows-only.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_rsd
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB substitute for exact distinct:
-    fixed-size sketch per group, mergeable, no expand shuffle."""
+    fixed-size sketch per group, mergeable, no expand shuffle. The exact
+    count rides along only to make the error contract checkable; at
+    scale you'd ship the approx column alone."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(0.06) * F.col("exact_users")
+            ).alias("approx_within_rsd"),
+        )
         .orderBy("event_type")
     )
 
@@ -358,27 +386,87 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: sketch algorithms differ
+@register(
+    "agg_approx_percentile",
+    # Round-8 conversion (rows-only → sql-checked): the sketch VALUES
+    # are engine-specific, but the GK contract — the returned element's
+    # rank is within n/accuracy of the target rank — is guaranteed
+    # regardless of merge order, so the per-quantile rank-bound flags
+    # are pinned TRUE and the group sizes are plain SQL. A sketch whose
+    # rank error exceeded its advertised bound now hash-fails.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group — the 100 TB substitute for
     agg_percentile's exact per-group sort: a fixed-size mergeable
-    sketch, one pass, no sort. (DuckDB's approx sketch differs, so this
-    is rows-only; the exact op is the sql-checked twin.)"""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    sketch, one pass, no sort. The op then VERIFIES the sketch's rank
+    contract: each returned value occupies ranks (lt, le] in its group,
+    and that interval must come within n/accuracy (+1 slack) of the
+    target rank q·n. The probe frame is 3 groups × 3 quantiles = 9
+    rows, broadcast back onto the fact table — the check pass is one
+    extra scan; at scale you'd ship the sketch pass alone."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("pvs"),
+        F.count("*").alias("n_rows"),
+    )
+    probes = approx.select(
+        "l_returnflag",
+        "n_rows",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)).alias("q"),
+                F.col("pvs").alias("pv"),
+            )
+        ).alias("z"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("z.q").alias("q"),
+        F.col("z.pv").alias("pv"),
+    )
+    ranks = (
+        li.join(F.broadcast(probes), "l_returnflag")
+        .groupBy("l_returnflag", "q", "n_rows")
         .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("p50_p90_p99"),
-            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("pv"), 1).otherwise(0)
+            ).alias("lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("pv"), 1).otherwise(0)
+            ).alias("le"),
+        )
+    )
+    slack = F.col("n_rows") / 10000.0 + 1.0
+    ok = (F.col("lt") <= F.col("q") * F.col("n_rows") + slack) & (
+        F.col("le") >= F.col("q") * F.col("n_rows") - slack
+    )
+    return (
+        ranks.withColumn("ok", ok)
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.min(F.when(F.col("q") == 0.5, F.col("ok"))).alias("p50_rank_ok"),
+            F.min(F.when(F.col("q") == 0.9, F.col("ok"))).alias("p90_rank_ok"),
+            F.min(F.when(F.col("q") == 0.99, F.col("ok"))).alias("p99_rank_ok"),
         )
         .select(
             "l_returnflag",
-            F.col("p50_p90_p99")[0].alias("p50"),
-            F.col("p50_p90_p99")[1].alias("p90"),
-            F.col("p50_p90_p99")[2].alias("p99"),
             "n_rows",
+            "p50_rank_ok",
+            "p90_rank_ok",
+            "p99_rank_ok",
         )
         .orderBy("l_returnflag")
     )
@@ -542,10 +630,28 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="value",
     )
 
-@register("agg_hll_partial_merge")  # rows-only: sketch estimates are
-# implementation-specific (Apache DataSketches HLL); no cross-engine
-# oracle can reproduce them. tests/test_operators.py pins the error
-# bound against the exact count instead.
+@register(
+    "agg_hll_partial_merge",
+    # Round-8 conversion (rows-only → sql-checked): the DataSketches
+    # HLL estimate is implementation-specific but DETERMINISTIC (the
+    # union is a register-wise max, insensitive to partitioning), so
+    # "merged estimate within 5% of exact" is a fixed fact of the
+    # fixture; day count, exact total, and the sum of per-day exacts
+    # are plain SQL. A broken sketch merge now hash-fails.
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS exact_day
+        FROM events
+        GROUP BY day
+    )
+    SELECT COUNT(*) AS n_days,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_total,
+           CAST(SUM(exact_day) AS BIGINT) AS sum_daily_exact,
+           TRUE AS merge_within_bound
+    FROM d
+    """,
+)
 def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch distinct story for 100 TB: per-day HLL
     sketches of user_id built in ONE map-side-combinable agg, then
@@ -571,13 +677,12 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.crossJoin(exact_total).select(
         "n_days",
-        "merged_estimate",
         "exact_total",
+        "sum_daily_exact",
         (
             F.abs(F.col("merged_estimate") - F.col("exact_total"))
-            / F.col("exact_total")
-        ).alias("rel_error"),
-        "sum_daily_exact",
+            <= F.lit(0.05) * F.col("exact_total")
+        ).alias("merge_within_bound"),
     )
 
 
@@ -718,7 +823,25 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_count_min_sketch")  # rows-only: sketch binary is engine-specific
+@register(
+    "agg_count_min_sketch",
+    # Round-8 conversion (rows-only → sql-checked): CMS cells are
+    # integer sums under a fixed seed — commutative, partition- and
+    # order-insensitive — so every flag below is a deterministic fact
+    # of the fixture: no_undercount is the CMS one-sided guarantee
+    # (also raise-guarded), exact_match holds because 5 keys in a
+    # ~2000-cell row cannot collide on all depths here, and bound_ok
+    # is the ε·N bound. The exact counts are plain SQL.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS exact_count,
+           TRUE AS no_undercount,
+           TRUE AS exact_match,
+           TRUE AS bound_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation — the third member of the
     mergeable-sketch family (HLL cardinality `agg_hll_partial_merge`,
@@ -766,10 +889,10 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CMS undercount for {etype}: est={est} true={true}"
             )
         bound_ok = est <= true + int(0.001 * n_total) + 1
-        out.append((etype, true, est, est == true, bound_ok))
+        out.append((etype, true, est >= true, est == true, bound_ok))
     return spark.createDataFrame(
         out,
-        "event_type string, exact_count long, estimated long, "
+        "event_type string, exact_count long, no_undercount boolean, "
         "exact_match boolean, bound_ok boolean",
     )
 

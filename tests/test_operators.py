@@ -286,7 +286,7 @@ def test_hll_merge_error_bound(spark, sf_dir):
 
     row = agg_hll_partial_merge(spark, sf_dir).collect()[0]
     assert row.n_days > 0
-    assert row.rel_error < 0.05
+    assert row.merge_within_bound
     assert row.sum_daily_exact >= row.exact_total
 
 

@@ -315,7 +315,7 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     rows = QUERIES["agg_count_min_sketch"](spark, sf_dir).collect()
     assert len(rows) == 5  # five event types
     for r in rows:
-        assert r.estimated >= r.exact_count  # one-sided CMS guarantee
+        assert r.no_undercount  # one-sided CMS guarantee
 
 
 def test_containment_pairs_bounded_on_fixture(spark, sf_dir):
