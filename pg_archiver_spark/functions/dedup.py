@@ -227,7 +227,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_neardup")  # rows-only: LSH banding has no SQL equivalent
+@register(
+    "minhash_neardup",
+    # Round-8 conversion (rows-only → sql-checked): the op's output is
+    # the exact-Jaccard-verified subset of the LSH candidates, so it
+    # equals the full exact pair set EXACTLY WHEN the banding catches
+    # every qualifying pair. On the fixtures that recall is a
+    # deterministic fact — the hash functions are fixed xxhash64
+    # seeds, and the planted near-dups sit at j ≥ 0.9 where the miss
+    # probability is (1-0.81)^12 ≈ 2e-9 (same determinism argument as
+    # pipeline_incremental_neardup, driver hash-pass r7) — verified
+    # set-equal to dedup_ngram_jaccard at all three SFs. The oracle is
+    # therefore the exact shared-shingle pair SQL: an LSH recall
+    # regression now hash-fails instead of passing rows-only.
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
+        FROM e a JOIN e b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 3)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection — the sub-quadratic scale path.
 

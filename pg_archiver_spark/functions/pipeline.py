@@ -145,7 +145,78 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_neardup_dedup_e2e")  # rows-only: LSH clustering inside
+@register(
+    "pipeline_neardup_dedup_e2e",
+    # Round-8 conversion (rows-only → sql-checked): with minhash_neardup
+    # itself now hash-checked against the exact pair set (fixture recall
+    # is a deterministic fact — see its oracle comment), the rest of the
+    # flow is relational: transitive clusters are a recursive-CTE
+    # reachability min-label, keep-best is a window, and the yield
+    # report is a group-by. A regression anywhere in the composed flow
+    # (pairs, clustering, survivor policy) now hash-fails.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
+        FROM e a JOIN e b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    p AS (
+        SELECT doc1, doc2 FROM prs
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc1 AS s, doc2 AS d FROM p
+        UNION ALL SELECT doc2, doc1 FROM p
+    ),
+    reach AS (
+        SELECT s AS doc_id, d AS r FROM edges
+        UNION
+        SELECT rr.doc_id, e2.d FROM reach rr JOIN edges e2 ON rr.r = e2.s
+    ),
+    labels AS (
+        SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster
+        FROM reach GROUP BY doc_id
+    ),
+    docs AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cl AS (
+        SELECT d.doc_id, d.lang, d.n_tokens,
+               COALESCE(l.cluster, d.doc_id) AS cluster
+        FROM docs d LEFT JOIN labels l USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster ORDER BY n_tokens DESC, doc_id
+        ) AS rn FROM cl
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM ranked
+    GROUP BY lang
+    """,
+)
 def pipeline_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END near-duplicate dedup flow, composed from the
     engine's own scale-path pieces: MinHash-LSH candidate pairs
@@ -158,10 +229,9 @@ def pipeline_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-partitioned docs), in contrast to the exact-Jaccard twin
     that serves as its fixture-scale ground truth.
 
-    Rows-only (LSH banding + iterative CC are not SQL-expressible);
-    invariants pinned in tests/test_round5.py: survivors+dropped
-    partition the corpus, one survivor per cluster, and the survivor
-    is its cluster's (n_tokens, -doc_id) max."""
+    Invariants additionally pinned in tests/test_round5.py:
+    survivors+dropped partition the corpus, one survivor per cluster,
+    and the survivor is its cluster's (n_tokens, -doc_id) max."""
     from pyspark.sql import Window
 
     from pg_archiver_spark.functions.dedup import (
