@@ -938,7 +938,28 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("stream_cdc_changelog")  # rows-only: live-database change feed
+@register(
+    "stream_cdc_changelog",
+    # Round-8 conversion (rows-only → sql-checked): the trigger
+    # workload is a deterministic function of the fixture — 240
+    # lowest-event_id inserts, an UPDATE of the even ids, a DELETE of
+    # the id%5==0 ids — so the op counts, live-key count, and batch
+    # count (4 seq-ranged feed files × maxFilesPerTrigger=1) are all
+    # SQL-derivable; the three-way snapshot pin stays RuntimeError-
+    # guarded and its verdict is the pinned TRUE.
+    oracle="""
+    WITH s AS (
+        SELECT event_id AS id FROM events ORDER BY event_id LIMIT 240
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_inserts,
+           (SELECT COUNT(*) FROM s WHERE id % 2 = 0) AS n_updates,
+           (SELECT COUNT(*) FROM s WHERE id % 5 = 0) AS n_deletes,
+           CAST(4 AS BIGINT) AS n_batches,
+           (SELECT COUNT(*) FROM s)
+               - (SELECT COUNT(*) FROM s WHERE id % 5 = 0) AS n_live_keys,
+           TRUE AS snapshot_consistent
+    """,
+)
 def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True change-feed ingestion — the NOTIFY/LISTEN-equivalent the
     reference names as future work (README.md:124), end to end against
