@@ -2376,7 +2376,128 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_BASE_DATE = "1992-01-01"
 
 
-@register("ml_ols_normal_eq", oracle=None)
+def _det3_str(m) -> str:
+    """Fully parenthesized 3×3 determinant over string operands — the
+    parens pin one evaluation tree so Spark and DuckDB produce
+    bit-identical IEEE doubles from identical inputs."""
+    t1 = f"(({m[1][1]}*{m[2][2]})-({m[1][2]}*{m[2][1]}))"
+    t2 = f"(({m[1][0]}*{m[2][2]})-({m[1][2]}*{m[2][0]}))"
+    t3 = f"(({m[1][0]}*{m[2][1]})-({m[1][1]}*{m[2][0]}))"
+    return f"((({m[0][0]}*{t1})-({m[0][1]}*{t2}))+({m[0][2]}*{t3}))"
+
+
+def _det4_str(m) -> str:
+    """Fully parenthesized 4×4 determinant (cofactor expansion along
+    row 0) over string operands."""
+    minors = [
+        _det3_str([[m[i][k] for k in range(4) if k != j] for i in (1, 2, 3)])
+        for j in range(4)
+    ]
+    return (
+        f"(((({m[0][0]}*{minors[0]})-({m[0][1]}*{minors[1]}))"
+        f"+({m[0][2]}*{minors[2]}))-({m[0][3]}*{minors[3]}))"
+    )
+
+
+def _ols_beta_formulas() -> list[str]:
+    """Cramer's-rule beta expressions (cents units) over the DOUBLE
+    moment columns d00..d33 (X'X, symmetric) and e0..e3 (X'y). The
+    SAME strings are evaluated by Spark and by the DuckDB oracle, so
+    both engines run one identical IEEE-754 expression tree — the
+    divisions/products are deterministic bit-for-bit given the exact
+    integer moments both sides aggregate."""
+    xtx = [[f"d{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    det = _det4_str(xtx)
+    betas = []
+    for j in range(4):
+        mj = [
+            [f"e{i}" if k == j else xtx[i][k] for k in range(4)]
+            for i in range(4)
+        ]
+        betas.append(f"({_det4_str(mj)}/{det})")
+    return betas
+
+
+_OLS_BETAS_C = _ols_beta_formulas()
+
+# Feature + integer-moment SQL fragments shared (modulo engine date
+# functions) by the Spark side and the DuckDB oracle below.
+_OLS_MOMENT_COLS = [
+    ("m01", "x1"), ("m02", "x2"), ("m03", "x3"),
+    ("m11", "x1*x1"), ("m12", "x1*x2"), ("m13", "x1*x3"),
+    ("m22", "x2*x2"), ("m23", "x2*x3"), ("m33", "x3*x3"),
+    ("v0", "yc"), ("v1", "x1*yc"), ("v2", "x2*yc"), ("v3", "x3*yc"),
+]
+_OLS_D_CASTS = (
+    "CAST(m00 AS DOUBLE) AS d00, CAST(m01 AS DOUBLE) AS d01, "
+    "CAST(m02 AS DOUBLE) AS d02, CAST(m03 AS DOUBLE) AS d03, "
+    "CAST(m11 AS DOUBLE) AS d11, CAST(m12 AS DOUBLE) AS d12, "
+    "CAST(m13 AS DOUBLE) AS d13, CAST(m22 AS DOUBLE) AS d22, "
+    "CAST(m23 AS DOUBLE) AS d23, CAST(m33 AS DOUBLE) AS d33, "
+    "CAST(v0 AS DOUBLE) AS e0, CAST(v1 AS DOUBLE) AS e1, "
+    "CAST(v2 AS DOUBLE) AS e2, CAST(v3 AS DOUBLE) AS e3"
+)
+
+
+@register(
+    "ml_ols_normal_eq",
+    # Round-8 conversion (rows-only → sql-checked): the normal-equation
+    # moments are EXACT integers in cents space (features are integers,
+    # the target is a DECIMAL(18,2)×100), so both engines aggregate the
+    # same numbers; the 4×4 Cramer solve is ONE shared fully-
+    # parenthesized expression string (_OLS_BETAS_C) evaluated as IEEE
+    # doubles by both, giving bit-identical coefficients; R² sums
+    # per-row squared deviations rounded to whole dollars² (exact
+    # BIGINTs < 2^53 at every gate SF) and rounds the ratio to 6dp.
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS yc,
+               datediff('day', DATE '{OLS_BASE_DATE}', o_orderdate) AS x1,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS x2,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x3
+        FROM orders
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m00,
+               {", ".join(f"CAST(SUM({expr}) AS BIGINT) AS {name}"
+                          for name, expr in _OLS_MOMENT_COLS)}
+        FROM f
+    ),
+    d AS (SELECT m00, {_OLS_D_CASTS} FROM m),
+    b AS (
+        SELECT m00,
+               {", ".join(f"{expr} AS bc{j}"
+                          for j, expr in enumerate(_OLS_BETAS_C))},
+               (e0/d00) AS ybar_c
+        FROM d
+    ),
+    r AS (
+        SELECT CAST(ROUND((((CAST(f.yc AS DOUBLE)
+                   - ((((b.bc0*1.0)+(b.bc1*f.x1))+(b.bc2*f.x2))+(b.bc3*f.x3))
+               )/100.0)*((CAST(f.yc AS DOUBLE)
+                   - ((((b.bc0*1.0)+(b.bc1*f.x1))+(b.bc2*f.x2))+(b.bc3*f.x3))
+               )/100.0)), 0) AS BIGINT) AS sq_r,
+               CAST(ROUND((((CAST(f.yc AS DOUBLE) - b.ybar_c)/100.0)
+                   *((CAST(f.yc AS DOUBLE) - b.ybar_c)/100.0)), 0)
+                   AS BIGINT) AS sq_t
+        FROM f CROSS JOIN b
+    )
+    SELECT b.m00 AS n,
+           (b.bc0/100.0) AS beta_intercept,
+           (b.bc1/100.0) AS beta_day,
+           (b.bc2/100.0) AS beta_urgent,
+           (b.bc3/100.0) AS beta_status_f,
+           ROUND(1.0 - (CAST(s.rss AS DOUBLE)/CAST(s.tss AS DOUBLE)), 6)
+               AS r2
+    FROM b CROSS JOIN (
+        SELECT CAST(SUM(sq_r) AS BIGINT) AS rss,
+               CAST(SUM(sq_t) AS BIGINT) AS tss
+        FROM r
+    ) s
+    """,
+)
 def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-feature ordinary least squares via distributed NORMAL
     EQUATIONS — the closed-form regression a warehouse runs when it
@@ -2385,73 +2506,74 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (ml_logreg_gd is the iterative/GD shape, ml_pca_project the
     eigen shape, analytics_linreg_trend the per-group single-feature
     special case): X'X (d(d+1)/2 sums) and X'y (d sums) accumulate in
-    ONE partial-agg pass — the only shuffle is 14 numbers — the d×d
-    solve happens on the DRIVER (bounded: 4×4, the PCA/k-means
-    codebook contract), and a second pass with the coefficients baked
-    in as CODEGEN LITERALS computes R² from residual/total sums of
-    squares. rows-only by contract: float accumulation order makes
-    the trailing digits run-dependent; pytest pins the coefficients
-    against numpy lstsq on the same rows (rtol 1e-6) instead.
+    ONE partial-agg pass — the only shuffle is 14 numbers — the 4×4
+    Cramer solve runs as ONE shared expression string (bounded: the
+    PCA/k-means codebook contract), and a second pass with the
+    coefficients baked in as CODEGEN LITERALS computes R² from
+    residual/total sums of squares.
+
+    Determinism (what makes this sql-checked): the moments are EXACT
+    integers (cents-scaled target, integer features), so accumulation
+    order cannot perturb them; the float work is confined to the
+    shared Cramer expression tree and the per-row residual squares,
+    which are rounded to whole dollars² before an exact integer sum.
+    pytest additionally pins the coefficients against numpy lstsq on
+    the same rows (rtol 1e-6).
 
     At 100 TB: two scans, no joins, no windows; d² stays constant, so
-    the driver solve never grows with data — the textbook scalable
+    the 1-row solve never grows with data — the textbook scalable
     shape for d ≪ n regression (Chen et al., large-scale OLS)."""
-    import numpy as np
-
     orders = load(spark, sf_dir, "orders")
     feats = orders.select(
-        F.col("o_totalprice").cast("double").alias("y"),
-        F.lit(1.0).alias("x0"),
-        F.datediff(F.col("o_orderdate"), F.lit(OLS_BASE_DATE))
-        .cast("double")
-        .alias("x1"),
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
-        )
-        .otherwise(0.0)
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yc"),
+        F.datediff(F.col("o_orderdate"), F.lit(OLS_BASE_DATE)).alias("x1"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
         .alias("x2"),
-        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("x3"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x3"),
     )
-    xs = ["x0", "x1", "x2", "x3"]
-    aggs = [F.count("*").cast("bigint").alias("n")]
-    for i, xi in enumerate(xs):
-        for xj in xs[i:]:
-            aggs.append(
-                F.sum(F.col(xi) * F.col(xj)).alias(f"xx_{xi}_{xj}")
-            )
-        aggs.append(F.sum(F.col(xi) * F.col("y")).alias(f"xy_{xi}"))
-    row = feats.agg(*aggs).collect()[0]  # bounded: d(d+1)/2 + d + 1 numbers
-    d = len(xs)
-    xtx = np.zeros((d, d))
-    xty = np.zeros(d)
-    for i, xi in enumerate(xs):
-        for j in range(i, d):
-            v = row[f"xx_{xi}_{xs[j]}"]
-            xtx[i, j] = xtx[j, i] = v
-        xty[i] = row[f"xy_{xi}"]
-    beta = np.linalg.solve(xtx, xty)
-    n = row["n"]
-    ybar = row["xy_x0"] / n
-    pred = sum(
-        (F.lit(float(b)) * F.col(x) for b, x in zip(beta, xs)),
-        F.lit(0.0),
+    m = feats.agg(
+        F.count("*").cast("long").alias("m00"),
+        *[
+            F.expr(f"CAST(SUM({expr}) AS BIGINT)").alias(name)
+            for name, expr in _OLS_MOMENT_COLS
+        ],
     )
-    fit = feats.agg(
-        F.sum((F.col("y") - pred) * (F.col("y") - pred)).alias("rss"),
-        F.sum(
-            (F.col("y") - F.lit(float(ybar)))
-            * (F.col("y") - F.lit(float(ybar)))
-        ).alias("tss"),
-    ).collect()[0]
-    r2 = 1.0 - fit["rss"] / fit["tss"]
+    d = m.selectExpr("m00", *_OLS_D_CASTS.split(", "))
+    b = d.selectExpr(
+        "m00",
+        *[f"{e} AS bc{j}" for j, e in enumerate(_OLS_BETAS_C)],
+        "(e0/d00) AS ybar_c",
+    )
+    row = b.first()  # bounded: 4 coefficients + mean + n
+    bc = [row[f"bc{j}"] for j in range(4)]
+    # Pass 2: residual/total squared deviations, coefficients as
+    # literals, mirroring the oracle's expression tree exactly.
+    pred = (
+        (F.lit(bc[0]) * F.lit(1.0)) + (F.lit(bc[1]) * F.col("x1"))
+    ) + (F.lit(bc[2]) * F.col("x2")) + (F.lit(bc[3]) * F.col("x3"))
+    rcd = (F.col("yc").cast("double") - pred) / F.lit(100.0)
+    tcd = (F.col("yc").cast("double") - F.lit(row["ybar_c"])) / F.lit(100.0)
+    s = feats.select(
+        F.round(rcd * rcd, 0).cast("long").alias("sq_r"),
+        F.round(tcd * tcd, 0).cast("long").alias("sq_t"),
+    ).agg(F.sum("sq_r").alias("rss"), F.sum("sq_t").alias("tss"))
+    r2 = s.select(
+        F.round(
+            F.lit(1.0) - F.col("rss").cast("double") / F.col("tss").cast("double"),
+            6,
+        ).alias("r2")
+    ).first()["r2"]
     return spark.createDataFrame(
         [
             (
-                int(n),
-                float(beta[0]),
-                float(beta[1]),
-                float(beta[2]),
-                float(beta[3]),
+                int(row["m00"]),
+                bc[0] / 100.0,
+                bc[1] / 100.0,
+                bc[2] / 100.0,
+                bc[3] / 100.0,
                 float(r2),
             )
         ],
