@@ -337,48 +337,119 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("doc1", "doc2")
 
 
-@register("dedup_simhash")  # rows-only: engine hash functions differ
+def _simhash_nibble_exprs() -> list[str]:
+    """Hex-nibble decode of the first 16 md5 chars (64 bits) — SQL
+    shared verbatim by Spark and DuckDB (instr/substr exist in both),
+    so the token-hash bits are engine-identical integers."""
+    return [
+        f"(instr('0123456789abcdef', substr(hx, {c}, 1)) - 1) AS n{c}"
+        for c in range(1, 17)
+    ]
+
+
+def _simhash_vote_exprs(div: str) -> list[str]:
+    """Per-bit ±1 vote sums over the nibble columns; ``div`` is the
+    engine's integer-division keyword (Spark ``DIV``, DuckDB ``//``) —
+    all-integer arithmetic, so the votes are exact in both engines."""
+    return [
+        f"SUM(CASE WHEN ((n{b // 4 + 1} {div} {2 ** (b % 4)}) % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    ]
+
+
+def _simhash_half_expr(lo_bit: int, alias: str) -> str:
+    """One unsigned 32-bit signature half (bits [lo_bit, lo_bit+32)) as
+    a BIGINT built from the vote signs — avoids the engine-specific
+    behavior of shifting into a signed 64-bit sign bit."""
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << (b - lo_bit)} ELSE 0 END)"
+        for b in range(lo_bit, lo_bit + 32)
+    )
+    return f"CAST(CAST(0 AS BIGINT) + {terms} AS BIGINT) AS {alias}"
+
+
+@register(
+    "dedup_simhash",
+    # Round-8 conversion (rows-only → sql-checked): the token hash is
+    # now md5 (identical hex in both engines) decoded to bits by the
+    # SAME instr/substr nibble SQL, the per-bit votes and signature
+    # halves are exact integer arithmetic, and the bucket/Hamming
+    # stages are integer ops — the full signature pipeline reproduces
+    # bit-for-bit in DuckDB, so the pair list + distances hash-check.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    nib AS (
+        SELECT doc_id, {", ".join(_simhash_nibble_exprs())} FROM h
+    ),
+    v AS (
+        SELECT doc_id, {", ".join(_simhash_vote_exprs("//"))}
+        FROM nib GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_simhash_half_expr(32, "hi")},
+               {_simhash_half_expr(0, "lo")}
+        FROM v
+    ),
+    b AS (SELECT doc_id, hi, lo, hi // 65536 AS bucket FROM sig)
+    SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+           CAST(bit_count(xor(s1.hi, s2.hi))
+                + bit_count(xor(s1.lo, s2.lo)) AS INTEGER) AS hamming
+    FROM b s1 JOIN b s2
+      ON s1.bucket = s2.bucket AND s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.hi, s2.hi)) + bit_count(xor(s1.lo, s2.lo)) <= 6
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 64-bit signature = sign of per-bit
     weighted sums of token hashes; near-dups have small Hamming distance.
     Bucketing on the top 16 bits keeps the pair join sub-quadratic (a
-    one-band LSH); Hamming ≤ 6 verifies candidates.
-    """
+    one-band LSH); Hamming ≤ 6 verifies candidates. Token bits come
+    from md5 decoded with the engine-shared nibble SQL (see the oracle
+    comment) — xxhash64 would be ~2× cheaper per token but leaves the
+    signatures unverifiable; at 100 TB the hash cost is a constant
+    factor on the cheapest stage (the token scan), while the pair join
+    dominates either way."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
-
-    # Per-bit vote: +1 if bit set else -1; signature bit = vote > 0.
-    bit_votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+    h = toks.selectExpr("doc_id", "md5(tok) AS hx")
+    nib = h.selectExpr("doc_id", *_simhash_nibble_exprs())
+    votes = nib.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _simhash_vote_exprs("DIV")]
     )
-    sig_expr = None
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
-    sigs = bit_votes.select("doc_id", sig_expr.alias("simhash"))
+    sigs = votes.selectExpr(
+        "doc_id", _simhash_half_expr(32, "hi"), _simhash_half_expr(0, "lo")
+    )
 
     # One-band bucket on the high 16 bits, then Hamming verify.
-    bucketed = sigs.withColumn("bucket", F.shiftright("simhash", 48))
+    bucketed = sigs.selectExpr("doc_id", "hi", "lo", "hi DIV 65536 AS bucket")
     s1 = bucketed.select(
-        F.col("doc_id").alias("doc1"), F.col("simhash").alias("sig1"), "bucket"
+        F.col("doc_id").alias("doc1"),
+        F.col("hi").alias("hi1"),
+        F.col("lo").alias("lo1"),
+        "bucket",
     )
     s2 = bucketed.select(
-        F.col("doc_id").alias("doc2"), F.col("simhash").alias("sig2"), "bucket"
+        F.col("doc_id").alias("doc2"),
+        F.col("hi").alias("hi2"),
+        F.col("lo").alias("lo2"),
+        "bucket",
     )
     pairs = (
         s1.join(s2, "bucket")
         .filter(F.col("doc1") < F.col("doc2"))
-        .withColumn("hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+                + F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+            ).cast("int"),
+        )
         .filter(F.col("hamming") <= 6)
         .select("doc1", "doc2", "hamming")
     )
