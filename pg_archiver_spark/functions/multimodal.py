@@ -570,9 +570,62 @@ PHASH_MAX_DIST = 10
 PHASH_BRIGHTNESS = 4  # planted-twin brightness shift (ASCII never clips)
 
 
-@register("multimodal_phash_neardup")  # rows-only: PNG synthesis +
-# Python decode kernel — no SQL-expressible oracle; recall/precision
-# are pinned by the planted-twin pytest.
+@register(
+    "multimodal_phash_neardup",
+    # Round-8 conversion (rows-only → sql-checked): the PNG payloads
+    # are synthesized from the fixture text (ASCII bytes tiled to a
+    # doc_id-keyed raster), and PNG is lossless, so the decoded pixels
+    # the kernel hashes equal the tiled text bytes — which SQL can
+    # reconstruct: pixel(p) = ascii(text[p mod L]), the 8×8 thumbnail
+    # gather is integer index arithmetic, and the mean threshold
+    # p > S/64 rewrites exactly as the integer 64·p > S. The +4
+    # brightness twins are aHash-invariant, so they reuse the same
+    # code. The oracle therefore re-derives every signature from first
+    # principles — a broken PNG encode/decode/inflate path, thumbnail
+    # gather, or bit packing hash-fails.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, strlen(text) AS L,
+               8 + (doc_id % 9) AS w,
+               GREATEST(1, strlen(text) // (8 + (doc_id % 9))) AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+        SELECT doc_id, unnest(range(64)) AS k,
+               ascii(substr(text,
+                   CAST((LEAST(h - 1, ((unnest(range(64)) // 8) * h) // 8) * w
+                       + LEAST(w - 1, ((unnest(range(64)) % 8) * w) // 8))
+                       % L AS INTEGER) + 1, 1)) AS p
+        FROM d
+    ),
+    th AS (
+        SELECT doc_id, k, p, SUM(p) OVER (PARTITION BY doc_id) AS s
+        FROM px
+    ),
+    codes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 64 * p > s AND k < 32
+                             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN 64 * p > s AND k >= 32
+                             THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM th GROUP BY doc_id
+    ),
+    imgs AS (
+        SELECT doc_id AS img_id, lo, hi FROM codes
+        UNION ALL
+        SELECT -doc_id - 1, lo, hi FROM codes WHERE doc_id % 10 = 0
+    )
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM imgs a JOIN imgs b
+      ON a.hi = b.hi AND a.img_id < b.img_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          <= {PHASH_MAX_DIST}
+    """,
+)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-duplicate detection — the visual
     sibling of minhash_neardup/dedup_simhash, completing the dedup
@@ -668,9 +721,71 @@ AUDIO_FP_MAX_DIST = 10
 AUDIO_TWIN_SCALE = 2  # planted twin: amplitude halved (integer shift)
 
 
-@register("multimodal_audio_fingerprint_neardup")  # rows-only: WAV
-# synthesis + Python decode kernel — recall pinned by the planted-twin
-# pytest (no SQL-expressible oracle).
+@register(
+    "multimodal_audio_fingerprint_neardup",
+    # Round-8 conversion (rows-only → sql-checked): the WAV payloads
+    # are synthesized from the fixture text — sample(p) =
+    # (ascii(text[p]) - 128) · 256 over the first 256 bytes — and PCM
+    # is lossless, so the decoded frames equal that expression; window
+    # energies are exact BIGINT square-sums (missing/padded windows are
+    # zero and still count in the mean), and the mean threshold
+    # rewrites as the integer 64·e > S. The halved-amplitude twins are
+    # energy-sign-invariant EXACTLY here (samples are even, so s//2
+    # squares to s²/4 with no truncation), so they reuse the same
+    # code. A broken WAV encode/decode or windowing hash-fails.
+    oracle=f"""
+    WITH a0 AS (
+        SELECT doc_id, text, LEAST(256, strlen(text)) AS m,
+               (LEAST(256, strlen(text)) + 63) // 64 AS wd
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    sm AS (
+        SELECT doc_id, wd, unnest(range(m)) AS p,
+               CAST((ascii(substr(text,
+                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128) * 256
+                   AS BIGINT) AS sv
+        FROM a0
+    ),
+    en0 AS (
+        SELECT doc_id, p // wd AS k, SUM(sv * sv) AS e
+        FROM sm GROUP BY doc_id, k
+    ),
+    grid AS (
+        SELECT doc_id, unnest(range(64)) AS k FROM a0
+    ),
+    en AS (
+        SELECT g.doc_id, g.k, COALESCE(e.e, 0) AS e
+        FROM grid g LEFT JOIN en0 e
+          ON g.doc_id = e.doc_id AND g.k = e.k
+    ),
+    th AS (
+        SELECT doc_id, k, e, SUM(e) OVER (PARTITION BY doc_id) AS s
+        FROM en
+    ),
+    codes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 64 * e > s AND k < 32
+                             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN 64 * e > s AND k >= 32
+                             THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM th GROUP BY doc_id
+    ),
+    clips AS (
+        SELECT doc_id AS clip_id, lo, hi FROM codes
+        UNION ALL
+        SELECT -doc_id - 1, lo, hi FROM codes WHERE doc_id % 10 = 5
+    )
+    SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM clips a JOIN clips b
+      ON a.hi = b.hi AND a.clip_id < b.clip_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          <= {AUDIO_FP_MAX_DIST}
+    """,
+)
 def multimodal_audio_fingerprint_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
