@@ -289,7 +289,75 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
 
 
-@register("multimodal_binary_features")  # rows-only: Python kernel, no SQL form
+@register(
+    "multimodal_binary_features",
+    # Round-8 conversion (rows-only → sql-checked): every decoded
+    # feature is a deterministic function of the fixture text — PNG
+    # dims/means come from the tiled ASCII raster, WAV frame counts /
+    # duration / mean |amplitude| from (ascii(byte)-128)·256 over the
+    # first 256 bytes — so the per-media-type profile reconstructs in
+    # exact integer SQL. Only the raw payload byte total is
+    # compression-shaped, so it is reported as the >0 invariant.
+    oracle="""
+    WITH di AS (
+        SELECT doc_id, text, strlen(text) AS L,
+               8 + (doc_id % 9) AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    ipx AS (
+        SELECT doc_id, text, L,
+               unnest(range(GREATEST(1, L // w) * w)) AS p
+        FROM di
+    ),
+    iom AS (
+        SELECT doc_id,
+               (SUM(ascii(substr(text, CAST(p % L AS INTEGER) + 1, 1)))
+                   * 1000) // COUNT(*) AS mm
+        FROM ipx GROUP BY doc_id
+    ),
+    iprof AS (
+        SELECT COUNT(*) AS n_media,
+               MIN(w) AS min_width,
+               MAX(GREATEST(1, L // w)) AS max_height
+        FROM di
+    ),
+    iavg AS (SELECT SUM(mm) // COUNT(*) AS avg_mm FROM iom),
+    da AS (
+        SELECT doc_id, text, LEAST(256, strlen(text)) AS m
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    apx AS (
+        SELECT doc_id, m, unnest(range(m)) AS p,
+               ABS(CAST(ascii(substr(text,
+                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128
+                   AS BIGINT) * 256) AS av
+        FROM da
+    ),
+    aom AS (
+        SELECT doc_id, (SUM(av) * 1000) // m AS mm
+        FROM apx GROUP BY doc_id, m
+    ),
+    aprof AS (
+        SELECT COUNT(*) AS n_media,
+               MIN(m) AS min_width,
+               MAX(m // 8) AS max_dur
+        FROM da
+    ),
+    aavg AS (SELECT SUM(mm) // COUNT(*) AS avg_mm FROM aom)
+    SELECT 'audio/wav' AS media_type, n_media,
+           TRUE AS bytes_positive,
+           CAST(min_width AS BIGINT) AS min_width,
+           CAST(1 AS BIGINT) AS max_height,
+           CAST(max_dur AS BIGINT) AS max_duration_ms,
+           CAST(avg_mm AS BIGINT) AS avg_mean_milli
+    FROM aprof CROSS JOIN aavg
+    UNION ALL
+    SELECT 'image/png', n_media, TRUE,
+           CAST(min_width AS BIGINT), CAST(max_height AS BIGINT),
+           CAST(0 AS BIGINT), CAST(avg_mm AS BIGINT)
+    FROM iprof CROSS JOIN iavg
+    """,
+)
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → REAL decode → typed features, both hops as
     Arrow-batched mapInPandas (the Python boundary is per batch, never
@@ -299,7 +367,9 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (the testdata ships no media); the decode kernel then parses
     them for real — PNG chunk walk + inflate + de-filter, WAV frame
     parse — so dimensions/duration in the output are decoded, not
-    fabricated. Output: per-media_type feature profile."""
+    fabricated. Output: per-media_type feature profile (the payload
+    byte total is compression-shaped, so it surfaces as the >0
+    invariant rather than a raw count)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = docs.mapInPandas(_synthesize_media, schema=_MEDIA_SCHEMA)
     feats = media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
@@ -307,7 +377,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("media_type")
         .agg(
             F.count("*").alias("n_media"),
-            F.sum("n_bytes").alias("total_bytes"),
+            (F.min("n_bytes") > F.lit(0)).alias("bytes_positive"),
             F.min("width").alias("min_width"),
             F.max("height").alias("max_height"),
             F.max("duration_ms").alias("max_duration_ms"),
@@ -422,7 +492,51 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 THUMB_SIZE = 8
 
 
-@register("multimodal_image_resize")  # rows-only: Python pixel kernel
+@register(
+    "multimodal_image_resize",
+    # Round-8 conversion (rows-only → sql-checked): lossless PNG means
+    # the decoded raster equals the tiled ASCII text bytes, so SQL can
+    # re-derive both means — the original over all h·w tiled positions
+    # (pixel(p) = ascii(text[p mod L])) and the thumbnail over the same
+    # 8×8 nearest-neighbor gather the kernel uses — in exact integer
+    # arithmetic. A broken decode, filter reconstruction, resize
+    # gather, or re-encode round-trip hash-fails.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, strlen(text) AS L,
+               8 + (doc_id % 9) AS w,
+               GREATEST(1, strlen(text) // (8 + (doc_id % 9))) AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+        SELECT doc_id, text, L, unnest(range(h * w)) AS p FROM d
+    ),
+    om AS (
+        SELECT doc_id,
+               (SUM(ascii(substr(text, CAST(p % L AS INTEGER) + 1, 1)))
+                   * 1000) // COUNT(*) AS o_mean
+        FROM px GROUP BY doc_id
+    ),
+    tp AS (
+        SELECT doc_id,
+               ascii(substr(text,
+                   CAST((LEAST(h - 1, ((unnest(range(64)) // 8) * h) // 8) * w
+                       + LEAST(w - 1, ((unnest(range(64)) % 8) * w) // 8))
+                       % L AS INTEGER) + 1, 1)) AS v
+        FROM d
+    ),
+    tm AS (
+        SELECT doc_id, (SUM(v) * 1000) // 64 AS t_mean
+        FROM tp GROUP BY doc_id
+    )
+    SELECT COUNT(*) AS n_images,
+           CAST(8 AS BIGINT) AS thumb_w,
+           CAST(8 AS BIGINT) AS thumb_h,
+           CAST(SUM(o_mean) // COUNT(*) AS BIGINT) AS avg_orig_mean,
+           CAST(SUM(t_mean) // COUNT(*) AS BIGINT) AS avg_thumb_mean
+    FROM om JOIN tm USING (doc_id)
+    """,
+)
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image RESIZE stage of a multimodal ingest pipeline, for real:
     synthesize spec-valid grayscale PNGs from even-doc_id texts →
@@ -500,7 +614,64 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features")  # rows-only: Python sample kernel
+@register(
+    "multimodal_audio_features",
+    # Round-8 conversion (rows-only → sql-checked): PCM is lossless, so
+    # the parsed samples equal (ascii(text[p]) - 128) · 256 over the
+    # first 256 bytes; squares/zero-crossings/peaks are exact integer
+    # SQL, and the kernel's isqrt is emulated exactly as
+    # floor(sqrt(double)) plus a ±1 integer correction (the double
+    # sqrt of a ~2^58 operand is within 1 of the true integer root, so
+    # one correction step pins it). A broken WAV write/parse or
+    # accumulator overflow hash-fails.
+    oracle="""
+    WITH a0 AS (
+        SELECT doc_id, text, LEAST(256, strlen(text)) AS m
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    sm AS (
+        SELECT doc_id, m, unnest(range(m)) AS p,
+               CAST(ascii(substr(text,
+                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128
+                   AS BIGINT) * 256 AS sv
+        FROM a0
+    ),
+    fl AS (
+        SELECT doc_id, m, p, sv,
+               CASE WHEN (sv < 0) <> LAG(sv < 0) OVER (
+                        PARTITION BY doc_id ORDER BY p)
+                    THEN 1 ELSE 0 END AS flip
+        FROM sm
+    ),
+    per AS (
+        SELECT doc_id, m,
+               SUM(sv * sv) AS sq,
+               CAST(SUM(flip) AS BIGINT) AS zc,
+               MAX(ABS(sv)) AS peak
+        FROM fl
+        GROUP BY doc_id, m
+    ),
+    r0s AS (
+        SELECT doc_id, m, zc, peak,
+               CAST((sq * 1000000) // m AS BIGINT) AS x,
+               CAST(FLOOR(SQRT(CAST((sq * 1000000) // m AS DOUBLE)))
+                   AS BIGINT) AS r0
+        FROM per
+    ),
+    rms AS (
+        SELECT doc_id, m, zc, peak,
+               (r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= x THEN 1 ELSE 0 END))
+                   - (CASE WHEN r0 * r0 > x THEN 1 ELSE 0 END) AS rms_milli
+        FROM r0s
+    )
+    SELECT COUNT(*) AS n_clips,
+           CAST(SUM(m) AS BIGINT) AS total_samples,
+           CAST(SUM(rms_milli) // COUNT(*) AS BIGINT) AS avg_rms_milli,
+           CAST(SUM(zc) AS BIGINT) AS total_zero_crossings,
+           CAST(MAX(peak) AS BIGINT) AS max_peak
+    FROM rms
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio FEATURE-EXTRACT stage, for real: synthesize 16-bit PCM
     WAVs from odd-doc_id texts → parse the actual sample frames → the
