@@ -77,7 +77,27 @@ def archive_batch(
     return spark.read.parquet(out).select("table_name", "event_id")
 
 
-@register("stream_archival_foreachbatch")  # rows-only: stateful pipeline
+@register(
+    "stream_archival_foreachbatch",
+    # Round-8 conversion (rows-only → sql-checked): every output field
+    # is independent of micro-batch slicing — the archived set is
+    # exactly {ts < cutoff} no matter how the files trigger, the
+    # remaining set is its complement via the ledger anti-join, and the
+    # hive partition count is the distinct (year, month) of the
+    # archived rows. A batch function that double-appended on retry
+    # (D3), dropped unarchived rows (D1), or mis-partitioned now
+    # hash-fails instead of passing rows-only.
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS n_source,
+           COUNT(*) AS n_archived,
+           (SELECT COUNT(*) FROM events) - COUNT(*) AS n_remaining,
+           CAST(COUNT(DISTINCT (year(ts), month(ts))) AS BIGINT)
+               AS n_partitions,
+           TRUE AS invariants_ok
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
 def stream_archival_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental archiver: micro-batch read → cutoff filter →
     partitioned Parquet append → delete-behind, with D1/D3 fixes.
@@ -259,7 +279,40 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("user_id")
 
 
-@register("stream_watermark_late")  # rows-only: incremental semantics
+@register(
+    "stream_watermark_late",
+    # Round-8 conversion (rows-only → sql-checked): the replay order is
+    # pinned (one file per batch, ascending mtimes), so the emitted set
+    # is a deterministic function of the fixture — every day-1 window,
+    # every late day-2 window (on 4.1.2 the late rows create fresh
+    # state and emit at the final commit, per the docstring), and the
+    # day-5 windows whose end is at or below the final watermark
+    # max(day-5 ts) − 10 min. Verified window-for-window against the
+    # live stream at sf0.001/sf0.01 before pinning. An emission-
+    # semantics regression (double emission, changed late-row fate,
+    # watermark off-by-one) now hash-fails.
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    ),
+    src AS (
+        SELECT epoch_ms(ts) AS ms FROM events
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+           OR (ts >= TIMESTAMP '2024-01-05 00:00:00'
+               AND ts < TIMESTAMP '2024-01-06 00:00:00')
+    ),
+    b AS (
+        SELECT (ms // 3600000) * 3600000 AS ws, COUNT(*) AS n_events
+        FROM src GROUP BY 1
+    )
+    SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           n_events
+    FROM b, wm WHERE ws + 3600000 <= wm.w
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed count over a file-source replay: three
     ordered micro-batches — on-time data, watermark-advancing data, then
@@ -321,7 +374,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.sql(
-        "SELECT window_start, n_events FROM watermark_late_sink ORDER BY window_start"
+        """
+        SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')
+                   AS window_start,
+               n_events
+        FROM watermark_late_sink ORDER BY window_start
+        """
     )
 
 
