@@ -2517,7 +2517,159 @@ def analytics_audience_overlap(
     )
 
 
-@register("analytics_markov_removal_attribution")  # rows-only: linear solve
+_MKV_STATES = ["START", "click", "error", "signup", "view"]  # sorted transient set
+
+
+def _mkv_det_str(m) -> str:
+    """Fully parenthesized n×n determinant string (cofactor expansion
+    along row 0, recursion bottoming out at the shared 3×3 helper) —
+    one expression tree evaluated identically by Spark and DuckDB."""
+    from pg_archiver_spark.functions.similarity import _det3_str
+
+    n = len(m)
+    if n == 3:
+        return _det3_str(m)
+    parts = [
+        f"({m[0][j]}*"
+        f"{_mkv_det_str([[m[i][k] for k in range(n) if k != j] for i in range(1, n)])})"
+        for j in range(n)
+    ]
+    expr = parts[0]
+    for j in range(1, n):
+        expr = f"({expr}{'-' if j % 2 == 1 else '+'}{parts[j]})"
+    return expr
+
+
+def _mkv_absorption_formulas() -> list[str]:
+    """Cramer's-rule absorption probabilities P(CONV | START) over the
+    DOUBLE moment columns t{i} (row totals), g{i}{j} (transient→
+    transient counts), c{i} (transient→CONV counts): the system
+    (D − N)a = C is the normal form of (I − Q)a = r with each row
+    scaled by its EXACT integer row total, so every matrix entry is an exact
+    integer-valued double and the shared expression trees are
+    bit-identical across engines. Entry 0 = base chain; entries 1..4 =
+    the chain with that channel's edges redirected to DROP (its row and
+    incoming column zeroed; row totals unchanged — redirected mass
+    lands in DROP)."""
+    n = len(_MKV_STATES)
+    out = []
+    for removed in [None, 1, 2, 3, 4]:
+        m = []
+        for i in range(n):
+            row = []
+            for j in range(n):
+                if removed is not None and (i == removed or j == removed):
+                    row.append(f"t{i}" if i == j else "0.0")
+                else:
+                    row.append(
+                        f"(t{i}-g{i}{j})" if i == j else f"(0.0-g{i}{j})"
+                    )
+            m.append(row)
+        v = ["0.0" if removed == i else f"c{i}" for i in range(n)]
+        num = [
+            [v[i] if j == 0 else m[i][j] for j in range(n)] for i in range(n)
+        ]
+        out.append(f"({_mkv_det_str(num)}/{_mkv_det_str(m)})")
+    return out
+
+
+_MKV_ABS = _mkv_absorption_formulas()
+_MKV_EFFECTS = [
+    f"CASE WHEN ab > 0.0 THEN ((ab-a{k})/ab) ELSE 0.0 END AS e{k}"
+    for k in range(1, 5)
+]
+_MKV_TOT = "(((e1+e2)+e3)+e4)"
+
+
+def _mkv_moment_exprs() -> list[str]:
+    cols = []
+    for i, s in enumerate(_MKV_STATES):
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN src='{s}' THEN n END), 0) "
+            f"AS DOUBLE) AS t{i}"
+        )
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN src='{s}' AND dst='CONV' "
+            f"THEN n END), 0) AS DOUBLE) AS c{i}"
+        )
+        for j, s2 in enumerate(_MKV_STATES):
+            cols.append(
+                f"CAST(COALESCE(SUM(CASE WHEN src='{s}' AND dst='{s2}' "
+                f"THEN n END), 0) AS DOUBLE) AS g{i}{j}"
+            )
+    return cols
+
+
+def _mkv_final_rows_sql() -> str:
+    rows = []
+    for k, ch in enumerate(_MKV_STATES[1:], start=1):
+        rows.append(
+            f"SELECT '{ch}' AS channel, "
+            f"CAST(ROUND(e{k}*1000.0) AS BIGINT) AS removal_effect_pm, "
+            f"CASE WHEN tot > 0.0 THEN "
+            f"CAST(ROUND((e{k}/tot)*1000.0) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END AS attribution_pm FROM e"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "analytics_markov_removal_attribution",
+    # Round-8 conversion (rows-only → sql-checked): the transition
+    # counts are exact integers, scaling each normal-equation row by
+    # its row total turns the fundamental-matrix solve into Cramer's
+    # rule over exact-integer-valued doubles, and the 5×5 determinants
+    # are ONE shared fully-parenthesized expression string per variant
+    # (the ml_ols_normal_eq technique) — both engines produce
+    # bit-identical absorption probabilities, effects, and permille
+    # roundings.
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS state
+        FROM events
+    ),
+    fc AS (
+        SELECT user_id, MIN(ms) AS conv_ms FROM ev
+        WHERE state = 'CONV' GROUP BY user_id
+    ),
+    pr AS (
+        SELECT e.user_id, e.ms, e.event_id, e.state
+        FROM ev e LEFT JOIN fc USING (user_id)
+        WHERE (fc.conv_ms IS NULL OR e.ms <= fc.conv_ms)
+          AND (e.state <> 'CONV' OR e.ms = fc.conv_ms)
+    ),
+    sq AS (
+        SELECT user_id, state,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ms, event_id) AS pos,
+               LEAD(state) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id) AS nxt
+        FROM pr
+    ),
+    ed AS (
+        SELECT 'START' AS src, state AS dst FROM sq WHERE pos = 1
+        UNION ALL
+        SELECT state, nxt FROM sq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT state, 'DROP' FROM sq WHERE nxt IS NULL AND state <> 'CONV'
+    ),
+    cn AS (
+        SELECT src, dst, COUNT(*) AS n FROM ed
+        WHERE src <> 'CONV' GROUP BY 1, 2
+    ),
+    m AS (SELECT {", ".join(_mkv_moment_exprs())} FROM cn),
+    b AS (
+        SELECT {_MKV_ABS[0]} AS ab,
+               {", ".join(f"{f} AS a{k}" for k, f in enumerate(_MKV_ABS[1:], start=1))}
+        FROM m
+    ),
+    e0 AS (SELECT {", ".join(_MKV_EFFECTS)} FROM b),
+    e AS (SELECT e1, e2, e3, e4, {_MKV_TOT} AS tot FROM e0)
+    {_mkv_final_rows_sql()}
+    """,
+)
 def analytics_markov_removal_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2533,18 +2685,16 @@ def analytics_markov_removal_attribution(
     Distribution-of-work shape: everything data-sized happens as exact
     transition COUNTS in Spark (one shuffle on user_id for the ordered
     lag, counts collapse to ≤(|channels|+3)² rows — the
-    analytics_markov_transitions frame plus START/CONV/DROP); only the
-    tiny matrix reaches the driver, where the absorption
-    probabilities solve a ≤|channels|-dim linear system per removal
-    (numpy, deterministic — the ml_pca_project K-sized-driver-solve
-    precedent). At 100 TB the count pass is the whole cost.
+    analytics_markov_transitions frame plus START/CONV/DROP); the
+    absorption probabilities then solve a ≤|channels|-dim linear
+    system per removal as ONE shared Cramer expression string over the
+    1-row moments frame (no numpy, no driver solve — and the identical
+    string is the DuckDB oracle, see _mkv_absorption_formulas). At
+    100 TB the count pass is the whole cost.
 
-    Rows-only: the fundamental-matrix solve is not SQL-expressible;
-    the sibling test pins the chain's stochastic invariants (rows sum
-    to 1, effects in [0,1], shares sum to 1000, removal never helps
-    conversion) and determinism."""
-    import numpy as np
-
+    The sibling test additionally pins the chain's stochastic
+    invariants (effects in [0,1], shares sum to ~1000, removal never
+    helps conversion) and determinism."""
     events = load(spark, sf_dir, "events")
     ev = events.select(
         "user_id",
@@ -2591,57 +2741,27 @@ def analytics_markov_removal_attribution(
         .filter(F.col("src") != "CONV")  # CONV is absorbing
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
-        .collect()
     )
-
-    states = sorted({r.src for r in counts} | {r.dst for r in counts})
-    transient = [s for s in states if s not in ("CONV", "DROP")]
-    idx = {s: i for i, s in enumerate(transient)}
-    n_t = len(transient)
-
-    def absorption(removed: str | None) -> float:
-        # P(absorb in CONV | START) with `removed` redirected to DROP.
-        q = np.zeros((n_t, n_t))
-        r = np.zeros(n_t)
-        row_tot = {s: 0 for s in transient}
-        for row in counts:
-            if row.src in row_tot:
-                row_tot[row.src] += row.n
-        for row in counts:
-            if row.src not in idx or row_tot[row.src] == 0:
-                continue
-            p = row.n / row_tot[row.src]
-            if row.dst == removed:
-                continue  # redirected mass falls through to DROP
-            if row.dst == "CONV":
-                r[idx[row.src]] += p
-            elif row.dst in idx:
-                q[idx[row.src], idx[row.dst]] += p
-        if removed is not None and removed in idx:
-            # Removed channel emits nothing (all mass to DROP).
-            q[idx[removed], :] = 0.0
-            r[idx[removed]] = 0.0
-        a = np.linalg.solve(np.eye(n_t) - q, r)
-        return float(a[idx["START"]])
-
-    base = absorption(None)
-    channels = [s for s in transient if s != "START"]
-    effects = {}
-    for c in channels:
-        removed_p = absorption(c)
-        effects[c] = (base - removed_p) / base if base > 0 else 0.0
-    tot_eff = sum(effects.values())
-    rows = [
-        (
-            c,
-            int(round(effects[c] * 1000)),
-            int(round(effects[c] / tot_eff * 1000)) if tot_eff > 0 else 0,
-        )
-        for c in sorted(channels)
-    ]
-    return spark.createDataFrame(
-        rows, "channel string, removal_effect_pm long, attribution_pm long"
+    # 1-row exact-integer moments (cast to double for the shared
+    # Cramer formulas) — mirrors the oracle's `m` CTE expression for
+    # expression.
+    mom = counts.agg(*[F.expr(c) for c in _mkv_moment_exprs()])
+    b = mom.selectExpr(
+        f"{_MKV_ABS[0]} AS ab",
+        *[f"{f} AS a{k}" for k, f in enumerate(_MKV_ABS[1:], start=1)],
     )
+    e0 = b.selectExpr(*_MKV_EFFECTS)
+    e = e0.selectExpr("e1", "e2", "e3", "e4", f"{_MKV_TOT} AS tot")
+    stack_args = ", ".join(
+        f"'{ch}', CAST(ROUND(e{k}*1000.0) AS BIGINT), "
+        f"CASE WHEN tot > 0.0 THEN CAST(ROUND((e{k}/tot)*1000.0) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for k, ch in enumerate(_MKV_STATES[1:], start=1)
+    )
+    return e.selectExpr(
+        f"stack(4, {stack_args}) AS "
+        "(channel, removal_effect_pm, attribution_pm)"
+    ).orderBy("channel")
 
 
 SEQ_CHAR = {
