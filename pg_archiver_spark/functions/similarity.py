@@ -1441,12 +1441,176 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOGREG_ITERS = 3
 LOGREG_LR = 0.5
+_LR_LN2 = "0.6931471805599453"
+_LR_DIM = 64
+_LR_NANO = "1000000000.0"
 
 
-@register("ml_logreg_gd")  # rows-only: iterative training; weights are
-# data-dependent floats — no SQL-expressible oracle. Correctness is
-# pinned by the in-op monotone-loss check plus the accuracy/loss
-# assertions in tests.
+def _lr_horner_exp(var: str) -> str:
+    """Taylor e^x (13 terms, Horner, exact-literal 1/k! coefficients)
+    for |x| ≤ ln2/2 — full double precision; shared text, so both
+    engines evaluate one identical IEEE tree."""
+    import math
+
+    coeffs = [repr(1.0 / math.factorial(k)) for k in range(14)]
+    p = coeffs[13]
+    for k in range(12, -1, -1):
+        p = f"({coeffs[k]}+({var}*{p}))"
+    return p
+
+
+def _lr_case_pow2(var: str) -> str:
+    """2^n for the integer-valued double exponent column — an explicit
+    CASE table of exact power-of-two literals (n ∈ [-43, 0] after the
+    ±30 clamp), so no engine-specific pow() is involved."""
+    branches = " ".join(
+        f"WHEN {var} = {float(k)!r} THEN {2.0 ** k!r}"
+        for k in range(-43, 1)
+    )
+    return f"(CASE {branches} ELSE 1.0 END)"
+
+
+def _lr_horner_ln1p(var: str) -> str:
+    """ln(1+u) via 2·atanh(u/(2+u)) with an 18-term odd Horner in
+    t² — exact to double precision for t ≤ 1/3 (u ≤ 1); `var` is the
+    t column. Shared text → identical trees."""
+    coeffs = [repr(1.0 / (2 * k + 1)) for k in range(18)]
+    p = coeffs[17]
+    for k in range(16, -1, -1):
+        p = f"({coeffs[k]}+(({var}*{var})*{p}))"
+    return f"(2.0*({var}*{p}))"
+
+
+def _lr_stage_exprs() -> list[list[str]]:
+    """Column-staged per-row math from margin z to quantized stats —
+    the SAME fragment text runs as Spark selectExpr stages and as
+    DuckDB CTE stages, so p, the residual, and the nano-quantized
+    loss/gradient terms are bit-identical in both engines:
+    numerically-stable sigmoid and softplus both derive from one
+    exp(-|z|) tree (clamp → FLOOR exponent → pow2 CASE → Taylor)."""
+    return [
+        ["GREATEST(-30.0, LEAST(30.0, z)) AS zc"],
+        ["(0.0-ABS(zc)) AS za"],
+        [f"FLOOR((za/{_LR_LN2})+0.5) AS na"],
+        [f"(za-(na*{_LR_LN2})) AS ra"],
+        [
+            f"{_lr_horner_exp('ra')} AS pa",
+            f"{_lr_case_pow2('na')} AS t2a",
+        ],
+        ["(t2a*pa) AS ea"],
+        [
+            "CASE WHEN zc >= 0.0 THEN (1.0/(1.0+ea)) "
+            "ELSE (ea/(1.0+ea)) END AS p",
+            "(ea/(2.0+ea)) AS tt",
+        ],
+        [f"{_lr_horner_ln1p('tt')} AS l1p"],
+        ["(p-y) AS r"],
+        [
+            "CAST(ROUND(((y*(GREATEST((0.0-zc),0.0)+l1p))"
+            f"+((1.0-y)*(GREATEST(zc,0.0)+l1p)))*{_LR_NANO}) "
+            "AS BIGINT) AS ln9",
+            "CASE WHEN ((p > 0.5) AND (y = 1.0)) "
+            "OR ((p <= 0.5) AND (y = 0.0)) THEN 1 ELSE 0 END AS ok",
+            f"CAST(ROUND(r*{_LR_NANO}) AS BIGINT) AS rq",
+        ],
+    ]
+
+
+def _lr_z_fold(weight_ref, bias_ref: str, idx) -> str:
+    """Left-assoc dot-product fold matching Spark's zip_with/aggregate
+    order; `weight_ref(j)`/`idx(j)` abstract the engines' weight
+    reference (literal vs column) and array index base — the VALUES
+    are identical, so the fold is too."""
+    expr = "0.0"
+    for j in range(_LR_DIM):
+        expr = f"({expr}+(CAST(embedding[{idx(j)}] AS DOUBLE)*{weight_ref(j)}))"
+    return f"({expr}+{bias_ref})"
+
+
+_LR_QG = f"CAST(ROUND((r*CAST(xj AS DOUBLE))*{_LR_NANO}) AS BIGINT)"
+
+
+def _lr_oracle_sql() -> str:
+    """Three GD iterations as chained CTEs: per iteration a staged
+    per-row block (shared fragments), an integer stats/gradient
+    reduction, a 64-column pivot, and the weight update — every float
+    either flows through a shared expression tree or is an exact
+    integer, so the trajectory is bit-identical to the Spark loop."""
+    stages = _lr_stage_exprs()
+    parts = [
+        "WITH emb AS (SELECT embedding, "
+        "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_LR_DIM))
+        + ", 0.0 AS b)",
+    ]
+    for i in range(1, LOGREG_ITERS + 1):
+        z = _lr_z_fold(lambda j: f"w.w{j}", "w.b", lambda j: j + 1)
+        parts.append(
+            f"z{i} AS (SELECT e.embedding, e.y, {z} AS z "
+            f"FROM emb e CROSS JOIN w{i - 1} w)"
+        )
+        prev = f"z{i}"
+        for k, stage in enumerate(stages):
+            name = f"c{i}_{k}"
+            parts.append(
+                f"{name} AS (SELECT *, {', '.join(stage)} FROM {prev})"
+            )
+            prev = name
+        parts.append(
+            f"st{i} AS (SELECT CAST(SUM(ln9) AS BIGINT) AS lsum, "
+            "CAST(SUM(ok) AS BIGINT) AS csum, "
+            "CAST(SUM(rq) AS BIGINT) AS dbsum, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM {prev})"
+        )
+        if i < LOGREG_ITERS:
+            parts.append(
+                f"gr{i} AS (SELECT j, CAST(SUM({_LR_QG}) AS BIGINT) AS s "
+                f"FROM (SELECT r, unnest(embedding) AS xj, "
+                f"generate_subscripts(embedding, 1) AS j FROM {prev}) "
+                "GROUP BY j)"
+            )
+            gp = ", ".join(
+                f"MAX(CASE WHEN j = {j + 1} THEN s END) AS g{j}"
+                for j in range(_LR_DIM)
+            )
+            parts.append(f"gp{i} AS (SELECT {gp} FROM gr{i})")
+            upd = ", ".join(
+                f"(w.w{j} - ({LOGREG_LR}*(CAST(g.g{j} AS DOUBLE)"
+                f"/(CAST(st.n AS DOUBLE)*{_LR_NANO})))) AS w{j}"
+                for j in range(_LR_DIM)
+            )
+            parts.append(
+                f"w{i} AS (SELECT {upd}, "
+                f"(w.b - ({LOGREG_LR}*(CAST(st.dbsum AS DOUBLE)"
+                f"/(CAST(st.n AS DOUBLE)*{_LR_NANO})))) AS b "
+                f"FROM w{i - 1} w CROSS JOIN gp{i} g CROSS JOIN st{i} st)"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iteration, "
+        f"ROUND(CAST(lsum AS DOUBLE)/(CAST(n AS DOUBLE)*{_LR_NANO}), 6) "
+        "AS log_loss, "
+        "ROUND(CAST(csum AS DOUBLE)/CAST(n AS DOUBLE), 4) AS accuracy "
+        f"FROM st{i}"
+        for i in range(1, LOGREG_ITERS + 1)
+    )
+    return ",\n".join(parts) + "\n" + rows
+
+
+@register(
+    "ml_logreg_gd",
+    # Round-8 conversion (rows-only → sql-checked): the full GD
+    # trajectory is made bit-deterministic across engines by (a) a
+    # SHARED numerically-stable sigmoid/softplus built from one
+    # exp(-|z|) expression tree (clamp → FLOOR exponent → exact pow2
+    # CASE table → Taylor-13 Horner; ln(1+u) as 2·atanh Horner) — no
+    # engine libm in the loop — and (b) nano-quantized integer
+    # gradient/loss accumulation (exact BIGINT sums are order-free,
+    # and the quantization inputs are bit-identical, so rounding can
+    # never diverge). Reproducible quantized-gradient training is a
+    # real distributed-SGD discipline, not a test crutch.
+    oracle=_lr_oracle_sql(),
+)
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-gradient-descent LOGISTIC REGRESSION over the embeddings
     table (binary target: label < 5) — the linear-probe classifier a
@@ -1473,69 +1637,53 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "embedding", (F.col("label") < 5).cast("double").alias("y")
     )
-    dim = 64
-    w = [0.0] * dim
+    nano = float(_LR_NANO)
+    w = [0.0] * _LR_DIM
     b = 0.0
     history = []
-    prev_loss = None
+    prev = None
     for it in range(1, LOGREG_ITERS + 1):
-        w_lit = F.array(*[F.lit(float(c)) for c in w])
-        z = (
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    w_lit,
-                    lambda x, c: x.cast("double") * c,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            + F.lit(float(b))
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        scored = emb.select("embedding", "y", p.alias("p"))
-
-        stats = scored.agg(
-            F.avg(
-                -(
-                    F.col("y") * F.log(F.col("p"))
-                    + (1 - F.col("y")) * F.log(1 - F.col("p"))
-                )
-            ).alias("loss"),
-            F.avg(F.col("p") - F.col("y")).alias("db"),
-            F.avg(
-                ((F.col("p") > 0.5).cast("double") == F.col("y")).cast(
-                    "double"
-                )
-            ).alias("acc"),
+        z = _lr_z_fold(lambda j: repr(w[j]), repr(b), lambda j: j)
+        staged = emb.selectExpr("*", f"{z} AS z")
+        for stage in _lr_stage_exprs():
+            staged = staged.selectExpr("*", *stage)
+        stats = staged.agg(
+            F.expr("CAST(SUM(ln9) AS BIGINT)").alias("lsum"),
+            F.expr("CAST(SUM(ok) AS BIGINT)").alias("csum"),
+            F.expr("CAST(SUM(rq) AS BIGINT)").alias("dbsum"),
             F.count("*").alias("n"),
         ).first()
-        if prev_loss is not None and not stats.loss < prev_loss:
-            raise RuntimeError(
-                f"GD loss rose at iter {it}: {prev_loss} -> {stats.loss}"
-            )
-        prev_loss = stats.loss
-        history.append(
-            (it, round(float(stats.loss), 6), round(float(stats.acc), 4))
-        )
+        loss = stats.lsum / (stats.n * nano)
+        if prev is not None and not loss < prev:
+            raise RuntimeError(f"GD loss rose at iter {it}: {prev} -> {loss}")
+        prev = loss
+        history.append((it, int(stats.lsum), int(stats.csum), int(stats.n)))
 
-        grad_rows = (
-            scored.select(
-                (F.col("p") - F.col("y")).alias("r"),
-                F.posexplode("embedding").alias("j", "xj"),
+        if it < LOGREG_ITERS:
+            grad_rows = (
+                staged.select("r", F.posexplode("embedding").alias("j", "xj"))
+                .groupBy("j")
+                .agg(F.expr(f"CAST(SUM({_LR_QG}) AS BIGINT)").alias("s"))
+                .collect()  # bounded: DIM rows — the model all-reduce
             )
-            .groupBy("j")
-            .agg((F.sum(F.col("r") * F.col("xj")) / stats.n).alias("g"))
-            .collect()  # bounded: DIM rows — the model all-reduce
-        )
-        g = [0.0] * dim
-        for r in grad_rows:
-            g[r.j] = float(r.g)
-        w = [wj - LOGREG_LR * gj for wj, gj in zip(w, g)]
-        b = b - LOGREG_LR * float(stats.db)
+            g = [0] * _LR_DIM
+            for r in grad_rows:
+                g[r.j] = int(r.s)
+            # Mirrors the oracle's update expression: exact BIGINT
+            # gradient / (n · 1e9), both factors exact doubles.
+            w = [
+                wj - LOGREG_LR * (gj / (stats.n * nano))
+                for wj, gj in zip(w, g)
+            ]
+            b = b - LOGREG_LR * (int(stats.dbsum) / (stats.n * nano))
 
     return spark.createDataFrame(
-        history, "iteration long, log_loss double, accuracy double"
+        history, "iteration long, lsum long, csum long, n long"
+    ).selectExpr(
+        "iteration",
+        f"ROUND(CAST(lsum AS DOUBLE)/(CAST(n AS DOUBLE)*{_LR_NANO}), 6) "
+        "AS log_loss",
+        "ROUND(CAST(csum AS DOUBLE)/CAST(n AS DOUBLE), 4) AS accuracy",
     )
 
 
