@@ -227,19 +227,108 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_strs(text_col):
+    """Distinct k-token shingles as STRINGS — the md5-minhash sibling
+    of _shingles (which hashes to longs): string shingles let both
+    engines derive identical md5-based signatures. concat_ws(' ')
+    matches the oracle's array_to_string(slice, ' ') byte-for-byte on
+    the space-tokenized fixture text."""
+    toks = F.split(text_col, " ")
+    return F.when(
+        F.size(toks) < SHINGLE_K, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
+                ),
+            )
+        )
+    )
+
+
+# md5-derived minhash family: 6 salted md5 digests per shingle, each
+# split into four 8-hex-char chunks → 24 32-bit minhashes (the classic
+# width). MIN over lowercase-hex strings is the numeric 32-bit min in
+# both engines, so signatures — and therefore LSH candidates — are
+# engine-reproducible (the dedup_simhash md5 discipline).
+MINHASH_SALTS = 6
+MINHASH_CHUNKS = 4
+
+
+def _minhash_min_exprs() -> list:
+    return [
+        F.min(
+            F.substring(F.col(f"d{s}"), 1 + 8 * c, 8)
+        ).alias(f"mh{MINHASH_CHUNKS * s + c}")
+        for s in range(MINHASH_SALTS)
+        for c in range(MINHASH_CHUNKS)
+    ]
+
+
+def _minhash_sig(ex):
+    """(doc_id, shingle) → (doc_id, mh0..mh23) via salted md5 chunks."""
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"d{s}")
+            for s in range(MINHASH_SALTS)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(*_minhash_min_exprs())
+
+
+def _minhash_bands(sig):
+    """Signature frame → (doc_id, band, bucket) with 12 two-hash bands
+    (bucket = concat of the two 8-hex minhashes — string equality is
+    exact in both engines)."""
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.col(f"mh{b * LSH_ROWS}"), F.col(f"mh{b * LSH_ROWS + 1}")
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_arr).alias("band", "bucket"))
+
+
+def _minhash_oracle_sig_sql() -> str:
+    """DuckDB mirror of _minhash_sig/_minhash_bands over the shared
+    string-shingle CTE `e(doc_id, shingle)` — returns the `bands`
+    CTE body text."""
+    mins = ", ".join(
+        f"MIN(substr(md5(CONCAT('{s}|', shingle)), {1 + 8 * c}, 8)) "
+        f"AS mh{MINHASH_CHUNKS * s + c}"
+        for s in range(MINHASH_SALTS)
+        for c in range(MINHASH_CHUNKS)
+    )
+    buckets = ", ".join(
+        f"mh{b * LSH_ROWS} || mh{b * LSH_ROWS + 1}" for b in range(LSH_BANDS)
+    )
+    return (
+        f"sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, unnest([{buckets}]) AS bucket, "
+        f"generate_subscripts([{buckets}], 1) AS band FROM sig)"
+    )
+
+
 @register(
     "minhash_neardup",
     # Round-8 conversion (rows-only → sql-checked): the op's output is
     # the exact-Jaccard-verified subset of the LSH candidates, so it
     # equals the full exact pair set EXACTLY WHEN the banding catches
     # every qualifying pair. On the fixtures that recall is a
-    # deterministic fact — the hash functions are fixed xxhash64
-    # seeds, and the planted near-dups sit at j ≥ 0.9 where the miss
-    # probability is (1-0.81)^12 ≈ 2e-9 (same determinism argument as
-    # pipeline_incremental_neardup, driver hash-pass r7) — verified
-    # set-equal to dedup_ngram_jaccard at all three SFs. The oracle is
-    # therefore the exact shared-shingle pair SQL: an LSH recall
-    # regression now hash-fails instead of passing rows-only.
+    # deterministic fact — the hash family is fixed (md5-derived
+    # 32-bit minhashes, engine-reproducible), and the planted
+    # near-dups sit at j ≥ 0.9 where the per-pair miss probability is
+    # (1-0.81)^12 ≈ 2e-9 — verified set-equal to dedup_ngram_jaccard
+    # at all three SFs. The oracle is therefore the exact
+    # shared-shingle pair SQL: an LSH recall regression now
+    # hash-fails instead of passing rows-only. (The companion
+    # pipeline_neardup_eval_pr additionally reproduces the banding
+    # itself in SQL and pins candidate counts and precision.)
     oracle=f"""
     WITH sh AS (
         SELECT doc_id,
@@ -271,43 +360,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection — the sub-quadratic scale path.
 
-    shingle → 24 minhashes (xxhash64 with per-hash salt) → 12 bands of 2
-    → band-key bucket join → exact-Jaccard verify of candidates only.
-    At 100 TB the bucket join replaces the all-pairs comparison: cost is
+    shingle → 24 32-bit minhashes (salted-md5 chunks, engine-
+    reproducible — see _minhash_sig) → 12 bands of 2 → band-key bucket
+    join → exact-Jaccard verify of candidates only. At 100 TB the
+    bucket join replaces the all-pairs comparison: cost is
     Σ bucket_size², bounded by band tuning, and every stage is a plain
-    shuffle (no ml-lib, no Python row path).
+    shuffle (no ml-lib, no Python row path). md5 costs ~2× xxhash64 on
+    the shingle pass; the pair join dominates either way, and the
+    reproducibility buys the hash-checked oracle here and the full
+    candidate/precision oracle in pipeline_neardup_eval_pr.
     """
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     # Cached: consumed by the signature build AND both verify sides (at
     # scale: the persisted shingle/signature tables of an ingest stage).
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
-    # Shingles are already 64-bit hashes; the 24 minhash functions are
-    # cheap long-mix rehashes of that one value — no per-hash pass over
-    # the shingle text.
-    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
-
-    minhash_cols = [
-        F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
-        for k in range(MINHASH_HASHES)
-    ]
-    sig = ex.groupBy("doc_id").agg(*minhash_cols)
-
-    # Band keys: one posexplode over an array of the 12 band hashes —
-    # a single pass over the signature frame (a per-band union would
-    # recompute the minhash aggregation once per band).
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            )
-            for band in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    sh = docs.select(
+        "doc_id", _shingle_strs(F.col("text")).alias("shingles")
+    ).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    bands = _minhash_bands(_minhash_sig(ex))
 
     # Bucket join → candidate pairs (distinct across bands).
     left = bands.select("band", "bucket", F.col("doc_id").alias("doc1"))
@@ -998,7 +1070,64 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_neardup_eval_pr")  # rows-only: LSH candidates not in SQL
+@register(
+    "pipeline_neardup_eval_pr",
+    # Round-8 conversion (rows-only → sql-checked): with the minhash
+    # family now md5-derived, DuckDB reproduces the SIGNATURES AND THE
+    # BANDING themselves (shared string fragments, _minhash_oracle_
+    # sig_sql), so the candidate count, true-positive count, and the
+    # integer permille precision/recall are all exact SQL — the full
+    # LSH tuning report is hash-checked, not just its ground-truth
+    # side.
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
+        FROM e a JOIN e b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    exact AS (
+        SELECT doc1, doc2 FROM prs
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    {_minhash_oracle_sig_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    tp AS (
+        SELECT c.doc1, c.doc2 FROM cand c
+        JOIN exact x ON c.doc1 = x.doc1 AND c.doc2 = x.doc2
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM tp) AS n_tp
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_tp AS BIGINT) AS n_tp,
+           CAST((n_tp * 1000) // n_candidates AS BIGINT) AS precision_pm,
+           CAST((n_tp * 1000) // n_exact AS BIGINT) AS recall_pm
+    FROM s
+    """,
+)
 def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall evaluation of the MinHash-LSH candidate stage
     against exact-Jaccard ground truth — the tuning harness for the
@@ -1013,25 +1142,24 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ground truth: the shared-shingle equi-join (any pair with
     Jaccard > 0 shares a shingle, so it enumerates ALL qualifying
     pairs — dedup_ngram_jaccard's exact frame). Candidates: the LSH
-    band-bucket join BEFORE verification. Both sets are deterministic,
-    so TP/precision/recall are exact integers (permille DIV).
-
-    Rows-only (LSH banding has no SQL oracle); the sibling test pins
-    set algebra (TP ≤ both sides) and the banding bound (recall
-    consistent with 1-(1-s^r)^b at the fixture's similarity levels)."""
+    band-bucket join BEFORE verification, on the md5-derived
+    signatures the oracle reproduces exactly. Both sets are
+    deterministic, so TP/precision/recall are exact integers
+    (permille DIV) and the WHOLE report hash-checks; the sibling test
+    additionally pins set algebra (TP ≤ both sides)."""
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     sh = docs.select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
+        "doc_id", _shingle_strs(F.col("text")).alias("shingles")
     ).cache()
 
     # Exact ground truth via shared-shingle equi-join.
-    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
-    a = ex.select(F.col("doc_id").alias("doc1"), "h")
-    b = ex.select(F.col("doc_id").alias("doc2"), "h")
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc2"), "shingle")
     shared = (
-        a.join(b, "h")
+        a.join(b, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
@@ -1050,26 +1178,9 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
     )
 
-    # LSH candidates: same signature/band construction as
+    # LSH candidates: the exact signature/band machinery of
     # minhash_neardup, WITHOUT the verify step.
-    exh = sh.select("doc_id", F.explode("shingles").alias("h"))
-    sig = exh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
-            for k in range(MINHASH_HASHES)
-        ]
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            )
-            for band in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    bands = _minhash_bands(_minhash_sig(ex))
     cand = (
         bands.select("band", "bucket", F.col("doc_id").alias("doc1"))
         .join(
