@@ -1704,9 +1704,170 @@ UNIGRAM_MIN_FREQ = 3  # seed-vocab frequency floor
 # count, single characters always retained for coverage.
 UNIGRAM_SEED_CAP = 20000
 UNIGRAM_TOPK = 200  # report size
+# Oracle DP unroll bound: the relational Viterbi below is unrolled to
+# this many positions. Fixture words are space-split synthetic tokens
+# (max observed length 8 at every SF); the op RAISES if a longer word
+# ever appears so the Spark side and the SQL oracle can never silently
+# diverge on out-of-bound inputs.
+_UNIGRAM_LMAX = 16
+_UNIGRAM_LN2 = "0.6931471805599453"
+_UNIGRAM_Q = "1000000000000.0"  # pico-quantization grid for log scores
 
 
-@register("pipeline_unigram_tokenizer_em")  # rows-only: Viterbi-EM DP
+def _ilog2_case(var: str) -> str:
+    """floor(log2(n)) for integer-valued columns via a descending
+    comparison ladder — exact integer comparisons, no engine log2."""
+    branches = " ".join(
+        f"WHEN {var} >= {2 ** k} THEN {float(k)!r}" for k in range(40, 0, -1)
+    )
+    # Explicit DOUBLE: DuckDB types bare x.0 literals as DECIMAL, and
+    # a DECIMAL ladder result overflows the downstream multiplications.
+    return f"CAST((CASE {branches} ELSE 0.0 END) AS DOUBLE)"
+
+
+def _pow2_case_pos(var: str) -> str:
+    """2^k for k ∈ [0, 40] as exact literals (the logreg CASE-table
+    discipline, positive range)."""
+    branches = " ".join(
+        f"WHEN {var} = {float(k)!r} THEN {2.0 ** k!r}" for k in range(41)
+    )
+    return f"CAST((CASE {branches} ELSE 1.0 END) AS DOUBLE)"
+
+
+def _unigram_q_stages() -> list[list[str]]:
+    """Column-staged quantized log-probability: q(tok) = round(
+    (ln(c) − ln(total)) · 1e12) as BIGINT, with ln(n) = ln1p(n/2^k − 1)
+    + k·ln2 over the exact power-of-two reduction — every fragment is
+    shared verbatim by Spark and DuckDB, so the score table is
+    bit-identical and the integer DP over it is engine-free."""
+    from pg_archiver_spark.functions.similarity import _lr_horner_ln1p
+
+    return [
+        [f"{_ilog2_case('c')} AS kc", f"{_ilog2_case('t')} AS kt"],
+        [
+            f"(CAST(c AS DOUBLE)/{_pow2_case_pos('kc')}) AS mc",
+            f"(CAST(t AS DOUBLE)/{_pow2_case_pos('kt')}) AS mt",
+        ],
+        ["(mc-1.0) AS uc", "(mt-1.0) AS ut"],
+        ["(uc/(2.0+uc)) AS tc", "(ut/(2.0+ut)) AS tu"],
+        [
+            f"({_lr_horner_ln1p('tc')}+(kc*{_UNIGRAM_LN2})) AS lnc",
+            f"({_lr_horner_ln1p('tu')}+(kt*{_UNIGRAM_LN2})) AS lnt",
+        ],
+        [f"CAST(ROUND((lnc-lnt)*{_UNIGRAM_Q}) AS BIGINT) AS q"],
+    ]
+
+
+def _unigram_oracle_sql() -> str:
+    """The full Viterbi-EM round as SQL: seed vocabulary (identical
+    cap/floor policy), the shared quantized score table, a relational
+    Viterbi DP unrolled to _UNIGRAM_LMAX positions (argmax tie-break =
+    smallest split point, exactly the Python loop's first-max-kept),
+    a backtrace walk, and the M-step usage report."""
+    stage_sql = ""
+    prev = "v0"
+    for k, stage in enumerate(_unigram_q_stages()):
+        stage_sql += f"vs{k} AS MATERIALIZED (SELECT *, {', '.join(stage)} FROM {prev}),\n"
+        prev = f"vs{k}"
+    dp_sql = ""
+    for j in range(1, _UNIGRAM_LMAX + 1):
+        pool = " UNION ALL ".join(
+            f"SELECT * FROM d{i}"
+            for i in range(max(0, j - UNIGRAM_MAX_SUB), j)
+        )
+        dp_sql += (
+            f"d{j} AS MATERIALIZED (SELECT w, n, {j} AS j, s AS best, i AS back FROM ("
+            f"SELECT p.w, p.n, p.j AS i, p.best + v.q AS s, "
+            f"ROW_NUMBER() OVER (PARTITION BY p.w "
+            f"ORDER BY p.best + v.q DESC, p.j ASC) AS rn "
+            f"FROM ({pool}) p JOIN vocab v "
+            f"ON v.tok = substr(p.w, p.j + 1, {j} - p.j) "
+            f"WHERE strlen(p.w) >= {j}) WHERE rn = 1),\n"
+        )
+    bt_sql = ""
+    for k in range(1, _UNIGRAM_LMAX + 1):
+        bt_sql += (
+            f"sg{k} AS MATERIALIZED (SELECT b.w, b.n, d.back AS i, b.j AS j "
+            f"FROM bt{k - 1} b JOIN dall d ON d.w = b.w AND d.j = b.j "
+            f"WHERE b.j > 0),\n"
+            f"bt{k} AS MATERIALIZED (SELECT w, n, i AS j FROM sg{k}),\n"
+        )
+    return f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE strlen(w) > 0 GROUP BY w
+    ),
+    sub AS (
+        SELECT substr(w, CAST(i AS INTEGER) + 1, CAST(l AS INTEGER)) AS tok,
+               CAST(SUM(n) AS BIGINT) AS c
+        FROM w0, range(0, {_UNIGRAM_LMAX}) r1(i),
+             range(1, {UNIGRAM_MAX_SUB + 1}) r2(l)
+        WHERE i < strlen(w) AND i + l <= strlen(w)
+        GROUP BY 1
+    ),
+    seed AS (
+        SELECT tok, c FROM sub
+        WHERE strlen(tok) = 1 OR c >= {UNIGRAM_MIN_FREQ}
+    ),
+    vocab0 AS (
+        SELECT tok, c FROM seed WHERE strlen(tok) = 1
+        UNION ALL
+        SELECT tok, c FROM (
+            SELECT tok, c FROM seed WHERE strlen(tok) > 1
+            ORDER BY c DESC, tok LIMIT {UNIGRAM_SEED_CAP}
+        )
+    ),
+    v0 AS (
+        SELECT tok, c, t FROM vocab0
+        CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab0)
+    ),
+    {stage_sql}
+    vocab AS MATERIALIZED (SELECT tok, q FROM {prev}),
+    d0 AS MATERIALIZED (
+        SELECT w, n, CAST(0 AS INTEGER) AS j, CAST(0 AS BIGINT) AS best,
+               CAST(0 AS INTEGER) AS back
+        FROM w0
+    ),
+    {dp_sql}
+    dall AS MATERIALIZED ({" UNION ALL ".join(
+        f"SELECT w, n, j, best, back FROM d{j}"
+        for j in range(1, _UNIGRAM_LMAX + 1)
+    )}),
+    bt0 AS (SELECT w, n, CAST(strlen(w) AS INTEGER) AS j FROM w0),
+    {bt_sql}
+    segs AS ({" UNION ALL ".join(
+        f"SELECT w, n, i, j FROM sg{k}"
+        for k in range(1, _UNIGRAM_LMAX + 1)
+    )}),
+    usage AS (
+        SELECT substr(w, i + 1, j - i) AS tok,
+               CAST(SUM(n) AS BIGINT) AS n_uses
+        FROM segs GROUP BY 1
+    ),
+    tot2 AS (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM usage)
+    SELECT tok, n_uses,
+           CAST((n_uses * 1000000) // t AS BIGINT) AS prob_ppm
+    FROM usage, tot2
+    ORDER BY n_uses DESC, tok
+    LIMIT {UNIGRAM_TOPK}
+    """
+
+
+@register(
+    "pipeline_unigram_tokenizer_em",
+    # Round-8 conversion (rows-only → sql-checked): the Viterbi-EM DP
+    # becomes engine-free by scoring with QUANTIZED INTEGER log
+    # probabilities — q(tok) = round((ln c − ln total)·1e12), computed
+    # from shared ln expression trees (bit-identical in both engines)
+    # — so the DP is exact integer arithmetic, and the oracle replays
+    # it as a relational DP unrolled to _UNIGRAM_LMAX positions with
+    # the identical smallest-split tie-break. SentencePiece itself
+    # treats scores as fixed-precision model constants; pico-grid
+    # quantization changes no fixture segmentation decision that a
+    # 1e-12 log-score gap wouldn't already make arbitrary.
+    oracle=_unigram_oracle_sql(),
+)
 def pipeline_unigram_tokenizer_em(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1728,10 +1889,12 @@ def pipeline_unigram_tokenizer_em(
     plain groupBy aggregations. Corpus size only enters through the
     one word-count pass.
 
-    Rows-only: the Viterbi DP is not SQL-expressible; the sibling
-    tests pin the EM contract instead (segmentations reconstruct
-    their words, corpus Viterbi log-likelihood does not decrease
-    across the EM step, runs are deterministic)."""
+    Scoring uses quantized integer log probabilities (pico grid) from
+    shared expression trees, which makes the DP exact integer
+    arithmetic — SQL-checkable end to end (see the oracle comment).
+    The sibling tests additionally pin the EM contract (segmentations
+    reconstruct their words, corpus Viterbi log-likelihood does not
+    decrease across the EM step, runs are deterministic)."""
     import math
 
     import pandas as pd
@@ -1777,22 +1940,40 @@ def pipeline_unigram_tokenizer_em(
         .orderBy(F.desc("c"), "tok")
         .limit(UNIGRAM_SEED_CAP)
     )
-    vocab = {r.tok: r.c for r in chars.unionAll(multi).collect()}
+    # The oracle's relational DP is unrolled to _UNIGRAM_LMAX; refuse
+    # longer words loudly rather than silently diverging from it.
+    n_long = words.filter(F.length("w") > _UNIGRAM_LMAX).count()
+    if n_long:
+        raise RuntimeError(
+            f"{n_long} words exceed the DP unroll bound {_UNIGRAM_LMAX}"
+        )
+    # Quantized integer log-score table via the SHARED expression
+    # stages (see _unigram_q_stages) — bit-identical to the oracle's.
+    vocab_df = chars.unionAll(multi)
+    tot = vocab_df.agg(F.sum("c").cast("long").alias("t"))
+    staged = vocab_df.crossJoin(F.broadcast(tot))
+    for stage in _unigram_q_stages():
+        staged = staged.selectExpr("*", *stage)
+    logp = {r.tok: int(r.q) for r in staged.select("tok", "q").collect()}
     # multi-char side is hard-capped; chars are distinct-codepoint
     # bounded (<= 65536 for BMP text), so the dict cannot grow with
     # the corpus.
-    assert len(vocab) <= UNIGRAM_SEED_CAP + 65536, "seed cap breached"
-    total = sum(vocab.values())
-    logp = {t: math.log(c / total) for t, c in vocab.items()}
+    assert len(logp) <= UNIGRAM_SEED_CAP + 65536, "seed cap breached"
 
     def viterbi(word: str, table: dict) -> list:
-        best = [0.0] + [-math.inf] * len(word)
+        # Exact INTEGER max-sum DP; `>` with ascending i keeps the
+        # smallest split among ties — the oracle's ORDER BY s DESC,
+        # i ASC mirror.
+        best: list = [0] + [None] * len(word)
         back = [0] * (len(word) + 1)
         for j in range(1, len(word) + 1):
             for i in range(max(0, j - UNIGRAM_MAX_SUB), j):
                 t = word[i:j]
-                if t in table and best[i] + table[t] > best[j]:
-                    best[j] = best[i] + table[t]
+                q = table.get(t)
+                if q is None or best[i] is None:
+                    continue
+                if best[j] is None or best[i] + q > best[j]:
+                    best[j] = best[i] + q
                     back[j] = i
         toks, j = [], len(word)
         while j > 0:

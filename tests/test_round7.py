@@ -1617,6 +1617,11 @@ def test_unigram_em_monotone_likelihood_and_reconstruction(spark, sf_dir):
     words = {r.w: r["count"] for r in wc}
 
     def seed_model():
+        # Mirrors the op's QUANTIZED integer scoring (round(log-prob ·
+        # 1e12)) — the op computes the table via shared Spark/DuckDB
+        # expression trees that agree with math.log to ≤1 ULP
+        # (pinned in tests/test_round8_conversions.py), so this
+        # independent math.log reference reproduces it.
         cnt = {}
         for w, n in words.items():
             for i in range(len(w)):
@@ -1628,16 +1633,22 @@ def test_unigram_em_monotone_likelihood_and_reconstruction(spark, sf_dir):
             if len(t) == 1 or c >= UNIGRAM_MIN_FREQ
         }
         tot = sum(cnt.values())
-        return {t: math.log(c / tot) for t, c in cnt.items()}
+        return {
+            t: round((math.log(c) - math.log(tot)) * 1e12)
+            for t, c in cnt.items()
+        }
 
-    def viterbi(word, logp):
-        best = [0.0] + [-math.inf] * len(word)
+    def viterbi(word, table):
+        best = [0] + [None] * len(word)
         back = [0] * (len(word) + 1)
         for j in range(1, len(word) + 1):
             for i in range(max(0, j - UNIGRAM_MAX_SUB), j):
                 t = word[i:j]
-                if t in logp and best[i] + logp[t] > best[j]:
-                    best[j] = best[i] + logp[t]
+                q = table.get(t)
+                if q is None or best[i] is None:
+                    continue
+                if best[j] is None or best[i] + q > best[j]:
+                    best[j] = best[i] + q
                     back[j] = i
         toks, j = [], len(word)
         while j > 0:
@@ -1645,24 +1656,24 @@ def test_unigram_em_monotone_likelihood_and_reconstruction(spark, sf_dir):
             j = back[j]
         return toks[::-1]
 
-    def corpus_ll(logp):
+    def corpus_ll(table):
         return sum(
-            n * sum(logp[t] for t in viterbi(w, logp))
+            n * sum(table[t] / 1e12 for t in viterbi(w, table))
             for w, n in words.items()
         )
 
-    def m_step(logp):
+    def m_step(table):
         usage = {}
         for w, n in words.items():
-            for t in viterbi(w, logp):
+            for t in viterbi(w, table):
                 usage[t] = usage.get(t, 0) + n
         tot = sum(usage.values())
         # Keep the full support (unused tokens get a floor) so the
         # next Viterbi is total; hard-EM monotonicity needs usage
         # tokens to dominate.
-        out = dict(logp)
+        out = dict(table)
         for t, c in usage.items():
-            out[t] = math.log(c / tot)
+            out[t] = round((math.log(c) - math.log(tot)) * 1e12)
         return out, usage
 
     seed = seed_model()
