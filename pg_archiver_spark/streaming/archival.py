@@ -860,7 +860,92 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_state_timeout_sessions")  # rows-only: stateful timeout semantics
+@register(
+    "stream_state_timeout_sessions",
+    # Round-8 conversion (rows-only → sql-checked): with the feed split
+    # by EXACT global-rank quartiles (not RangePartitioner sampling),
+    # every ingredient of the timeout algebra is relational — batch(e)
+    # = ((rank−1)·4) DIV total; wm(b) = max ms of earlier batches −
+    # 60 s, plus the VIRTUAL batch 4 availableNow runs after the last
+    # data batch to flush expired state (wm = global max − 60 s,
+    # discovered empirically and verified value-for-value at all three
+    # SFs); a session closes 'gap' when its user's next event lands in
+    # a batch at or before the first watermark crossing of its timeout
+    # max(last+gap, wm(b_last)+1) — data beats hasTimedOut within a
+    # batch — and 'timeout' when the crossing comes first (or there is
+    # no next event); sessions whose timeout never crosses stay open
+    # and unemitted. A regression in timeout/eviction semantics now
+    # hash-fails.
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rk,
+               COUNT(*) OVER () AS total
+        FROM events
+    ),
+    eb AS (
+        SELECT user_id, ms, event_id,
+               CAST(((rk - 1) * 4) // total AS INTEGER) AS batch
+        FROM ev
+    ),
+    bm AS (SELECT batch, MAX(ms) AS mx FROM eb GROUP BY batch),
+    wmt AS (
+        SELECT b.batch,
+               (SELECT MAX(mx) FROM bm p WHERE p.batch < b.batch) - 60000
+                   AS wm
+        FROM bm b
+        UNION ALL
+        SELECT 4, (SELECT MAX(ms) FROM eb) - 60000
+    ),
+    sq AS (
+        SELECT user_id, ms, event_id, batch,
+               CASE WHEN LAG(ms) OVER (PARTITION BY user_id
+                                       ORDER BY ms, event_id) IS NULL
+                    OR ms - LAG(ms) OVER (PARTITION BY user_id
+                                          ORDER BY ms, event_id) > 3600000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM eb
+    ),
+    si AS (
+        SELECT user_id, ms, batch,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ms, event_id) AS sid
+        FROM sq
+    ),
+    sess AS (
+        SELECT user_id, sid, MAX(ms) AS la, COUNT(*) AS n,
+               MAX(batch) AS b_last, MIN(batch) AS b_first
+        FROM si GROUP BY user_id, sid
+    ),
+    sn AS (
+        SELECT s.*,
+               LEAD(b_first) OVER (PARTITION BY user_id ORDER BY sid)
+                   AS b_next,
+               w.wm AS wm_set
+        FROM sess s LEFT JOIN wmt w ON w.batch = s.b_last
+    ),
+    cl AS (
+        SELECT user_id, n, b_next,
+               (SELECT MIN(w2.batch) FROM wmt w2
+                WHERE w2.wm > GREATEST(la + 3600000,
+                                       COALESCE(wm_set, 0) + 1)) AS bprime
+        FROM sn
+    ),
+    lab AS (
+        SELECT user_id, n,
+               CASE WHEN b_next IS NOT NULL
+                         AND (bprime IS NULL OR b_next <= bprime)
+                    THEN 'gap'
+                    WHEN bprime IS NOT NULL THEN 'timeout' END AS closed_by
+        FROM cl
+    )
+    SELECT closed_by, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM lab WHERE closed_by IS NOT NULL
+    GROUP BY closed_by ORDER BY closed_by
+    """,
+)
 def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful sessionization with EVENT-TIME STATE TIMEOUT:
     per-user sessions close either by an in-stream gap (> 1 h between
@@ -874,12 +959,14 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     requirement for an unbounded 100 TB stream where most keys go
     quiet.
 
-    Determinism & validation (tests/test_round5.py): the file-source
-    replay has fixed batch boundaries, so the emitted closed-session
-    set is stable, and every emitted session must match a session of
-    the BATCH gap-sessionizer (analytics_sessionize semantics) — the
-    stream/batch equivalence pin, restricted to sessions the watermark
-    had time to close."""
+    Determinism & validation (tests/test_round5.py + the oracle): the
+    feed is split by exact global-rank quartiles, so the batch
+    boundaries — and therefore every gap-vs-timeout closure decision —
+    are relational facts the SQL oracle simulates batch-for-batch (see
+    the oracle comment); every emitted session must additionally match
+    a session of the BATCH gap-sessionizer (analytics_sessionize
+    semantics) — the stream/batch equivalence pin, restricted to
+    sessions the watermark had time to close."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -892,21 +979,36 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
         .select("event_id", "ts", "user_id")
     )
-    # Range-partition the staging files on ts: the file-source replays
-    # files in (modTime, path) order, so ascending range partitions give
-    # a TIME-ORDERED micro-batch sequence — the realistic shape of an
-    # archival replay. (Out-of-order arrival WITHIN the stream is the
-    # watermark's concern; this operator's contract is gap/timeout
-    # session algebra over an ordered feed.)
-    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staging)
-    # The file source orders files by modTime, which parallel write
-    # tasks assign in arbitrary finish order — stamp STRICTLY ascending
-    # modTimes in path (= range) order so the replay is deterministically
-    # time-ascending.
-    for i, name in enumerate(
-        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
-    ):
-        os.utime(os.path.join(staging, name), (1_700_000_000 + i, 1_700_000_000 + i))
+    # Split the feed into 4 time-ordered micro-batch files by EXACT
+    # global rank quartile — batch(e) = ((rank-1)·4) DIV total over
+    # (ts, event_id) order — the realistic archival-replay shape, and
+    # (round 8) an exactly SQL-derivable boundary: repartitionByRange's
+    # sampled split points are not reproducible relationally, quartile
+    # ranks are, which is what lets the oracle below simulate the
+    # timeout algebra batch-for-batch.
+    from pyspark.sql.window import Window as _W
+
+    total = events.count()
+    ranked = events.withColumn(
+        "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
+    ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
+    for b in range(4):
+        path = os.path.join(staging, f"b{b}")
+        (
+            ranked.filter(F.col("batch") == b)
+            .select("event_id", "ts", "user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        # The file source orders by modTime; stamp STRICTLY ascending
+        # stamps in batch order so the replay is deterministic.
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + b, 1_700_000_000 + b),
+                )
 
     def sessionize(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -959,9 +1061,9 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
     stream = (
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
+        .parquet(os.path.join(staging, "b*"))
         .withWatermark("ts", "1 minute")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
