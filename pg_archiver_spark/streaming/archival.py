@@ -690,7 +690,45 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_progress_metrics")  # rows-only: engine instrumentation
+@register(
+    "stream_progress_metrics",
+    # Round-8 conversion (rows-only → sql-checked): with the feed
+    # split by exact global-rank quartiles, the ENGINE'S OWN telemetry
+    # becomes relationally predictable — per batch, numInputRows is
+    # the quartile size, numRowsUpdated of the streaming agg is the
+    # batch's distinct-user count, and numRowsTotal is the cumulative
+    # distinct-user count (users whose FIRST batch is ≤ b). Only the
+    # wall-clock trigger duration is environment-shaped, reported as
+    # the >=0 invariant. The oracle therefore audits Spark's progress
+    # reporting itself: a metrics regression (lost rows, wrong state
+    # accounting, missing batch) hash-fails.
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rk,
+               COUNT(*) OVER () AS total
+        FROM events
+    ),
+    eb AS (
+        SELECT user_id, CAST(((rk - 1) * 4) // total AS INTEGER) AS batch
+        FROM ev
+    ),
+    per AS (
+        SELECT batch, COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS upd
+        FROM eb GROUP BY batch
+    ),
+    fb AS (SELECT user_id, MIN(batch) AS first_b FROM eb GROUP BY user_id)
+    SELECT CAST(p.batch AS BIGINT) AS batch_id,
+           CAST(p.n_rows AS BIGINT) AS num_input_rows,
+           TRUE AS trigger_recorded,
+           (SELECT COUNT(*) FROM fb WHERE fb.first_b <= p.batch)
+               AS state_rows,
+           CAST(p.upd AS BIGINT) AS state_updated
+    FROM per p
+    ORDER BY batch_id
+    """,
+)
 def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability — the reference names monitoring/metrics
     as unimplemented future work (README.md:127); Structured Streaming
@@ -713,12 +751,35 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
         .select("event_id", "ts", "user_id", "value")
     )
-    events.repartition(4).write.mode("overwrite").parquet(staging)
+    # Exact global-rank quartile split (the state-timeout staging
+    # discipline): batch sizes and per-batch user sets become
+    # relational facts the oracle can state.
+    from pyspark.sql.window import Window as _W
+
+    total = events.count()
+    ranked = events.withColumn(
+        "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
+    ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
+    for b in range(4):
+        path = os.path.join(staging, f"b{b}")
+        (
+            ranked.filter(F.col("batch") == b)
+            .select("event_id", "ts", "user_id", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + b, 1_700_000_000 + b),
+                )
 
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
+        .parquet(os.path.join(staging, "b*"))
     )
     agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
     query = (
@@ -743,14 +804,15 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(p["batchId"]),
                 int(p.get("numInputRows", 0)),
-                float(p.get("durationMs", {}).get("triggerExecution", 0)),
+                float(p.get("durationMs", {}).get("triggerExecution", 0))
+                >= 0.0,
                 int(state.get("numRowsTotal", 0)),
                 int(state.get("numRowsUpdated", 0)),
             )
         )
     out = spark.createDataFrame(
         rows,
-        "batch_id long, num_input_rows long, trigger_ms double, "
+        "batch_id long, num_input_rows long, trigger_recorded boolean, "
         "state_rows long, state_updated long",
     )
     total = load(spark, sf_dir, "events").count()
