@@ -128,16 +128,14 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    # Round 8: the oracle now uses the SAME shared-shingle equi-join
-    # shape as the Spark side (unnest → self-join on shingle → pair
-    # counts) instead of the quadratic all-pairs list_intersect — the
-    # math is identical (docs sharing no shingle can't reach a
-    # positive threshold), and the sf0.1 oracle drops from minutes to
-    # seconds, keeping the full-registry sf0.1 gate tractable.
-    oracle=f"""
-    WITH sh AS (
+def _shingle_pairs_ctes(pairs_name: str = "pairs") -> str:
+    """The exact shared-shingle pair machinery as oracle CTE text —
+    string shingles per doc (sh), the exploded posting list (e), and
+    per-pair intersection counts (``pairs_name``). ONE definition
+    serves every near-dup oracle (ngram ground truth, minhash, the
+    e2e dedup flow, the PR eval), so the ground-truth shape cannot
+    drift between ops."""
+    return f"""sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
@@ -149,20 +147,34 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
         FROM sh
     ),
-    pairs AS (
+    {pairs_name} AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
         FROM e a JOIN e b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
-    )
+    )"""
+
+
+_EXACT_PAIRS_SELECT = f"""
     SELECT doc1, doc2,
            ROUND(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 3)
                AS jaccard
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
           >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    # Round 8: the oracle now uses the SAME shared-shingle equi-join
+    # shape as the Spark side (unnest → self-join on shingle → pair
+    # counts) instead of the quadratic all-pairs list_intersect — the
+    # math is identical (docs sharing no shingle can't reach a
+    # positive threshold), and the sf0.1 oracle drops from minutes to
+    # seconds, keeping the full-registry sf0.1 gate tractable.
+    oracle=f"WITH {_shingle_pairs_ctes()}{_EXACT_PAIRS_SELECT}",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — the ground truth the LSH
@@ -329,33 +341,7 @@ def _minhash_oracle_sig_sql() -> str:
     # hash-fails instead of passing rows-only. (The companion
     # pipeline_neardup_eval_pr additionally reproduces the banding
     # itself in SQL and pins candidate counts and precision.)
-    oracle=f"""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
-                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
-               )) AS shingles
-        FROM documents
-    ),
-    e AS (
-        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-        FROM sh
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
-        FROM e a JOIN e b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc1, doc2,
-           ROUND(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 3)
-               AS jaccard
-    FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-          >= {JACCARD_THRESHOLD}
-    """,
+    oracle=f"WITH {_shingle_pairs_ctes()}{_EXACT_PAIRS_SELECT}",
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection — the sub-quadratic scale path.
@@ -1080,25 +1066,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH tuning report is hash-checked, not just its ground-truth
     # side.
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
-                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
-               )) AS shingles
-        FROM documents
-    ),
-    e AS (
-        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-        FROM sh
-    ),
-    prs AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
-        FROM e a JOIN e b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    ),
+    WITH {_shingle_pairs_ctes("prs")},
     exact AS (
         SELECT doc1, doc2 FROM prs
         WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)

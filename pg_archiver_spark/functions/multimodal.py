@@ -265,6 +265,16 @@ def _synthesize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         rows = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             data = text.encode("utf-8")
+            # LOUD oracle-contract guard: every multimodal sql-check
+            # reconstructs features from per-CHARACTER ascii() over
+            # strlen(text), which equals these BYTES only for
+            # non-empty ASCII text. A fixture drift would otherwise
+            # surface as five opaque hash mismatches.
+            if not data or len(data) != len(text):
+                raise RuntimeError(
+                    f"doc {doc_id}: multimodal oracles require "
+                    "non-empty ASCII text"
+                )
             if doc_id % 2 == 0:
                 width = 8 + (doc_id % 9)
                 npix = max(1, (len(data) // width)) * width
@@ -289,6 +299,34 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
 
 
+
+# -- shared oracle fragments (round-8 review) ---------------------------
+# ONE definition of the synthesized-media reconstruction per modality:
+# every multimodal oracle derives from these, so the raster/PCM model
+# cannot drift between sibling ops.
+_PNG_DOCS_CTE = (
+    "SELECT doc_id, text, strlen(text) AS L, 8 + (doc_id % 9) AS w, "
+    "GREATEST(1, strlen(text) // (8 + (doc_id % 9))) AS h "
+    "FROM documents WHERE doc_id % 2 = 0"
+)
+_WAV_DOCS_CTE = (
+    "SELECT doc_id, text, LEAST(256, strlen(text)) AS m "
+    "FROM documents WHERE doc_id % 2 = 1"
+)
+# 8x8 nearest-neighbor gather over the tiled ASCII raster (the aHash /
+# thumbnail sample grid; zips with a sibling unnest(range(64)) as k).
+_THUMB_PIXEL_EXPR = (
+    "ascii(substr(text, CAST((LEAST(h - 1, ((unnest(range(64)) // 8) * h)"
+    " // 8) * w + LEAST(w - 1, ((unnest(range(64)) % 8) * w) // 8)) % L"
+    " AS INTEGER) + 1, 1))"
+)
+# 16-bit PCM sample value (ascii(byte) - 128) * 256 at position
+# unnest(range(m)) (zips with a sibling unnest(range(m)) as p).
+_WAV_SAMPLE_EXPR = (
+    "CAST(ascii(substr(text, CAST(unnest(range(m)) AS INTEGER) + 1, 1))"
+    " - 128 AS BIGINT) * 256"
+)
+
 @register(
     "multimodal_binary_features",
     # Round-8 conversion (rows-only → sql-checked): every decoded
@@ -298,15 +336,10 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     # first 256 bytes — so the per-media-type profile reconstructs in
     # exact integer SQL. Only the raw payload byte total is
     # compression-shaped, so it is reported as the >0 invariant.
-    oracle="""
-    WITH di AS (
-        SELECT doc_id, text, strlen(text) AS L,
-               8 + (doc_id % 9) AS w
-        FROM documents WHERE doc_id % 2 = 0
-    ),
+    oracle=f"""
+    WITH di AS ({_PNG_DOCS_CTE}),
     ipx AS (
-        SELECT doc_id, text, L,
-               unnest(range(GREATEST(1, L // w) * w)) AS p
+        SELECT doc_id, text, L, unnest(range(h * w)) AS p
         FROM di
     ),
     iom AS (
@@ -318,19 +351,14 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     iprof AS (
         SELECT COUNT(*) AS n_media,
                MIN(w) AS min_width,
-               MAX(GREATEST(1, L // w)) AS max_height
+               MAX(h) AS max_height
         FROM di
     ),
     iavg AS (SELECT SUM(mm) // COUNT(*) AS avg_mm FROM iom),
-    da AS (
-        SELECT doc_id, text, LEAST(256, strlen(text)) AS m
-        FROM documents WHERE doc_id % 2 = 1
-    ),
+    da AS ({_WAV_DOCS_CTE}),
     apx AS (
         SELECT doc_id, m, unnest(range(m)) AS p,
-               ABS(CAST(ascii(substr(text,
-                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128
-                   AS BIGINT) * 256) AS av
+               ABS({_WAV_SAMPLE_EXPR}) AS av
         FROM da
     ),
     aom AS (
@@ -501,13 +529,8 @@ THUMB_SIZE = 8
     # 8×8 nearest-neighbor gather the kernel uses — in exact integer
     # arithmetic. A broken decode, filter reconstruction, resize
     # gather, or re-encode round-trip hash-fails.
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, text, strlen(text) AS L,
-               8 + (doc_id % 9) AS w,
-               GREATEST(1, strlen(text) // (8 + (doc_id % 9))) AS h
-        FROM documents WHERE doc_id % 2 = 0
-    ),
+    oracle=f"""
+    WITH d AS ({_PNG_DOCS_CTE}),
     px AS (
         SELECT doc_id, text, L, unnest(range(h * w)) AS p FROM d
     ),
@@ -518,11 +541,7 @@ THUMB_SIZE = 8
         FROM px GROUP BY doc_id
     ),
     tp AS (
-        SELECT doc_id,
-               ascii(substr(text,
-                   CAST((LEAST(h - 1, ((unnest(range(64)) // 8) * h) // 8) * w
-                       + LEAST(w - 1, ((unnest(range(64)) % 8) * w) // 8))
-                       % L AS INTEGER) + 1, 1)) AS v
+        SELECT doc_id, {_THUMB_PIXEL_EXPR} AS v
         FROM d
     ),
     tm AS (
@@ -624,16 +643,11 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt of a ~2^58 operand is within 1 of the true integer root, so
     # one correction step pins it). A broken WAV write/parse or
     # accumulator overflow hash-fails.
-    oracle="""
-    WITH a0 AS (
-        SELECT doc_id, text, LEAST(256, strlen(text)) AS m
-        FROM documents WHERE doc_id % 2 = 1
-    ),
+    oracle=f"""
+    WITH a0 AS ({_WAV_DOCS_CTE}),
     sm AS (
         SELECT doc_id, m, unnest(range(m)) AS p,
-               CAST(ascii(substr(text,
-                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128
-                   AS BIGINT) * 256 AS sv
+               {_WAV_SAMPLE_EXPR} AS sv
         FROM a0
     ),
     fl AS (
@@ -755,18 +769,9 @@ PHASH_BRIGHTNESS = 4  # planted-twin brightness shift (ASCII never clips)
     # principles — a broken PNG encode/decode/inflate path, thumbnail
     # gather, or bit packing hash-fails.
     oracle=f"""
-    WITH d AS (
-        SELECT doc_id, text, strlen(text) AS L,
-               8 + (doc_id % 9) AS w,
-               GREATEST(1, strlen(text) // (8 + (doc_id % 9))) AS h
-        FROM documents WHERE doc_id % 2 = 0
-    ),
+    WITH d AS ({_PNG_DOCS_CTE}),
     px AS (
-        SELECT doc_id, unnest(range(64)) AS k,
-               ascii(substr(text,
-                   CAST((LEAST(h - 1, ((unnest(range(64)) // 8) * h) // 8) * w
-                       + LEAST(w - 1, ((unnest(range(64)) % 8) * w) // 8))
-                       % L AS INTEGER) + 1, 1)) AS p
+        SELECT doc_id, unnest(range(64)) AS k, {_THUMB_PIXEL_EXPR} AS p
         FROM d
     ),
     th AS (
@@ -905,18 +910,13 @@ AUDIO_TWIN_SCALE = 2  # planted twin: amplitude halved (integer shift)
     # squares to s²/4 with no truncation), so they reuse the same
     # code. A broken WAV encode/decode or windowing hash-fails.
     oracle=f"""
-    WITH a0 AS (
-        SELECT doc_id, text, LEAST(256, strlen(text)) AS m,
-               (LEAST(256, strlen(text)) + 63) // 64 AS wd
-        FROM documents WHERE doc_id % 2 = 1
-    ),
+    WITH a0 AS (SELECT *, (m + 63) // 64 AS wd FROM ({_WAV_DOCS_CTE})),
     sm AS (
         SELECT doc_id, wd, unnest(range(m)) AS p,
-               CAST((ascii(substr(text,
-                   CAST(unnest(range(m)) AS INTEGER) + 1, 1)) - 128) * 256
-                   AS BIGINT) AS sv
+               {_WAV_SAMPLE_EXPR} AS sv
         FROM a0
     ),
+
     en0 AS (
         SELECT doc_id, p // wd AS k, SUM(sv * sv) AS e
         FROM sm GROUP BY doc_id, k

@@ -22,6 +22,7 @@ from pg_archiver_spark.functions.dedup import (
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
     SHINGLE_K,
+    _shingle_pairs_ctes,
     _shingles,
 )
 from pg_archiver_spark.registry import register
@@ -155,25 +156,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # report is a group-by. A regression anywhere in the composed flow
     # (pairs, clustering, survivor policy) now hash-fails.
     oracle=f"""
-    WITH RECURSIVE sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
-                   i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
-               )) AS shingles
-        FROM documents
-    ),
-    e AS (
-        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-        FROM sh
-    ),
-    prs AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               a.n_sh AS n1, b.n_sh AS n2, COUNT(*) AS n_common
-        FROM e a JOIN e b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    ),
+    WITH RECURSIVE {_shingle_pairs_ctes("prs")},
     p AS (
         SELECT doc1, doc2 FROM prs
         WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)

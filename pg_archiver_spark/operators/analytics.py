@@ -2742,6 +2742,19 @@ def analytics_markov_removal_attribution(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
+    # LOUD state-set guard: the shared Cramer formulas hardcode
+    # _MKV_STATES, and the oracle shares the same strings — a sixth
+    # event type (mass silently rerouted) or a vanished one (singular
+    # system) would corrupt BOTH engines identically, invisible to the
+    # hash gate. Bounded collect: ≤ (|states|+2)² distinct labels.
+    srcs = {r.src for r in counts.select("src").distinct().collect()}
+    dsts = {r.dst for r in counts.select("dst").distinct().collect()}
+    expected = set(_MKV_STATES)
+    if not (srcs | dsts) <= expected | {"CONV", "DROP"} or not expected <= srcs:
+        raise RuntimeError(
+            f"Markov state set drifted from the pinned {_MKV_STATES}: "
+            f"src={sorted(srcs)}, dst={sorted(dsts)}"
+        )
     # 1-row exact-integer moments (cast to double for the shared
     # Cramer formulas) — mirrors the oracle's `m` CTE expression for
     # expression.

@@ -43,6 +43,37 @@ def _fresh_dir(*parts: str) -> str:
     return path
 
 
+def _stage_quartile_batches(events: DataFrame, staging: str, cols) -> None:
+    """Split a frame into 4 time-ordered micro-batch files b0..b3 by
+    EXACT global rank quartile — batch(e) = ((rank-1)·4) DIV total over
+    (ts, event_id) order — with strictly ascending mtimes so the file
+    source replays them deterministically. This staging is byte-for-
+    byte the relational definition the stream_state_timeout_sessions /
+    stream_progress_metrics oracles simulate; keep the two in lockstep
+    by changing ONLY this helper."""
+    from pyspark.sql.window import Window as _W
+
+    total = events.count()
+    ranked = events.withColumn(
+        "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
+    ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
+    for b in range(4):
+        path = os.path.join(staging, f"b{b}")
+        (
+            ranked.filter(F.col("batch") == b)
+            .select(*cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + b, 1_700_000_000 + b),
+                )
+
+
 def archive_batch(
     tagged_sources: dict[str, DataFrame],
     cutoff_col_expr,
@@ -751,30 +782,9 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_millis(F.expr("ts_ns DIV 1000000")))
         .select("event_id", "ts", "user_id", "value")
     )
-    # Exact global-rank quartile split (the state-timeout staging
-    # discipline): batch sizes and per-batch user sets become
-    # relational facts the oracle can state.
-    from pyspark.sql.window import Window as _W
-
-    total = events.count()
-    ranked = events.withColumn(
-        "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
-    ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
-    for b in range(4):
-        path = os.path.join(staging, f"b{b}")
-        (
-            ranked.filter(F.col("batch") == b)
-            .select("event_id", "ts", "user_id", "value")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        for root, _, files in os.walk(path):
-            for f in files:
-                os.utime(
-                    os.path.join(root, f),
-                    (1_700_000_000 + b, 1_700_000_000 + b),
-                )
+    # Exact global-rank quartile split: batch sizes and per-batch user
+    # sets become relational facts the oracle can state.
+    _stage_quartile_batches(events, staging, ["event_id", "ts", "user_id", "value"])
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -1042,35 +1052,12 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "ts", "user_id")
     )
     # Split the feed into 4 time-ordered micro-batch files by EXACT
-    # global rank quartile — batch(e) = ((rank-1)·4) DIV total over
-    # (ts, event_id) order — the realistic archival-replay shape, and
+    # global rank quartile — the realistic archival-replay shape, and
     # (round 8) an exactly SQL-derivable boundary: repartitionByRange's
     # sampled split points are not reproducible relationally, quartile
-    # ranks are, which is what lets the oracle below simulate the
+    # ranks are, which is what lets the oracle above simulate the
     # timeout algebra batch-for-batch.
-    from pyspark.sql.window import Window as _W
-
-    total = events.count()
-    ranked = events.withColumn(
-        "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
-    ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
-    for b in range(4):
-        path = os.path.join(staging, f"b{b}")
-        (
-            ranked.filter(F.col("batch") == b)
-            .select("event_id", "ts", "user_id")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        # The file source orders by modTime; stamp STRICTLY ascending
-        # stamps in batch order so the replay is deterministic.
-        for root, _, files in os.walk(path):
-            for f in files:
-                os.utime(
-                    os.path.join(root, f),
-                    (1_700_000_000 + b, 1_700_000_000 + b),
-                )
+    _stage_quartile_batches(events, staging, ["event_id", "ts", "user_id"])
 
     def sessionize(key, pdfs, state: GroupState):
         (user_id,) = key

@@ -160,3 +160,32 @@ def test_simhash_signature_invariants(spark, sf_dir):
     # and the registered op's output stays well-formed on the fixture
     got = QUERIES["dedup_simhash"](spark, sf_dir).collect()
     assert all(r.hamming <= 6 and r.doc1 < r.doc2 for r in got)
+
+
+# -- sketch conversions: keep the numeric error signal visible ----------
+
+
+def test_sketch_numeric_error_margins(spark, sf_dir):
+    """The converted sketch ops hash only pass/fail bound booleans;
+    this test retains the NUMERIC signal so drift toward a bound edge
+    surfaces here before it ever flips an oracle boolean: both HLL
+    estimates must sit within HALF their pinned envelopes."""
+    from pyspark.sql import functions as F
+
+    from pg_archiver_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    r = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+        F.countDistinct("user_id").alias("e"),
+    ).first()
+    assert abs(r.a - r.e) / r.e <= 0.03  # half the pinned 3·rsd bound
+
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("s")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("m")
+    ).first()["m"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact <= 0.025  # half the pinned 5%
