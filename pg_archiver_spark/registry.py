@@ -43,68 +43,26 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
-# ROUND-8 PIN (executes VERDICT r7 item #1): the list below is exactly
-# the 159 operators that have NEVER appeared in any driver CORRECTNESS
-# window (union of CORRECTNESS_r01..r07 keys vs the 359-op registry),
-# ordered sql-checked first (142 ops -> hash verdicts) then rows-only
-# (17 ops). Slots 1-50 of round 8 are therefore the first 50 sql-checked
-# never-checked ops (composed_q2_min_cost_supplier ...
-# join_point_in_time_features); the remaining 92 sql-checked + 17
-# rows-only names pre-queue rounds 9-10. After the never-checked tail
-# drains, rotate oldest-driver-evidence-first (r4-latest greens next).
-# ROUND-9 PIN (write now in case of context reset): delete the first 50
-# names below (they will hold r8 evidence) and keep the rest in order.
+# ROUND-9 PIN (executes VERDICT r8 items #1 and #2): slots 1-5 are the
+# five SURVEY §2.B contract ops whose latest driver record predates
+# their rows-only -> sql-oracle conversion (source_jdbc,
+# agg_approx_distinct, minhash_neardup, stream_watermark_late,
+# stream_archival_foreachbatch -- all no_oracle rows in r01-r08, never
+# a hash verdict); slots 6-50 are the next 45 never-driver-checked ops
+# from the r8 queue, in queue order. The remaining 68 never-checked
+# names (incl. the four r8-session additions appended at the end)
+# pre-queue rounds 10-11. tests/test_registry_rotation.py enforces
+# that slots 1-50 never hold an op that already has a full driver
+# hash pass.
+# ROUND-10 PIN (write now in case of context reset): delete the first
+# 50 names below (they will hold r9 evidence) and keep the rest; top
+# up slots to 50 from oldest-driver-evidence-first greens (r4-latest).
 _DRIVER_PRIORITY = [
-    "composed_q2_min_cost_supplier",
-    "composed_q15_top_supplier",
-    "composed_q20_part_surplus",
-    "composed_q22_global_sales",
-    "sink_avro_roundtrip",
-    "composed_q8_market_share",
-    "composed_q9_product_profit",
-    "composed_q11_important_stock",
-    "composed_q13_order_distribution",
-    "composed_q16_supplier_part_cnt",
-    "composed_q17_small_qty_revenue",
-    "analytics_cusum_changepoint",
-    "sql_pipe_syntax",
-    "agg_corr_matrix",
-    "agg_weighted_median",
-    "agg_observe_metrics",
-    "agg_approx_top_k",
-    "agg_trimmed_mean",
-    "agg_boolean_every_any",
-    "agg_ohlc_candles",
-    "agg_winsorized_mean",
-    "agg_exact_quantile_twopass",
-    "analytics_heavy_hitters_twopass",
-    "analytics_gini_concentration",
-    "analytics_life_table",
-    "analytics_cohort_ltv",
-    "analytics_attribution_position",
-    "window_rolling_median",
-    "analytics_seasonal_naive_backtest",
-    "analytics_session_paths",
-    "analytics_market_basket",
-    "graph_triangle_count",
-    "analytics_interpolate_linear",
-    "analytics_funnel_windowed",
-    "analytics_benford_audit",
-    "analytics_audience_overlap",
-    "analytics_sequence_pattern_regex",
-    "analytics_pareto_abc",
-    "analytics_shapley_attribution",
-    "analytics_forecast_backtest",
-    "graph_bfs_distance",
-    "analytics_stickiness_dau_wau",
-    "analytics_root_cause_contribution",
-    "analytics_yoy_growth",
-    "analytics_attribution_rules",
-    "analytics_price_index",
-    "analytics_xyz_classification",
-    "join_full_outer",
-    "join_aqe_runtime_broadcast",
-    "join_point_in_time_features",
+    "source_jdbc",
+    "agg_approx_distinct",
+    "minhash_neardup",
+    "stream_watermark_late",
+    "stream_archival_foreachbatch",
     "join_spatial_grid",
     "join_fuzzy_blocked",
     "join_hint_shuffle_hash",
@@ -214,6 +172,10 @@ _DRIVER_PRIORITY = [
     "ml_logreg_gd",
     "sim_mmr_rerank",
     "ml_ols_normal_eq",
+    "ml_pr_auc_average_precision",
+    "dedup_repeated_substring_spans",
+    "text_readability",
+    "text_ngram_novelty_decay",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Registry-rotation invariant (VERDICT r8 item #6).
+
+The correctness driver hashes only the FIRST 50 registered queries each
+round, so the head of ``_DRIVER_PRIORITY`` is a verification budget.
+These tests fail the suite whenever that budget would be wasted on ops
+that already carry a full driver hash pass (rows+schema+hash all true
+in some CORRECTNESS_r*.json), converting the per-round re-pin ritual
+into an enforced invariant.
+
+Reference parity note: the reference archiver (main.go:88-223) has no
+driver-evidence concept; this is harness bookkeeping for OUR gate.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pg_archiver_spark.registry import ORACLES, QUERIES, load_all_operators
+
+load_all_operators()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _full_passes() -> dict[str, int]:
+    """Op -> latest round in which the driver recorded a FULL pass
+    (rows_match, schema_match and hash_match all true). ``no_oracle``
+    rows and error rows do not count -- those ops still need a hash
+    verdict."""
+    passes: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            records = json.load(f)
+        for name, rec in records.items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                passes[name] = max(passes.get(name, 0), rnd)
+    return passes
+
+
+def test_driver_window_holds_no_already_green_op():
+    """Slots 1-50 (the next driver window) must contain only ops that
+    have never received a full driver hash pass. A failure here means
+    _DRIVER_PRIORITY is stale from last round and the driver would burn
+    its whole budget re-verifying green ops -- re-pin it."""
+    window = list(QUERIES)[:50]
+    already_green = sorted(set(window) & set(_full_passes()))
+    assert not already_green, (
+        "stale driver window: these first-50 ops already carry a full "
+        f"driver hash pass -- re-pin _DRIVER_PRIORITY: {already_green}"
+    )
+
+
+def test_driver_window_is_sql_checked():
+    """Every op spent on the 50-slot window must yield a HASH verdict,
+    not a weaker rows-only record: all 50 need a DuckDB oracle."""
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"driver window contains rows-only ops: {missing}"
+
+
+def test_priority_names_are_registered():
+    """A typo'd or since-renamed name in _DRIVER_PRIORITY silently
+    shrinks the window (load_all_operators drops unknown names)."""
+    from pg_archiver_spark.registry import _DRIVER_PRIORITY
+
+    unknown = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not unknown, f"_DRIVER_PRIORITY names not in registry: {unknown}"
