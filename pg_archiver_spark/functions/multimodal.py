@@ -888,8 +888,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_DIST)
         .orderBy("id_a", "id_b")
     )
-    rows = pairs.collect()
-    return spark.createDataFrame(rows, pairs.schema)
+    # Returned lazily (VERDICT r8 item #4): the pair set grows with the
+    # corpus duplication rate, so a driver-side collect here would be a
+    # driver-memory risk at 100 TB and buys nothing — the plan is
+    # already deterministic via the banded equi-join + orderBy.
+    return pairs
 
 
 AUDIO_FP_FRAMES = 64
@@ -1052,5 +1055,5 @@ def multimodal_audio_fingerprint_neardup(
         .filter(F.col("hamming") <= AUDIO_FP_MAX_DIST)
         .orderBy("id_a", "id_b")
     )
-    rows = pairs.collect()
-    return spark.createDataFrame(rows, pairs.schema)
+    # Returned lazily (VERDICT r8 item #4) — see multimodal_phash_neardup.
+    return pairs

@@ -457,6 +457,18 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 5
+# Per-row nano-quantization fragment shared verbatim by the Spark loop
+# and the DuckDB oracle (the ml_logreg_gd discipline, applied here in
+# round 9 per ADVICE r8 #1): quantizing each per-row term to an integer
+# BEFORE the sum makes every aggregate an order-insensitive integer
+# reduction, so Spark's shuffle-merge order vs DuckDB's sequential scan
+# (and Spark run-to-run fetch order) can never move a centroid, flip a
+# near-tied argmin, or flake a 6dp/4dp rounding boundary. The inputs to
+# ROUND are bit-identical in both engines (float32 casts + literal
+# centroids + sequential folds), so the quantization itself cannot
+# diverge.
+_KM_NANO = "1000000000.0"
+_KM_Q = f"CAST(ROUND(({{}}) * {_KM_NANO}) AS BIGINT)"
 
 
 def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -494,19 +506,24 @@ def _kmeans_step(
     assigned: DataFrame, centroids: list[list[float]]
 ) -> list[list[float]]:
     """New centroids = per-cluster elementwise means via posexplode →
-    groupBy (cid, pos) avg. Map-side partial aggregation bounds the
+    groupBy (cid, pos) over NANO-QUANTIZED coordinates: each x is
+    rounded to an integer nano-grid per row, the sum is an exact
+    BIGINT (order-insensitive — see _KM_Q), and the mean
+    sum/(n·1e9) is one exact-integer-over-exact-double IEEE division,
+    identical in both engines. Map-side partial aggregation bounds the
     shuffle at K·dim rows PER PARTITION regardless of data size; the
     driver collects only K·dim values to re-literalize. Empty clusters
     keep their old centroid."""
     means = (
         assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .withColumn("xq", F.expr(_KM_Q.format("x")))
         .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.sum("xq").alias("s"), F.count("*").alias("n"))
         .collect()
     )
     new = [list(c) for c in centroids]
     for r in means:
-        new[r.cid][r.pos] = r.m
+        new[r.cid][r.pos] = int(r.s) / (int(r.n) * 1e9)
     return new
 
 
@@ -517,7 +534,10 @@ def _kmeans_oracle() -> str:
     sequential index-fold Spark's zip_with/aggregate runs, so per-pair
     distances are bit-identical and argmin ties resolve identically)
     and one per-(cid,pos) mean CTE rebuilt into centroid lists; empty
-    clusters COALESCE to the previous round's centroid."""
+    clusters COALESCE to the previous round's centroid. Means and the
+    final inertia stats run over per-row nano-quantized integers
+    (_KM_Q, shared fragment) so every SUM is order-insensitive —
+    see the _KM_NANO comment."""
     dist = (
         "list_sum(list_transform(range(len(e.v)), "
         "i -> (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1])))"
@@ -552,7 +572,9 @@ def _kmeans_oracle() -> str:
     ),
     m{k} AS (
         SELECT cid, list(m ORDER BY pos) AS c
-        FROM (SELECT cid, u.pos AS pos, AVG(u.x) AS m
+        FROM (SELECT cid, u.pos AS pos,
+                     CAST(SUM({_KM_Q.format("u.x")}) AS BIGINT)
+                         / (COUNT(*) * {_KM_NANO}) AS m
               FROM u{k} GROUP BY cid, u.pos)
         GROUP BY cid
     ),
@@ -562,7 +584,7 @@ def _kmeans_oracle() -> str:
     )""")
     final = f"""
     afinal AS (
-        SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, {_KM_Q.format("dist")} AS dq FROM (
             SELECT e.vec_id, c.cid, {dist} AS dist,
                    row_number() OVER (
                        PARTITION BY e.vec_id
@@ -570,10 +592,12 @@ def _kmeans_oracle() -> str:
             FROM ev e CROSS JOIN c{KMEANS_ITERS} c
         ) WHERE rn = 1
     ),
-    tot AS (SELECT ROUND(SUM(dist), 4) AS total_inertia FROM afinal)
+    tot AS (SELECT ROUND(CAST(SUM(dq) AS BIGINT) / {_KM_NANO}, 4)
+                AS total_inertia FROM afinal)
     SELECT cid,
            CAST(COUNT(*) AS BIGINT) AS n_points,
-           ROUND(AVG(dist), 6) AS mean_sq_dist,
+           ROUND(CAST(SUM(dq) AS BIGINT) / (COUNT(*) * {_KM_NANO}), 6)
+               AS mean_sq_dist,
            ANY_VALUE(t.total_inertia) AS total_inertia
     FROM afinal CROSS JOIN tot t
     GROUP BY cid
@@ -606,13 +630,17 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
         centroids = _kmeans_step(assigned, centroids)
-    final = _kmeans_assign(emb, centroids)
+    final = _kmeans_assign(emb, centroids).withColumn(
+        "dq", F.expr(_KM_Q.format("dist"))
+    )
     per_cluster = final.groupBy("cid").agg(
         F.count("*").alias("n_points"),
-        F.round(F.avg("dist"), 6).alias("mean_sq_dist"),
+        F.round(F.sum("dq") / (F.count("*") * F.lit(1e9)), 6).alias(
+            "mean_sq_dist"
+        ),
     )
     total = final.agg(
-        F.round(F.sum("dist"), 4).alias("total_inertia")
+        F.round(F.sum("dq") / F.lit(1e9), 4).alias("total_inertia")
     )
     return per_cluster.crossJoin(total).orderBy("cid")
 
@@ -794,12 +822,51 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_pca_project")  # rows-only: eigendecomposition is engine-specific
+# Invariant bands for the ml_pca_project oracle (round-9 conversion).
+# Margins are pinned by tests/test_round9.py at every SF: measured
+# capture ratios are 0.0415-0.0559 (band edges ≥ 0.02 away), basis
+# orthonormality error ~1e-15 vs the 1e-9 bound, eigen residuals
+# ~1e-16 vs 1e-10, per-label mean ‖x−μ‖² is 0.995-1.002 vs [0.5, 1.5].
+PCA_CAPTURE_BAND = (0.01, 0.15)
+PCA_ORTHO_TOL = 1e-9
+PCA_EIG_RESID_TOL = 1e-10
+PCA_TOT_VAR_BAND = (0.5, 1.5)
+
+
+@register(
+    "ml_pca_project",
+    # Round-9 conversion (rows-only → sql-checked; VERDICT r8 item #3):
+    # the eigenVECTOR basis is engine/BLAS-specific AND genuinely
+    # unstable on these fixtures (λ2/λ1 up to 0.987, λ3/λ2 up to 0.99 —
+    # measured; even the top-2 subspace can rotate), so no per-label
+    # projection VALUE can be oracled. But basis-independent facts can,
+    # via the agg_approx_distinct discipline: eigenVALUES of the
+    # distributed covariance are stable, orthonormality and the eigen
+    # residual ‖cov·v − λv‖ gate the whole distributed-Gram pipeline,
+    # and Pythagoras (p1²+p2² ≤ ‖x−μ‖²) gates the codegen projection
+    # pass row by row. Exact per-label counts/id-ranges ride along as
+    # plain SQL. A broken Gram merge, centering bug, or projection
+    # literal regression now hash-fails instead of passing rows-only.
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS vec_id_min,
+           MAX(vec_id) AS vec_id_max,
+           TRUE AS basis_orthonormal,
+           TRUE AS eigen_residual_ok,
+           TRUE AS capture_top2_ok,
+           TRUE AS proj_bounded_ok,
+           TRUE AS tot_var_band_ok
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
 def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection — the embedding-space analysis step a
-    vector pipeline runs before visualization/whitening/compression:
-    project every 64-dim embedding onto the top-2 principal components
-    and report per-label projection centroids.
+    """Distributed PCA — the embedding-space analysis step a vector
+    pipeline runs before visualization/whitening/compression: fit the
+    top-2 principal components of every 64-dim embedding and project
+    each row, reporting per-label basis-independent diagnostics.
 
     The 100 TB shape is the sufficient-statistic pattern (same family
     as analytics_linreg_trend and ml_kmeans_lloyd): each Arrow batch
@@ -812,10 +879,11 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst expressions (zip_with/aggregate dot products). Two passes
     over the data total, nothing quadratic, no corpus-sized collect.
 
-    Rows-only: eigenvector sign/BLAS summation order are
-    engine-specific; invariants (PC variance ordering, projection
-    parity with a NumPy reference) are pinned in
-    tests/test_round5.py."""
+    Raw pc1/pc2 values stay available to callers via the projection
+    pass; the REGISTERED output is the invariant view (see oracle
+    comment) because the eigenbasis itself is not cross-engine
+    reproducible. NumPy projection parity is pinned in
+    tests/test_round5.py; oracle margins in tests/test_round9.py."""
     import numpy as np
     import pandas as pd
 
@@ -843,14 +911,33 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = np.sum([np.array(r.g).reshape(dim, dim) for r in rows], axis=0)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
-    _, eigvecs = np.linalg.eigh(cov)  # ascending eigenvalues
-    pcs = []
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    pcs, lams = [], []
     for k in (1, 2):
         v = eigvecs[:, -k]
         # Deterministic sign: largest-|coordinate| component positive.
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         pcs.append(v)
+        lams.append(float(eigvals[-k]))
+
+    # Driver-side model validation (computed from the DISTRIBUTED Gram,
+    # so they gate the mapInPandas reduction + merge, not just numpy).
+    ortho_ok = bool(
+        abs(pcs[0] @ pcs[0] - 1.0) < PCA_ORTHO_TOL
+        and abs(pcs[1] @ pcs[1] - 1.0) < PCA_ORTHO_TOL
+        and abs(pcs[0] @ pcs[1]) < PCA_ORTHO_TOL
+    )
+    resid_ok = bool(
+        max(
+            float(np.abs(cov @ pcs[0] - lams[0] * pcs[0]).max()),
+            float(np.abs(cov @ pcs[1] - lams[1] * pcs[1]).max()),
+        )
+        < PCA_EIG_RESID_TOL
+    )
+    capture = (lams[0] + lams[1]) / float(cov.trace())
+    capture_ok = bool(PCA_CAPTURE_BAND[0] < capture < PCA_CAPTURE_BAND[1])
+
     mean_lit = F.array(*[F.lit(float(x)) for x in mean])
     centered = F.zip_with("embedding", mean_lit, lambda a, b: a - b)
 
@@ -862,17 +949,44 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    tot = F.aggregate(
+        centered, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    projected = emb.select(
+        "label",
+        "vec_id",
+        project(pcs[0]).alias("pc1"),
+        project(pcs[1]).alias("pc2"),
+        tot.alias("tot_sq"),
+    )
     return (
-        emb.select(
-            "label",
-            project(pcs[0]).alias("pc1"),
-            project(pcs[1]).alias("pc2"),
-        )
-        .groupBy("label")
+        projected.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("pc1"), 3).alias("mean_pc1"),
-            F.round(F.avg("pc2"), 3).alias("mean_pc2"),
+            F.min("vec_id").alias("vec_id_min"),
+            F.max("vec_id").alias("vec_id_max"),
+            # Pythagoras: the projection onto an orthonormal pair never
+            # exceeds the centered squared norm (1e-9 relative slack
+            # for the fold's float noise). Gates the literal-inlined
+            # projection pass row by row.
+            F.every(
+                F.col("pc1") * F.col("pc1") + F.col("pc2") * F.col("pc2")
+                <= F.col("tot_sq") * F.lit(1.0 + 1e-9)
+            ).alias("proj_bounded_ok"),
+            F.avg("tot_sq").alias("_mean_tot"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "vec_id_min",
+            "vec_id_max",
+            F.lit(ortho_ok).alias("basis_orthonormal"),
+            F.lit(resid_ok).alias("eigen_residual_ok"),
+            F.lit(capture_ok).alias("capture_top2_ok"),
+            "proj_bounded_ok",
+            F.col("_mean_tot")
+            .between(*PCA_TOT_VAR_BAND)
+            .alias("tot_var_band_ok"),
         )
         .orderBy("label")
     )

@@ -924,13 +924,21 @@ def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     output 10 rows at any corpus size. The 1-row MAX anchor broadcast
     is the standard whitelisted pattern."""
     docs = load(spark, sf_dir, "documents")
+    # Short-doc guard (ADVICE r8 #2, the _shingle_strs idiom): for a
+    # doc with fewer than NOVELTY_NGRAM tokens Spark's sequence(0, n-3)
+    # would descend into negative i and slice(..., 0, 3) raises; the
+    # oracle's range() just yields an empty list. Emit the empty array
+    # explicitly so both engines drop the doc at the explode.
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
+                    f"CASE WHEN size(split(text,' ')) < {NOVELTY_NGRAM} "
+                    "THEN CAST(array() AS array<string>) ELSE "
                     f"transform(sequence(0, size(split(text,' ')) - {NOVELTY_NGRAM}), "
-                    f"i -> array_join(slice(split(text,' '), i+1, {NOVELTY_NGRAM}), ' '))"
+                    f"i -> array_join(slice(split(text,' '), i+1, {NOVELTY_NGRAM}), ' ')) "
+                    "END"
                 )
             )
         ).alias("g"),

@@ -176,6 +176,9 @@ _DRIVER_PRIORITY = [
     "dedup_repeated_substring_spans",
     "text_readability",
     "text_ngram_novelty_decay",
+    # Converted rows-only -> invariant sql oracle in r9; queue for a
+    # driver hash verdict after the never-checked tail drains.
+    "ml_pca_project",
 ]
 
 

@@ -1,0 +1,369 @@
+"""Round-9 tests: ADVICE r8 follow-ups (k-means nano-quantization
+parity, ANN sign/argmax fixture margins, minhash LSH recall canary,
+novelty-decay short-doc guard, watermark version pin) and the
+ml_pca_project invariant-oracle margins (VERDICT r8 item #3)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import ORACLES, QUERIES, load_all_operators
+
+load_all_operators()
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def _embeddings(sf: str) -> tuple[np.ndarray, np.ndarray]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{sf}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    return X, labels
+
+
+# ---------------------------------------------------------------- PCA
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_pca_invariant_oracle_margins(sf):
+    """The ml_pca_project oracle pins booleans; each must be a fixture
+    fact with COMFORTABLE margin, not a knife-edge — ADVICE r8
+    discipline: fixture drift toward a boundary must surface here, in
+    pytest, before it can flake the hash gate."""
+    from pg_archiver_spark.functions.similarity import (
+        PCA_CAPTURE_BAND,
+        PCA_EIG_RESID_TOL,
+        PCA_ORTHO_TOL,
+        PCA_TOT_VAR_BAND,
+    )
+
+    X, labels = _embeddings(sf)
+    n = len(X)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    v1, v2 = eigvecs[:, -1], eigvecs[:, -2]
+    lam1, lam2 = eigvals[-1], eigvals[-2]
+
+    # Orthonormality / eigen residual: ~1e-15, bounds 1e-9 / 1e-10.
+    ortho_err = max(
+        abs(v1 @ v1 - 1.0), abs(v2 @ v2 - 1.0), abs(v1 @ v2)
+    )
+    assert ortho_err < PCA_ORTHO_TOL * 1e-3, ortho_err
+    resid = max(
+        np.abs(cov @ v1 - lam1 * v1).max(),
+        np.abs(cov @ v2 - lam2 * v2).max(),
+    )
+    assert resid < PCA_EIG_RESID_TOL * 1e-3, resid
+
+    # Capture ratio: stays ≥ 0.015 from both band edges.
+    capture = (lam1 + lam2) / cov.trace()
+    lo, hi = PCA_CAPTURE_BAND
+    assert capture - lo > 0.015 and hi - capture > 0.015, capture
+
+    # Per-label mean ‖x−μ‖²: well inside [0.5, 1.5].
+    C = X - mean
+    tot = (C * C).sum(axis=1)
+    for lab in set(labels.tolist()):
+        m = float(tot[labels == lab].mean())
+        assert PCA_TOT_VAR_BAND[0] + 0.3 < m < PCA_TOT_VAR_BAND[1] - 0.3, (
+            lab,
+            m,
+        )
+
+    # Pythagoras: per-row projection never exceeds the centered norm
+    # (the Spark side allows 1e-9 relative slack for fold noise; the
+    # exact quantity satisfies it with zero slack).
+    p1, p2 = C @ v1, C @ v2
+    mask = tot > 0
+    assert ((p1**2 + p2**2)[mask] <= tot[mask]).all()
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_pca_spectrum_is_degenerate_so_values_stay_unoracled(sf):
+    """Documents WHY the oracle pins invariants, not projections: if
+    the spectrum ever separates (λ2/λ1 and λ3/λ2 drop well below 1),
+    the oracle could be upgraded to pin per-label projection values —
+    this test flags that opportunity instead of letting the weaker
+    oracle silently persist."""
+    X, _ = _embeddings(sf)
+    n = len(X)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    lam = np.linalg.eigvalsh(cov)[::-1]
+    assert lam[1] / lam[0] > 0.9 and lam[2] / lam[1] > 0.9, (
+        "spectrum separated: consider pinning projection values in the "
+        f"ml_pca_project oracle (ratios {lam[1]/lam[0]:.3f}, "
+        f"{lam[2]/lam[1]:.3f})"
+    )
+
+
+# ------------------------------------------------------------ k-means
+
+
+def _quantize_nano(x: np.ndarray) -> np.ndarray:
+    """Python twin of the shared `CAST(ROUND(x*1e9) AS BIGINT)`
+    fragment: round-half-away-from-zero on the exact double."""
+    return np.where(
+        x >= 0,
+        np.floor(x * 1e9 + 0.5),
+        np.ceil(x * 1e9 - 0.5),
+    ).astype(np.int64)
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_kmeans_quantized_trajectory_matches_numpy(sf):
+    """Independent-reference cross-check (the ml_ols/markov
+    discipline): a shared Spark/DuckDB expression tree could be
+    same-wrong in both engines and the hash gate would never see it.
+    Rebuild the nano-quantized Lloyd trajectory in NumPy, with
+    left-assoc fold distances exactly as zip_with/aggregate computes
+    them, and compare the registered op's output values."""
+    from pg_archiver_spark.functions.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    X, _ = _embeddings(sf)
+    n = len(X)
+    cent = X[:KMEANS_K].copy()
+
+    def assign(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # Left-assoc sequential fold per pair, matching zip_with/
+        # aggregate: sum in index order with ONE accumulator (numpy's
+        # vectorized sum would reorder the adds).
+        d = np.zeros((n, KMEANS_K))
+        for k in range(KMEANS_K):
+            acc = np.zeros(n)
+            for j in range(X.shape[1]):
+                diff = X[:, j] - c[k, j]
+                acc = acc + diff * diff
+            d[:, k] = acc
+        cid = d.argmin(axis=1)  # first (lowest cid) argmin on ties
+        return cid, d[np.arange(n), cid]
+
+    for _ in range(KMEANS_ITERS):
+        cid, _dist = assign(cent)
+        new = cent.copy()
+        for k in range(KMEANS_K):
+            m = cid == k
+            if m.any():
+                q = _quantize_nano(X[m])
+                new[k] = q.sum(axis=0) / (m.sum() * 1e9)
+        cent = new
+    cid, dist = assign(cent)
+    dq = _quantize_nano(dist)
+    expect = {}
+    for k in range(KMEANS_K):
+        m = cid == k
+        if m.any():
+            expect[k] = (
+                int(m.sum()),
+                round(float(dq[m].sum()) / (m.sum() * 1e9), 6),
+            )
+    total = round(float(dq.sum()) / 1e9, 4)
+
+    # No boundary-margin assert is needed for the quantization itself:
+    # the ROUND inputs (x*1e9, dist*1e9) are bit-identical across
+    # engines (column values + shared sequential folds + one IEEE
+    # multiply), and exact .5 halves DO occur in the fixture (float32
+    # dyadics like 153/1024 at sf0.1) — verified both engines round
+    # them half-away-from-zero identically; _quantize_nano mirrors
+    # that, and the trajectory comparison below would fail if any
+    # rounding diverged.
+
+    sql = ORACLES["ml_kmeans_lloyd"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    rows = con.execute(sql).fetchall()
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got == expect
+    assert all(r[3] == total for r in rows)
+
+
+# ------------------------------------------------------------ minhash
+
+
+def test_minhash_lsh_recall_is_one(spark, sf_dir):
+    """ADVICE r8 #3: minhash_neardup (and dedup_cluster_cc /
+    pipeline_neardup_dedup_e2e transitively) is oracled against the
+    EXACT Jaccard pair set — valid only while LSH recall is 1 on the
+    fixture. Assert that directly so a regenerated fixture with an
+    organic pair near the 0.5 threshold (per-pair band-miss
+    probability ≈ 3.2% at j=0.5) fails HERE with a clear message, not
+    as a confusing hash mismatch in the driver gate."""
+    from pg_archiver_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_bands,
+        _minhash_sig,
+        _shingle_strs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", _shingle_strs(F.col("text")).alias("shingles")
+    ).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    bands = _minhash_bands(_minhash_sig(ex))
+    cand = {
+        (r.doc1, r.doc2)
+        for r in bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+        .collect()
+    }
+    exact = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("x.shingles", "y.shingles")).cast(
+                "double"
+            )
+            / F.size(F.array_union("x.shingles", "y.shingles")),
+        )
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            "j",
+        )
+        .collect()
+    )
+    missed = [
+        (r.doc1, r.doc2, r.j)
+        for r in exact
+        if (r.doc1, r.doc2) not in cand
+    ]
+    assert not missed, (
+        "LSH banding missed exact-Jaccard pairs — the minhash_neardup/"
+        "dedup_cluster_cc/pipeline_neardup_dedup_e2e oracles assume "
+        f"recall 1 on this fixture and will hash-fail: {missed}. "
+        "Either re-plant these pairs at j ≥ 0.9 or widen the banding."
+    )
+    # The recall-1 argument leans on planted pairs sitting at high j
+    # where band-miss probability is ~(1-j²)^12; keep a printed margin.
+    min_j = min((r.j for r in exact), default=1.0)
+    assert min_j >= JACCARD_THRESHOLD
+
+
+# ----------------------------------------------------- ANN margins
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_ann_sign_and_argmax_margins(sf):
+    """ADVICE r8 #4: the sim_ann_lsh / sim_ann_ivf* oracles compare
+    different summation orders (DuckDB list_dot_product vs Spark's
+    sequential fold), so a hyperplane dot product near 0 or two
+    near-tied centroid cosines could flip a sketch bit / cell
+    assignment cross-engine. Pin the fixture's numeric margins far
+    above the ~1e-15 reordering noise (measured: ≥ 9.8e-6 / ≥ 4.7e-5
+    across SFs vs the 1e-9 bound asserted here)."""
+    from pg_archiver_spark.functions.similarity import (
+        _IVF_CELLS,
+        _hyperplanes,
+    )
+
+    X, _ = _embeddings(sf)
+    H = np.array(_hyperplanes(), dtype=np.float64)
+    min_dot = np.abs(X @ H.T).min()
+    assert min_dot > 1e-9, min_dot
+
+    C = X[:_IVF_CELLS]
+    cos = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None]
+        * np.linalg.norm(C, axis=1)[None, :]
+    )
+    top2 = np.sort(cos, axis=1)[:, -2:]
+    min_gap = (top2[:, 1] - top2[:, 0]).min()
+    assert min_gap > 1e-9, min_gap
+
+
+# ------------------------------------------- novelty short-doc guard
+
+
+def test_ngram_novelty_short_doc_guard(spark, tmp_path):
+    """ADVICE r8 #2: a document with fewer than NOVELTY_NGRAM tokens
+    must yield an empty gram list (not a slice(...,0,3) crash), and
+    the Spark op must still match the DuckDB oracle on such a
+    fixture."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "one",  # 1 token: previously crashed Spark
+                "two tokens",  # 2 tokens: ditto
+                "alpha beta gamma delta",
+                "alpha beta gamma epsilon",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["text_ngram_novelty_decay"](spark, str(tmp_path))
+    spark_rows = sorted(tuple(r) for r in out.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    oracle_rows = sorted(
+        tuple(r) for r in con.execute(
+            ORACLES["text_ngram_novelty_decay"]
+        ).fetchall()
+    )
+    assert spark_rows == oracle_rows
+    # Docs 0 and 1 contribute no grams: totals come from docs 2-3 only.
+    assert sum(r[2] for r in spark_rows) == 4
+
+
+# ------------------------------------------------- version coupling
+
+
+def test_watermark_late_semantics_are_version_pinned():
+    """ADVICE r8 #5: stream_watermark_late's oracle hard-codes an
+    empirically discovered Spark 4.1 behavior — late rows below the
+    watermark whose window state was already evicted create FRESH
+    state and emit at the final commit (best-effort dropping, per
+    Spark's own caveat). A Spark upgrade that changes late-row
+    disposition will hash-fail that op BY DESIGN; this assert makes
+    the failure attributable in seconds instead of a debugging
+    session. On a version bump: re-verify the emitted window set
+    window-for-window (see streaming/archival.py oracle comment) and
+    then move this pin."""
+    import pyspark
+
+    assert pyspark.__version__.startswith("4.1."), (
+        "Spark version changed — stream_watermark_late's oracle pins "
+        "4.1.x late-row emission semantics; re-verify before bumping "
+        f"this pin (got {pyspark.__version__})"
+    )
