@@ -181,6 +181,118 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_NGRAM = 13  # Brown et al. 2020 (GPT-3, appendix C) gram order
+
+
+@register(
+    "pipeline_decontaminate_13gram",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substring({_MD5}, 1, 1) IN ('c','d','e','f') AS is_bench,
+               list_distinct(list_transform(
+                   range(len(string_split(text,' ')) - {DECONTAM_NGRAM - 1}),
+                   i -> array_to_string(
+                       string_split(text,' ')[i+1:i+{DECONTAM_NGRAM}], ' ')
+               )) AS grams
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, lang, is_bench, unnest(grams) AS g FROM d),
+    bg AS (SELECT DISTINCT g FROM ex WHERE is_bench),
+    hits AS (
+        SELECT e.doc_id, e.lang, e.g
+        FROM ex e JOIN bg USING (g) WHERE NOT e.is_bench
+    ),
+    gl AS (SELECT lang, COUNT(DISTINCT g) AS dirty_grams
+           FROM hits GROUP BY lang)
+    SELECT d.lang,
+           COUNT(*) FILTER (WHERE NOT is_bench) AS n_train,
+           COUNT(*) FILTER (WHERE is_bench) AS n_benchmark,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits))
+               AS n_dirty,
+           COALESCE(ANY_VALUE(gl.dirty_grams), 0) AS dirty_grams
+    FROM d LEFT JOIN gl ON d.lang = gl.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def pipeline_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-BENCHMARK DECONTAMINATION at 13-gram granularity (VERDICT
+    r8 item #7b) — the Brown et al. 2020 protocol (GPT-3 appendix C):
+    a training document is DIRTY if it shares ANY exact 13-gram with
+    any benchmark document; dirty docs are removed before training so
+    eval scores measure generalization, not memorized leakage. The
+    3-gram-containment sibling (pipeline_contamination, above) catches
+    paraphrase-level leaks; this catches verbatim quote-level leaks at
+    the industry-standard gram order. Output per language: train/bench
+    doc counts, dirty-doc count, and the distinct colliding 13-gram
+    count (the audit a data team reviews before committing a purge).
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    docs against a 100 TB corpus — so its distinct-13-gram table is
+    broadcast- or bloom-filter-sized; the train side streams through
+    one explode + equi-join (bipartite, no train×train pairing) and
+    the per-doc verdict is a groupBy on doc_id. Docs shorter than 13
+    tokens produce zero grams (guarded empty array, the
+    text_ngram_novelty_decay idiom) but still count in n_train."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(split(text,' ')) < {DECONTAM_NGRAM} "
+            "THEN CAST(array() AS array<string>) ELSE "
+            f"transform(sequence(0, size(split(text,' ')) - {DECONTAM_NGRAM}), "
+            f"i -> array_join(slice(split(text,' '), i+1, {DECONTAM_NGRAM}), ' ')) "
+            "END"
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_BENCH_CHARS)
+        .alias("is_bench"),
+        grams.alias("grams"),
+    ).cache()
+    ex = d.select(
+        "doc_id", "lang", "is_bench", F.explode("grams").alias("g")
+    )
+    bench_grams = ex.filter(F.col("is_bench")).select("g").distinct()
+    # At 100 TB: broadcast(bench_grams) — eval suites stay tiny. At
+    # fixture scale Spark's AQE already picks the broadcast side; the
+    # explicit hint is omitted so the sf0.1 bench reflects AQE's plan.
+    hits = (
+        ex.filter(~F.col("is_bench"))
+        .join(bench_grams, "g")
+        .select("doc_id", "lang", "g")
+    )
+    dirty = hits.select("doc_id").distinct().withColumn("hit", F.lit(True))
+    gl = hits.groupBy("lang").agg(
+        F.countDistinct("g").alias("dirty_grams_l")
+    )
+    return (
+        d.join(dirty, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count_if(~F.col("is_bench")).alias("n_train"),
+            F.count_if(F.col("is_bench")).alias("n_benchmark"),
+            F.count_if(F.col("hit").isNotNull()).alias("n_dirty"),
+        )
+        .join(gl, "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            "n_benchmark",
+            "n_dirty",
+            F.coalesce(F.col("dirty_grams_l"), F.lit(0).cast("bigint")).alias(
+                "dirty_grams"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "pipeline_token_budget",
     oracle=f"""

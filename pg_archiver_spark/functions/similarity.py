@@ -1644,15 +1644,19 @@ def _lr_z_fold(weight_ref, bias_ref: str, idx) -> str:
 _LR_QG = f"CAST(ROUND((r*CAST(xj AS DOUBLE))*{_LR_NANO}) AS BIGINT)"
 
 
-def _lr_oracle_sql() -> str:
-    """Three GD iterations as chained CTEs: per iteration a staged
-    per-row block (shared fragments), an integer stats/gradient
-    reduction, a 64-column pivot, and the weight update — every float
-    either flows through a shared expression tree or is an exact
-    integer, so the trajectory is bit-identical to the Spark loop."""
+def _lr_chain_parts() -> list[str]:
+    """The GD training chain as CTE parts (shared by the ml_logreg_gd
+    trajectory oracle and the ml_logreg_inference_gate oracle): per
+    iteration a staged per-row block (shared fragments), an integer
+    stats/gradient reduction, a 64-column pivot, and the weight update
+    — every float either flows through a shared expression tree or is
+    an exact integer, so the trajectory is bit-identical to the Spark
+    loop. The final trained weights live in CTE w{LOGREG_ITERS-1}.
+    `label` rides along in emb for the inference oracle's grouping
+    (unused by the training aggregates)."""
     stages = _lr_stage_exprs()
     parts = [
-        "WITH emb AS (SELECT embedding, "
+        "WITH emb AS (SELECT label, embedding, "
         "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings)",
         "w0 AS (SELECT "
         + ", ".join(f"0.0 AS w{j}" for j in range(_LR_DIM))
@@ -1700,6 +1704,12 @@ def _lr_oracle_sql() -> str:
                 f"/(CAST(st.n AS DOUBLE)*{_LR_NANO})))) AS b "
                 f"FROM w{i - 1} w CROSS JOIN gp{i} g CROSS JOIN st{i} st)"
             )
+    return parts
+
+
+def _lr_oracle_sql() -> str:
+    """ml_logreg_gd's oracle: the shared training chain + the
+    per-iteration loss/accuracy trajectory select."""
     rows = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS iteration, "
         f"ROUND(CAST(lsum AS DOUBLE)/(CAST(n AS DOUBLE)*{_LR_NANO}), 6) "
@@ -1708,7 +1718,7 @@ def _lr_oracle_sql() -> str:
         f"FROM st{i}"
         for i in range(1, LOGREG_ITERS + 1)
     )
-    return ",\n".join(parts) + "\n" + rows
+    return ",\n".join(_lr_chain_parts()) + "\n" + rows
 
 
 @register(
@@ -1798,6 +1808,133 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(CAST(lsum AS DOUBLE)/(CAST(n AS DOUBLE)*{_LR_NANO}), 6) "
         "AS log_loss",
         "ROUND(CAST(csum AS DOUBLE)/CAST(n AS DOUBLE), 4) AS accuracy",
+    )
+
+
+# Quality-gate threshold for the trained-classifier inference pass, in
+# integer nanos (p ≥ 0.5 ⇔ pq ≥ 5e8 — exact integer compare, so the
+# gate can never flip cross-engine).
+_LR_GATE_NANO = 500_000_000
+# Per-row nano-quantized score — shared fragment text (the pq inputs
+# are bit-identical in both engines via the shared sigmoid tree).
+_LR_PQ = f"CAST(ROUND(p * {_LR_NANO}) AS BIGINT) AS pq"
+
+
+def _lr_trained_weights(spark: SparkSession, sf_dir: str):
+    """Replays the deterministic GD loop to its final weight state
+    (w{LOGREG_ITERS-1} in oracle terms): the trajectory is
+    bit-reproducible (nano-quantized integer gradients — see
+    ml_logreg_gd), so 'the trained model' is a pure function of the
+    fixture, identical across engines and runs."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") < 5).cast("double").alias("y")
+    )
+    nano = float(_LR_NANO)
+    w = [0.0] * _LR_DIM
+    b = 0.0
+    for _ in range(1, LOGREG_ITERS):
+        z = _lr_z_fold(lambda j: repr(w[j]), repr(b), lambda j: j)
+        staged = emb.selectExpr("*", f"{z} AS z")
+        for stage in _lr_stage_exprs():
+            staged = staged.selectExpr("*", *stage)
+        stats = staged.agg(
+            F.expr("CAST(SUM(rq) AS BIGINT)").alias("dbsum"),
+            F.count("*").alias("n"),
+        ).first()
+        grad_rows = (
+            staged.select("r", F.posexplode("embedding").alias("j", "xj"))
+            .groupBy("j")
+            .agg(F.expr(f"CAST(SUM({_LR_QG}) AS BIGINT)").alias("s"))
+            .collect()  # bounded: DIM rows
+        )
+        g = [0] * _LR_DIM
+        for r in grad_rows:
+            g[r.j] = int(r.s)
+        w = [
+            wj - LOGREG_LR * (gj / (stats.n * nano))
+            for wj, gj in zip(w, g)
+        ]
+        b = b - LOGREG_LR * (int(stats.dbsum) / (stats.n * nano))
+    return w, b
+
+
+def _lr_inference_oracle_sql() -> str:
+    """Inference oracle: the shared training chain up to the final
+    weights CTE, then ONE scoring pass (same z fold + sigmoid stages,
+    weights referenced from w{LOGREG_ITERS-1}) and an exact-integer
+    per-label gate/score reduction."""
+    parts = _lr_chain_parts()
+    wfinal = f"w{LOGREG_ITERS - 1}"
+    z = _lr_z_fold(lambda j: f"w.w{j}", "w.b", lambda j: j + 1)
+    parts.append(
+        f"zinf AS (SELECT e.label, e.embedding, e.y, {z} AS z "
+        f"FROM emb e CROSS JOIN {wfinal} w)"
+    )
+    prev = "zinf"
+    for k, stage in enumerate(_lr_stage_exprs()):
+        name = f"cinf_{k}"
+        parts.append(f"{name} AS (SELECT *, {', '.join(stage)} FROM {prev})")
+        prev = name
+    parts.append(f"sq AS (SELECT label, {_LR_PQ} FROM {prev})")
+    final = f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN pq >= {_LR_GATE_NANO} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(pq) AS BIGINT) AS sum_score_nano
+    FROM sq GROUP BY label ORDER BY label
+    """
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "ml_logreg_inference_gate",
+    # Trained-classifier INFERENCE (VERDICT r8 item #7a): sql-checked
+    # through the same shared-expression-tree + nano-quantization
+    # discipline as ml_logreg_gd — the oracle retrains the identical
+    # weight state inside DuckDB, scores every row through the shared
+    # sigmoid tree, and reduces exact integers, so gate decisions and
+    # score sums are bit-deterministic cross-engine.
+    oracle=_lr_inference_oracle_sql(),
+)
+def ml_logreg_inference_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier quality gate — the fastText-style filter
+    every corpus pipeline runs AFTER fitting a quality probe
+    (ml_logreg_gd is the fit; this is the apply): score the FULL
+    corpus with the trained weights baked in as codegen literals and
+    keep rows the classifier accepts (p ≥ 0.5). Output: per-label kept
+    counts + exact nano-score sums (the gate audit a data team reviews
+    before committing a filter).
+
+    At 100 TB this is the pipeline's cheapest stage and must stay so:
+    the model is DIM+1 literals (no join, no broadcast, no Python), the
+    pass is ONE whole-stage-codegen'd map + a per-label partial agg —
+    the same single-scan shape as scan_filter_prune. Training replay
+    (_lr_trained_weights) costs 2·(ITERS−1) bounded passes once per
+    job; at scale you'd persist the weights instead — the scoring pass
+    is the contract here."""
+    w, b = _lr_trained_weights(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        "embedding",
+        (F.col("label") < 5).cast("double").alias("y"),
+    )
+    z = _lr_z_fold(lambda j: repr(w[j]), repr(b), lambda j: j)
+    staged = emb.selectExpr("*", f"{z} AS z")
+    for stage in _lr_stage_exprs():
+        staged = staged.selectExpr("*", *stage)
+    scored = staged.selectExpr("label", _LR_PQ)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN pq >= {_LR_GATE_NANO} THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_kept"),
+            F.expr("CAST(SUM(pq) AS BIGINT)").alias("sum_score_nano"),
+        )
+        .orderBy("label")
     )
 
 

@@ -179,6 +179,10 @@ _DRIVER_PRIORITY = [
     # Converted rows-only -> invariant sql oracle in r9; queue for a
     # driver hash verdict after the never-checked tail drains.
     "ml_pca_project",
+    # New in r9 (VERDICT r8 item #7): trained-classifier inference
+    # gate and 13-gram eval decontamination.
+    "ml_logreg_inference_gate",
+    "pipeline_decontaminate_13gram",
 ]
 
 

@@ -367,3 +367,108 @@ def test_watermark_late_semantics_are_version_pinned():
         "4.1.x late-row emission semantics; re-verify before bumping "
         f"this pin (got {pyspark.__version__})"
     )
+
+
+# ------------------------------------------------- round-9 new ops
+
+
+def test_logreg_inference_gate_consistency(spark, sf_dir):
+    """The gate must (a) score every embedding exactly once, (b) keep
+    a y=1-enriched set — the trained probe separates label<5 from the
+    rest better than chance on its own training data — and (c) agree
+    with a NumPy replay of the trained model (independent-reference
+    check: a same-wrong shared expression tree is invisible to the
+    hash gate)."""
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.similarity import (
+        _LR_GATE_NANO,
+        _lr_trained_weights,
+    )
+
+    rows = QUERIES["ml_logreg_inference_gate"](spark, sf_dir).collect()
+    total = sum(r.n_vecs for r in rows)
+    con = _duck.connect()
+    n_emb = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert total == n_emb
+    kept_pos = sum(r.n_kept for r in rows if r.label < 5)
+    kept_neg = sum(r.n_kept for r in rows if r.label >= 5)
+    n_pos = sum(r.n_vecs for r in rows if r.label < 5)
+    n_neg = sum(r.n_vecs for r in rows if r.label >= 5)
+    assert kept_pos / n_pos > kept_neg / n_neg
+
+    # NumPy replay: same weights, float64 sigmoid (libm differs from
+    # the shared Taylor tree by <1e-12 ≪ the 1e-9 quantization step,
+    # so quantized scores match up to ±1 nano on boundary rows; kept
+    # counts must match exactly away from p=0.5 ± 1e-12).
+    w, b = _lr_trained_weights(spark, sf_dir)
+    emb_rows = con.execute(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    X = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    labels = np.array([r[0] for r in emb_rows])
+    z = np.zeros(len(X))
+    for j in range(X.shape[1]):  # left-assoc fold, matching the op
+        z = z + X[:, j] * w[j]
+    z = z + b
+    p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+    pq = np.where(p >= 0, np.floor(p * 1e9 + 0.5), 0).astype(np.int64)
+    boundary = np.abs(p - _LR_GATE_NANO / 1e9) < 1e-9
+    assert not boundary.any(), "gate threshold sits on a score boundary"
+    for r in rows:
+        m = labels == r.label
+        assert int((pq[m] >= _LR_GATE_NANO).sum()) == r.n_kept
+        assert abs(int(pq[m].sum()) - r.sum_score_nano) <= int(m.sum())
+
+
+def test_decontaminate_13gram_matches_bruteforce(spark, sf_dir):
+    """Brute-force the Brown et al. doc-level verdicts in Python sets
+    and compare per-language counts; also pin that short docs count in
+    n_train but never in the gram join."""
+    import duckdb as _duck
+    import hashlib
+
+    from pg_archiver_spark.functions.curation import (
+        _BENCH_CHARS,
+        DECONTAM_NGRAM,
+    )
+
+    con = _duck.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    bench_grams: set[str] = set()
+    info = []
+    for doc_id, lang, text in docs:
+        toks = text.split(" ")
+        grams = {
+            " ".join(toks[i : i + DECONTAM_NGRAM])
+            for i in range(len(toks) - DECONTAM_NGRAM + 1)
+        }
+        is_bench = hashlib.md5(str(doc_id).encode()).hexdigest()[0] in _BENCH_CHARS
+        info.append((doc_id, lang, is_bench, grams))
+        if is_bench:
+            bench_grams |= grams
+    expect: dict[str, list[int]] = {}
+    dirty_by_lang: dict[str, set[str]] = {}
+    for doc_id, lang, is_bench, grams in info:
+        e = expect.setdefault(lang, [0, 0, 0])
+        if is_bench:
+            e[1] += 1
+        else:
+            e[0] += 1
+            hit = grams & bench_grams
+            if hit:
+                e[2] += 1
+                dirty_by_lang.setdefault(lang, set()).update(hit)
+    rows = QUERIES["pipeline_decontaminate_13gram"](spark, sf_dir).collect()
+    got = {
+        r.lang: (r.n_train, r.n_benchmark, r.n_dirty, r.dirty_grams)
+        for r in rows
+    }
+    assert got == {
+        lang: (e[0], e[1], e[2], len(dirty_by_lang.get(lang, set())))
+        for lang, e in expect.items()
+    }
