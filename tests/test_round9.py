@@ -5,8 +5,6 @@ ml_pca_project invariant-oracle margins (VERDICT r8 item #3)."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import numpy as np
 import pytest
