@@ -182,6 +182,8 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAM_NGRAM = 13  # Brown et al. 2020 (GPT-3, appendix C) gram order
+DECONTAM_PAD = 10  # tokens excised on EACH side of a colliding 13-gram
+DECONTAM_MIN_SPAN = 5  # clean fragments shorter than this are dropped
 
 
 @register(
@@ -288,6 +290,212 @@ def pipeline_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.col("dirty_grams_l"), F.lit(0).cast("bigint")).alias(
                 "dirty_grams"
             ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_decontaminate_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substring({_MD5}, 1, 1) IN ('c','d','e','f') AS is_bench,
+               len(string_split(text,' ')) AS n_tok,
+               string_split(text,' ') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, is_bench, n_tok,
+               unnest(range(n_tok - {DECONTAM_NGRAM - 1})) AS i
+        FROM d
+    ),
+    gx AS (
+        SELECT g.doc_id, g.lang, g.is_bench, g.n_tok, g.i,
+               array_to_string(
+                   d.toks[g.i+1:g.i+{DECONTAM_NGRAM}], ' ') AS gram
+        FROM g JOIN d ON g.doc_id = d.doc_id
+    ),
+    bg AS (SELECT DISTINCT gram FROM gx WHERE is_bench),
+    iv AS (
+        SELECT DISTINCT e.doc_id, e.lang, e.n_tok,
+               GREATEST(e.i - {DECONTAM_PAD}, 0) AS s,
+               LEAST(e.i + {DECONTAM_NGRAM + DECONTAM_PAD}, e.n_tok) AS e
+        FROM gx e JOIN bg USING (gram) WHERE NOT e.is_bench
+    ),
+    isl0 AS (
+        SELECT doc_id, lang, n_tok, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_isl
+        FROM iv
+    ),
+    isl1 AS (
+        SELECT *, SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl
+        FROM isl0
+    ),
+    islands AS (
+        SELECT doc_id, lang, n_tok, isl,
+               MIN(s) AS s, MAX(e) AS e
+        FROM isl1 GROUP BY doc_id, lang, n_tok, isl
+    ),
+    gaps AS (
+        SELECT doc_id, lang,
+               s - COALESCE(LAG(e) OVER (
+                   PARTITION BY doc_id ORDER BY s), 0) AS span_len
+        FROM islands
+        UNION ALL
+        SELECT doc_id, lang, n_tok - MAX(e) AS span_len
+        FROM islands GROUP BY doc_id, lang, n_tok
+    ),
+    kept AS (
+        SELECT doc_id, lang, span_len FROM gaps
+        WHERE span_len >= {DECONTAM_MIN_SPAN}
+    ),
+    dirty AS (
+        SELECT DISTINCT doc_id, lang, n_tok FROM iv
+    )
+    SELECT dd.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_dirty_docs,
+           CAST(COALESCE(ANY_VALUE(k.n_spans), 0) AS BIGINT)
+               AS n_spans_kept,
+           CAST(SUM(dd.n_tok) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(ANY_VALUE(k.tok_after), 0) AS BIGINT)
+               AS tokens_after
+    FROM dirty dd
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_spans,
+                      SUM(span_len) AS tok_after
+               FROM kept GROUP BY lang) k
+        ON dd.lang = k.lang
+    GROUP BY dd.lang
+    ORDER BY dd.lang
+    """,
+)
+def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL eval decontamination — the surgery variant of the
+    Brown et al. protocol actually used in production (GPT-3
+    appendix C removes a window AROUND each collision and keeps the
+    clean remainder, instead of discarding whole documents as
+    pipeline_decontaminate_13gram does): excise DECONTAM_PAD tokens on
+    each side of every benchmark-colliding 13-gram, merge overlapping
+    excisions (gaps-and-islands, the dedup_repeated_substring_spans
+    machinery), split the document at the excised intervals, and drop
+    clean fragments shorter than DECONTAM_MIN_SPAN tokens. Output per
+    language: dirty-doc count, surviving span count, and exact token
+    counts before/after surgery — the data-retention audit that makes
+    span surgery preferable to doc dropping (it saves most tokens of a
+    lightly-contaminated document).
+
+    Scale shape: gram positions explode once; the benchmark gram table
+    is broadcast-sized (eval suites vs 100 TB corpus); interval union
+    and gap extraction are doc_id-partitioned window functions over
+    ONLY the colliding docs (a tiny fraction of the corpus) — nothing
+    quadratic, all-integer arithmetic, bit-deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_tok = F.size(F.split("text", " "))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_BENCH_CHARS)
+        .alias("is_bench"),
+        n_tok.alias("n_tok"),
+        F.expr(
+            f"CASE WHEN size(split(text,' ')) < {DECONTAM_NGRAM} "
+            "THEN CAST(array() AS array<struct<i:int,gram:string>>) ELSE "
+            f"transform(sequence(0, size(split(text,' ')) - {DECONTAM_NGRAM}), "
+            "i -> struct(CAST(i AS INT) AS i, "
+            f"array_join(slice(split(text,' '), i+1, {DECONTAM_NGRAM}), ' ') AS gram)) "
+            "END"
+        ).alias("grams"),
+    )
+    gx = d.select(
+        "doc_id",
+        "lang",
+        "is_bench",
+        "n_tok",
+        F.explode("grams").alias("pg"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_bench",
+        "n_tok",
+        F.col("pg.i").alias("i"),
+        F.col("pg.gram").alias("gram"),
+    )
+    bench_grams = gx.filter(F.col("is_bench")).select("gram").distinct()
+    iv = (
+        gx.filter(~F.col("is_bench"))
+        .join(bench_grams, "gram")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.greatest(F.col("i") - DECONTAM_PAD, F.lit(0)).alias("s"),
+            F.least(
+                F.col("i") + (DECONTAM_NGRAM + DECONTAM_PAD), F.col("n_tok")
+            ).alias("e"),
+        )
+        .distinct()
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl1 = iv.withColumn(
+        "new_isl",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("isl", F.sum("new_isl").over(w_run))
+    islands = isl1.groupBy("doc_id", "lang", "n_tok", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("s")
+    gap_before = islands.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("s") - F.coalesce(F.lag("e").over(w_isl), F.lit(0))
+        ).alias("span_len"),
+    )
+    gap_tail = islands.groupBy("doc_id", "lang", "n_tok").agg(
+        F.max("e").alias("max_e")
+    ).select(
+        "doc_id", "lang", (F.col("n_tok") - F.col("max_e")).alias("span_len")
+    )
+    kept = (
+        gap_before.unionByName(gap_tail)
+        .filter(F.col("span_len") >= DECONTAM_MIN_SPAN)
+    )
+    k = kept.groupBy("lang").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("tok_after"),
+    )
+    dirty = iv.select("doc_id", "lang", "n_tok").distinct()
+    return (
+        dirty.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_dirty_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+        )
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_dirty_docs",
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_kept"),
+            "tokens_before",
+            F.coalesce(F.col("tok_after"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after"),
         )
         .orderBy("lang")
     )

@@ -180,9 +180,10 @@ _DRIVER_PRIORITY = [
     # driver hash verdict after the never-checked tail drains.
     "ml_pca_project",
     # New in r9 (VERDICT r8 item #7): trained-classifier inference
-    # gate and 13-gram eval decontamination.
+    # gate and 13-gram eval decontamination (doc-level + span surgery).
     "ml_logreg_inference_gate",
     "pipeline_decontaminate_13gram",
+    "pipeline_decontaminate_spans",
 ]
 
 

@@ -470,3 +470,85 @@ def test_decontaminate_13gram_matches_bruteforce(spark, sf_dir):
         lang: (e[0], e[1], e[2], len(dirty_by_lang.get(lang, set())))
         for lang, e in expect.items()
     }
+
+
+def test_decontaminate_spans_matches_bruteforce(spark, sf_dir):
+    """Brute-force the span surgery in Python (explicit interval
+    merging over token indices) and compare the per-language audit;
+    also pin the invariants tokens_after < tokens_before and that
+    every dirty doc from the doc-level op is dirty here too."""
+    import duckdb as _duck
+    import hashlib
+
+    from pg_archiver_spark.functions.curation import (
+        _BENCH_CHARS,
+        DECONTAM_MIN_SPAN,
+        DECONTAM_NGRAM,
+        DECONTAM_PAD,
+    )
+
+    con = _duck.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    bench_grams: set[str] = set()
+    parsed = []
+    for doc_id, lang, text in docs:
+        toks = text.split(" ")
+        grams = [
+            " ".join(toks[i : i + DECONTAM_NGRAM])
+            for i in range(len(toks) - DECONTAM_NGRAM + 1)
+        ]
+        is_bench = (
+            hashlib.md5(str(doc_id).encode()).hexdigest()[0] in _BENCH_CHARS
+        )
+        parsed.append((doc_id, lang, is_bench, len(toks), grams))
+        if is_bench:
+            bench_grams.update(grams)
+    expect: dict[str, list[int]] = {}
+    for doc_id, lang, is_bench, n_tok, grams in parsed:
+        if is_bench:
+            continue
+        ivs = []
+        for i, g in enumerate(grams):
+            if g in bench_grams:
+                ivs.append(
+                    (
+                        max(i - DECONTAM_PAD, 0),
+                        min(i + DECONTAM_NGRAM + DECONTAM_PAD, n_tok),
+                    )
+                )
+        if not ivs:
+            continue
+        ivs = sorted(set(ivs))
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s > merged[-1][1]:
+                merged.append([s, e])
+            else:
+                merged[-1][1] = max(merged[-1][1], e)
+        spans = []
+        prev = 0
+        for s, e in merged:
+            spans.append(s - prev)
+            prev = e
+        spans.append(n_tok - prev)
+        kept = [x for x in spans if x >= DECONTAM_MIN_SPAN]
+        agg = expect.setdefault(lang, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += len(kept)
+        agg[2] += n_tok
+        agg[3] += sum(kept)
+    rows = QUERIES["pipeline_decontaminate_spans"](spark, sf_dir).collect()
+    got = {
+        r.lang: [r.n_dirty_docs, r.n_spans_kept, r.tokens_before, r.tokens_after]
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r.tokens_after < r.tokens_before
+    # Consistency with the doc-level op: same dirty-doc totals.
+    doc_level = QUERIES["pipeline_decontaminate_13gram"](spark, sf_dir).collect()
+    assert sum(r.n_dirty for r in doc_level) == sum(
+        r.n_dirty_docs for r in rows
+    )
