@@ -552,3 +552,113 @@ def test_decontaminate_spans_matches_bruteforce(spark, sf_dir):
     assert sum(r.n_dirty for r in doc_level) == sum(
         r.n_dirty_docs for r in rows
     )
+
+
+# ------------------------------------------ span-surgery property test
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # Tiny alphabet so cross-doc 13-gram collisions are common;
+            # lengths straddle the 13-token gram threshold and the
+            # min-span boundary.
+            st.sampled_from(["a", "b"]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_decontaminate_spans_oracle_property(docs):
+    """The span-surgery ORACLE (which the gate proves equal to the
+    Spark op) must match an independent Python interval-merge reference
+    for ANY corpus — exercising edges the fixture cannot produce:
+    all-dirty docs, collisions at position 0 / end-of-doc, adjacent
+    (touching) excision windows, empty docs, sub-13-token docs. Runs
+    DuckDB-only per example (no Spark job), so examples are cheap."""
+    import hashlib
+
+    import duckdb as _duck
+    import pandas as pd
+
+    from pg_archiver_spark.functions.curation import (
+        _BENCH_CHARS,
+        DECONTAM_MIN_SPAN,
+        DECONTAM_NGRAM,
+        DECONTAM_PAD,
+    )
+    from pg_archiver_spark.registry import ORACLES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "lang": ["xx"] * len(docs),
+            "text": [" ".join(toks) for toks in docs],
+        }
+    )
+    con = _duck.connect()
+    con.register("documents", pdf)
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            ORACLES["pipeline_decontaminate_spans"]
+        ).fetchall()
+    }
+
+    bench_grams: set[str] = set()
+    parsed = []
+    for doc_id, toks in enumerate(docs):
+        # Match the ops' tokenization: split(' ') on the joined text —
+        # an empty doc still yields one empty token.
+        toks = " ".join(toks).split(" ")
+        grams = [
+            " ".join(toks[i : i + DECONTAM_NGRAM])
+            for i in range(len(toks) - DECONTAM_NGRAM + 1)
+        ]
+        is_bench = (
+            hashlib.md5(str(doc_id).encode()).hexdigest()[0] in _BENCH_CHARS
+        )
+        parsed.append((doc_id, is_bench, len(toks), grams))
+        if is_bench:
+            bench_grams.update(grams)
+    agg = [0, 0, 0, 0]
+    for doc_id, is_bench, n_tok, grams in parsed:
+        if is_bench:
+            continue
+        ivs = sorted(
+            {
+                (
+                    max(i - DECONTAM_PAD, 0),
+                    min(i + DECONTAM_NGRAM + DECONTAM_PAD, n_tok),
+                )
+                for i, g in enumerate(grams)
+                if g in bench_grams
+            }
+        )
+        if not ivs:
+            continue
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s > merged[-1][1]:
+                merged.append([s, e])
+            else:
+                merged[-1][1] = max(merged[-1][1], e)
+        spans, prev = [], 0
+        for s, e in merged:
+            spans.append(s - prev)
+            prev = e
+        spans.append(n_tok - prev)
+        kept = [x for x in spans if x >= DECONTAM_MIN_SPAN]
+        agg[0] += 1
+        agg[1] += len(kept)
+        agg[2] += n_tok
+        agg[3] += sum(kept)
+    expect = {"xx": tuple(agg)} if agg[0] else {}
+    assert got == expect
