@@ -1258,15 +1258,23 @@ def dedup_repeated_substring_spans(
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    wins = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(split(text,' ')) - {SPAN_K}), "
-                f"i -> xxhash64(array_join(slice(split(text,' '), i+1, {SPAN_K}), ' ')))"
-            )
-        ).alias("pos", "wh"),
-    ).filter(F.expr(f"size(split(text,' ')) >= {SPAN_K}"))
+    # Short-doc filter BEFORE the generate (round-9 hardening, the
+    # text_ngram_novelty_decay bug class): sequence(0, n-SPAN_K) runs
+    # descending for n < SPAN_K and slice(...,0,..) raises. With the
+    # filter after the select this only worked because Catalyst pushed
+    # the predicate below the Generate; make the safety structural.
+    wins = (
+        docs.filter(F.expr(f"size(split(text,' ')) >= {SPAN_K}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(split(text,' ')) - {SPAN_K}), "
+                    f"i -> xxhash64(array_join(slice(split(text,' '), i+1, {SPAN_K}), ' ')))"
+                )
+            ).alias("pos", "wh"),
+        )
+    )
     rep = (
         wins.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("nd"))
