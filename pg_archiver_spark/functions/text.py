@@ -447,6 +447,222 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021 Table A1), in permille:
+# a doc fails if the most frequent 2-gram covers > 20% of its
+# characters, or if duplicated 5-grams cover > 15% of its tokens.
+GOPHER_TOP2_MAX_PERMILLE = 200
+GOPHER_DUP5_MAX_PERMILLE = 150
+GOPHER_DUP_N = 5
+
+
+@register(
+    "text_gopher_repetition",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(n - 1),
+                   i -> array_to_string(toks[i+1:i+2], ' '))) AS g
+        FROM d
+    ),
+    g2c AS (
+        SELECT doc_id, g, COUNT(*) AS c, length(ANY_VALUE(g)) AS gl
+        FROM g2 GROUP BY doc_id, g
+    ),
+    top2 AS (
+        SELECT doc_id, c * gl * 1000 // n_chars AS top2_permille
+        FROM (SELECT g2c.*, d.n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY g2c.doc_id
+                                        ORDER BY c DESC, g) AS rn
+              FROM g2c JOIN d USING (doc_id))
+        WHERE rn = 1
+    ),
+    g5 AS (
+        SELECT doc_id, unnest(range(n - {GOPHER_DUP_N - 1})) AS i
+        FROM d
+    ),
+    g5g AS (
+        SELECT g5.doc_id, g5.i,
+               array_to_string(d.toks[g5.i+1:g5.i+{GOPHER_DUP_N}], ' ') AS g
+        FROM g5 JOIN d USING (doc_id)
+    ),
+    dup5 AS (
+        SELECT doc_id, i AS s, i + {GOPHER_DUP_N} AS e
+        FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+              FROM g5g)
+        WHERE c >= 2
+    ),
+    isl0 AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS ni
+        FROM dup5
+    ),
+    isl AS (
+        SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        FROM (SELECT *, SUM(ni) OVER (
+                  PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              FROM isl0)
+        GROUP BY doc_id, isl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(e - s) AS covered FROM isl GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.lang,
+               COALESCE(t.top2_permille, 0)
+                   <= {GOPHER_TOP2_MAX_PERMILLE} AS p_top2,
+               COALESCE(c.covered, 0) * 1000 // d.n
+                   <= {GOPHER_DUP5_MAX_PERMILLE} AS p_dup5
+        FROM d
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p_top2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_top2gram,
+           CAST(SUM(CASE WHEN p_dup5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_dup5gram,
+           CAST(SUM(CASE WHEN p_top2 AND p_dup5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_all
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION RULES (Rae et al. 2021, Table A1 — the
+    repetition half of the Gopher quality filter; text_gopher_rules
+    covers the length half): a document fails if (a) its most frequent
+    2-gram covers more than 20% of its characters (occurrences ×
+    gram-char-length / doc-char-length), or (b) its duplicated 5-grams
+    — 5-grams appearing at least twice IN the document — cover more
+    than 15% of its token positions (union of occurrence intervals,
+    overlaps counted once: the paper's no-double-counting rule, via
+    the gaps-and-islands machinery shared with
+    dedup_repeated_substring_spans). These are the screens that catch
+    keyword-stuffed and template/boilerplate pages that length rules
+    and entropy miss. Reported as per-language pass counts; all
+    arithmetic is integer permille (G11) with deterministic lowest-gram
+    tie-breaks, so both engines agree exactly.
+
+    Plan shape: two explodes over the doc scan (2-grams by value,
+    5-grams by position), per-doc aggregation keys only — one shuffle
+    per gram order, nothing quadratic, no UDF. At 100 TB both explodes
+    stream; the per-doc state is bounded by document length."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n"),
+        F.length("text").alias("n_chars"),
+    )
+    g2 = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) < 2 "
+                "THEN CAST(array() AS array<string>) ELSE "
+                "transform(sequence(0, size(split(text,' ')) - 2), "
+                "i -> array_join(slice(split(text,' '), i+1, 2), ' ')) END"
+            )
+        ).alias("g"),
+    )
+    g2c = g2.groupBy("doc_id", "g").agg(
+        F.count("*").alias("c"), F.length(F.first("g")).alias("gl")
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    top2 = (
+        g2c.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr("c * gl * 1000 DIV n_chars").alias("top2_permille"),
+        )
+    )
+    g5 = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split(text,' ')) < {GOPHER_DUP_N} "
+                "THEN CAST(array() AS array<string>) ELSE "
+                f"transform(sequence(0, size(split(text,' ')) - {GOPHER_DUP_N}), "
+                f"i -> array_join(slice(split(text,' '), i+1, {GOPHER_DUP_N}), ' ')) END"
+            )
+        ).alias("i", "g"),
+    )
+    w_cnt = Window.partitionBy("doc_id", "g")
+    dup5 = (
+        g5.withColumn("c", F.count("*").over(w_cnt))
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            F.col("i").alias("s"),
+            (F.col("i") + GOPHER_DUP_N).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cov = (
+        dup5.withColumn(
+            "ni",
+            (
+                F.col("s")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("isl", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s")).alias("covered"))
+    )
+    scored = (
+        d.join(top2, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "lang",
+            (
+                F.coalesce(F.col("top2_permille"), F.lit(0))
+                <= GOPHER_TOP2_MAX_PERMILLE
+            ).alias("p_top2"),
+            (
+                F.expr("COALESCE(covered, 0) * 1000 DIV n")
+                <= GOPHER_DUP5_MAX_PERMILLE
+            ).alias("p_dup5"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("p_top2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_top2gram"),
+            F.sum(F.when(F.col("p_dup5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_dup5gram"),
+            F.sum(F.when(F.col("p_top2") & F.col("p_dup5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle="""

@@ -184,6 +184,7 @@ _DRIVER_PRIORITY = [
     "ml_logreg_inference_gate",
     "pipeline_decontaminate_13gram",
     "pipeline_decontaminate_spans",
+    "text_gopher_repetition",
 ]
 
 

@@ -662,3 +662,81 @@ def test_decontaminate_spans_oracle_property(docs):
         agg[3] += sum(kept)
     expect = {"xx": tuple(agg)} if agg[0] else {}
     assert got == expect
+
+
+# ------------------------------------------ gopher repetition
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # 3-word alphabet + short lists → heavy in-doc n-gram
+            # repetition, exercising the dup-5-gram interval union the
+            # fixture never fires.
+            st.sampled_from(["x", "y", "z"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_gopher_repetition_oracle_property(docs):
+    """The Gopher-repetition ORACLE (gate-proven equal to the Spark op)
+    must match an independent Python reference for ANY corpus: top
+    2-gram char fraction with lowest-gram tie-break, and duplicate
+    5-gram token coverage with overlap union."""
+    import duckdb as _duck
+    import pandas as pd
+    from collections import Counter
+
+    from pg_archiver_spark.functions.text import (
+        GOPHER_DUP5_MAX_PERMILLE,
+        GOPHER_DUP_N,
+        GOPHER_TOP2_MAX_PERMILLE,
+    )
+    from pg_archiver_spark.registry import ORACLES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "lang": ["xx"] * len(docs),
+            "text": [" ".join(t) for t in docs],
+        }
+    )
+    con = _duck.connect()
+    con.register("documents", pdf)
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(ORACLES["text_gopher_repetition"]).fetchall()
+    }
+
+    n_docs = p_top2 = p_dup5 = p_all = 0
+    for t in docs:
+        toks = " ".join(t).split(" ")
+        n, n_chars = len(toks), len(" ".join(t))
+        n_docs += 1
+        grams2 = Counter(
+            " ".join(toks[i : i + 2]) for i in range(n - 1)
+        )
+        if grams2:
+            # highest count, then lexicographically smallest gram
+            g, c = sorted(grams2.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            top2 = c * len(g) * 1000 // n_chars
+        else:
+            top2 = 0
+        ok_top2 = top2 <= GOPHER_TOP2_MAX_PERMILLE
+        g5 = Counter(
+            " ".join(toks[i : i + GOPHER_DUP_N])
+            for i in range(n - GOPHER_DUP_N + 1)
+        )
+        covered_pos: set[int] = set()
+        for i in range(n - GOPHER_DUP_N + 1):
+            if g5[" ".join(toks[i : i + GOPHER_DUP_N])] >= 2:
+                covered_pos.update(range(i, i + GOPHER_DUP_N))
+        ok_dup5 = len(covered_pos) * 1000 // n <= GOPHER_DUP5_MAX_PERMILLE
+        p_top2 += ok_top2
+        p_dup5 += ok_dup5
+        p_all += ok_top2 and ok_dup5
+    assert got == {"xx": (n_docs, p_top2, p_dup5, p_all)}
