@@ -822,6 +822,189 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_K = 10  # recall@k panel depth for sim_ann_recall_eval
+_MULTIPROBE_CELLS = 3  # cells probed per query in the multi-probe ANN ops
+
+
+@register(
+    "sim_ann_recall_eval",
+    # Eval-report discipline (the pipeline_neardup_eval_pr analogue
+    # for ANN): both rankings round cosines to 4dp BEFORE ranking and
+    # tie-break on vec_id, so the top-k SETS — and therefore the hit
+    # counts — are bit-deterministic cross-engine.
+    oracle=_IVF_ORACLE_ASSIGN
+    + f"""
+    , qb AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+        FROM assigned WHERE vec_id IN {tuple(range(0, 400, 25))}
+    ),
+    probe AS (
+        SELECT q_id, cell AS p_cell FROM (
+            SELECT s.vec_id AS q_id, s.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY s.c_cos DESC, s.cell) AS rn
+            FROM scored s WHERE s.vec_id IN {tuple(range(0, 400, 25))}
+        ) WHERE rn <= {_MULTIPROBE_CELLS}
+    ),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, b.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(CAST(list_cosine_similarity(
+                           q.q_emb, b.embedding) AS DOUBLE), 4) DESC,
+                           b.vec_id) AS rn
+            FROM qb q JOIN embeddings b ON b.vec_id <> q.q_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    single AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, a.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(CAST(list_cosine_similarity(
+                           q.q_emb, a.embedding) AS DOUBLE), 4) DESC,
+                           a.vec_id) AS rn
+            FROM qb q JOIN assigned a
+                ON a.cell = q.q_cell AND a.vec_id <> q.q_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    multi AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, a.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(CAST(list_cosine_similarity(
+                           q.q_emb, a.embedding) AS DOUBLE), 4) DESC,
+                           a.vec_id) AS rn
+            FROM qb q JOIN probe p ON p.q_id = q.q_id
+            JOIN assigned a ON a.cell = p.p_cell AND a.vec_id <> q.q_id
+        ) WHERE rn <= {_RECALL_K}
+    )
+    SELECT e.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_single,
+           CAST(SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_multi
+    FROM exact e
+    LEFT JOIN single s ON s.q_id = e.q_id AND s.vec_id = e.vec_id
+    LEFT JOIN multi m ON m.q_id = e.q_id AND m.vec_id = e.vec_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL@10 EVALUATION — the pre-ship report every vector
+    store runs before committing an index config (the
+    pipeline_neardup_eval_pr discipline applied to IVF): for the fixed
+    16-query panel, compare exact brute-force top-10 against IVF
+    single-probe (the query's own cell) and multi-probe (top-3 cells)
+    top-10, reporting per-query hit counts. The output IS the
+    recall/probe-count trade curve a team reads to pick nprobe; the
+    serving ops (sim_ann_ivf, sim_batch_knn_ivf) return the neighbors,
+    this op measures what they give up.
+
+    Scale shape: the panel is O(16) broadcast; the exact side is the
+    sim_batch_knn_join one-pass scan (on a 100 TB corpus you'd run it
+    on a sampled slice — the eval needs a few thousand queries, not
+    the corpus); the ANN sides join only the probed cells. Per-query
+    top-k is a fixed-state window; hit counting is a panel-sized
+    join — nothing quadratic in the corpus."""
+    from pyspark.sql import Window as _W
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_expr(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(c_cos, -cell))").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    qb = assigned.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    w_probe = _W.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cell")
+    probe = (
+        scored.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _MULTIPROBE_CELLS)
+        .select(F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell"))
+    )
+    w_rank = _W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(
+        emb.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    single = topk(
+        assigned.join(
+            F.broadcast(qb),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    multi = topk(
+        assigned.join(
+            F.broadcast(probe.join(qb, "q_id")),
+            (F.col("cell") == F.col("p_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        ).select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return (
+        exact.join(
+            single.withColumn("hit_s", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        .join(multi.withColumn("hit_m", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit_s"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_single"),
+            F.sum(F.coalesce(F.col("hit_m"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_multi"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # Invariant bands for the ml_pca_project oracle (round-9 conversion).
 # Margins are pinned by tests/test_round9.py at every SF: measured
 # capture ratios are 0.0415-0.0559 (band edges ≥ 0.02 away), basis
@@ -1454,9 +1637,6 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("maxsim"), "vec_id").limit(MV_TOPK)
-
-
-_MULTIPROBE_CELLS = 3
 
 
 @register(

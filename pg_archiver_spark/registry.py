@@ -185,6 +185,7 @@ _DRIVER_PRIORITY = [
     "pipeline_decontaminate_13gram",
     "pipeline_decontaminate_spans",
     "text_gopher_repetition",
+    "sim_ann_recall_eval",
 ]
 
 

@@ -740,3 +740,59 @@ def test_gopher_repetition_oracle_property(docs):
         p_dup5 += ok_dup5
         p_all += ok_top2 and ok_dup5
     assert got == {"xx": (n_docs, p_top2, p_dup5, p_all)}
+
+
+# ------------------------------------------------- ANN recall eval
+
+
+def test_ann_recall_eval_matches_numpy(spark, sf_dir):
+    """Full NumPy replay of the recall@10 report: centroid assignment
+    (argmax cosine, lowest-cell ties), top-3 probe sets, exact/
+    single/multi rankings by (4dp-rounded cosine desc, vec_id) — the
+    independent-reference check; plus the dominance invariant
+    multi ≥ single per query."""
+    from pg_archiver_spark.functions.similarity import (
+        _IVF_CELLS,
+        _KNN_BATCH_IDS,
+        _MULTIPROBE_CELLS,
+        _RECALL_K,
+    )
+
+    rows = QUERIES["sim_ann_recall_eval"](spark, sf_dir).collect()
+    assert [r.q_id for r in rows] == sorted(_KNN_BATCH_IDS)
+    for r in rows:
+        assert r.n_exact == _RECALL_K
+        assert 0 <= r.hits_single <= r.hits_multi <= _RECALL_K
+
+    X, _ = _embeddings(sf_dir)
+    norms = np.linalg.norm(X, axis=1)
+    C = X[:_IVF_CELLS]
+    cos_c = (X @ C.T) / (norms[:, None] * np.linalg.norm(C, axis=1)[None, :])
+    cell = cos_c.argmax(axis=1)  # argmax; ties -> lowest index
+
+    def topk(q, idx_pool):
+        sims = X[idx_pool] @ X[q] / (norms[idx_pool] * norms[q])
+        order = sorted(
+            zip(np.round(sims, 4), -np.array(idx_pool)),
+            key=lambda t: (t[0], t[1]),
+            reverse=True,
+        )
+        return {int(-i) for _, i in order[:_RECALL_K]}
+
+    all_ids = np.arange(len(X))
+    for r in rows:
+        q = r.q_id
+        pool = [int(i) for i in all_ids if i != q]
+        exact = topk(q, pool)
+        own = [int(i) for i in all_ids if cell[i] == cell[q] and i != q]
+        single = topk(q, own) if own else set()
+        probes = sorted(
+            range(_IVF_CELLS), key=lambda c: (-np.round(cos_c[q, c], 15), c)
+        )[:_MULTIPROBE_CELLS]
+        # probe ranking uses raw c_cos order (ties -> lowest cell)
+        probed = [
+            int(i) for i in all_ids if cell[i] in probes and i != q
+        ]
+        multi = topk(q, probed) if probed else set()
+        assert r.hits_single == len(exact & single), q
+        assert r.hits_multi == len(exact & multi), q

@@ -142,6 +142,11 @@ WHITELIST = {
     "assignment (the sim_ann_ivf pattern); the candidate set itself is "
     "an EQUI-join on cell — scored pairs are |Q|·(N/cells), nothing "
     "corpus-sized broadcasts",
+    "sim_ann_recall_eval": "the exact-side ground truth is the "
+    "sim_batch_knn_join shape (FIXED 16-query panel broadcast, "
+    "O(16·dim), against one corpus map pass — at 100 TB the eval runs "
+    "on a sampled slice); the single/multi ANN sides are EQUI-joins "
+    "on cell and the hit counting is a panel-sized join",
     "analytics_zero_filled_report": "deliberate |regions|×|segments| "
     "(5×5) grid cross join of two TINY dimension sets — the zero-filled "
     "report scaffold; fact data is aggregated to ≤|grid| rows before it "
