@@ -43,71 +43,18 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
-# ROUND-9 PIN (executes VERDICT r8 items #1 and #2): slots 1-5 are the
-# five SURVEY §2.B contract ops whose latest driver record predates
-# their rows-only -> sql-oracle conversion (source_jdbc,
-# agg_approx_distinct, minhash_neardup, stream_watermark_late,
-# stream_archival_foreachbatch -- all no_oracle rows in r01-r08, never
-# a hash verdict); slots 6-50 are the next 45 never-driver-checked ops
-# from the r8 queue, in queue order. The remaining 68 never-checked
-# names (incl. the four r8-session additions appended at the end)
-# pre-queue rounds 10-11. tests/test_registry_rotation.py enforces
-# that slots 1-50 never hold an op that already has a full driver
-# hash pass.
-# ROUND-10 PIN (write now in case of context reset): delete the first
-# 50 names below (they will hold r9 evidence) and keep the rest; top
-# up slots to 50 from oldest-driver-evidence-first greens (r4-latest).
+# ROUND-10 PIN (executes VERDICT r9 item #1): slots 1-50 are the first
+# 50 never-driver-checked ops, in r9 queue order; slots 51-73 are the
+# remaining 23 never-checked names; after them come the 19 ops whose
+# only driver records are rows-only/no_oracle from rounds 1-5 (all
+# since converted to sql oracles), oldest evidence first -- they still
+# need a first hash verdict.
+# ROUND-11 PIN (write now in case of context reset): delete the first
+# 50 names below (they will hold r10 evidence), bump _PIN_ROUND to 11,
+# and let the 23 + 19 + any r10-session additions fill the window; top
+# up to 50 from oldest-driver-evidence-first greens (r4-latest). That
+# closes first-time driver evidence over the whole registry.
 _DRIVER_PRIORITY = [
-    "source_jdbc",
-    "agg_approx_distinct",
-    "minhash_neardup",
-    "stream_watermark_late",
-    "stream_archival_foreachbatch",
-    "join_spatial_grid",
-    "join_fuzzy_blocked",
-    "join_hint_shuffle_hash",
-    "maintenance_materialized_rollup",
-    "maintenance_constraint_audit",
-    "maintenance_snapshot_vacuum",
-    "scan_bucket_pruned",
-    "scan_agg_pushdown_footer",
-    "source_binaryfile",
-    "source_xml_roundtrip",
-    "scan_columnar_cache_reuse",
-    "scan_ignore_corrupt_files",
-    "maintenance_repartition_layout",
-    "maintenance_content_fingerprint",
-    "maintenance_analyze_stats",
-    "maintenance_backfill_overwrite",
-    "maintenance_deletion_vectors",
-    "layout_parquet_bloom_filter",
-    "scan_nested_schema_pruning",
-    "merge_scd2_upsert",
-    "sample_bottomk_sketch",
-    "analytics_ks_test",
-    "analytics_chisq_independence",
-    "analytics_autocorrelation",
-    "agg_kmv_jaccard_estimate",
-    "analytics_did_estimator",
-    "window_alert_debounce",
-    "analytics_bootstrap_ci",
-    "analytics_seasonal_residual_outliers",
-    "analytics_theil_sen_trend",
-    "analytics_mannwhitney_u",
-    "analytics_permutation_test",
-    "analytics_psi_drift",
-    "analytics_goertzel_weekly_power",
-    "analytics_sprt_sequential",
-    "analytics_pettitt_changepoint",
-    "sql_recursive_date_spine",
-    "sql_recursive_reachability",
-    "sql_scripting_batch",
-    "subquery_any_all",
-    "sql_named_parameters",
-    "window_max_drawdown",
-    "window_running_sum_scalable",
-    "window_rolling_regression",
-    "window_gap_fill_locf",
     "dedup_paragraph",
     "dedup_semantic_cluster",
     "pipeline_mix_temperature",
@@ -176,17 +123,39 @@ _DRIVER_PRIORITY = [
     "dedup_repeated_substring_spans",
     "text_readability",
     "text_ngram_novelty_decay",
-    # Converted rows-only -> invariant sql oracle in r9; queue for a
-    # driver hash verdict after the never-checked tail drains.
-    "ml_pca_project",
-    # New in r9 (VERDICT r8 item #7): trained-classifier inference
-    # gate and 13-gram eval decontamination (doc-level + span surgery).
     "ml_logreg_inference_gate",
     "pipeline_decontaminate_13gram",
     "pipeline_decontaminate_spans",
     "text_gopher_repetition",
     "sim_ann_recall_eval",
+    "agg_hll_partial_merge",
+    "graph_pagerank",
+    "ml_kmeans_lloyd",
+    "maintenance_compact",
+    "stream_stateful_count",
+    "ml_pca_project",
+    "sim_batch_knn_ivf",
+    "pipeline_neardup_dedup_e2e",
+    "stream_progress_metrics",
+    "stream_state_timeout_sessions",
+    "source_jdbc_poll",
+    "agg_approx_percentile",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_partitioned",
+    "sim_cosine_topk_arrow",
+    "dedup_simhash",
+    "dedup_cluster_cc",
+    "multimodal_binary_features",
 ]
+
+# The round this pin was written for. tests/test_registry_rotation.py
+# ignores CORRECTNESS files from rounds >= this when deciding whether
+# the window is stale (ADVICE r9 #1: the driver writes CORRECTNESS_r10
+# DURING round 10, giving the window ops fresh full passes -- that is
+# the pin WORKING, not a stale pin; only evidence from rounds BEFORE
+# the pin means the budget would be wasted re-verifying greens).
+_PIN_ROUND = 10
 
 
 def load_all_operators() -> None:
