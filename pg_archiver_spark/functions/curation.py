@@ -148,7 +148,10 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_bench"),
             _shingles(F.col("text")).alias("shingles"),
         )
-        .cache()
+        # Not cached: same session-storage-leak reasoning as
+        # pipeline_decontaminate_13gram below (ADVICE r9 #4) — the
+        # shingle arrays dominate the op's footprint and the returned
+        # DataFrame is lazy, so there is no unpersist point.
     )
     ex = d.select(
         "doc_id",
@@ -256,7 +259,13 @@ def pipeline_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
         .isin(*_BENCH_CHARS)
         .alias("is_bench"),
         grams.alias("grams"),
-    ).cache()
+    )
+    # Deliberately NOT cached (ADVICE r9 #4): the gram arrays are the
+    # largest intermediate in the op and a returned-lazy DataFrame has
+    # no post-materialization point to unpersist them, so a cache here
+    # accumulates executor storage across invocations in one session.
+    # The consumers recompute split+transform, which is cheap relative
+    # to the joins — same trade the spans variant makes.
     ex = d.select(
         "doc_id", "lang", "is_bench", F.explode("grams").alias("g")
     )

@@ -1023,13 +1023,17 @@ PCA_TOT_VAR_BAND = (0.5, 1.5)
     # unstable on these fixtures (λ2/λ1 up to 0.987, λ3/λ2 up to 0.99 —
     # measured; even the top-2 subspace can rotate), so no per-label
     # projection VALUE can be oracled. But basis-independent facts can,
-    # via the agg_approx_distinct discipline: eigenVALUES of the
-    # distributed covariance are stable, orthonormality and the eigen
-    # residual ‖cov·v − λv‖ gate the whole distributed-Gram pipeline,
-    # and Pythagoras (p1²+p2² ≤ ‖x−μ‖²) gates the codegen projection
-    # pass row by row. Exact per-label counts/id-ranges ride along as
-    # plain SQL. A broken Gram merge, centering bug, or projection
-    # literal regression now hash-fails instead of passing rows-only.
+    # via the agg_approx_distinct discipline. What each boolean gates
+    # (honest scoping, ADVICE r9 #2): orthonormality and the eigen
+    # residual are eigh SELF-consistency (eigh satisfies them for
+    # whatever matrix it is given); the DISTRIBUTED reduction itself is
+    # gated by gram_crosscheck_ok — a second, independent aggregation
+    # path (built-in JVM aggs over nano-quantized exploded coordinates)
+    # must reproduce the mapInPandas merge's count, per-coordinate sums
+    # and Gram diagonal within the quantization bound. capture/tot-var
+    # bands and Pythagoras (p1²+p2² ≤ ‖x−μ‖²) gate the codegen
+    # projection pass row by row; exact per-label counts/id-ranges ride
+    # along as plain SQL.
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
@@ -1037,6 +1041,7 @@ PCA_TOT_VAR_BAND = (0.5, 1.5)
            MAX(vec_id) AS vec_id_max,
            TRUE AS basis_orthonormal,
            TRUE AS eigen_residual_ok,
+           TRUE AS gram_crosscheck_ok,
            TRUE AS capture_top2_ok,
            TRUE AS proj_bounded_ok,
            TRUE AS tot_var_band_ok
@@ -1094,6 +1099,39 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = np.sum([np.array(r.g).reshape(dim, dim) for r in rows], axis=0)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
+
+    # ADVICE r9 #2: gate the DISTRIBUTED reduction directly, not only
+    # eigh's self-consistency. Second independent path: built-in JVM
+    # partial aggregation over nano-quantized exploded coordinates
+    # (order-insensitive integer sums, the ml_kmeans_lloyd discipline)
+    # recomputes count, Σx and diag(XᵀX); a dropped or duplicated Arrow
+    # batch, misaligned reshape, or wrong-axis sum in the mapInPandas
+    # merge diverges here by construction. Per-component quantization
+    # error is bounded by n·5e-10.
+    alt = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.expr(_KM_Q.format("x"))).alias("sx"),
+            F.sum(F.expr(_KM_Q.format("x * x"))).alias("sxx"),
+        )
+        .collect()
+    )
+    q_tol = n * 5e-10 + 1e-9
+    gram_crosscheck_ok = bool(
+        len(alt) == dim
+        and all(r.cnt == n for r in alt)
+        and all(abs(int(r.sx) / 1e9 - s[r.pos]) <= q_tol for r in alt)
+        and all(
+            abs(int(r.sxx) / 1e9 - g[r.pos, r.pos]) <= q_tol for r in alt
+        )
+    )
+
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending eigenvalues
     pcs, lams = [], []
     for k in (1, 2):
@@ -1165,6 +1203,7 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_max",
             F.lit(ortho_ok).alias("basis_orthonormal"),
             F.lit(resid_ok).alias("eigen_residual_ok"),
+            F.lit(gram_crosscheck_ok).alias("gram_crosscheck_ok"),
             F.lit(capture_ok).alias("capture_top2_ok"),
             "proj_bounded_ok",
             F.col("_mean_tot")

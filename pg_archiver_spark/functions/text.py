@@ -449,7 +449,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gopher repetition thresholds (Rae et al. 2021 Table A1), in permille:
 # a doc fails if the most frequent 2-gram covers > 20% of its
-# characters, or if duplicated 5-grams cover > 15% of its tokens.
+# characters, or if duplicated 5-grams cover > 15% of its CHARACTERS
+# (ADVICE r9 #3: the paper defines the duplicate-n-gram thresholds as
+# character fractions; each covered token interval is weighted by its
+# character length including internal separators).
 GOPHER_TOP2_MAX_PERMILLE = 200
 GOPHER_DUP5_MAX_PERMILLE = 150
 GOPHER_DUP_N = 5
@@ -515,13 +518,17 @@ GOPHER_DUP_N = 5
         GROUP BY doc_id, isl
     ),
     cov AS (
-        SELECT doc_id, SUM(e - s) AS covered FROM isl GROUP BY doc_id
+        SELECT isl.doc_id,
+               SUM(length(array_to_string(
+                   d.toks[isl.s+1:isl.e], ' '))) AS covered_chars
+        FROM isl JOIN d ON isl.doc_id = d.doc_id
+        GROUP BY isl.doc_id
     ),
     scored AS (
         SELECT d.lang,
                COALESCE(t.top2_permille, 0)
                    <= {GOPHER_TOP2_MAX_PERMILLE} AS p_top2,
-               COALESCE(c.covered, 0) * 1000 // d.n
+               COALESCE(c.covered_chars, 0) * 1000 // d.n_chars
                    <= {GOPHER_DUP5_MAX_PERMILLE} AS p_dup5
         FROM d
         LEFT JOIN top2 t USING (doc_id)
@@ -547,10 +554,12 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram covers more than 20% of its characters (occurrences ×
     gram-char-length / doc-char-length), or (b) its duplicated 5-grams
     — 5-grams appearing at least twice IN the document — cover more
-    than 15% of its token positions (union of occurrence intervals,
-    overlaps counted once: the paper's no-double-counting rule, via
-    the gaps-and-islands machinery shared with
-    dedup_repeated_substring_spans). These are the screens that catch
+    than 15% of its CHARACTERS (union of occurrence intervals, overlaps
+    counted once — the paper's no-double-counting rule, via the
+    gaps-and-islands machinery shared with
+    dedup_repeated_substring_spans — then each merged island weighted
+    by its character length including internal separators; the paper's
+    thresholds are character fractions, ADVICE r9 #3). These are the screens that catch
     keyword-stuffed and template/boilerplate pages that length rules
     and entropy miss. Reported as per-language pass counts; all
     arithmetic is integer permille (G11) with deterministic lowest-gram
@@ -616,6 +625,10 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Character coverage of each merged island: the chars of its tokens
+    # PLUS the separators between them — exactly
+    # length(array_join(slice(toks, s+1, e-s), ' ')), computed after a
+    # per-doc join back to the token arrays (islands are per-doc-few).
     cov = (
         dup5.withColumn(
             "ni",
@@ -627,8 +640,15 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("isl", F.sum("ni").over(w_run))
         .groupBy("doc_id", "isl")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .join(docs.select("doc_id", toks.alias("toks")), "doc_id")
+        .select(
+            "doc_id",
+            F.length(
+                F.array_join(F.expr("slice(toks, s + 1, e - s)"), " ")
+            ).alias("ch"),
+        )
         .groupBy("doc_id")
-        .agg(F.sum(F.col("e") - F.col("s")).alias("covered"))
+        .agg(F.sum("ch").alias("covered_chars"))
     )
     scored = (
         d.join(top2, "doc_id", "left")
@@ -640,7 +660,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= GOPHER_TOP2_MAX_PERMILLE
             ).alias("p_top2"),
             (
-                F.expr("COALESCE(covered, 0) * 1000 DIV n")
+                F.expr("COALESCE(covered_chars, 0) * 1000 DIV n_chars")
                 <= GOPHER_DUP5_MAX_PERMILLE
             ).alias("p_dup5"),
         )

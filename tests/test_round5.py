@@ -311,6 +311,7 @@ def test_pca_projection_matches_numpy_reference(spark, sf_dir):
         assert r.vec_id_min == int(vec_ids[m].min())
         assert r.vec_id_max == int(vec_ids[m].max())
         assert r.basis_orthonormal and r.eigen_residual_ok
+        assert r.gram_crosscheck_ok  # distributed-merge gate (r10)
         assert r.capture_top2_ok and r.proj_bounded_ok
         assert r.tot_var_band_ok
     # The capture boolean must reflect numpy's stable eigenvalues too:

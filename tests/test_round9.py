@@ -686,7 +686,8 @@ def test_gopher_repetition_oracle_property(docs):
     """The Gopher-repetition ORACLE (gate-proven equal to the Spark op)
     must match an independent Python reference for ANY corpus: top
     2-gram char fraction with lowest-gram tie-break, and duplicate
-    5-gram token coverage with overlap union."""
+    5-gram CHARACTER coverage (overlap union, islands weighted by their
+    char length incl. internal separators — ADVICE r9 #3)."""
     import duckdb as _duck
     import pandas as pd
     from collections import Counter
@@ -735,7 +736,23 @@ def test_gopher_repetition_oracle_property(docs):
         for i in range(n - GOPHER_DUP_N + 1):
             if g5[" ".join(toks[i : i + GOPHER_DUP_N])] >= 2:
                 covered_pos.update(range(i, i + GOPHER_DUP_N))
-        ok_dup5 = len(covered_pos) * 1000 // n <= GOPHER_DUP5_MAX_PERMILLE
+        # Independent char-coverage reference: maximal runs of covered
+        # token positions, each weighted by the chars of its joined
+        # tokens (separators inside the run count, gaps don't).
+        covered_chars = 0
+        run: list[int] = []
+        for p in sorted(covered_pos) + [-2]:
+            if run and p != run[-1] + 1:
+                covered_chars += len(" ".join(toks[run[0] : run[-1] + 1]))
+                run = []
+            run.append(p)
+        # n_chars == 0 (a single empty token): both engines yield NULL
+        # from the integer division (Spark DIV 0, DuckDB // 0), and a
+        # NULL predicate counts as a FAIL in the CASE/when sums.
+        ok_dup5 = (
+            n_chars > 0
+            and covered_chars * 1000 // n_chars <= GOPHER_DUP5_MAX_PERMILLE
+        )
         p_top2 += ok_top2
         p_dup5 += ok_dup5
         p_all += ok_top2 and ok_dup5
