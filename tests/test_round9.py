@@ -272,31 +272,64 @@ def test_minhash_lsh_recall_is_one(spark, sf_dir):
 # ----------------------------------------------------- ANN margins
 
 
-@pytest.mark.parametrize("sf", SF_DIRS)
-def test_ann_sign_and_argmax_margins(sf):
-    """ADVICE r8 #4: the sim_ann_lsh / sim_ann_ivf* oracles compare
-    different summation orders (DuckDB list_dot_product vs Spark's
-    sequential fold), so a hyperplane dot product near 0 or two
-    near-tied centroid cosines could flip a sketch bit / cell
-    assignment cross-engine. Pin the fixture's numeric margins far
-    above the ~1e-15 reordering noise (measured: ≥ 9.8e-6 / ≥ 4.7e-5
-    across SFs vs the 1e-9 bound asserted here)."""
+def _ivf_numpy_train(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy replay of the trained IVF coarse quantizer (round 10):
+    _IVF_TRAIN_ITERS nano-quantized Lloyd rounds from the first
+    _IVF_CELLS vectors, squared-L2 distances computed with the SAME
+    left-assoc sequential fold Spark's zip_with/aggregate (and the
+    oracle's list_sum(list_transform)) run. Returns (centroids,
+    per-vector distance matrix to every trained centroid)."""
     from pg_archiver_spark.functions.similarity import (
         _IVF_CELLS,
-        _hyperplanes,
+        _IVF_TRAIN_ITERS,
     )
+
+    n = len(X)
+
+    def dists(c: np.ndarray) -> np.ndarray:
+        d = np.zeros((n, len(c)))
+        for k in range(len(c)):
+            acc = np.zeros(n)
+            for j in range(X.shape[1]):
+                diff = X[:, j] - c[k, j]
+                acc = acc + diff * diff
+            d[:, k] = acc
+        return d
+
+    cent = X[:_IVF_CELLS].copy()
+    for _ in range(_IVF_TRAIN_ITERS):
+        cid = dists(cent).argmin(axis=1)  # first (lowest cell) on ties
+        new = cent.copy()
+        for k in range(_IVF_CELLS):
+            m = cid == k
+            if m.any():
+                new[k] = _quantize_nano(X[m]).sum(axis=0) / (m.sum() * 1e9)
+        cent = new
+    return cent, dists(cent)
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_ann_sign_and_argmax_margins(sf):
+    """ADVICE r8 #4 (updated for the round-10 trained quantizer): the
+    sim_ann_lsh oracle compares different summation orders (DuckDB
+    list_dot_product vs Spark's sequential fold), so a hyperplane dot
+    product near 0 could flip a sketch bit cross-engine — pin the
+    fixture margin far above the ~1e-15 reordering noise. The IVF
+    family's assignment distances are bit-identical cross-engine by
+    construction (shared sequential fold + bit-identical trained
+    centroids, the ml_kmeans_lloyd proof), so ties cannot DIVERGE —
+    but pin the top-2 trained-cell distance gap anyway as a fixture
+    drift tripwire (an exact tie would mean the lowest-cell tiebreak
+    is doing semantic work)."""
+    from pg_archiver_spark.functions.similarity import _hyperplanes
 
     X, _ = _embeddings(sf)
     H = np.array(_hyperplanes(), dtype=np.float64)
     min_dot = np.abs(X @ H.T).min()
     assert min_dot > 1e-9, min_dot
 
-    C = X[:_IVF_CELLS]
-    cos = (X @ C.T) / (
-        np.linalg.norm(X, axis=1)[:, None]
-        * np.linalg.norm(C, axis=1)[None, :]
-    )
-    top2 = np.sort(cos, axis=1)[:, -2:]
+    _, d = _ivf_numpy_train(X)
+    top2 = np.sort(d, axis=1)[:, :2]
     min_gap = (top2[:, 1] - top2[:, 0]).min()
     assert min_gap > 1e-9, min_gap
 
@@ -763,10 +796,11 @@ def test_gopher_repetition_oracle_property(docs):
 
 
 def test_ann_recall_eval_matches_numpy(spark, sf_dir):
-    """Full NumPy replay of the recall@10 report: centroid assignment
-    (argmax cosine, lowest-cell ties), top-3 probe sets, exact/
-    single/multi rankings by (4dp-rounded cosine desc, vec_id) — the
-    independent-reference check; plus the dominance invariant
+    """Full NumPy replay of the recall@10 report (round 10: TRAINED
+    coarse quantizer): quantized-Lloyd centroids, argmin-squared-L2
+    assignment (lowest-cell ties), top-3 probe sets by (cdist, cell),
+    exact/single/multi rankings by (4dp-rounded cosine desc, vec_id) —
+    the independent-reference check; plus the dominance invariant
     multi ≥ single per query."""
     from pg_archiver_spark.functions.similarity import (
         _IVF_CELLS,
@@ -783,9 +817,8 @@ def test_ann_recall_eval_matches_numpy(spark, sf_dir):
 
     X, _ = _embeddings(sf_dir)
     norms = np.linalg.norm(X, axis=1)
-    C = X[:_IVF_CELLS]
-    cos_c = (X @ C.T) / (norms[:, None] * np.linalg.norm(C, axis=1)[None, :])
-    cell = cos_c.argmax(axis=1)  # argmax; ties -> lowest index
+    _, d = _ivf_numpy_train(X)
+    cell = d.argmin(axis=1)  # argmin; ties -> lowest cell
 
     def topk(q, idx_pool):
         sims = X[idx_pool] @ X[q] / (norms[idx_pool] * norms[q])
@@ -804,9 +837,8 @@ def test_ann_recall_eval_matches_numpy(spark, sf_dir):
         own = [int(i) for i in all_ids if cell[i] == cell[q] and i != q]
         single = topk(q, own) if own else set()
         probes = sorted(
-            range(_IVF_CELLS), key=lambda c: (-np.round(cos_c[q, c], 15), c)
+            range(_IVF_CELLS), key=lambda c: (d[q, c], c)
         )[:_MULTIPROBE_CELLS]
-        # probe ranking uses raw c_cos order (ties -> lowest cell)
         probed = [
             int(i) for i in all_ids if cell[i] in probes and i != q
         ]
