@@ -2759,3 +2759,358 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# ----------------------------------------------------------- DSIR
+# Data Selection with Importance Resampling (Xie et al. 2023): score
+# every raw document by how much its hashed-n-gram profile looks like
+# a target domain vs the raw pool, then keep it with probability
+# min(1, w) via a deterministic md5 uniform — the data-SELECTION stage
+# between the quality gates and pipeline_mix_temperature.
+DSIR_BUCKETS = 64
+# Target-domain sample: docs whose doc_id md5 starts '0'/'1' (2/16 of
+# the corpus) — a held-out domain exemplar set, disjoint by
+# construction from the decontamination ops' 'c'-'f' benchmark split.
+_DSIR_TARGET_CHARS = ("0", "1")
+_DSIR_U_DENOM = 16777216  # 2^24: the md5-derived uniform's grid
+
+
+def _dsir_staged_sql(src: str, prefix: str) -> tuple[str, str]:
+    """Unroll the shared quantized-log ladder (_unigram_q_stages) over
+    a CTE named ``src`` carrying integer columns (c, t); returns the
+    CTE-chain SQL and the name of the final stage (which adds q =
+    round((ln c − ln t)·1e12) as BIGINT). Every fragment is shared
+    verbatim with the Spark side, so q is bit-identical cross-engine."""
+    sql, prev = "", src
+    for k, stage in enumerate(_unigram_q_stages()):
+        sql += (
+            f"    {prefix}{k} AS MATERIALIZED "
+            f"(SELECT *, {', '.join(stage)} FROM {prev}),\n"
+        )
+        prev = f"{prefix}{k}"
+    return sql, prev
+
+
+def _dsir_oracle() -> str:
+    n_stage = len(_unigram_q_stages())
+    tgt_sql, tgt_last = _dsir_staged_sql("bt0", "bts")
+    raw_sql, raw_last = _dsir_staged_sql("br0", "brs")
+    u_sql, u_last = _dsir_staged_sql("u0", "us")
+    chars = ", ".join(f"'{c}'" for c in _DSIR_TARGET_CHARS)
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, lang,
+               substring({_MD5}, 1, 1) IN ({chars}) AS is_target,
+               string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+    ),
+    gb AS MATERIALIZED (
+        SELECT doc_id, lang, is_target,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                    % {DSIR_BUCKETS} AS BIGINT) AS bucket
+        FROM (SELECT doc_id, lang, is_target,
+                     unnest(list_concat(
+                         ws,
+                         CASE WHEN nw < 2 THEN CAST([] AS VARCHAR[])
+                              ELSE list_transform(
+                                  range(nw - 1),
+                                  i -> array_to_string(ws[i+1:i+2], ' '))
+                         END)) AS g
+              FROM d)
+    ),
+    spine AS (SELECT unnest(range({DSIR_BUCKETS})) AS bucket),
+    tc AS (SELECT bucket, COUNT(*) AS n FROM gb WHERE is_target
+           GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS n FROM gb WHERE NOT is_target
+           GROUP BY bucket),
+    tt AS (SELECT COUNT(*) AS n FROM gb WHERE is_target),
+    rt AS (SELECT COUNT(*) AS n FROM gb WHERE NOT is_target),
+    bt0 AS (
+        SELECT s.bucket,
+               CAST(COALESCE(tc.n, 0) + 1 AS BIGINT) AS c,
+               CAST(tt.n + {DSIR_BUCKETS} AS BIGINT) AS t
+        FROM spine s LEFT JOIN tc USING (bucket) CROSS JOIN tt
+    ),
+{tgt_sql}    br0 AS (
+        SELECT s.bucket,
+               CAST(COALESCE(rc.n, 0) + 1 AS BIGINT) AS c,
+               CAST(rt.n + {DSIR_BUCKETS} AS BIGINT) AS t
+        FROM spine s LEFT JOIN rc USING (bucket) CROSS JOIN rt
+    ),
+{raw_sql}    lr AS MATERIALIZED (
+        SELECT a.bucket, a.q - b.q AS lr
+        FROM {tgt_last} a JOIN {raw_last} b USING (bucket)
+    ),
+    wts AS MATERIALIZED (
+        SELECT gb.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS wq
+        FROM gb JOIN lr USING (bucket)
+        WHERE NOT gb.is_target
+        GROUP BY gb.doc_id
+    ),
+    u0 AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || '#dsir'), 1, 6))
+                   AS BIGINT) + 1 AS BIGINT) AS c,
+               CAST({_DSIR_U_DENOM} AS BIGINT) AS t
+        FROM d WHERE NOT is_target
+    ),
+{u_sql}    sel AS MATERIALIZED (
+        SELECT u.doc_id, COALESCE(w.wq, 0) AS wq, u.q AS q_u
+        FROM {u_last} u LEFT JOIN wts w USING (doc_id)
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target,
+           CAST(SUM(CASE WHEN s.q_u <= s.wq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(SUM(COALESCE(s.wq, 0)) AS BIGINT) AS sum_weight_q
+    FROM d LEFT JOIN sel s USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register("pipeline_dsir_resample", oracle=_dsir_oracle())
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): estimate hashed-n-gram bag-of-words models
+    for a TARGET domain sample and the RAW pool, weight every raw doc
+    by its log importance ratio log p_tgt(d) − log p_raw(d) =
+    Σ_grams [log p_tgt(bucket) − log p_raw(bucket)], and keep it with
+    probability min(1, w) — the data-selection stage that sits between
+    the quality gates (text_gopher_*, ml_logreg_inference_gate) and
+    pipeline_mix_temperature in a pretraining pipeline.
+
+    Spark-first determinism (all house idioms): features are unigrams +
+    bigrams hashed to {DSIR_BUCKETS} buckets via the md5-conv trick
+    (ml_feature_hashing); the two Laplace-smoothed bucket models become
+    a {DSIR_BUCKETS}-row quantized log-ratio table through the SHARED
+    pico-grid ln ladder (_unigram_q_stages — bit-identical
+    cross-engine), so each doc's weight is an exact BIGINT sum
+    (order-insensitive); the accept draw is the md5-derived 24-bit
+    uniform u with accept iff round(ln(u/2^24)·1e12) ≤ wq — i.e.
+    u ≤ w(d), P = min(1, w) — through the SAME ladder, so the whole
+    resampling decision is integer-exact in both engines.
+
+    Scale shape: two corpus passes (gram explode → bucket counts;
+    weight sum via a {DSIR_BUCKETS}-row broadcast join), per-doc ladder
+    arithmetic is one codegen'd map, nothing driver-sized but the
+    bucket table. The target sample is md5-designated here; in
+    production it is the curated domain corpus (the math is identical).
+    Output: per-language doc/target/selected counts + the exact summed
+    weight grid (the selection-rate report a curation run reviews)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_DSIR_TARGET_CHARS)
+        .alias("is_target"),
+    )
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text,' ')) < 2 "
+        "THEN CAST(array() AS array<string>) ELSE "
+        "transform(sequence(0, size(split(text,' ')) - 2), "
+        "i -> array_join(slice(split(text,' '), i+1, 2), ' ')) END"
+    )
+    gb = (
+        docs.join(d.select("doc_id", "is_target"), "doc_id")
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.concat(toks, bigrams)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+
+    def model_q(flag_target: bool):
+        side = gb.filter(
+            F.col("is_target") if flag_target else ~F.col("is_target")
+        )
+        cnt = side.groupBy("bucket").agg(F.count("*").alias("n"))
+        tot = side.agg(F.count("*").alias("tn"))
+        staged = (
+            spine.join(cnt, "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bucket",
+                (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                .cast("long")
+                .alias("c"),
+                (F.col("tn") + DSIR_BUCKETS).cast("long").alias("t"),
+            )
+        )
+        for stage in _unigram_q_stages():
+            staged = staged.selectExpr("*", *stage)
+        return staged.select("bucket", "q")
+
+    lr = (
+        model_q(True)
+        .withColumnRenamed("q", "q_t")
+        .join(model_q(False).withColumnRenamed("q", "q_r"), "bucket")
+        .select("bucket", (F.col("q_t") - F.col("q_r")).alias("lr"))
+    )
+    wts = (
+        gb.filter(~F.col("is_target"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").cast("long").alias("wq"))
+    )
+    u = d.filter(~F.col("is_target")).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit("#dsir")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("c"),
+        F.lit(_DSIR_U_DENOM).cast("long").alias("t"),
+    )
+    for stage in _unigram_q_stages():
+        u = u.selectExpr("*", *stage)
+    sel = (
+        u.select("doc_id", F.col("q").alias("q_u"))
+        .join(wts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("wq"), F.lit(0)).alias("wq"),
+            "q_u",
+        )
+    )
+    return (
+        d.join(sel, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_target"),
+            F.sum(F.when(F.col("q_u") <= F.col("wq"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(F.coalesce(F.col("wq"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_weight_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_oracle() -> str:
+    return (
+        _bpe_oracle_ctes()
+        + f""",
+    wa AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens
+        FROM wa JOIN v{BPE_MERGE_ITERS} USING (w)
+        GROUP BY lang
+    )
+    SELECT lang, n_words, n_chars, bpe_tokens,
+           bpe_tokens * 1000 // n_words AS fertility_milli,
+           n_chars * 1000 // bpe_tokens AS chars_per_token_milli,
+           (bpe_tokens * 1000 // n_words
+            - MIN(bpe_tokens * 1000 // n_words) OVER ()) * 1000
+               // MIN(bpe_tokens * 1000 // n_words) OVER ()
+               AS premium_pm
+    FROM per_lang
+    ORDER BY lang
+    """
+    )
+
+
+@register("pipeline_tokenizer_fertility", oracle=_fertility_oracle())
+def pipeline_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKENIZER FERTILITY by language — the multilingual-fairness
+    report every tokenizer ship reviews (Ács 2019; Rust et al. 2021):
+    train the BPE tokenizer once on the whole corpus (the shared
+    _bpe_train loop pipeline_bpe_merges/apply use), encode every word,
+    and report per language: fertility (subword tokens per word,
+    milli), compression (chars per token, milli), and the fairness
+    premium — each language's fertility overhead vs the best-served
+    language in ppm (a language with premium_pm=400000 pays 40% more
+    tokens per word, i.e. 40% more compute and effective context for
+    the same text).
+
+    Scale shape identical to pipeline_bpe_apply: training touches only
+    the vocabulary frame; encoding is an equi-join of the exploded
+    corpus words onto the encoded vocab (one shuffle, or broadcast
+    when the vocab fits); the per-language report is a 5-row
+    aggregation, and the cross-language MIN is a window over those 5
+    rows. All ratios are integer milli/ppm (G11) — no float risk."""
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(_bpe_vocab(docs))
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_lang = (
+        words.join(vocab.select("w", "syms"), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.size("syms")).cast("bigint").alias("bpe_tokens"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_lang.select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "bpe_tokens",
+            F.expr("bpe_tokens * 1000 DIV n_words").alias(
+                "fertility_milli"
+            ),
+            F.expr("n_chars * 1000 DIV bpe_tokens").alias(
+                "chars_per_token_milli"
+            ),
+        )
+        .withColumn(
+            "_fert_min", F.min("fertility_milli").over(w_all)
+        )
+        # Integer DIV (Spark) ↔ // (DuckDB), never float-divide-then-
+        # cast: truncation vs floor could diverge on a near-integer
+        # quotient (G11).
+        .withColumn(
+            "premium_pm",
+            F.expr(
+                "(fertility_milli - _fert_min) * 1000 DIV _fert_min"
+            ),
+        )
+        .drop("_fert_min")
+        .orderBy("lang")
+    )

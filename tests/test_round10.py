@@ -1,0 +1,180 @@
+"""Round-10 additions (VERDICT r9 item #3): DSIR hashed-n-gram
+importance resampling and the tokenizer-fertility fairness report.
+Both ops are sql-checked by the gate; these tests pin SEMANTICS the
+hash gate cannot see (selection behavior on a controlled corpus, a
+from-scratch Python BPE reference, determinism)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def _write_docs(tmp_path, rows) -> str:
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def _dsir_ids():
+    """doc_ids split by the op's md5-prefix rule, computed
+    independently with hashlib."""
+    from pg_archiver_spark.functions.curation import _DSIR_TARGET_CHARS
+
+    tgt, raw = [], []
+    for i in range(2000):
+        h = hashlib.md5(str(i).encode()).hexdigest()[0]
+        (tgt if h in _DSIR_TARGET_CHARS else raw).append(i)
+    return tgt, raw
+
+
+def test_dsir_keeps_target_like_and_drops_offtarget(spark, tmp_path):
+    """Controlled-corpus semantics: raw docs IDENTICAL to the target
+    sample get strongly positive log importance weights (accepted at
+    any u, since q_u <= 0 always), while long unique-token junk docs
+    score far below ln(2^-24)*1e12 — the md5 uniform's floor — so no
+    draw can accept them. Selection must be exactly the target-like
+    set; the held-out target sample itself is never selected."""
+    tgt_ids, raw_ids = _dsir_ids()
+    target_text = "alpha beta gamma alpha beta gamma"
+    rows = [
+        {"doc_id": i, "lang": "xx", "text": target_text}
+        for i in tgt_ids[:8]
+    ]
+    match_ids = raw_ids[:3]
+    rows += [
+        {"doc_id": i, "lang": "xx", "text": target_text}
+        for i in match_ids
+    ]
+    rows += [
+        {
+            "doc_id": i,
+            "lang": "xx",
+            "text": " ".join(f"junk{i}w{j}" for j in range(40)),
+        }
+        for i in raw_ids[3:23]
+    ]
+    out = QUERIES["pipeline_dsir_resample"](
+        spark, _write_docs(tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == len(rows)
+    assert r.n_target == 8
+    assert r.n_selected == len(match_ids)
+
+
+def test_dsir_fixture_invariants_and_determinism(spark, sf_dir):
+    """On the real fixture: selected docs are a subset of the raw
+    (non-target) pool in every language, every language appears, and
+    the run is deterministic (md5 draws, not RNG)."""
+    a = QUERIES["pipeline_dsir_resample"](spark, sf_dir).collect()
+    b = QUERIES["pipeline_dsir_resample"](spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == 5
+    for r in a:
+        assert 0 <= r.n_selected <= r.n_docs - r.n_target, r
+        assert r.n_target > 0  # md5 split hits every fixture language
+
+
+# ----------------------------------------------- tokenizer fertility
+
+
+def _bpe_reference(texts: list[str], iters: int):
+    """From-scratch Python BPE (Sennrich et al. 2016): weighted pair
+    counts over the word vocabulary, greedy argmax with (a, b) lexical
+    tie-break, leftmost non-overlapping merge application — the
+    independent twin of _bpe_train's aggregate-fold."""
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" "))
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    for _ in range(iters):
+        pairs: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (a, b), _n = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return syms
+
+
+def test_fertility_matches_python_bpe_reference(spark, tmp_path):
+    """Full pipeline parity on a controlled bilingual corpus: train
+    the reference BPE, compute per-language fertility/compression/
+    premium in plain Python integers, compare to the op."""
+    from pg_archiver_spark.functions.curation import BPE_MERGE_ITERS
+
+    rows = [
+        {"doc_id": 0, "lang": "aa", "text": "low low lower lowest"},
+        {"doc_id": 1, "lang": "aa", "text": "low lower low low"},
+        {"doc_id": 2, "lang": "bb", "text": "zip zap zip zup zip"},
+        {"doc_id": 3, "lang": "bb", "text": "zap zup zap zip zap"},
+    ]
+    out = {
+        r.lang: r
+        for r in QUERIES["pipeline_tokenizer_fertility"](
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    syms = _bpe_reference([r["text"] for r in rows], BPE_MERGE_ITERS)
+    expect = {}
+    for lang in ("aa", "bb"):
+        words = [
+            w
+            for r in rows
+            if r["lang"] == lang
+            for w in r["text"].split(" ")
+        ]
+        n_words = len(words)
+        n_chars = sum(len(w) for w in words)
+        toks = sum(len(syms[w]) for w in words)
+        expect[lang] = (n_words, n_chars, toks, toks * 1000 // n_words)
+    ferts = [e[3] for e in expect.values()]
+    for lang, (n_words, n_chars, toks, fert) in expect.items():
+        r = out[lang]
+        assert (r.n_words, r.n_chars, r.bpe_tokens) == (
+            n_words,
+            n_chars,
+            toks,
+        ), lang
+        assert r.fertility_milli == fert
+        assert r.chars_per_token_milli == n_chars * 1000 // toks
+        assert r.premium_pm == (fert - min(ferts)) * 1000 // min(ferts)
+
+
+def test_fertility_fixture_shape(spark, sf_dir):
+    """Fixture sanity: 5 languages, fertility >= 1000 milli (a word is
+    at least one token), exactly one best-served language at
+    premium_pm == 0, chars/token positive."""
+    rows = QUERIES["pipeline_tokenizer_fertility"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert min(r.premium_pm for r in rows) == 0
+    for r in rows:
+        assert r.fertility_milli >= 1000
+        assert r.chars_per_token_milli > 0
+        assert r.premium_pm >= 0

@@ -23,6 +23,12 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-10 additions -------------------------------------------
+    "pipeline_dsir_resample": "two 1-row gram-total aggregates "
+    "crossJoined onto the 64-row bucket spine (the Laplace "
+    "denominator anchors for the quantized log-ratio table); the "
+    "corpus-sized paths are equi-joins (bucket -> 64-row broadcast, "
+    "doc_id) and the per-doc ln ladder is a codegen'd map",
     # -- round-8 additions --------------------------------------------
     "text_ngram_novelty_decay": "1-row MAX(doc_id) anchor aggregate "
     "crossJoined onto the per-doc novelty frame to form deciles — the "
