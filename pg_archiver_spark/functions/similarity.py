@@ -995,7 +995,15 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sampled slice — the eval needs a few thousand queries, not
     the corpus); the ANN sides join only the probed cells. Per-query
     top-k is a fixed-state window; hit counting is a panel-sized
-    join — nothing quadratic in the corpus."""
+    join — nothing quadratic in the corpus.
+
+    Round 10: the measured index is the TRAINED quantizer
+    (_ivf_centroids). Single-probe recall improved over the untrained
+    r9 index at every SF (39→48 / 51→56 / 44→47 of 160); the residual
+    ~35% ceiling is the fixture's isotropy (neighbors are spread
+    across cells because the data has no cluster structure), which is
+    exactly what this report exists to expose before shipping an
+    index config."""
     from pyspark.sql import Window as _W
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1782,10 +1790,11 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with MULTI-PROBE: the query searches its top-3 nearest
-    cells (by query→centroid cosine) instead of only its own — the
-    standard fix for the single-probe recall cliff when a true
-    neighbour sits just across a cell boundary. Exact cosine re-rank
-    runs inside the probed union; top-10 emitted with the probed cell.
+    TRAINED cells (by squared L2 to the Lloyd centroids — see
+    _ivf_centroids) instead of only its own — the standard fix for the
+    single-probe recall cliff when a true neighbour sits just across a
+    cell boundary. Exact cosine re-rank runs inside the probed union;
+    top-10 emitted with the probed cell.
 
     Cost model at 100 TB: probes/cells of the corpus scanned per query
     (3/8 here; 3/√N with √N cells in production), each probe a pruned

@@ -178,3 +178,48 @@ def test_fertility_fixture_shape(spark, sf_dir):
         assert r.fertility_milli >= 1000
         assert r.chars_per_token_milli > 0
         assert r.premium_pm >= 0
+
+
+def test_dsir_ladder_matches_math_log_on_dsir_ranges():
+    """The shared quantized-ln ladder is already pinned to math.log on
+    vocabulary-count ranges (test_round7); DSIR feeds it NEW ranges —
+    Laplace'd bucket counts up to corpus-gram scale and the 24-bit
+    uniform against t = 2^24. A shared-fragment drift here would be
+    same-wrong in both engines (hash-invisible), so pin q =
+    round((ln c − ln t)·1e12) against the independent math.log
+    reference to ±1 pico-grid unit across the magnitudes DSIR uses."""
+    import math
+
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.curation import (
+        _DSIR_U_DENOM,
+        _unigram_q_stages,
+    )
+
+    cases = [
+        (1, 64 + 1),
+        (1, 2_000_000),
+        (17, 153),
+        (25_000, 1_700_000),
+        (999_999, 4_000_000),
+        (1, _DSIR_U_DENOM),
+        (2, _DSIR_U_DENOM),
+        (8_388_608, _DSIR_U_DENOM),  # u = 2^23: exact half ratio
+        (16_777_215, _DSIR_U_DENOM),
+        (_DSIR_U_DENOM, _DSIR_U_DENOM),  # ln(1) == 0 exactly
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS c, CAST({t} AS BIGINT) AS t"
+        for c, t in cases
+    )
+    sql, prev = f"WITH s0 AS ({rows})", "s0"
+    for k, stage in enumerate(_unigram_q_stages()):
+        sql += f", s{k + 1} AS (SELECT *, {', '.join(stage)} FROM {prev})"
+        prev = f"s{k + 1}"
+    sql += f" SELECT c, t, q FROM {prev} ORDER BY c, t"
+    got = _duck.connect().execute(sql).fetchall()
+    for c, t, q in got:
+        expect = round((math.log(c) - math.log(t)) * 1e12)
+        assert abs(q - expect) <= 1, (c, t, q, expect)
+    assert any(q == 0 for _, _, q in got)  # the ln(1) row
