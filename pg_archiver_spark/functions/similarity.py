@@ -719,7 +719,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .cache()
+        .persist()
     )
     centroids = [
         r.v for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
@@ -727,6 +727,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
         centroids = _kmeans_step(assigned, centroids)
+    # The training loop materialized per-iteration (collect), so the
+    # cache has done its job; release it here rather than leaking it
+    # for the session (the ADVICE r9 #4 class). The final assignment
+    # below recomputes one uncached scan.
+    emb.unpersist()
     final = _kmeans_assign(emb, centroids).withColumn(
         "dq", F.expr(_KM_Q.format("dist"))
     )
