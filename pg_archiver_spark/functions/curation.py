@@ -2875,14 +2875,15 @@ def _dsir_oracle() -> str:
 
 @register("pipeline_dsir_resample", oracle=_dsir_oracle())
 def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR — Data Selection with Importance Resampling (Xie et al.
-    2023, arXiv:2302.03169): estimate hashed-n-gram bag-of-words models
-    for a TARGET domain sample and the RAW pool, weight every raw doc
-    by its log importance ratio log p_tgt(d) − log p_raw(d) =
-    Σ_grams [log p_tgt(bucket) − log p_raw(bucket)], and keep it with
-    probability min(1, w) — the data-selection stage that sits between
-    the quality gates (text_gopher_*, ml_logreg_inference_gate) and
-    pipeline_mix_temperature in a pretraining pipeline.
+    """DSIR — Data Selection with Importance Resampling: estimate
+    hashed-n-gram bag-of-words models for a TARGET domain sample and
+    the RAW pool, weight every raw doc by its log importance ratio
+    log p_tgt(d) − log p_raw(d) = Σ_grams [log p_tgt(bucket) −
+    log p_raw(bucket)], and keep it with probability min(1, w) — the
+    data-selection stage that sits between the quality gates
+    (text_gopher_*, ml_logreg_inference_gate) and
+    pipeline_mix_temperature in a pretraining pipeline (Xie et al.
+    2023, arXiv:2302.03169).
 
     Spark-first determinism (all house idioms): features are unigrams +
     bigrams hashed to {DSIR_BUCKETS} buckets via the md5-conv trick
@@ -3053,15 +3054,14 @@ def pipeline_tokenizer_fertility(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """TOKENIZER FERTILITY by language — the multilingual-fairness
-    report every tokenizer ship reviews (Ács 2019; Rust et al. 2021):
-    train the BPE tokenizer once on the whole corpus (the shared
-    _bpe_train loop pipeline_bpe_merges/apply use), encode every word,
-    and report per language: fertility (subword tokens per word,
-    milli), compression (chars per token, milli), and the fairness
-    premium — each language's fertility overhead vs the best-served
-    language in ppm (a language with premium_pm=400000 pays 40% more
-    tokens per word, i.e. 40% more compute and effective context for
-    the same text).
+    report every tokenizer ship reviews: train the BPE tokenizer once
+    on the whole corpus (the shared _bpe_train loop
+    pipeline_bpe_merges/apply use), encode every word, and report per
+    language the fertility (subword tokens per word, milli), the
+    compression (chars per token, milli), and the fairness premium —
+    each language's fertility overhead vs the best-served language in
+    ppm, i.e. how much more compute and effective context that
+    language pays for the same text (Ács 2019; Rust et al. 2021).
 
     Scale shape identical to pipeline_bpe_apply: training touches only
     the vocabulary frame; encoding is an equi-join of the exploded

@@ -112,9 +112,10 @@ WHITELIST = {
     "pipeline_mix_temperature": "|sources|-row count frame × 1-row "
     "(n_total, s_alpha) aggregate crossJoin (curation.py:1017) — both "
     "sides bounded by the source vocabulary, corpus-size-independent",
-    "sim_ann_ivf_multiprobe": "8-row centroid table + 1-row query "
-    "broadcast (assign + 3-cell probe map stages); candidates are an "
-    "equi-join on cell id",
+    "sim_ann_ivf_multiprobe": "1-row query + 3-row probe-set "
+    "broadcasts (r10: assignment is a literal-centroid codegen map, "
+    "no centroid join remains); candidates are an equi-join on cell "
+    "id",
     "sim_maxsim_multivector": "1-row query multivector broadcast to "
     "every scan task — O(N·chunks) scoring, no corpus pair blowup",
     "sim_scalar_quantize_int8": "1-row global min/max bounds + 1-row "
@@ -128,8 +129,9 @@ WHITELIST = {
     "(exact brute-force baseline; O(N) total work)",
     "sim_ann_lsh": "1-row query sketch broadcast; candidates filtered by "
     "Hamming radius before the exact re-rank",
-    "sim_ann_ivf": "8-row centroid table + 1-row query broadcast "
-    "(assign/probe map stages)",
+    "sim_ann_ivf": "1-row query broadcast (r10: the trained-centroid "
+    "assignment is a literal-inlined codegen map, no centroid join "
+    "remains)",
     "window_ntile_scalable": "1-row global min/max anchor + 256-row "
     "bucket-offset table broadcast — the two tiny frames that REPLACE "
     "the single-task global sort",
@@ -144,10 +146,10 @@ WHITELIST = {
     "score matrix IS the requested exact batch k-NN, embarrassingly "
     "parallel with no corpus shuffle; sim_batch_knn_ivf is the "
     "sub-linear cell-probe twin",
-    "sim_batch_knn_ivf": "16-row IVF centroid table broadcast for cell "
-    "assignment (the sim_ann_ivf pattern); the candidate set itself is "
-    "an EQUI-join on cell — scored pairs are |Q|·(N/cells), nothing "
-    "corpus-sized broadcasts",
+    "sim_batch_knn_ivf": "16-row query-panel probe broadcast (r10: "
+    "cell assignment is a literal-centroid codegen map); the candidate "
+    "set itself is an EQUI-join on cell — scored pairs are "
+    "|Q|·(N/cells), nothing corpus-sized broadcasts",
     "sim_ann_recall_eval": "the exact-side ground truth is the "
     "sim_batch_knn_join shape (FIXED 16-query panel broadcast, "
     "O(16·dim), against one corpus map pass — at 100 TB the eval runs "
