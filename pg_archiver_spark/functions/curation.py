@@ -2918,11 +2918,16 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(split(text,' ')) - 2), "
         "i -> array_join(slice(split(text,' '), i+1, 2), ' ')) END"
     )
+    # is_target is a pure doc_id expression — recompute it inline
+    # rather than self-joining docs back to d (a corpus-sized build
+    # side at 100 TB; Catalyst broadcast-joined it at fixture scale,
+    # which is exactly the wrong plan to grow).
     gb = (
-        docs.join(d.select("doc_id", "is_target"), "doc_id")
-        .select(
+        docs.select(
             "doc_id",
-            "is_target",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .isin(*_DSIR_TARGET_CHARS)
+            .alias("is_target"),
             F.explode(F.concat(toks, bigrams)).alias("g"),
         )
         .select(
