@@ -1727,8 +1727,13 @@ def maintenance_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_orderkey == F.col("o_orderkey"),
         "left_anti",
     ).count()
+    # No broadcast hint: customer scales linearly with SF, so forcing
+    # a broadcast here would pin the wrong plan at 100 TB (r10 sweep of
+    # explicit F.broadcast sites — the r4 corpus-growing-broadcast
+    # class). Catalyst/AQE still broadcasts it at fixture scale from
+    # size stats; at scale this is correctly a shuffled anti-join.
     fk_o = orders.join(
-        F.broadcast(customer.select("c_custkey")),
+        customer.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
         "left_anti",
     ).count()
