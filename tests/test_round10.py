@@ -223,3 +223,30 @@ def test_dsir_ladder_matches_math_log_on_dsir_ranges():
         expect = round((math.log(c) - math.log(t)) * 1e12)
         assert abs(q - expect) <= 1, (c, t, q, expect)
     assert any(q == 0 for _, _, q in got)  # the ln(1) row
+
+
+# ------------------------------------------------ IVF centroid cache
+
+
+def test_ivf_centroid_cache_is_keyed_per_corpus(spark):
+    """The trained coarse quantizer is cached per sf_dir (the index is
+    built once per corpus). A keying bug would silently serve one
+    corpus's centroids to another inside a long-lived session (the
+    driver and tools/check.py run every SF's ops in one process), so
+    pin: different corpora yield different trained centroids, repeated
+    calls return the identical cached object, and the cache key is the
+    ABSOLUTE path (same dir via a relative spelling must not retrain)."""
+    import os
+
+    from pg_archiver_spark.functions.similarity import (
+        _IVF_CENT_CACHE,
+        _ivf_centroids,
+    )
+
+    a = _ivf_centroids(spark, "/root/testdata/sf0.001")
+    b = _ivf_centroids(spark, "/root/testdata/sf0.01")
+    assert a != b  # different corpora -> different trained centroids
+    assert _ivf_centroids(spark, "/root/testdata/sf0.001") is a
+    rel = os.path.relpath("/root/testdata/sf0.001")
+    assert _ivf_centroids(spark, rel) is a
+    assert "/root/testdata/sf0.001" in _IVF_CENT_CACHE
