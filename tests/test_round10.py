@@ -250,3 +250,131 @@ def test_ivf_centroid_cache_is_keyed_per_corpus(spark):
     rel = os.path.relpath("/root/testdata/sf0.001")
     assert _ivf_centroids(spark, rel) is a
     assert "/root/testdata/sf0.001" in _IVF_CENT_CACHE
+
+
+# ------------------------------- DSIR full-corpus-logic property test
+
+
+def _q_fn():
+    """Shared-ladder q(c, t) evaluated through DuckDB once per distinct
+    (c, t) — the ladder itself is pinned against math.log separately;
+    this factors it out so the property test below exercises ONLY the
+    corpus logic (buckets, integer sums, joins, accept decisions)."""
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    con = _duck.connect()
+    cache: dict[tuple[int, int], int] = {}
+
+    def q(c: int, t: int) -> int:
+        key = (c, t)
+        if key not in cache:
+            sql = f"SELECT CAST({c} AS BIGINT) AS c, CAST({t} AS BIGINT) AS t"
+            prev = f"({sql})"
+            for stage in _unigram_q_stages():
+                prev = f"(SELECT *, {', '.join(stage)} FROM {prev})"
+            cache[key] = con.execute(f"SELECT q FROM {prev}").fetchone()[0]
+        return cache[key]
+
+    return q
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # Tiny alphabet -> heavy bucket collisions; includes multi-
+            # token docs so bigrams fire, and 1-token docs so the
+            # bigram guard fires.
+            st.sampled_from(["a", "b", "c", "aa"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_dsir_oracle_matches_python_corpus_logic(docs):
+    """Full Python replica of the DSIR oracle's CORPUS logic for ANY
+    corpus: hashlib md5 target split + gram hashing + Laplace'd bucket
+    counts + exact integer weight sums + the accept comparison, with
+    the shared q ladder factored out through DuckDB (pinned vs
+    math.log elsewhere). Catches join/NULL/smoothing/bucket mistakes
+    the fixture gate could miss if both engines shared them."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from pg_archiver_spark.functions.curation import (
+        _DSIR_TARGET_CHARS,
+        _DSIR_U_DENOM,
+        DSIR_BUCKETS,
+    )
+    from pg_archiver_spark.registry import ORACLES
+
+    q = _q_fn()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "lang": ["xx"] * len(docs),
+            "text": [" ".join(t) for t in docs],
+        }
+    )
+    con = _duck.connect()
+    con.register("documents", pdf)
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(ORACLES["pipeline_dsir_resample"]).fetchall()
+    }
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    def grams(toks: list[str]) -> list[str]:
+        return toks + [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+
+    is_target = {
+        i: hashlib.md5(str(i).encode()).hexdigest()[0] in _DSIR_TARGET_CHARS
+        for i in range(len(docs))
+    }
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for i, t in enumerate(docs):
+        toks = " ".join(t).split(" ")
+        for g in grams(toks):
+            side = tc if is_target[i] else rc
+            b = bucket(g)
+            side[b] = side.get(b, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+    lr = {
+        b: q(tc.get(b, 0) + 1, tt + DSIR_BUCKETS)
+        - q(rc.get(b, 0) + 1, rt + DSIR_BUCKETS)
+        for b in range(DSIR_BUCKETS)
+    }
+
+    n_docs = len(docs)
+    n_target = sum(is_target.values())
+    n_selected = 0
+    sum_wq = 0
+    for i, t in enumerate(docs):
+        if is_target[i]:
+            continue
+        toks = " ".join(t).split(" ")
+        wq = sum(lr[bucket(g)] for g in grams(toks))
+        sum_wq += wq
+        u1 = (
+            int(
+                hashlib.md5(f"{i}#dsir".encode()).hexdigest()[:6], 16
+            )
+            + 1
+        )
+        q_u = q(u1, _DSIR_U_DENOM)
+        if q_u <= wq:
+            n_selected += 1
+    assert got == {"xx": (n_docs, n_target, n_selected, sum_wq)}
