@@ -378,3 +378,118 @@ def test_dsir_oracle_matches_python_corpus_logic(docs):
         if q_u <= wq:
             n_selected += 1
     assert got == {"xx": (n_docs, n_target, n_selected, sum_wq)}
+
+
+# ------------------------------------------------ trained PQ codebook
+
+
+def _pq_numpy_train(X):
+    """NumPy replay of the joint per-subspace PQ Lloyd training:
+    left-assoc sequential folds for assignment distances, nano-
+    quantized integer means — the independent third implementation
+    (the _ivf_numpy_train pattern)."""
+    import numpy as np
+
+    from pg_archiver_spark.functions.similarity import (
+        _PQ_TRAIN_ITERS,
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    def quant(x):
+        return np.where(
+            x >= 0, np.floor(x * 1e9 + 0.5), np.ceil(x * 1e9 - 0.5)
+        ).astype(np.int64)
+
+    n = len(X)
+    sub = X.reshape(n, PQ_SUBSPACES, PQ_SUBDIM)
+    cbs = (
+        X[:PQ_CENTROIDS]
+        .reshape(PQ_CENTROIDS, PQ_SUBSPACES, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+    def assign(s):
+        d = np.zeros((n, PQ_CENTROIDS))
+        for j in range(PQ_CENTROIDS):
+            acc = np.zeros(n)
+            for k in range(PQ_SUBDIM):
+                diff = sub[:, s, k] - cbs[s, j, k]
+                acc = acc + diff * diff
+            d[:, j] = acc
+        return d.argmin(axis=1)  # ties -> lowest centroid id
+
+    for _ in range(_PQ_TRAIN_ITERS):
+        new = cbs.copy()
+        for s in range(PQ_SUBSPACES):
+            a = assign(s)
+            for j in range(PQ_CENTROIDS):
+                m = a == j
+                if m.any():
+                    new[s, j] = quant(sub[m, s]).sum(axis=0) / (
+                        m.sum() * 1e9
+                    )
+        cbs = new
+    return cbs
+
+
+def test_pq_trained_codebooks_match_numpy_replay(spark, sf_dir):
+    """The Spark-trained PQ codebooks must equal the independent NumPy
+    replay bit-for-bit (quantized integer means + shared fold order =
+    no tolerance needed) — the same-wrong check the hash gate cannot
+    do because the oracle replays the SAME training."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        _pq_trained_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([np.array(r.embedding, dtype=np.float64) for r in rows])
+    expect = _pq_numpy_train(X)
+    got = np.array(_pq_trained_codebooks(spark, sf_dir))
+    assert got.shape == expect.shape
+    assert (got == expect).all(), np.abs(got - expect).max()
+
+
+def test_pq_trained_codebook_beats_untrained_mse(spark, sf_dir):
+    """The point of training: mean per-subspace quantization error of
+    the trained codebook must be BELOW the untrained first-16 init's
+    (measured ~28% lower at every SF; assert any strict improvement so
+    fixture drift shows up as a loud failure, not silent regression)."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        _pq_trained_codebooks,
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([np.array(r.embedding, dtype=np.float64) for r in rows])
+    sub = X.reshape(len(X), PQ_SUBSPACES, PQ_SUBDIM)
+
+    def mse(cbs):
+        tot = 0.0
+        for s in range(PQ_SUBSPACES):
+            d = ((sub[:, s, None, :] - np.asarray(cbs[s])[None, :, :]) ** 2).sum(2)
+            tot += d.min(1).sum()
+        return tot / len(X)
+
+    untrained = (
+        X[:PQ_CENTROIDS]
+        .reshape(PQ_CENTROIDS, PQ_SUBSPACES, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+    )
+    trained = _pq_trained_codebooks(spark, sf_dir)
+    assert mse(trained) < 0.9 * mse(untrained), (
+        mse(trained),
+        mse(untrained),
+    )

@@ -255,13 +255,15 @@ def test_pq_encode_codes_in_range_and_selfmatch(spark, sf_dir):
     for r in rows:
         for c in code_cols:
             assert 0 <= r[c] < PQ_CENTROIDS
-    # a codebook vector quantizes to ITSELF in every subspace (distance
-    # 0 is the unique minimum unless duplicated centroids exist)
-    by_id = {r.vec_id: r for r in rows}
-    cb_ids = sorted(by_id)[:PQ_CENTROIDS]
-    for j, vid in enumerate(cb_ids):
-        r = by_id[vid]
-        assert all(r[c] == j for c in code_cols), (vid, j, r)
+    # Round 10 (trained codebooks): the old self-match invariant (the
+    # first 16 vectors quantize to themselves) only holds for the
+    # UNTRAINED init. The trained invariant: every centroid id is
+    # actually used in at least one subspace (Lloyd from a 16-point
+    # init on this corpus leaves no dead codewords), and encoding is
+    # deterministic.
+    used = {r[c] for r in rows for c in code_cols}
+    assert used == set(range(PQ_CENTROIDS)), sorted(used)
+    assert rows == df.collect()
 
 
 def test_snapshot_time_travel_isolation(spark, sf_dir):
