@@ -1655,6 +1655,132 @@ def sim_vector_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    """Self-contained IVF-PQ search oracle: BOTH trained indexes are
+    replayed (the IVF Lloyd chain and the per-subspace PQ chain — CTE
+    namespaces are disjoint: ev/c{k}/cent/scored/assigned vs
+    pev/pc{k}/cb/pqd/amin/codes), then the query's top probe cells
+    select candidates, the trained-codebook LUT prices them, and the
+    ADC top-k comes back integer-only."""
+    lut_terms = " + ".join(
+        f"(q.qv[c.s*{PQ_SUBDIM}+{i}] - c.c[{i}])"
+        f" * (q.qv[c.s*{PQ_SUBDIM}+{i}] - c.c[{i}])"
+        for i in range(1, PQ_SUBDIM + 1)
+    )
+    joins = "\n        ".join(
+        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = codes.code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"l{s}.ld" for s in range(PQ_SUBSPACES))
+    return (
+        _IVF_ORACLE_ASSIGN
+        + ", "
+        + _pq_lloyd_cte(_PQ_TRAIN_ITERS)
+        + ","
+        + _pq_codes_oracle_ctes()
+        + f""",
+    probe AS (
+        SELECT cell FROM scored WHERE vec_id = 0
+        ORDER BY cdist, cell LIMIT {_MULTIPROBE_CELLS}
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    lut AS MATERIALIZED (
+        SELECT c.s, c.j, {lut_terms} AS ld
+        FROM cb c, q
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cell
+        FROM assigned a JOIN probe p ON a.cell = p.cell
+        WHERE a.vec_id <> 0
+    ),
+    scored_adc AS (
+        SELECT cand.vec_id, cand.cell, {adc} AS dist
+        FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+        {joins}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank,
+           vec_id, cell
+    FROM scored_adc
+    ORDER BY dist, vec_id
+    LIMIT {PQ_TOPK}
+    """
+    )
+
+
+@register("sim_ivfpq_search", oracle=_ivfpq_oracle())
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the FULL billion-vector serving stack, composed
+    from this repo's two TRAINED indexes (round 10): the coarse
+    quantizer routes the query to its top-{_MULTIPROBE_CELLS} trained
+    cells (sim_ann_ivf_multiprobe's probe), and the candidates inside
+    those cells are priced by ADC over the trained PQ codes
+    (sim_vector_pq_search's LUT) — candidates drop to probes/cells of
+    the corpus AND each candidate costs 8 table lookups instead of 64
+    float ops. This is the literal FAISS IVFPQ architecture expressed
+    as DataFrame ops.
+
+    Scale shape: both indexes are built once per corpus and cached
+    (ingest-time work); serving is a 3-row probe broadcast semi-join
+    to prune cells (a pruned partition read under
+    sim_ann_ivf_partitioned's layout), an equi-join of the surviving
+    candidates onto their 8-byte code rows, one literal-LUT codegen
+    map, and a TakeOrdered top-k — nothing corpus-sized moves. Both
+    training replays and the ADC arithmetic are the proven
+    bit-deterministic chains, so the oracle matches exactly; output is
+    integer-only (rank, vec_id, cell)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_trained_codebooks(spark, sf_dir)
+    assigned = _ivf_assign(emb, cents)
+    probe = (
+        _ivf_cell_dists(emb.filter(F.col("vec_id") == 0), cents)
+        .orderBy("cdist", "cell")
+        .limit(_MULTIPROBE_CELLS)
+        .select("cell")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+
+    def lut_entry(s: int, j: int) -> float:
+        acc = 0.0
+        for k in range(PQ_SUBDIM):
+            t = q[s * PQ_SUBDIM + k] - cbs[s][j][k]
+            acc = acc + t * t
+        return acc
+
+    cand = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .select("vec_id", "cell")
+    )
+    enc = sim_vector_pq_encode(spark, sf_dir)
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        lut = F.array(
+            *[F.lit(lut_entry(s, j)) for j in range(PQ_CENTROIDS)]
+        )
+        term = F.element_at(lut, (F.col(f"code{s}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    topk = (
+        cand.join(enc, "vec_id")
+        .select("vec_id", "cell", adc.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
+    from pyspark.sql import Window as _W
+
+    return topk.select(
+        F.row_number()
+        .over(_W.orderBy("dist", "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+        "cell",
+    )
+
+
 # Scalar quantization: per-dimension [min,max] → 255 levels stored as
 # int8 (code − 127 ∈ [−127,127]). 4 B float32 → 1 B: the standard 4×
 # index-memory compression step before PQ (which is 8×–32×; see

@@ -493,3 +493,71 @@ def test_pq_trained_codebook_beats_untrained_mse(spark, sf_dir):
         mse(trained),
         mse(untrained),
     )
+
+
+# ------------------------------------------------------ IVF-PQ stack
+
+
+def test_ivfpq_composes_its_two_trained_indexes(spark, sf_dir):
+    """Composition invariants of the full serving stack: every result
+    comes from one of the query's top probe cells (the IVF half), the
+    result SET equals the ADC top-k computed over the probed-cell
+    candidates with the trained codebook (the PQ half, replayed
+    independently in numpy from the cached artifacts), ranks are
+    contiguous from 1, and the run is deterministic."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        _MULTIPROBE_CELLS,
+        _ivf_centroids,
+        _pq_trained_codebooks,
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        PQ_TOPK,
+    )
+
+    rows = QUERIES["sim_ivfpq_search"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert 0 < len(rows) <= PQ_TOPK
+    assert rows == QUERIES["sim_ivfpq_search"](spark, sf_dir).collect()
+
+    emb = sorted(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([np.array(r.embedding, dtype=np.float64) for r in emb])
+    ids = np.array([r.vec_id for r in emb])
+    cents = np.array(_ivf_centroids(spark, sf_dir))
+    cbs = np.array(_pq_trained_codebooks(spark, sf_dir))
+
+    d_cells = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+    cell = d_cells.argmin(1)
+    qi = int(np.where(ids == 0)[0][0])
+    probes = sorted(range(len(cents)), key=lambda c: (d_cells[qi, c], c))[
+        :_MULTIPROBE_CELLS
+    ]
+    assert {r.cell for r in rows} <= set(probes)
+
+    sub = X.reshape(len(X), PQ_SUBSPACES, PQ_SUBDIM)
+    codes = np.stack(
+        [
+            ((sub[:, s, None, :] - cbs[s][None, :, :]) ** 2)
+            .sum(2)
+            .argmin(1)
+            for s in range(PQ_SUBSPACES)
+        ],
+        axis=1,
+    )
+    lut = np.stack(
+        [((sub[qi, s][None, :] - cbs[s]) ** 2).sum(1) for s in range(PQ_SUBSPACES)]
+    )
+    adc = sum(lut[s][codes[:, s]] for s in range(PQ_SUBSPACES))
+    cand = [
+        i
+        for i in range(len(X))
+        if cell[i] in probes and ids[i] != 0
+    ]
+    order = sorted(cand, key=lambda i: (adc[i], ids[i]))[:PQ_TOPK]
+    assert [r.vec_id for r in rows] == [int(ids[i]) for i in order]
