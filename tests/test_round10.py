@@ -499,20 +499,19 @@ def test_pq_trained_codebook_beats_untrained_mse(spark, sf_dir):
 
 
 def test_ivfpq_composes_its_two_trained_indexes(spark, sf_dir):
-    """Composition invariants of the full serving stack: every result
-    comes from one of the query's top probe cells (the IVF half), the
-    result SET equals the ADC top-k computed over the probed-cell
-    candidates with the trained codebook (the PQ half, replayed
-    independently in numpy from the cached artifacts), ranks are
-    contiguous from 1, and the run is deterministic."""
+    """Composition invariants of the RESIDUAL IVF-PQ serving stack:
+    every result comes from one of the query's top probe cells (the
+    IVF half), the result SET equals the residual-ADC top-k computed
+    independently in numpy from the cached artifacts (residual codes
+    against the residual-trained codebooks, per-probed-cell query
+    LUT), ranks are contiguous from 1, and the run is deterministic."""
     import numpy as np
 
     from pg_archiver_spark.catalog import load
     from pg_archiver_spark.functions.similarity import (
         _MULTIPROBE_CELLS,
         _ivf_centroids,
-        _pq_trained_codebooks,
-        PQ_CENTROIDS,
+        _ivfpq_residual_codebooks,
         PQ_SUBDIM,
         PQ_SUBSPACES,
         PQ_TOPK,
@@ -530,7 +529,7 @@ def test_ivfpq_composes_its_two_trained_indexes(spark, sf_dir):
     X = np.array([np.array(r.embedding, dtype=np.float64) for r in emb])
     ids = np.array([r.vec_id for r in emb])
     cents = np.array(_ivf_centroids(spark, sf_dir))
-    cbs = np.array(_pq_trained_codebooks(spark, sf_dir))
+    rcbs = np.array(_ivfpq_residual_codebooks(spark, sf_dir))
 
     d_cells = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
     cell = d_cells.argmin(1)
@@ -540,20 +539,27 @@ def test_ivfpq_composes_its_two_trained_indexes(spark, sf_dir):
     ]
     assert {r.cell for r in rows} <= set(probes)
 
-    sub = X.reshape(len(X), PQ_SUBSPACES, PQ_SUBDIM)
+    R = X - cents[cell]  # residuals against each vector's own cell
+    rsub = R.reshape(len(X), PQ_SUBSPACES, PQ_SUBDIM)
     codes = np.stack(
         [
-            ((sub[:, s, None, :] - cbs[s][None, :, :]) ** 2)
+            ((rsub[:, s, None, :] - rcbs[s][None, :, :]) ** 2)
             .sum(2)
             .argmin(1)
             for s in range(PQ_SUBSPACES)
         ],
         axis=1,
     )
-    lut = np.stack(
-        [((sub[qi, s][None, :] - cbs[s]) ** 2).sum(1) for s in range(PQ_SUBSPACES)]
-    )
-    adc = sum(lut[s][codes[:, s]] for s in range(PQ_SUBSPACES))
+    # Per-probed-cell query residual LUT (FAISS semantics).
+    adc = np.zeros(len(X))
+    for i in range(len(X)):
+        if cell[i] not in probes:
+            continue
+        qr = (X[qi] - cents[cell[i]]).reshape(PQ_SUBSPACES, PQ_SUBDIM)
+        adc[i] = sum(
+            ((qr[s] - rcbs[s][codes[i, s]]) ** 2).sum()
+            for s in range(PQ_SUBSPACES)
+        )
     cand = [
         i
         for i in range(len(X))
