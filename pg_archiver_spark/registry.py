@@ -43,68 +43,22 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
-# ROUND-10 PIN (executes VERDICT r9 item #1): slots 1-50 are the first
-# 50 never-driver-checked ops, in r9 queue order; slots 51-73 are the
-# remaining 23 never-checked names; after them come the 19 ops whose
-# only driver records are rows-only/no_oracle from rounds 1-5 (all
-# since converted to sql oracles), oldest evidence first -- they still
-# need a first hash verdict.
-# ROUND-11 PIN (write now in case of context reset): delete the first
-# 50 names below (they will hold r10 evidence), bump _PIN_ROUND to 11,
-# and let the 23 + 19 + any r10-session additions fill the window; top
-# up to 50 from oldest-driver-evidence-first greens (r4-latest). That
-# closes first-time driver evidence over the whole registry.
+# ROUND-11 PIN (executes VERDICT r10 item #1): the 50 r10-evidenced
+# names are deleted. Slots 1-23 are the remaining never-driver-checked
+# ops (r10 queue order preserved); slots 24-26 are the three r10
+# session additions (also never checked); slots 27-45 are the 19 ops
+# whose only driver records are rows-only/no_oracle from rounds 1-5
+# (since converted to sql oracles), oldest evidence first; slots 46-50
+# top up from oldest-driver-evidence greens (r4, registry order).
+# As r11 session ops land (pipeline_pretraining_e2e, ...), swap them
+# in for the green top-ups so the window stays 100% first-time.
+# ROUND-12 PIN (write now in case of context reset): delete every name
+# below that holds r11 evidence (expected: all 50), bump _PIN_ROUND to
+# 12, and fill the window with any r11 session additions that missed
+# the window plus oldest-driver-evidence-first greens (r4-latest).
+# From r12 on the whole registry holds hash evidence, so the window
+# becomes a pure freshness rotation.
 _DRIVER_PRIORITY = [
-    "dedup_paragraph",
-    "dedup_semantic_cluster",
-    "pipeline_mix_temperature",
-    "pipeline_span_corruption",
-    "pipeline_rlhf_pair_prep",
-    "pipeline_length_batching",
-    "pipeline_epoch_shuffle",
-    "pipeline_fim_transform",
-    "pipeline_kfold_assign",
-    "pipeline_chat_template",
-    "pipeline_dpo_pairs",
-    "pipeline_curriculum_phases",
-    "json_variant_shred",
-    "string_collation_groupby",
-    "sim_vector_pq_search",
-    "sim_scalar_quantize_int8",
-    "sim_maxsim_multivector",
-    "sim_rrf_fusion",
-    "ml_feature_hashing",
-    "ml_calibration_bins",
-    "sim_matryoshka_eval",
-    "pipeline_hard_negative_mining",
-    "ml_knn_eval_accuracy",
-    "sim_binary_quantize_hamming",
-    "ml_roc_auc",
-    "ml_lift_gains_table",
-    "text_bigram_logprob",
-    "text_cooccurrence_pmi",
-    "text_zipf_fit",
-    "udtf_analyze_dynamic",
-    "udf_pandas_iter",
-    "udf_cogroup_pandas",
-    "udf_map_in_arrow",
-    "udf_sql_declarative",
-    "udtf_table_arg",
-    "udtf_arrow_char_ngrams",
-    "stream_stream_left_outer",
-    "stream_multisink_atomic",
-    "stream_dedup_within_watermark",
-    "stream_chained_window_agg",
-    "stream_rocksdb_state_store",
-    "source_state_store_reader",
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource",
-    "source_warc_ingest",
-    "source_fixed_width",
-    "stream_cdc_changelog",
-    "sink_s3_object_store",
-    "agg_count_min_sketch",
     "multimodal_image_resize",
     "multimodal_audio_features",
     "analytics_markov_removal_attribution",
@@ -128,6 +82,9 @@ _DRIVER_PRIORITY = [
     "pipeline_decontaminate_spans",
     "text_gopher_repetition",
     "sim_ann_recall_eval",
+    "sim_ivfpq_search",
+    "pipeline_dsir_resample",
+    "pipeline_tokenizer_fertility",
     "agg_hll_partial_merge",
     "graph_pagerank",
     "ml_kmeans_lloyd",
@@ -147,15 +104,25 @@ _DRIVER_PRIORITY = [
     "dedup_simhash",
     "dedup_cluster_cc",
     "multimodal_binary_features",
+    # green top-ups (oldest driver evidence, r4) -- swap for r11 ops:
+    "agg_global_stats",
+    "agg_max_timestamp",
+    "agg_mode_stats",
+    "agg_unpivot",
+    "analytics_funnel",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py
 # ignores CORRECTNESS files from rounds >= this when deciding whether
-# the window is stale (ADVICE r9 #1: the driver writes CORRECTNESS_r10
-# DURING round 10, giving the window ops fresh full passes -- that is
+# the window is stale (ADVICE r9 #1: the driver writes CORRECTNESS_r11
+# DURING round 11, giving the window ops fresh full passes -- that is
 # the pin WORKING, not a stale pin; only evidence from rounds BEFORE
 # the pin means the budget would be wasted re-verifying greens).
-_PIN_ROUND = 10
+# ADVICE r10 #4: the rotation test also asserts _PIN_ROUND equals
+# 1 + the max round present in CORRECTNESS_r*.json, so bumping this
+# without actually re-pinning the window re-arms the tripwire instead
+# of disarming it.
+_PIN_ROUND = 11
 
 
 def load_all_operators() -> None:

@@ -60,15 +60,23 @@ def _full_passes() -> dict[str, int]:
 
 
 def test_driver_window_holds_no_already_green_op():
-    """Slots 1-50 (the next driver window) must contain only ops that
-    have never received a full driver hash pass. A failure here means
-    _DRIVER_PRIORITY is stale from last round and the driver would burn
-    its whole budget re-verifying green ops -- re-pin it."""
+    """Slots 1-50 (the next driver window) must spend the budget on ops
+    that have never received a full driver hash pass. A green op in the
+    window is only legitimate once EVERY never-verified sql-checked op
+    is already inside it (round 11 is the first time the backlog
+    dropped under 50, so top-up greens are expected from here on). A
+    failure means _DRIVER_PRIORITY is stale from last round and the
+    driver would burn budget re-verifying greens while unverified ops
+    wait -- re-pin it."""
     window = list(QUERIES)[:50]
-    already_green = sorted(set(window) & set(_full_passes()))
-    assert not already_green, (
-        "stale driver window: these first-50 ops already carry a full "
-        f"driver hash pass -- re-pin _DRIVER_PRIORITY: {already_green}"
+    greens = set(_full_passes())
+    already_green = sorted(set(window) & greens)
+    backlog = [n for n in QUERIES if n not in greens and n in ORACLES]
+    displaced = sorted(set(backlog) - set(window))
+    assert not (already_green and displaced), (
+        "stale driver window: green ops occupy slots while never-"
+        f"verified ops wait outside -- re-pin _DRIVER_PRIORITY. "
+        f"greens in window: {already_green}; displaced: {displaced}"
     )
 
 
@@ -78,6 +86,27 @@ def test_driver_window_is_sql_checked():
     window = list(QUERIES)[:50]
     missing = [n for n in window if n not in ORACLES]
     assert not missing, f"driver window contains rows-only ops: {missing}"
+
+
+def test_pin_round_matches_evidence_horizon():
+    """ADVICE r10 #4: bumping _PIN_ROUND past the evidence horizon
+    would blind test_driver_window_holds_no_already_green_op to real
+    evidence without any re-pin having happened. The pin must sit at
+    exactly 1 + the newest CORRECTNESS round on disk: the driver
+    writes CORRECTNESS_r{_PIN_ROUND} during the pinned round itself,
+    after which the NEXT session bumps the pin as its first commit."""
+    rounds = [
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "no CORRECTNESS files found -- wrong repo root?"
+    expected = 1 + max(rounds)
+    assert _PIN_ROUND in (expected, expected - 1), (
+        f"_PIN_ROUND={_PIN_ROUND} but CORRECTNESS evidence reaches "
+        f"round {max(rounds)}; a fresh pin must set it to {expected} "
+        f"({expected - 1} is only valid mid-round, before the driver "
+        "writes this round's file)"
+    )
 
 
 def test_priority_names_are_registered():
