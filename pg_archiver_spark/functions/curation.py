@@ -2792,7 +2792,6 @@ def _dsir_staged_sql(src: str, prefix: str) -> tuple[str, str]:
 
 
 def _dsir_oracle() -> str:
-    n_stage = len(_unigram_q_stages())
     tgt_sql, tgt_last = _dsir_staged_sql("bt0", "bts")
     raw_sql, raw_last = _dsir_staged_sql("br0", "brs")
     u_sql, u_last = _dsir_staged_sql("u0", "us")

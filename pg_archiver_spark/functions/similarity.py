@@ -402,11 +402,24 @@ _IVF_CELLS = 8
 # data's own single-probe ceiling, not an index defect.
 _IVF_TRAIN_ITERS = 20
 
-# Trained centroids per sf_dir: training is deterministic, so caching
+# Trained centroids per corpus: training is deterministic, so caching
 # models the real deployment (the index is built ONCE at ingest and
 # served many times; per-query retraining would be the wrong shape at
 # any scale).
-_IVF_CENT_CACHE: dict[str, list[list[float]]] = {}
+_IVF_CENT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Cache key for trained-index state: abspath PLUS the embeddings
+    file's (mtime_ns, size) fingerprint (ADVICE r10 #1) -- if the
+    driver regenerates fixtures mid-process, the stale-path entry
+    stops matching and the index retrains on the fresh corpus instead
+    of serving centroids the DuckDB oracle no longer agrees with."""
+    import os as _os
+
+    path = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    st = _os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
@@ -414,9 +427,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     _IVF_TRAIN_ITERS Lloyd rounds over the double-cast embeddings,
     init = the _IVF_CELLS lowest vec_ids. Returns K·dim Python floats
     (driver-sized; bounded by K·dim, not the corpus)."""
-    import os as _os
-
-    key = _os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cents = _IVF_CENT_CACHE.get(key)
     if cents is None:
         emb = (
@@ -1316,7 +1327,7 @@ _PQ_TRAIN_ITERS = 10
 
 # Trained codebooks per sf_dir (same deployment story as
 # _IVF_CENT_CACHE: the codebook is trained once at ingest).
-_PQ_CB_CACHE: dict[str, list[list[list[float]]]] = {}
+_PQ_CB_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
@@ -1340,9 +1351,7 @@ def _pq_trained_codebooks(
     S·K·D-bounded quantized-mean shuffle — subspaces never serialize),
     bit-deterministic by the ml_kmeans_lloyd argument. Returns
     cbs[s][j][k] Python floats (driver state = S·K·D = 1024 doubles)."""
-    import os as _os
-
-    key = _os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cbs = _PQ_CB_CACHE.get(key)
     if cbs is not None:
         return cbs
@@ -1675,7 +1684,7 @@ def sim_vector_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_RES_CB_CACHE: dict[str, list[list[list[float]]]] = {}
+_IVFPQ_RES_CB_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _ivfpq_residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -1721,9 +1730,7 @@ def _ivfpq_residual_codebooks(
     """Train (or fetch) the RESIDUAL PQ codebooks: the shared joint
     Lloyd core over residual sub-vectors, init = the residual
     sub-slices of the PQ_CENTROIDS lowest vec_ids."""
-    import os as _os
-
-    key = _os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cbs = _IVFPQ_RES_CB_CACHE.get(key)
     if cbs is not None:
         return cbs
@@ -1803,7 +1810,8 @@ def _ivfpq_oracle() -> str:
         WHERE a.vec_id <> 0
     ),
     scored_adc AS (
-        SELECT cand.vec_id, cand.cell, {adc} AS dist
+        SELECT cand.vec_id, cand.cell,
+               CAST(floor(({adc}) * 1e9 + 0.5) AS BIGINT) AS dist
         FROM cand JOIN codes ON codes.vec_id = cand.vec_id
         {joins}
     )
@@ -1920,8 +1928,15 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(f"code{s}") + 1).cast("int"),
         )
         adc = term if adc is None else adc + term
+    # ADVICE r10 #3: rank on the NANO-QUANTIZED distance (the house
+    # discipline ml_kmeans_lloyd uses for inertia) so the (dist,
+    # vec_id) order survives any future op-order drift in the LUT /
+    # training chain instead of resting on bit-identical IEEE sums.
+    # ADC distances are >= 0, so floor(x*1e9 + 0.5) is the symmetric
+    # round; the oracle applies the identical expression.
+    qdist = F.floor(adc * F.lit(1e9) + F.lit(0.5)).cast("bigint")
     topk = (
-        cand.select("vec_id", "cell", adc.alias("dist"))
+        cand.select("vec_id", "cell", qdist.alias("dist"))
         .orderBy("dist", "vec_id")
         .limit(PQ_TOPK)
     )

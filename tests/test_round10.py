@@ -234,12 +234,15 @@ def test_ivf_centroid_cache_is_keyed_per_corpus(spark):
     corpus's centroids to another inside a long-lived session (the
     driver and tools/check.py run every SF's ops in one process), so
     pin: different corpora yield different trained centroids, repeated
-    calls return the identical cached object, and the cache key is the
-    ABSOLUTE path (same dir via a relative spelling must not retrain)."""
+    calls return the identical cached object, the cache key resolves
+    the ABSOLUTE path (same dir via a relative spelling must not
+    retrain), and the key carries the file fingerprint (ADVICE r10 #1:
+    a regenerated fixture must miss the stale entry and retrain)."""
     import os
 
     from pg_archiver_spark.functions.similarity import (
         _IVF_CENT_CACHE,
+        _corpus_key,
         _ivf_centroids,
     )
 
@@ -249,7 +252,12 @@ def test_ivf_centroid_cache_is_keyed_per_corpus(spark):
     assert _ivf_centroids(spark, "/root/testdata/sf0.001") is a
     rel = os.path.relpath("/root/testdata/sf0.001")
     assert _ivf_centroids(spark, rel) is a
-    assert "/root/testdata/sf0.001" in _IVF_CENT_CACHE
+    key = _corpus_key("/root/testdata/sf0.001")
+    assert key in _IVF_CENT_CACHE
+    # fingerprinted key: path alone is not enough to hit the cache
+    assert key[0].endswith("/embeddings.parquet")
+    st = os.stat(key[0])
+    assert key[1:] == (st.st_mtime_ns, st.st_size)
 
 
 # ------------------------------- DSIR full-corpus-logic property test
@@ -565,5 +573,7 @@ def test_ivfpq_composes_its_two_trained_indexes(spark, sf_dir):
         for i in range(len(X))
         if cell[i] in probes and ids[i] != 0
     ]
-    order = sorted(cand, key=lambda i: (adc[i], ids[i]))[:PQ_TOPK]
+    # ADVICE r10 #3: both engines rank on the nano-quantized distance.
+    adcq = np.floor(adc * 1e9 + 0.5)
+    order = sorted(cand, key=lambda i: (adcq[i], ids[i]))[:PQ_TOPK]
     assert [r.vec_id for r in rows] == [int(ids[i]) for i in order]

@@ -257,12 +257,38 @@ def test_pq_encode_codes_in_range_and_selfmatch(spark, sf_dir):
             assert 0 <= r[c] < PQ_CENTROIDS
     # Round 10 (trained codebooks): the old self-match invariant (the
     # first 16 vectors quantize to themselves) only holds for the
-    # UNTRAINED init. The trained invariant: every centroid id is
-    # actually used in at least one subspace (Lloyd from a 16-point
-    # init on this corpus leaves no dead codewords), and encoding is
-    # deterministic.
+    # UNTRAINED init. ADVICE r10 #2: "every codeword used" is a
+    # property of the current fixtures, not the algorithm -- assert
+    # instead that the Spark encoding equals an independent numpy
+    # nearest-codeword assignment over the trained codebooks (which
+    # test_round10 pins bit-for-bit to the from-scratch numpy Lloyd
+    # replay), plus determinism and a loose coverage floor (Lloyd from
+    # a 16-point init should not collapse to a handful of cells).
+    import numpy as np
+
+    from pg_archiver_spark.functions.similarity import (
+        PQ_SUBDIM,
+        _pq_trained_codebooks,
+    )
+
+    cbs = np.asarray(_pq_trained_codebooks(spark, sf_dir))
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows:
+        v = emb[r.vec_id]
+        for s, c in enumerate(code_cols):
+            sub = v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            # left-assoc fold, matching the Spark expression tree
+            # (numpy .sum() pairwise-sums and could flip near-ties)
+            d = np.zeros(len(cbs[s]))
+            for k in range(PQ_SUBDIM):
+                diff = cbs[s][:, k] - sub[k]
+                d = d + diff * diff
+            assert r[c] == int(np.argmin(d)), (r.vec_id, s)
     used = {r[c] for r in rows for c in code_cols}
-    assert used == set(range(PQ_CENTROIDS)), sorted(used)
+    assert len(used) >= PQ_CENTROIDS // 2, sorted(used)
     assert rows == df.collect()
 
 
