@@ -304,70 +304,85 @@ def pipeline_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "pipeline_decontaminate_spans",
-    oracle=f"""
-    WITH d AS (
+def _decontam_cte(prefix: str = "") -> str:
+    """Oracle mirror of _decontam_frames as CTE text: emits
+    ``{prefix}d`` (doc_id, lang, is_bench, n_tok, toks),
+    ``{prefix}kept`` (doc_id, lang, span_len — surviving clean
+    fragments of colliding docs) and ``{prefix}dirty`` (doc_id, lang,
+    n_tok — distinct colliding non-bench docs). The benchmark gram set
+    always comes from the FULL documents table (the eval suite is an
+    external fixed set, not part of any pipeline stage). ONE
+    definition serves the standalone pipeline_decontaminate_spans
+    oracle and the pipeline_pretraining_e2e chain."""
+    p = prefix
+    chars = ", ".join(f"'{c}'" for c in _BENCH_CHARS)
+    return f"""{p}d AS (
         SELECT doc_id, lang,
-               substring({_MD5}, 1, 1) IN ('c','d','e','f') AS is_bench,
+               substring({_MD5}, 1, 1) IN ({chars}) AS is_bench,
                len(string_split(text,' ')) AS n_tok,
                string_split(text,' ') AS toks
         FROM documents
     ),
-    g AS (
+    {p}g AS (
         SELECT doc_id, lang, is_bench, n_tok,
                unnest(range(n_tok - {DECONTAM_NGRAM - 1})) AS i
-        FROM d
+        FROM {p}d
     ),
-    gx AS (
+    {p}gx AS (
         SELECT g.doc_id, g.lang, g.is_bench, g.n_tok, g.i,
                array_to_string(
                    d.toks[g.i+1:g.i+{DECONTAM_NGRAM}], ' ') AS gram
-        FROM g JOIN d ON g.doc_id = d.doc_id
+        FROM {p}g g JOIN {p}d d ON g.doc_id = d.doc_id
     ),
-    bg AS (SELECT DISTINCT gram FROM gx WHERE is_bench),
-    iv AS (
+    {p}bg AS (SELECT DISTINCT gram FROM {p}gx WHERE is_bench),
+    {p}iv AS (
         SELECT DISTINCT e.doc_id, e.lang, e.n_tok,
                GREATEST(e.i - {DECONTAM_PAD}, 0) AS s,
                LEAST(e.i + {DECONTAM_NGRAM + DECONTAM_PAD}, e.n_tok) AS e
-        FROM gx e JOIN bg USING (gram) WHERE NOT e.is_bench
+        FROM {p}gx e JOIN {p}bg USING (gram) WHERE NOT e.is_bench
     ),
-    isl0 AS (
+    {p}isl0 AS (
         SELECT doc_id, lang, n_tok, s, e,
                CASE WHEN s > COALESCE(MAX(e) OVER (
                    PARTITION BY doc_id ORDER BY s, e
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), -1) THEN 1 ELSE 0 END AS new_isl
-        FROM iv
+        FROM {p}iv
     ),
-    isl1 AS (
+    {p}isl1 AS (
         SELECT *, SUM(new_isl) OVER (
                    PARTITION BY doc_id ORDER BY s, e
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS isl
-        FROM isl0
+        FROM {p}isl0
     ),
-    islands AS (
+    {p}islands AS (
         SELECT doc_id, lang, n_tok, isl,
                MIN(s) AS s, MAX(e) AS e
-        FROM isl1 GROUP BY doc_id, lang, n_tok, isl
+        FROM {p}isl1 GROUP BY doc_id, lang, n_tok, isl
     ),
-    gaps AS (
+    {p}gaps AS (
         SELECT doc_id, lang,
                s - COALESCE(LAG(e) OVER (
                    PARTITION BY doc_id ORDER BY s), 0) AS span_len
-        FROM islands
+        FROM {p}islands
         UNION ALL
         SELECT doc_id, lang, n_tok - MAX(e) AS span_len
-        FROM islands GROUP BY doc_id, lang, n_tok
+        FROM {p}islands GROUP BY doc_id, lang, n_tok
     ),
-    kept AS (
-        SELECT doc_id, lang, span_len FROM gaps
+    {p}kept AS (
+        SELECT doc_id, lang, span_len FROM {p}gaps
         WHERE span_len >= {DECONTAM_MIN_SPAN}
     ),
-    dirty AS (
-        SELECT DISTINCT doc_id, lang, n_tok FROM iv
-    )
+    {p}dirty AS (
+        SELECT DISTINCT doc_id, lang, n_tok FROM {p}iv
+    )"""
+
+
+@register(
+    "pipeline_decontaminate_spans",
+    oracle=f"""
+    WITH {_decontam_cte()}
     SELECT dd.lang,
            CAST(COUNT(*) AS BIGINT) AS n_dirty_docs,
            CAST(COALESCE(ANY_VALUE(k.n_spans), 0) AS BIGINT)
@@ -403,10 +418,49 @@ def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast-sized (eval suites vs 100 TB corpus); interval union
     and gap extraction are doc_id-partitioned window functions over
     ONLY the colliding docs (a tiny fraction of the corpus) — nothing
-    quadratic, all-integer arithmetic, bit-deterministic cross-engine."""
+    quadratic, all-integer arithmetic, bit-deterministic cross-engine.
+    The per-doc frames are the shared _decontam_frames helper (funnel
+    stage 3 of pipeline_pretraining_e2e)."""
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    _d, dirty, kept = _decontam_frames(docs)
+    k = kept.groupBy("lang").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("tok_after"),
+    )
+    return (
+        dirty.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_dirty_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+        )
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_dirty_docs",
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_kept"),
+            "tokens_before",
+            F.coalesce(F.col("tok_after"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _decontam_frames(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(d, dirty, kept): the span-surgery frames of
+    pipeline_decontaminate_spans, factored per doc so the standalone
+    audit and pipeline_pretraining_e2e share one definition (oracle
+    mirror: _decontam_cte). d: (doc_id, lang, is_bench, n_tok) for
+    every doc; dirty: (doc_id, lang, n_tok) distinct colliding
+    non-bench docs; kept: (doc_id, lang, span_len) their clean
+    fragments of at least DECONTAM_MIN_SPAN tokens."""
     n_tok = F.size(F.split("text", " "))
     d = docs.select(
         "doc_id",
@@ -483,30 +537,11 @@ def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_before.unionByName(gap_tail)
         .filter(F.col("span_len") >= DECONTAM_MIN_SPAN)
     )
-    k = kept.groupBy("lang").agg(
-        F.count("*").alias("n_spans"),
-        F.sum("span_len").cast("bigint").alias("tok_after"),
-    )
     dirty = iv.select("doc_id", "lang", "n_tok").distinct()
     return (
-        dirty.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_dirty_docs"),
-            F.sum("n_tok").cast("bigint").alias("tokens_before"),
-        )
-        .join(k, "lang", "left")
-        .select(
-            "lang",
-            "n_dirty_docs",
-            F.coalesce(F.col("n_spans"), F.lit(0))
-            .cast("bigint")
-            .alias("n_spans_kept"),
-            "tokens_before",
-            F.coalesce(F.col("tok_after"), F.lit(0))
-            .cast("bigint")
-            .alias("tokens_after"),
-        )
-        .orderBy("lang")
+        d.select("doc_id", "lang", "is_bench", "n_tok"),
+        dirty,
+        kept,
     )
 
 
@@ -1282,26 +1317,42 @@ TEMP_TARGET_FRAC = 0.5
 _U32 = 4294967296  # 2^32: md5-prefix → uniform u32 denominator
 
 
-@register(
-    "pipeline_mix_temperature",
-    oracle=f"""
-    WITH counts AS (
+def _mix_rates_cte(src: str = "documents", prefix: str = "") -> str:
+    """Oracle mirror of _mix_rates as CTE text: emits
+    ``{prefix}rates(source, f, rate)`` over source relation
+    ``src(source, ...)`` — one row per source with its 6dp-rounded
+    temperature-scaled keep rate. Shared by the standalone
+    pipeline_mix_temperature oracle and pipeline_pretraining_e2e."""
+    p = prefix
+    return f"""{p}counts AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS f
-        FROM documents GROUP BY source
+        FROM {src} GROUP BY source
     ),
-    tot AS (
+    {p}tot AS (
         SELECT CAST(SUM(f) AS DOUBLE) AS n_total,
                SUM(pow(CAST(f AS DOUBLE), {TEMP_ALPHA})) AS s_alpha
-        FROM counts
+        FROM {p}counts
     ),
-    rates AS (
+    {p}rates AS (
         SELECT source, f,
                ROUND(least(1.0,
                    {TEMP_TARGET_FRAC} * n_total
                    * (pow(CAST(f AS DOUBLE), {TEMP_ALPHA}) / s_alpha)
                    / CAST(f AS DOUBLE)), 6) AS rate
-        FROM counts CROSS JOIN tot
-    )
+        FROM {p}counts CROSS JOIN {p}tot
+    )"""
+
+
+# The deterministic per-doc accept draw shared by mix-temperature and
+# the e2e funnel: md5(doc_id) 8-hex prefix as a u32 uniform, keep iff
+# u32 < floor(rate * 2^32).
+_MIX_U32_SQL = f"CAST(('0x' || substring({_MD5}, 1, 8)) AS UBIGINT)"
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle=f"""
+    WITH {_mix_rates_cte()}
     SELECT d.source,
            MAX(r.f) AS n_docs,
            MAX(r.rate) + 0.0 AS rate,
@@ -1333,17 +1384,42 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row Σf^α total and the per-source rate table broadcast back
     onto one documents pass. At 100 TB: two corpus scans total, no
     shuffle of document rows at all (the only shuffles carry
-    |sources|-sized frames).
+    |sources|-sized frames). The rate table is the shared _mix_rates
+    helper (funnel stage 6 of pipeline_pretraining_e2e).
     """
     docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("f"))
+    rates = _mix_rates(docs)
+    u32 = _mix_u32()
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("f").alias("n_docs"),
+            (F.max("rate") + F.lit(0.0)).alias("rate"),
+            F.sum(
+                F.when(u32 < F.floor(F.col("rate") * _U32), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+    )
+
+
+def _mix_rates(frame: DataFrame) -> DataFrame:
+    """(source, f, rate): the temperature-scaled per-source keep-rate
+    table over any frame carrying a ``source`` column — shared by
+    pipeline_mix_temperature and pipeline_pretraining_e2e (oracle
+    mirror: _mix_rates_cte). The rate is rounded to 6 decimals BEFORE
+    thresholding on both engines so the one float reduction (Σ f^α)
+    can never flip a boundary document."""
+    counts = frame.groupBy("source").agg(F.count("*").alias("f"))
     tot = counts.agg(
         F.sum("f").cast("double").alias("n_total"),
         F.sum(F.pow(F.col("f").cast("double"), F.lit(TEMP_ALPHA))).alias(
             "s_alpha"
         ),
     )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "f",
         F.round(
@@ -1360,22 +1436,14 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate"),
     )
-    u32 = F.conv(
+
+
+def _mix_u32():
+    """The deterministic accept draw: md5(doc_id) 8-hex prefix as a
+    u32 uniform (Spark mirror of _MIX_U32_SQL)."""
+    return F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
-    return (
-        docs.join(F.broadcast(rates), "source")
-        .groupBy("source")
-        .agg(
-            F.max("f").alias("n_docs"),
-            (F.max("rate") + F.lit(0.0)).alias("rate"),
-            F.sum(
-                F.when(u32 < F.floor(F.col("rate") * _U32), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_sampled"),
-        )
-    )
 
 
 # T5-style span corruption: spans of SPAN_LEN consecutive tokens are
@@ -1853,6 +1921,34 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_SIZE = 64
 
 
+def _length_batch_cte(src: str = "toks", prefix: str = "") -> str:
+    """Oracle mirror of _length_batch_assign as CTE text: emits
+    ``{prefix}batched(doc_id, batch_id, n_tokens)`` over source
+    relation ``src(doc_id, n_tokens)``. Shared by the standalone
+    pipeline_length_batching oracle and pipeline_pretraining_e2e."""
+    p = prefix
+    return f"""{p}offsets AS (
+        SELECT n_tokens,
+               COALESCE(SUM(cnt) OVER (ORDER BY n_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM (SELECT n_tokens, COUNT(*) AS cnt FROM {src}
+              GROUP BY n_tokens)
+    ),
+    {p}ranked AS (
+        SELECT t.doc_id, t.n_tokens,
+               o.off + ROW_NUMBER() OVER (PARTITION BY t.n_tokens
+                                          ORDER BY t.doc_id) AS rk
+        FROM {src} t JOIN {p}offsets o USING (n_tokens)
+    ),
+    {p}batched AS (
+        SELECT doc_id,
+               CAST((rk - 1) // {BATCH_SIZE} AS BIGINT) AS batch_id,
+               n_tokens
+        FROM {p}ranked
+    )"""
+
+
 @register(
     "pipeline_length_batching",
     oracle=f"""
@@ -1860,24 +1956,7 @@ BATCH_SIZE = 64
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents
     ),
-    offsets AS (
-        SELECT n_tokens,
-               COALESCE(SUM(cnt) OVER (ORDER BY n_tokens
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS off
-        FROM (SELECT n_tokens, COUNT(*) AS cnt FROM toks GROUP BY n_tokens)
-    ),
-    ranked AS (
-        SELECT t.doc_id, t.n_tokens,
-               o.off + ROW_NUMBER() OVER (PARTITION BY t.n_tokens
-                                          ORDER BY t.doc_id) AS rk
-        FROM toks t JOIN offsets o USING (n_tokens)
-    ),
-    batched AS (
-        SELECT CAST((rk - 1) // {BATCH_SIZE} AS BIGINT) AS batch_id,
-               n_tokens
-        FROM ranked
-    )
+    {_length_batch_cte()}
     SELECT batch_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
@@ -1907,33 +1986,14 @@ def pipeline_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     _with_global_running. Residual bound: one task per DISTINCT length
     value orders that length's docs — at extreme per-length skew the
     substitute is a range-partitioned rank (window_ntile_scalable
-    pattern), traded here for the exact, oracle-checkable cut."""
+    pattern), traded here for the exact, oracle-checkable cut. The
+    batch assignment is the shared _length_batch_assign helper
+    (funnel stage 7 of pipeline_pretraining_e2e)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    counts = toks.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
-    offsets = counts.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("n_tokens").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("n_tokens", "off")
-    ranked = toks.join(F.broadcast(offsets), "n_tokens").withColumn(
-        "rk",
-        F.col("off")
-        + F.row_number().over(
-            Window.partitionBy("n_tokens").orderBy("doc_id")
-        ),
-    )
-    batched = ranked.select(
-        F.expr(f"(rk - 1) DIV {BATCH_SIZE}").alias("batch_id"), "n_tokens"
-    )
+    batched = _length_batch_assign(toks)
     return (
         batched.groupBy("batch_id")
         .agg(
@@ -1954,6 +2014,42 @@ def pipeline_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_pm"),
         )
         .orderBy("batch_id")
+    )
+
+
+def _length_batch_assign(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, batch_id): the length-grouped batch cut over
+    any (doc_id, n_tokens) frame — shared by pipeline_length_batching
+    and pipeline_pretraining_e2e (oracle mirror: _length_batch_cte).
+    Global (n_tokens, doc_id) rank without a single-task sort: prefix
+    offsets on the tiny counts-per-length frame + a per-length
+    row_number."""
+    counts = toks.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("n_tokens").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("n_tokens", "off")
+    return (
+        toks.join(F.broadcast(offsets), "n_tokens")
+        .withColumn(
+            "rk",
+            F.col("off")
+            + F.row_number().over(
+                Window.partitionBy("n_tokens").orderBy("doc_id")
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(rk - 1) DIV {BATCH_SIZE}").alias("batch_id"),
+        )
     )
 
 
@@ -2791,20 +2887,34 @@ def _dsir_staged_sql(src: str, prefix: str) -> tuple[str, str]:
     return sql, prev
 
 
-def _dsir_oracle() -> str:
-    tgt_sql, tgt_last = _dsir_staged_sql("bt0", "bts")
-    raw_sql, raw_last = _dsir_staged_sql("br0", "brs")
-    u_sql, u_last = _dsir_staged_sql("u0", "us")
+def _dsir_sel_cte(pool: str | None = None, prefix: str = "") -> str:
+    """DSIR selection chain as CTE text: emits ``{prefix}d`` (doc_id,
+    lang, is_target) and ``{prefix}sel`` (doc_id, wq, q_u) — accept iff
+    q_u <= wq. The TARGET model always trains on the corpus-wide
+    exemplar docs (an external curated set in production); ``pool``
+    optionally names a CTE of candidate doc_ids that restricts the RAW
+    model, the weights, and the selection draws (None = all non-target
+    docs, the standalone pipeline_dsir_resample semantics;
+    pipeline_pretraining_e2e passes its stage-4 survivor set)."""
+    p = prefix
+    tgt_sql, tgt_last = _dsir_staged_sql(f"{p}bt0", f"{p}bts")
+    raw_sql, raw_last = _dsir_staged_sql(f"{p}br0", f"{p}brs")
+    u_sql, u_last = _dsir_staged_sql(f"{p}u0", f"{p}us")
     chars = ", ".join(f"'{c}'" for c in _DSIR_TARGET_CHARS)
-    return f"""
-    WITH d AS MATERIALIZED (
+    in_pool = (
+        f" AND doc_id IN (SELECT doc_id FROM {pool})" if pool else ""
+    )
+    gb_pool = (
+        f" AND gb.doc_id IN (SELECT doc_id FROM {pool})" if pool else ""
+    )
+    return f"""{p}d AS MATERIALIZED (
         SELECT doc_id, lang,
                substring({_MD5}, 1, 1) IN ({chars}) AS is_target,
                string_split(text, ' ') AS ws,
                len(string_split(text, ' ')) AS nw
         FROM documents
     ),
-    gb AS MATERIALIZED (
+    {p}gb AS MATERIALIZED (
         SELECT doc_id, lang, is_target,
                CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
                     % {DSIR_BUCKETS} AS BIGINT) AS bucket
@@ -2816,49 +2926,58 @@ def _dsir_oracle() -> str:
                                   range(nw - 1),
                                   i -> array_to_string(ws[i+1:i+2], ' '))
                          END)) AS g
-              FROM d)
+              FROM {p}d)
     ),
-    spine AS (SELECT unnest(range({DSIR_BUCKETS})) AS bucket),
-    tc AS (SELECT bucket, COUNT(*) AS n FROM gb WHERE is_target
+    {p}spine AS (SELECT unnest(range({DSIR_BUCKETS})) AS bucket),
+    {p}tc AS (SELECT bucket, COUNT(*) AS n FROM {p}gb WHERE is_target
            GROUP BY bucket),
-    rc AS (SELECT bucket, COUNT(*) AS n FROM gb WHERE NOT is_target
+    {p}rc AS (SELECT bucket, COUNT(*) AS n FROM {p}gb
+           WHERE NOT is_target{in_pool}
            GROUP BY bucket),
-    tt AS (SELECT COUNT(*) AS n FROM gb WHERE is_target),
-    rt AS (SELECT COUNT(*) AS n FROM gb WHERE NOT is_target),
-    bt0 AS (
+    {p}tt AS (SELECT COUNT(*) AS n FROM {p}gb WHERE is_target),
+    {p}rt AS (SELECT COUNT(*) AS n FROM {p}gb
+           WHERE NOT is_target{in_pool}),
+    {p}bt0 AS (
         SELECT s.bucket,
                CAST(COALESCE(tc.n, 0) + 1 AS BIGINT) AS c,
                CAST(tt.n + {DSIR_BUCKETS} AS BIGINT) AS t
-        FROM spine s LEFT JOIN tc USING (bucket) CROSS JOIN tt
+        FROM {p}spine s LEFT JOIN {p}tc tc USING (bucket)
+        CROSS JOIN {p}tt tt
     ),
-{tgt_sql}    br0 AS (
+{tgt_sql}    {p}br0 AS (
         SELECT s.bucket,
                CAST(COALESCE(rc.n, 0) + 1 AS BIGINT) AS c,
                CAST(rt.n + {DSIR_BUCKETS} AS BIGINT) AS t
-        FROM spine s LEFT JOIN rc USING (bucket) CROSS JOIN rt
+        FROM {p}spine s LEFT JOIN {p}rc rc USING (bucket)
+        CROSS JOIN {p}rt rt
     ),
-{raw_sql}    lr AS MATERIALIZED (
+{raw_sql}    {p}lr AS MATERIALIZED (
         SELECT a.bucket, a.q - b.q AS lr
         FROM {tgt_last} a JOIN {raw_last} b USING (bucket)
     ),
-    wts AS MATERIALIZED (
+    {p}wts AS MATERIALIZED (
         SELECT gb.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS wq
-        FROM gb JOIN lr USING (bucket)
-        WHERE NOT gb.is_target
+        FROM {p}gb gb JOIN {p}lr lr USING (bucket)
+        WHERE NOT gb.is_target{gb_pool}
         GROUP BY gb.doc_id
     ),
-    u0 AS (
+    {p}u0 AS (
         SELECT doc_id,
                CAST(CAST(('0x' || substring(
                    md5(CAST(doc_id AS VARCHAR) || '#dsir'), 1, 6))
                    AS BIGINT) + 1 AS BIGINT) AS c,
                CAST({_DSIR_U_DENOM} AS BIGINT) AS t
-        FROM d WHERE NOT is_target
+        FROM {p}d WHERE NOT is_target{in_pool}
     ),
-{u_sql}    sel AS MATERIALIZED (
+{u_sql}    {p}sel AS MATERIALIZED (
         SELECT u.doc_id, COALESCE(w.wq, 0) AS wq, u.q AS q_u
-        FROM {u_last} u LEFT JOIN wts w USING (doc_id)
-    )
+        FROM {u_last} u LEFT JOIN {p}wts w USING (doc_id)
+    )"""
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH {_dsir_sel_cte()}
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN d.is_target THEN 1 ELSE 0 END) AS BIGINT)
@@ -2901,7 +3020,9 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket table. The target sample is md5-designated here; in
     production it is the curated domain corpus (the math is identical).
     Output: per-language doc/target/selected counts + the exact summed
-    weight grid (the selection-rate report a curation run reviews)."""
+    weight grid (the selection-rate report a curation run reviews).
+    The selection frame is the shared _dsir_selection helper (funnel
+    stage 5 of pipeline_pretraining_e2e)."""
     docs = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -2910,6 +3031,41 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isin(*_DSIR_TARGET_CHARS)
         .alias("is_target"),
     )
+    sel = _dsir_selection(docs)
+    return (
+        d.join(sel, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_target"),
+            F.sum(F.when(F.col("q_u") <= F.col("wq"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(F.coalesce(F.col("wq"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_weight_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dsir_selection(
+    docs: DataFrame, pool_ids: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, wq, q_u): the DSIR selection frame — accept iff
+    q_u <= wq — shared by pipeline_dsir_resample and
+    pipeline_pretraining_e2e (oracle mirror: _dsir_sel_cte). The
+    target model always trains on the corpus-wide exemplar docs;
+    ``pool_ids`` (a doc_id frame) optionally restricts the RAW model,
+    the weights, and the draws to a candidate pool (None = all
+    non-target docs)."""
+    is_target = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_DSIR_TARGET_CHARS)
+    )
+    d = docs.select("doc_id", is_target.alias("is_target"))
     toks = F.split("text", " ")
     bigrams = F.expr(
         "CASE WHEN size(split(text,' ')) < 2 "
@@ -2939,12 +3095,16 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    spine = docs.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
 
     def model_q(flag_target: bool):
         side = gb.filter(
             F.col("is_target") if flag_target else ~F.col("is_target")
         )
+        if not flag_target and pool_ids is not None:
+            side = side.join(pool_ids, "doc_id", "semi")
         cnt = side.groupBy("bucket").agg(F.count("*").alias("n"))
         tot = side.agg(F.count("*").alias("tn"))
         staged = (
@@ -2968,13 +3128,17 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(model_q(False).withColumnRenamed("q", "q_r"), "bucket")
         .select("bucket", (F.col("q_t") - F.col("q_r")).alias("lr"))
     )
+    raw_gb = gb.filter(~F.col("is_target"))
+    pool_d = d.filter(~F.col("is_target"))
+    if pool_ids is not None:
+        raw_gb = raw_gb.join(pool_ids, "doc_id", "semi")
+        pool_d = pool_d.join(pool_ids, "doc_id", "semi")
     wts = (
-        gb.filter(~F.col("is_target"))
-        .join(F.broadcast(lr), "bucket")
+        raw_gb.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(F.sum("lr").cast("long").alias("wq"))
     )
-    u = d.filter(~F.col("is_target")).select(
+    u = pool_d.select(
         "doc_id",
         (
             F.conv(
@@ -2996,7 +3160,7 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for stage in _unigram_q_stages():
         u = u.selectExpr("*", *stage)
-    sel = (
+    return (
         u.select("doc_id", F.col("q").alias("q_u"))
         .join(wts, "doc_id", "left")
         .select(
@@ -3004,23 +3168,6 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("wq"), F.lit(0)).alias("wq"),
             "q_u",
         )
-    )
-    return (
-        d.join(sel, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_target"),
-            F.sum(F.when(F.col("q_u") <= F.col("wq"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_selected"),
-            F.sum(F.coalesce(F.col("wq"), F.lit(0)))
-            .cast("bigint")
-            .alias("sum_weight_q"),
-        )
-        .orderBy("lang")
     )
 
 

@@ -128,20 +128,22 @@ def dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_pairs_ctes(pairs_name: str = "pairs") -> str:
+def _shingle_pairs_ctes(
+    pairs_name: str = "pairs", src: str = "documents"
+) -> str:
     """The exact shared-shingle pair machinery as oracle CTE text —
     string shingles per doc (sh), the exploded posting list (e), and
-    per-pair intersection counts (``pairs_name``). ONE definition
-    serves every near-dup oracle (ngram ground truth, minhash, the
-    e2e dedup flow, the PR eval), so the ground-truth shape cannot
-    drift between ops."""
+    per-pair intersection counts (``pairs_name``) over source relation
+    ``src(doc_id, text)``. ONE definition serves every near-dup oracle
+    (ngram ground truth, minhash, the e2e dedup flows, the PR eval),
+    so the ground-truth shape cannot drift between ops."""
     return f"""sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(len(string_split(text,' ')) - {SHINGLE_K - 1}),
                    i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_K}], ' ')
                )) AS shingles
-        FROM documents
+        FROM {src}
     ),
     e AS (
         SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
@@ -236,6 +238,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.withColumn("jaccard", F.round(jaccard, 3))
         .filter(jaccard >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _neardup_loser_ids(frame: DataFrame) -> DataFrame:
+    """(doc_id): the docs that LOSE near-dup resolution within
+    ``frame(doc_id, text)`` — any doc with a SMALLER-doc_id neighbor
+    at exact shingle Jaccard >= JACCARD_THRESHOLD (the keep-lowest
+    rule pipeline_training_prep uses; oracle mirror:
+    _shingle_pairs_ctes(src=...) + the loser DISTINCT). Shared-shingle
+    equi-join with the hot-shingle df cap (a no-op on fixtures, the
+    sub-quadratic guarantee at scale — see dedup_ngram_jaccard);
+    minhash banding is the drop-in 100 TB form of the pair stage."""
+    sh = frame.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    a = ex.select(
+        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count("*").alias("n_common"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
     )
 
 

@@ -377,32 +377,71 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_gopher_rules",
-    oracle="""
-    WITH m AS (
-        SELECT lang,
+# Gopher length-rule bounds (Rae et al. 2021 §A1.1): word count in
+# [50, 100k], mean word length in [3, 10] chars (exact integer
+# milli-chars so the band comparison can't tie-break differently
+# across engines).
+GOPHER_WC_MIN, GOPHER_WC_MAX = 50, 100000
+GOPHER_MWL_MIN_MILLI, GOPHER_MWL_MAX_MILLI = 3000, 10000
+
+
+def _gopher_len_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, p_wc, p_mwl): the Gopher LENGTH rules per doc —
+    the per-doc stage frame shared by text_gopher_rules (which
+    aggregates it per language) and pipeline_pretraining_e2e (which
+    chains it as funnel stage 1). Pure Catalyst expressions, one map
+    over the scan."""
+    toks = F.split("text", " ")
+    wc = F.size(toks)
+    mwl_milli = F.expr(
+        "(aggregate(transform(split(text, ' '), t -> CAST(length(t) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000) DIV size(split(text, ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        wc.between(GOPHER_WC_MIN, GOPHER_WC_MAX).alias("p_wc"),
+        mwl_milli.between(
+            GOPHER_MWL_MIN_MILLI, GOPHER_MWL_MAX_MILLI
+        ).alias("p_mwl"),
+    )
+
+
+def _gopher_len_cte(src: str = "documents", prefix: str = "gl_") -> str:
+    """Oracle mirror of _gopher_len_flags as CTE text: emits
+    ``{prefix}flags(doc_id, lang, p_wc, p_mwl)`` over source relation
+    ``src(doc_id, lang, text)``. ONE definition serves the standalone
+    text_gopher_rules oracle and the pipeline_pretraining_e2e chain."""
+    return f"""{prefix}m AS (
+        SELECT doc_id, lang,
                len(string_split(text, ' ')) AS wc,
                list_sum(list_transform(string_split(text, ' '),
                                        t -> length(t))) AS total_chars
-        FROM documents
+        FROM {src}
     ),
-    r AS (
-        SELECT lang,
-               wc,
-               (total_chars * 1000) // wc AS mwl_milli
-        FROM m
-    )
+    {prefix}flags AS (
+        SELECT doc_id, lang,
+               wc BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX} AS p_wc,
+               (total_chars * 1000) // wc
+                   BETWEEN {GOPHER_MWL_MIN_MILLI} AND {GOPHER_MWL_MAX_MILLI}
+                   AS p_mwl
+        FROM {prefix}m
+    )"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH {_gopher_len_cte()}
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END)
                AS BIGINT) AS pass_wordcount,
-           CAST(SUM(CASE WHEN mwl_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN p_mwl THEN 1 ELSE 0 END)
                AS BIGINT) AS pass_meanwordlen,
-           CAST(SUM(CASE WHEN wc BETWEEN 50 AND 100000
-                     AND mwl_milli BETWEEN 3000 AND 10000
+           CAST(SUM(CASE WHEN p_wc AND p_mwl
                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-    FROM r
+    FROM gl_flags
     GROUP BY lang
     """,
 )
@@ -420,22 +459,17 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries one row per (partition, lang). Mean word length is
     exact integer milli-chars (total_chars*1000 DIV wc) so the band
     comparison can't tie-break differently across engines (G11); all
-    outputs are integer counts (G13)."""
+    outputs are integer counts (G13). The per-doc flag frame is the
+    shared _gopher_len_flags helper (funnel stage 1 of
+    pipeline_pretraining_e2e)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    wc = F.size(toks)
-    mwl_milli = F.expr(
-        "(aggregate(transform(split(text, ' '), t -> CAST(length(t) AS BIGINT)),"
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000) DIV size(split(text, ' '))"
-    )
-    pass_wc = wc.between(50, 100000)
-    pass_mwl = mwl_milli.between(3000, 10000)
     return (
-        docs.select(
+        _gopher_len_flags(docs)
+        .select(
             "lang",
-            pass_wc.alias("p_wc"),
-            pass_mwl.alias("p_mwl"),
-            (pass_wc & pass_mwl).alias("p_all"),
+            "p_wc",
+            "p_mwl",
+            (F.col("p_wc") & F.col("p_mwl")).alias("p_all"),
         )
         .groupBy("lang")
         .agg(
@@ -458,82 +492,93 @@ GOPHER_DUP5_MAX_PERMILLE = 150
 GOPHER_DUP_N = 5
 
 
-@register(
-    "text_gopher_repetition",
-    oracle=f"""
-    WITH d AS (
+def _gopher_rep_cte(src: str = "documents", prefix: str = "") -> str:
+    """Oracle mirror of _gopher_rep_flags as CTE text: emits
+    ``{prefix}scored(doc_id, lang, p_top2, p_dup5)`` over source
+    relation ``src(doc_id, lang, text)``. ONE definition serves the
+    standalone text_gopher_repetition oracle and the
+    pipeline_pretraining_e2e chain (same shape discipline as
+    dedup's _shingle_pairs_ctes)."""
+    p = prefix
+    return f"""{p}d AS (
         SELECT doc_id, lang,
                string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n,
                length(text) AS n_chars
-        FROM documents
+        FROM {src}
     ),
-    g2 AS (
+    {p}g2 AS (
         SELECT doc_id, unnest(list_transform(
                    range(n - 1),
                    i -> array_to_string(toks[i+1:i+2], ' '))) AS g
-        FROM d
+        FROM {p}d
     ),
-    g2c AS (
+    {p}g2c AS (
         SELECT doc_id, g, COUNT(*) AS c, length(ANY_VALUE(g)) AS gl
-        FROM g2 GROUP BY doc_id, g
+        FROM {p}g2 GROUP BY doc_id, g
     ),
-    top2 AS (
+    {p}top2 AS (
         SELECT doc_id, c * gl * 1000 // n_chars AS top2_permille
-        FROM (SELECT g2c.*, d.n_chars,
-                     ROW_NUMBER() OVER (PARTITION BY g2c.doc_id
+        FROM (SELECT {p}g2c.*, {p}d.n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY {p}g2c.doc_id
                                         ORDER BY c DESC, g) AS rn
-              FROM g2c JOIN d USING (doc_id))
+              FROM {p}g2c JOIN {p}d USING (doc_id))
         WHERE rn = 1
     ),
-    g5 AS (
+    {p}g5 AS (
         SELECT doc_id, unnest(range(n - {GOPHER_DUP_N - 1})) AS i
-        FROM d
+        FROM {p}d
     ),
-    g5g AS (
-        SELECT g5.doc_id, g5.i,
-               array_to_string(d.toks[g5.i+1:g5.i+{GOPHER_DUP_N}], ' ') AS g
-        FROM g5 JOIN d USING (doc_id)
+    {p}g5g AS (
+        SELECT {p}g5.doc_id, {p}g5.i,
+               array_to_string({p}d.toks[{p}g5.i+1:{p}g5.i+{GOPHER_DUP_N}], ' ') AS g
+        FROM {p}g5 JOIN {p}d USING (doc_id)
     ),
-    dup5 AS (
+    {p}dup5 AS (
         SELECT doc_id, i AS s, i + {GOPHER_DUP_N} AS e
         FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, g) AS c
-              FROM g5g)
+              FROM {p}g5g)
         WHERE c >= 2
     ),
-    isl0 AS (
+    {p}isl0 AS (
         SELECT doc_id, s, e,
                CASE WHEN s > COALESCE(MAX(e) OVER (
                    PARTITION BY doc_id ORDER BY s, e
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), -1) THEN 1 ELSE 0 END AS ni
-        FROM dup5
+        FROM {p}dup5
     ),
-    isl AS (
+    {p}isl AS (
         SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
         FROM (SELECT *, SUM(ni) OVER (
                   PARTITION BY doc_id ORDER BY s, e
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-              FROM isl0)
+              FROM {p}isl0)
         GROUP BY doc_id, isl
     ),
-    cov AS (
-        SELECT isl.doc_id,
+    {p}cov AS (
+        SELECT {p}isl.doc_id,
                SUM(length(array_to_string(
-                   d.toks[isl.s+1:isl.e], ' '))) AS covered_chars
-        FROM isl JOIN d ON isl.doc_id = d.doc_id
-        GROUP BY isl.doc_id
+                   {p}d.toks[{p}isl.s+1:{p}isl.e], ' '))) AS covered_chars
+        FROM {p}isl JOIN {p}d ON {p}isl.doc_id = {p}d.doc_id
+        GROUP BY {p}isl.doc_id
     ),
-    scored AS (
-        SELECT d.lang,
+    {p}scored AS (
+        SELECT {p}d.doc_id, {p}d.lang,
                COALESCE(t.top2_permille, 0)
                    <= {GOPHER_TOP2_MAX_PERMILLE} AS p_top2,
-               COALESCE(c.covered_chars, 0) * 1000 // d.n_chars
+               COALESCE(c.covered_chars, 0) * 1000 // {p}d.n_chars
                    <= {GOPHER_DUP5_MAX_PERMILLE} AS p_dup5
-        FROM d
-        LEFT JOIN top2 t USING (doc_id)
-        LEFT JOIN cov c USING (doc_id)
-    )
+        FROM {p}d
+        LEFT JOIN {p}top2 t USING (doc_id)
+        LEFT JOIN {p}cov c USING (doc_id)
+    )"""
+
+
+@register(
+    "text_gopher_repetition",
+    oracle=f"""
+    WITH {_gopher_rep_cte()}
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN p_top2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -568,8 +613,34 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: two explodes over the doc scan (2-grams by value,
     5-grams by position), per-doc aggregation keys only — one shuffle
     per gram order, nothing quadratic, no UDF. At 100 TB both explodes
-    stream; the per-doc state is bounded by document length."""
+    stream; the per-doc state is bounded by document length. The
+    per-doc flag frame is the shared _gopher_rep_flags helper (funnel
+    stage 2 of pipeline_pretraining_e2e)."""
     docs = load(spark, sf_dir, "documents")
+    scored = _gopher_rep_flags(docs)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("p_top2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_top2gram"),
+            F.sum(F.when(F.col("p_dup5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_dup5gram"),
+            F.sum(F.when(F.col("p_top2") & F.col("p_dup5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _gopher_rep_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, p_top2, p_dup5): the Gopher REPETITION rules per
+    doc — the per-doc stage frame shared by text_gopher_repetition
+    (which aggregates it per language) and pipeline_pretraining_e2e
+    (funnel stage 2). Oracle mirror: _gopher_rep_cte."""
     toks = F.split("text", " ")
     d = docs.select(
         "doc_id",
@@ -650,10 +721,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("ch").alias("covered_chars"))
     )
-    scored = (
+    return (
         d.join(top2, "doc_id", "left")
         .join(cov, "doc_id", "left")
         .select(
+            "doc_id",
             "lang",
             (
                 F.coalesce(F.col("top2_permille"), F.lit(0))
@@ -664,22 +736,6 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= GOPHER_DUP5_MAX_PERMILLE
             ).alias("p_dup5"),
         )
-    )
-    return (
-        scored.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("p_top2"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("pass_top2gram"),
-            F.sum(F.when(F.col("p_dup5"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("pass_dup5gram"),
-            F.sum(F.when(F.col("p_top2") & F.col("p_dup5"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("pass_all"),
-        )
-        .orderBy("lang")
     )
 
 
