@@ -104,12 +104,13 @@ _DRIVER_PRIORITY = [
     "dedup_simhash",
     "dedup_cluster_cc",
     "multimodal_binary_features",
-    # green top-ups (oldest driver evidence, r4) -- swap for r11 ops:
+    # round-11 session additions (never driver-checked):
+    "pipeline_pretraining_e2e",
+    # green top-ups (oldest driver evidence, r4):
     "agg_global_stats",
     "agg_max_timestamp",
     "agg_mode_stats",
     "agg_unpivot",
-    "analytics_funnel",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py
