@@ -3265,3 +3265,211 @@ def pipeline_tokenizer_fertility(
         .drop("_fert_min")
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------- DoReMi-style
+# Domain reweighting (Xie et al. 2023b, arXiv:2305.10429): solve for
+# per-domain sampling weights by multiplicative-weights iterates on
+# per-domain EXCESS LOSS. The loss proxy here is the corpus
+# hashed-n-gram surprise (the DSIR bucket model machinery — no neural
+# reference model in a SQL engine); the iterate is the LINEARIZED
+# exponentiated-gradient step exp(ηx) ≈ 1 + ηx in exact integer
+# arithmetic, so both engines produce identical weights.
+DOREMI_ROUNDS = 10
+DOREMI_SCALE = 10**7  # update-factor grid: factor = SCALE + η·excess
+DOREMI_ETA_DIV = 4  # η = 1/4 per micro-nat of excess
+DOREMI_NORM = 10**9  # weights are renormalized to ~sum to NORM
+
+
+def _domain_reweight_oracle() -> str:
+    m_sql, m_last = _dsir_staged_sql("m0", "dwms")
+    rounds_sql = ""
+    for t in range(1, DOREMI_ROUNDS + 1):
+        rounds_sql += f"""dwr{t} AS (
+        SELECT source, excess_micro,
+               u * {DOREMI_NORM} // SUM(u) OVER () AS w
+        FROM (SELECT source, excess_micro,
+                     w * ({DOREMI_SCALE} + excess_micro // {DOREMI_ETA_DIV})
+                         // {DOREMI_SCALE} AS u
+              FROM dwr{t - 1})
+    ),
+    """
+    return f"""
+    WITH dwg AS MATERIALIZED (
+        SELECT source,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                    % {DSIR_BUCKETS} AS BIGINT) AS bucket
+        FROM (SELECT source,
+                     unnest(list_concat(
+                         ws,
+                         CASE WHEN nw < 2 THEN CAST([] AS VARCHAR[])
+                              ELSE list_transform(
+                                  range(nw - 1),
+                                  i -> array_to_string(ws[i+1:i+2], ' '))
+                         END)) AS g
+              FROM (SELECT source, string_split(text, ' ') AS ws,
+                           len(string_split(text, ' ')) AS nw
+                    FROM documents))
+    ),
+    dwspine AS (SELECT unnest(range({DSIR_BUCKETS})) AS bucket),
+    dwc AS (SELECT bucket, COUNT(*) AS n FROM dwg GROUP BY bucket),
+    dwt AS (SELECT COUNT(*) AS n FROM dwg),
+    m0 AS (
+        SELECT s.bucket,
+               CAST(COALESCE(c.n, 0) + 1 AS BIGINT) AS c,
+               CAST(t.n + {DSIR_BUCKETS} AS BIGINT) AS t
+        FROM dwspine s LEFT JOIN dwc c USING (bucket) CROSS JOIN dwt t
+    ),
+{m_sql}    dwloss AS MATERIALIZED (
+        SELECT g.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM((-q.q) // 1000000) // COUNT(*) AS BIGINT)
+                   AS loss_micro
+        FROM dwg g JOIN {m_last} q USING (bucket)
+        GROUP BY g.source
+    ),
+    dwx AS (
+        SELECT source, n_grams, loss_micro,
+               loss_micro - MIN(loss_micro) OVER () AS excess_micro
+        FROM dwloss
+    ),
+    dwr0 AS (
+        SELECT source, excess_micro,
+               CAST({DOREMI_NORM} AS BIGINT)
+                   // (SELECT COUNT(*) FROM dwx) AS w
+        FROM dwx
+    ),
+    {rounds_sql}dwdocs AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT x.source,
+           d.n_docs,
+           x.n_grams,
+           x.loss_micro,
+           x.excess_micro,
+           CAST(r.w AS BIGINT) AS weight_ppb
+    FROM dwx x
+    JOIN dwr{DOREMI_ROUNDS} r USING (source)
+    JOIN dwdocs d USING (source)
+    ORDER BY x.source
+    """
+
+
+@register("pipeline_domain_reweight", oracle=_domain_reweight_oracle())
+def pipeline_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-STYLE DOMAIN REWEIGHTING (Xie et al. 2023b,
+    arXiv:2305.10429): the data-mixture solve that sits beside
+    temperature mixing in a pretraining pipeline — instead of
+    rebalancing by COUNT (pipeline_mix_temperature), up-weight the
+    domains the model finds HARD. Each source's loss proxy is its
+    mean hashed-n-gram surprise under the corpus bag-of-grams model
+    (the DSIR bucket machinery: unigram+bigram md5 buckets, Laplace
+    smoothing, the shared pico-ln ladder → exact integer micro-nats
+    per gram); its EXCESS is the gap to the easiest domain (the
+    reference-model role); DOREMI_ROUNDS multiplicative-weights
+    iterates w ← w·(1 + η·excess)/Z then yield the sampling weights.
+    exp(ηx) ≈ 1+ηx is the linearized EG step — with a static proxy
+    loss the fixpoint direction is identical and every iterate is
+    EXACT INTEGER (floor-div against DOREMI_SCALE, renormalized to
+    DOREMI_NORM parts-per-billion), so Spark and DuckDB agree
+    bit-for-bit; a full DoReMi run re-estimates the loss under the
+    evolving mixture, which needs the trained proxy model this engine
+    deliberately replaces with the n-gram surprise.
+
+    Scale shape: one gram explode (the DSIR pass shape) → 64-row
+    bucket model through the ladder → per-source loss via a
+    64-row broadcast join and map-side-combined aggregate; the
+    iterates run on the |sources|-row frame (window sums over a
+    domain panel, bounded at ANY scale). Nothing corpus-sized
+    shuffles. Output: per-source gram counts, loss, excess, and the
+    solved weight in ppb."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text,' ')) < 2 "
+        "THEN CAST(array() AS array<string>) ELSE "
+        "transform(sequence(0, size(split(text,' ')) - 2), "
+        "i -> array_join(slice(split(text,' '), i+1, 2), ' ')) END"
+    )
+    gb = docs.select(
+        "source", F.explode(F.concat(toks, bigrams)).alias("g")
+    ).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    spine = docs.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
+    cnt = gb.groupBy("bucket").agg(F.count("*").alias("n"))
+    tot = gb.agg(F.count("*").alias("tn"))
+    model = (
+        spine.join(cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("long").alias("c"),
+            (F.col("tn") + DSIR_BUCKETS).cast("long").alias("t"),
+        )
+    )
+    for stage in _unigram_q_stages():
+        model = model.selectExpr("*", *stage)
+    loss = (
+        gb.join(F.broadcast(model.select("bucket", "q")), "bucket")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.expr("SUM((-q) DIV 1000000) DIV COUNT(*)")
+            .cast("long")
+            .alias("loss_micro"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dwx = loss.select(
+        "source",
+        "n_grams",
+        "loss_micro",
+        (F.col("loss_micro") - F.min("loss_micro").over(w_all)).alias(
+            "excess_micro"
+        ),
+    )
+    dw = dwx.select(
+        "source",
+        "excess_micro",
+        F.expr(f"CAST({DOREMI_NORM} AS BIGINT) DIV COUNT(*) OVER ()")
+        .alias("w"),
+    )
+    for _ in range(DOREMI_ROUNDS):
+        dw = dw.select(
+            "source",
+            "excess_micro",
+            F.expr(
+                f"w * ({DOREMI_SCALE} + excess_micro DIV {DOREMI_ETA_DIV})"
+                f" DIV {DOREMI_SCALE}"
+            ).alias("u"),
+        ).select(
+            "source",
+            "excess_micro",
+            F.expr(f"u * {DOREMI_NORM} DIV SUM(u) OVER ()").alias("w"),
+        )
+    n_docs = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        dwx.join(dw.select("source", F.col("w").alias("weight_ppb")), "source")
+        .join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "loss_micro",
+            "excess_micro",
+            F.col("weight_ppb").cast("bigint").alias("weight_ppb"),
+        )
+        .orderBy("source")
+    )

@@ -1263,3 +1263,185 @@ def text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------- n-gram perplexity gate
+# The CCNet/KenLM-style quality screen (Wenzek et al. 2020): score
+# each document's mean bigram surprise under the corpus's own
+# add-1-smoothed bigram model and keep the docs at or below their
+# language's mean — the "head+middle" half of CCNet's per-language
+# perplexity split, with the corpus n-gram model standing in for the
+# trained KenLM (text_bigram_logprob is the float report of the same
+# model; this op is the integer-exact GATE).
+
+
+def _perplexity_filter_oracle() -> str:
+    from pg_archiver_spark.functions.curation import _dsir_staged_sql
+
+    m_sql, m_last = _dsir_staged_sql("pf0", "pfs")
+    return f"""
+    WITH pfd AS MATERIALIZED (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    pfb AS MATERIALIZED (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+        FROM pfd, UNNEST(range(1, len(toks))) t(i)
+    ),
+    pfc2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pfb GROUP BY w1, w2),
+    pfc1 AS (SELECT w1, COUNT(*) AS n1 FROM pfb GROUP BY w1),
+    pfv AS (
+        SELECT COUNT(DISTINCT word) AS vocab
+        FROM (SELECT UNNEST(toks) AS word FROM pfd)
+    ),
+    pf0 AS (
+        SELECT c2.w1, c2.w2,
+               CAST(n2 + 1 AS BIGINT) AS c,
+               CAST(n1 + vocab AS BIGINT) AS t
+        FROM pfc2 c2 JOIN pfc1 c1 ON c2.w1 = c1.w1 CROSS JOIN pfv
+    ),
+{m_sql}    pfscored AS MATERIALIZED (
+        SELECT b.doc_id, b.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM((-m.q) // 1000000) // COUNT(*) AS BIGINT)
+                   AS surprise_micro
+        FROM pfb b JOIN {m_last} m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY b.doc_id, b.lang
+    ),
+    pfthr AS (
+        SELECT *,
+               SUM(surprise_micro) OVER (PARTITION BY lang)
+                   // COUNT(*) OVER (PARTITION BY lang) AS thr_micro
+        FROM pfscored
+    ),
+    pfall AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT a.lang,
+           a.n_docs,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_scored,
+           CAST(ANY_VALUE(s.thr_micro) AS BIGINT) AS thr_micro,
+           CAST(SUM(CASE WHEN s.surprise_micro <= s.thr_micro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(MIN(s.surprise_micro) AS BIGINT) AS min_surprise_micro,
+           CAST(MAX(s.surprise_micro) AS BIGINT) AS max_surprise_micro
+    FROM pfall a LEFT JOIN pfthr s USING (lang)
+    GROUP BY a.lang, a.n_docs
+    ORDER BY a.lang
+    """
+
+
+@register("text_perplexity_filter", oracle=_perplexity_filter_oracle())
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM PERPLEXITY GATE — the CCNet screen (Wenzek et al. 2020,
+    arXiv:1911.00359): documents whose language-model surprise is
+    above their language's average are the tail CCNet drops or
+    down-weights. The LM is the corpus's own add-1-smoothed bigram
+    model (the exact model text_bigram_logprob reports in float bits);
+    here every bigram's −ln P(w₂|w₁) = ln(n₁+V) − ln(n₂+1) runs
+    through the SHARED pico-ln ladder (_unigram_q_stages over the
+    per-distinct-bigram (c, t) table), is floored to integer
+    micro-nats, and each doc scores the integer MEAN surprise of its
+    bigram instances — so the per-language threshold (mean of doc
+    scores, integer DIV) and the keep/drop decision are bit-identical
+    cross-engine, unlike a float-perplexity compare which could flip
+    boundary docs.
+
+    Scale shape: identical to text_bigram_logprob — one bigram
+    explode, vocabulary²-bounded model tables (map-side combined), the
+    ladder is a codegen map over the DISTINCT-bigram frame (model
+    rows, not corpus rows), one equi-join of the bigram stream onto
+    the scored model, a per-doc agg, and |langs|-sized windows.
+    Nothing corpus-sized shuffles twice. Output per language: doc and
+    scored-doc counts, the integer threshold, the pass count (docs a
+    real pipeline would keep), and the surprise range."""
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    toks = F.split("text", " ")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    pairs = F.when(
+        F.col("n") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i.cast("int")).alias("w1"),
+                F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    b = docs.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+        "doc_id", "lang", "p.w1", "p.w2"
+    )
+    c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = docs.select(F.explode("toks").alias("word")).agg(
+        F.countDistinct("word").alias("vocab")
+    )
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (F.col("n2") + 1).cast("long").alias("c"),
+            (F.col("n1") + F.col("vocab")).cast("long").alias("t"),
+        )
+    )
+    for stage in _unigram_q_stages():
+        model = model.selectExpr("*", *stage)
+    scored = (
+        b.join(model.select("w1", "w2", "q"), ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("SUM((-q) DIV 1000000) DIV COUNT(*)")
+            .cast("long")
+            .alias("surprise_micro"),
+        )
+    )
+    thr = scored.withColumn(
+        "thr_micro",
+        F.expr(
+            "SUM(surprise_micro) OVER (PARTITION BY lang)"
+            " DIV COUNT(*) OVER (PARTITION BY lang)"
+        ),
+    )
+    n_all = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        n_all.join(thr, "lang", "left")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_scored"),
+            F.first("thr_micro").cast("bigint").alias("thr_micro"),
+            F.sum(
+                F.when(
+                    F.col("surprise_micro") <= F.col("thr_micro"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+            F.min("surprise_micro").cast("bigint").alias(
+                "min_surprise_micro"
+            ),
+            F.max("surprise_micro").cast("bigint").alias(
+                "max_surprise_micro"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_scored",
+            "thr_micro",
+            "n_pass",
+            "min_surprise_micro",
+            "max_surprise_micro",
+        )
+        .orderBy("lang")
+    )

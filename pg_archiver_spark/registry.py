@@ -106,11 +106,11 @@ _DRIVER_PRIORITY = [
     "multimodal_binary_features",
     # round-11 session additions (never driver-checked):
     "pipeline_pretraining_e2e",
+    "pipeline_domain_reweight",
+    "text_perplexity_filter",
     # green top-ups (oldest driver evidence, r4):
     "agg_global_stats",
     "agg_max_timestamp",
-    "agg_mode_stats",
-    "agg_unpivot",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

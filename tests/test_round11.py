@@ -120,3 +120,138 @@ def test_pretraining_e2e_deterministic(spark):
     a = QUERIES["pipeline_pretraining_e2e"](spark, SF).collect()
     b = QUERIES["pipeline_pretraining_e2e"](spark, SF).collect()
     assert a == b
+
+
+# ------------------------------------------- DoReMi domain reweight
+
+
+def test_domain_reweight_iterates_replay_exactly(spark):
+    """Given the op's OWN integer loss/excess outputs, an independent
+    Python replay of the DOREMI_ROUNDS multiplicative-weights iterates
+    must reproduce weight_ppb exactly — the iterate algebra is pure
+    integer floor-division, so any drift is a real defect, not
+    tolerance."""
+    from pg_archiver_spark.functions.curation import (
+        DOREMI_ETA_DIV,
+        DOREMI_NORM,
+        DOREMI_ROUNDS,
+        DOREMI_SCALE,
+    )
+
+    rows = QUERIES["pipeline_domain_reweight"](spark, SF).collect()
+    ex = {r.source: r.excess_micro for r in rows}
+    w = {s: DOREMI_NORM // len(ex) for s in ex}
+    for _ in range(DOREMI_ROUNDS):
+        u = {
+            s: w[s] * (DOREMI_SCALE + ex[s] // DOREMI_ETA_DIV)
+            // DOREMI_SCALE
+            for s in ex
+        }
+        z = sum(u.values())
+        w = {s: u[s] * DOREMI_NORM // z for s in ex}
+    got = {r.source: r.weight_ppb for r in rows}
+    assert got == w
+    # hardest domain carries the largest weight; easiest the smallest
+    hardest = max(ex, key=lambda s: (ex[s], s))
+    easiest = min(ex, key=lambda s: (ex[s], s))
+    assert got[hardest] == max(got.values())
+    assert got[easiest] == min(got.values())
+    # weights stay a (floor-rounded) distribution over NORM
+    assert 0 < sum(got.values()) <= DOREMI_NORM
+
+
+def test_domain_reweight_loss_matches_mathlog(spark):
+    """The SAME-WRONG check the hash gate cannot do (both engines share
+    the ladder expression tree): recompute each source's mean bucket
+    surprise with hashlib md5 + math.log and require agreement within
+    the quantization slack (1 micro-nat per gram floor + 1 for the
+    final mean floor)."""
+    import hashlib
+    import math
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.curation import DSIR_BUCKETS
+
+    docs = load(spark, SF, "documents").select("source", "text").collect()
+    cnt: dict[int, int] = {}
+    per_src: dict[str, list[int]] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        grams = ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        bks = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+            for g in grams
+        ]
+        per_src.setdefault(r.source, []).extend(bks)
+        for bk in bks:
+            cnt[bk] = cnt.get(bk, 0) + 1
+    tot = sum(cnt.values())
+    lnp = {
+        b: math.log(cnt.get(b, 0) + 1) - math.log(tot + DSIR_BUCKETS)
+        for b in range(DSIR_BUCKETS)
+    }
+    rows = QUERIES["pipeline_domain_reweight"](spark, SF).collect()
+    for r in rows:
+        bks = per_src[r.source]
+        assert r.n_grams == len(bks)
+        approx = sum(-lnp[b] * 1e6 for b in bks) / len(bks)
+        assert abs(r.loss_micro - approx) <= 2.0, (r.source, approx)
+
+
+# --------------------------------------------- perplexity gate
+
+
+def test_perplexity_filter_threshold_matches_mathlog(spark):
+    """Independent math.log replay of the bigram model and the
+    per-language mean-of-doc-means threshold; agreement within the
+    floor-quantization slack (1 micro per bigram + 1 per doc mean +
+    1 for the threshold mean)."""
+    import math
+
+    from pg_archiver_spark.catalog import load
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for r in docs:
+        ws = r.text.split(" ")
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    per_lang: dict[str, list[float]] = {}
+    n_scored: dict[str, int] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) < 2:
+            continue
+        s = sum(
+            -(math.log(c2[(a, b)] + 1) - math.log(c1[a] + v)) * 1e6
+            for a, b in zip(ws, ws[1:])
+        ) / (len(ws) - 1)
+        per_lang.setdefault(r.lang, []).append(s)
+        n_scored[r.lang] = n_scored.get(r.lang, 0) + 1
+    rows = QUERIES["text_perplexity_filter"](spark, SF).collect()
+    for r in rows:
+        assert r.n_scored == n_scored.get(r.lang, 0), r.lang
+        approx_thr = sum(per_lang[r.lang]) / len(per_lang[r.lang])
+        assert abs(r.thr_micro - approx_thr) <= 3.0, (r.lang, approx_thr)
+
+
+def test_perplexity_filter_splits_nontrivially(spark):
+    """Per language: the threshold sits inside [min, max], the gate
+    keeps at least one doc and (whenever surprise varies at all)
+    drops at least one — a mean split can only be trivial if every
+    doc scores identically."""
+    rows = QUERIES["text_perplexity_filter"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.n_scored >= 1, r.lang
+        assert r.min_surprise_micro <= r.thr_micro <= r.max_surprise_micro
+        assert 1 <= r.n_pass <= r.n_scored, r.lang
+        if r.min_surprise_micro < r.max_surprise_micro:
+            assert r.n_pass < r.n_scored, r.lang
