@@ -23,6 +23,22 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-11 additions -------------------------------------------
+    "pipeline_pretraining_e2e": "the composed stages inherit their "
+    "standalone anchors: the DSIR chain's two 1-row gram-total "
+    "aggregates onto the 64-row bucket spine and the mix stage's "
+    "1-row Σf^α total onto the |sources|-row rate frame; every "
+    "corpus-sized path is an equi- or semi-join on doc_id/bucket/"
+    "shingle and stage boundaries are checkpointed compact id frames",
+    "pipeline_domain_reweight": "1-row gram-total aggregate "
+    "crossJoined onto the 64-row bucket spine (the DSIR Laplace "
+    "anchor shape); the MW iterates run whole-frame windows on the "
+    "|sources|-row panel — bounded at any scale; the corpus-sized "
+    "path is one bucket equi-join against a 64-row broadcast",
+    "text_perplexity_filter": "1-row vocab-size aggregate broadcast "
+    "onto the DISTINCT-bigram model frame (the text_bigram_logprob "
+    "anchor); the corpus path is the bigram-key equi-join of the "
+    "instance stream onto the scored model",
     # -- round-10 additions -------------------------------------------
     "pipeline_dsir_resample": "two 1-row gram-total aggregates "
     "crossJoined onto the 64-row bucket spine (the Laplace "
