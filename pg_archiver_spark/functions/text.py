@@ -1321,11 +1321,14 @@ def _perplexity_filter_oracle() -> str:
     SELECT a.lang,
            a.n_docs,
            CAST(COUNT(s.doc_id) AS BIGINT) AS n_scored,
-           CAST(ANY_VALUE(s.thr_micro) AS BIGINT) AS thr_micro,
+           CAST(COALESCE(ANY_VALUE(s.thr_micro), -1) AS BIGINT)
+               AS thr_micro,
            CAST(SUM(CASE WHEN s.surprise_micro <= s.thr_micro
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-           CAST(MIN(s.surprise_micro) AS BIGINT) AS min_surprise_micro,
-           CAST(MAX(s.surprise_micro) AS BIGINT) AS max_surprise_micro
+           CAST(COALESCE(MIN(s.surprise_micro), -1) AS BIGINT)
+               AS min_surprise_micro,
+           CAST(COALESCE(MAX(s.surprise_micro), -1) AS BIGINT)
+               AS max_surprise_micro
     FROM pfall a LEFT JOIN pfthr s USING (lang)
     GROUP BY a.lang, a.n_docs
     ORDER BY a.lang
@@ -1419,7 +1422,13 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs")
         .agg(
             F.count("doc_id").cast("bigint").alias("n_scored"),
-            F.first("thr_micro").cast("bigint").alias("thr_micro"),
+            # A language whose docs are ALL single-token has no
+            # bigrams to score: thr/min/max would be NULL, and pandas
+            # NaN != Spark None under the driver compare (G13c) —
+            # sentinel -1 on BOTH sides keeps the row non-null.
+            F.coalesce(F.first("thr_micro"), F.lit(-1))
+            .cast("bigint")
+            .alias("thr_micro"),
             F.sum(
                 F.when(
                     F.col("surprise_micro") <= F.col("thr_micro"), 1
@@ -1427,12 +1436,12 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_pass"),
-            F.min("surprise_micro").cast("bigint").alias(
-                "min_surprise_micro"
-            ),
-            F.max("surprise_micro").cast("bigint").alias(
-                "max_surprise_micro"
-            ),
+            F.coalesce(F.min("surprise_micro"), F.lit(-1))
+            .cast("bigint")
+            .alias("min_surprise_micro"),
+            F.coalesce(F.max("surprise_micro"), F.lit(-1))
+            .cast("bigint")
+            .alias("max_surprise_micro"),
         )
         .select(
             "lang",

@@ -255,3 +255,53 @@ def test_perplexity_filter_splits_nontrivially(spark):
         assert 1 <= r.n_pass <= r.n_scored, r.lang
         if r.min_surprise_micro < r.max_surprise_micro:
             assert r.n_pass < r.n_scored, r.lang
+
+
+def test_perplexity_filter_unscored_lang_sentinel(spark, tmp_path):
+    """Post-close review (r11): a language whose docs are ALL
+    single-token has no bigrams to score — thr/min/max must be the
+    -1 sentinel (NOT NULL: pandas NaN != Spark None under the driver
+    compare, G13c) and the Spark result must match the DuckDB oracle
+    row-for-row on this controlled corpus."""
+    import duckdb as _duck
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_archiver_spark.registry import ORACLES
+
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": "a b c a b"},
+        {"doc_id": 2, "lang": "en", "text": "a b d e f g"},
+        {"doc_id": 3, "lang": "xx", "text": "lonely"},
+        {"doc_id": 4, "lang": "xx", "text": "single"},
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r.lang: r
+        for r in QUERIES["text_perplexity_filter"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["xx"].n_scored == 0
+    assert out["xx"].thr_micro == -1
+    assert out["xx"].min_surprise_micro == -1
+    assert out["xx"].max_surprise_micro == -1
+    assert out["xx"].n_pass == 0
+    assert out["en"].n_scored == 2 and out["en"].thr_micro > 0
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(ORACLES["text_perplexity_filter"]).df()
+    for _, o in odf.iterrows():
+        s = out[o["lang"]]
+        assert int(o["thr_micro"]) == s.thr_micro
+        assert int(o["n_pass"]) == s.n_pass
+        assert int(o["min_surprise_micro"]) == s.min_surprise_micro
+        assert int(o["max_surprise_micro"]) == s.max_surprise_micro
