@@ -108,9 +108,8 @@ _DRIVER_PRIORITY = [
     "pipeline_pretraining_e2e",
     "pipeline_domain_reweight",
     "text_perplexity_filter",
-    # green top-ups (oldest driver evidence, r4):
-    "agg_global_stats",
-    "agg_max_timestamp",
+    "sim_bm25_topk",
+    "sim_bitext_margin_mine",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

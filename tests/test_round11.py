@@ -305,3 +305,247 @@ def test_perplexity_filter_unscored_lang_sentinel(spark, tmp_path):
         assert int(o["n_pass"]) == s.n_pass
         assert int(o["min_surprise_micro"]) == s.min_surprise_micro
         assert int(o["max_surprise_micro"]) == s.max_surprise_micro
+
+
+# ------------------------- round-11 budget ops: BM25 + bitext margin
+
+
+def test_bm25_matches_float_reference(spark):
+    """Independent float replay: Robertson-idf ln((N-df+0.5)/(df+0.5)+1)
+    (algebraically ln((2N+2)/(2df+1)), the op's ladder input) and the
+    k1=1.2/b=0.75 saturation in plain Python floats; the op's integer
+    micro scores must agree within the quantization slack (ladder pico
+    round + idf DIV 1e6 + one truncating DIV per term: ~2.3 micro per
+    matched term)."""
+    import math
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import _BM25_QUERIES
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, SF, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    n = len(docs)
+    t_tok = sum(len(ws) for ws in docs.values())
+    avgdl = t_tok / n
+    terms = {w for _, q in _BM25_QUERIES for w in q.split(" ")}
+    df = {
+        w: sum(1 for ws in docs.values() if w in ws) for w in terms
+    }
+    ref: dict[tuple, float] = {}
+    for qid, q in _BM25_QUERIES:
+        for doc_id, ws in docs.items():
+            s = 0.0
+            for w in set(q.split(" ")):
+                tf = ws.count(w)
+                if tf == 0:
+                    continue
+                idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                s += (
+                    idf
+                    * tf
+                    * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+                )
+            if s > 0:
+                ref[(qid, doc_id)] = s * 1e6
+    rows = QUERIES["sim_bm25_topk"](spark, SF).collect()
+    assert len(rows) == 20  # 4 queries x top-5
+    for r in rows:
+        assert abs(r.score_micro - ref[(r.query_id, r.doc_id)]) <= (
+            2.3 * r.n_terms + 1
+        ), (r.query_id, r.doc_id)
+    # and the op's top-1 per query is the float reference's argmax
+    # (margin between ranks far exceeds the micro slack on fixtures)
+    for qid, _ in _BM25_QUERIES:
+        best_ref = max(
+            (
+                (s, -d)
+                for (q, d), s in ref.items()
+                if q == qid
+            ),
+        )
+        got = [r for r in rows if r.query_id == qid and r.rank == 1]
+        assert got[0].doc_id == -best_ref[1]
+
+
+def test_bm25_ladder_pinned_on_bm25_ranges(spark):
+    """The pico-ln ladder gets NEW (c, t) ranges from BM25:
+    c = 2df+1 up to 2N+1, t = 2N+2 with N = 500..5000 docs. Pin
+    q = round((ln c - ln t)*1e12) against math.log on these ranges."""
+    import math
+
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    cases = [
+        (1, 1002),
+        (3, 1002),
+        (999, 1002),
+        (1001, 1002),
+        (1, 10002),
+        (4999, 10002),
+        (9999, 10002),
+        (10001, 10002),
+    ]
+    con = _duck.connect()
+    for c, t in cases:
+        sql = f"SELECT {c}::BIGINT AS c, {t}::BIGINT AS t"
+        for stage in _unigram_q_stages():
+            sql = f"SELECT *, {', '.join(stage)} FROM ({sql})"
+        got = con.execute(f"SELECT q FROM ({sql})").fetchone()[0]
+        want = round((math.log(c) - math.log(t)) * 1e12)
+        assert abs(got - want) <= 1, (c, t, got, want)
+
+
+def test_bitext_margin_numpy_replay(spark):
+    """Full numpy replay of the mining pipeline — e4 cosine grid,
+    top-4 neighborhood sums both directions, margin, argmax — must
+    reproduce the op's mined pairs and counts exactly."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        BITEXT_K,
+        BITEXT_MARGIN_THR,
+        BITEXT_PANEL,
+    )
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    srcs = sorted(
+        [r for r in emb if r.label == 0], key=lambda r: r.vec_id
+    )[:BITEXT_PANEL]
+    tgts = sorted([r for r in emb if r.label == 1], key=lambda r: r.vec_id)
+    s = np.array([r.embedding for r in srcs], dtype=np.float64)
+    t = np.array([r.embedding for r in tgts], dtype=np.float64)
+    sid = [r.vec_id for r in srcs]
+    tid = [r.vec_id for r in tgts]
+    cos = (s @ t.T) / (
+        np.linalg.norm(s, axis=1)[:, None]
+        * np.linalg.norm(t, axis=1)[None, :]
+    )
+    c4 = np.round(cos * 10000).astype(np.int64)
+    # top-k sums: ranks tie-break on ascending id, ids are ascending
+    # in the arrays, and numpy argsort is stable
+    dx = np.array(
+        [
+            int(np.sort(row)[::-1][:BITEXT_K].sum())
+            for row in c4
+        ]
+    )
+    dy = np.array(
+        [
+            int(np.sort(col)[::-1][:BITEXT_K].sum())
+            for col in c4.T
+        ]
+    )
+    nx, ny = min(BITEXT_K, len(tid)), min(BITEXT_K, len(sid))
+    marg = np.round(
+        c4 / ((dx[:, None] / nx + dy[None, :] / ny) / 2.0), 6
+    )
+    rows = {
+        r.src_id: r
+        for r in QUERIES["sim_bitext_margin_mine"](spark, SF).collect()
+    }
+    assert len(rows) == BITEXT_PANEL
+    for i, x in enumerate(sid):
+        order = sorted(
+            range(len(tid)), key=lambda j: (-marg[i, j], tid[j])
+        )
+        j = order[0]
+        r = rows[x]
+        assert r.best_tgt == tid[j], x
+        assert r.cos_e4 == c4[i, j], x
+        assert abs(r.margin - marg[i, j]) < 1e-9, x
+        assert r.n_scored == len(tid), x
+        assert r.n_above == int(
+            (marg[i] >= BITEXT_MARGIN_THR).sum()
+        ), x
+
+
+def test_bitext_margin_demotes_hub_target(spark, tmp_path):
+    """Controlled-corpus semantics — the exact failure mode the ratio
+    margin exists to fix: a HUB target that raw cosine would mine for
+    EVERY probe loses to each probe's true match under the margin,
+    because the hub's own neighborhood (the 4 decoy probes sitting on
+    its axis) is even closer to it, inflating its denominator."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 8
+
+    def v(*pairs):
+        out = [0.0] * dim
+        for i, x in pairs:
+            out[i] = x
+        return out
+
+    rows = []
+    # 12 real probes (label 0): axis p%4 at 0.9 plus a 1.0 component
+    # on axis 6 (the hub axis) — so cos(probe, hub) > cos(probe, true)
+    # and raw cosine picks the hub for every one of them.
+    for p in range(12):
+        rows.append(
+            {
+                "vec_id": p,
+                "embedding": v((p % 4, 0.9), (6, 1.0)),
+                "label": 0,
+            }
+        )
+    # 4 decoy probes: pure axis-6 — the hub's backward k-NN
+    # neighborhood, which drives its margin denominator up.
+    for p in range(12, 16):
+        rows.append(
+            {"vec_id": p, "embedding": v((6, 1.0)), "label": 0}
+        )
+    # true matches (label 1): one per axis, id 100+axis
+    for a in range(4):
+        rows.append(
+            {"vec_id": 100 + a, "embedding": v((a, 1.0)), "label": 1}
+        )
+    rows.append({"vec_id": 200, "embedding": v((6, 1.0)), "label": 1})
+    # filler targets so the k=4 neighborhoods are populated
+    for f in range(8):
+        rows.append(
+            {
+                "vec_id": 300 + f,
+                "embedding": v((7, 1.0), (f % 4, 0.1)),
+                "label": 1,
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {
+        r.src_id: r
+        for r in QUERIES["sim_bitext_margin_mine"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 16
+    # premise: raw cosine (the mined pair's own cos_e4 is NOT the
+    # probe's max) — the hub is cosine-closer than the mined match
+    hub = {r["vec_id"]: r["embedding"] for r in rows}[200]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    for p in range(12):
+        probe = rows[p]["embedding"]
+        true = rows[12 + 4 + (p % 4)]["embedding"]
+        assert cos(probe, hub) > cos(probe, true)  # raw prefers hub
+        assert out[p].best_tgt == 100 + (p % 4), (
+            p,
+            out[p].best_tgt,
+        )  # margin recovers the true match

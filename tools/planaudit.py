@@ -24,6 +24,17 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-11 additions -------------------------------------------
+    "sim_bm25_topk": "two 1-row (N, T) corpus-stats broadcasts — onto "
+    "the |panel-terms|-row idf ladder frame and onto the postings "
+    "scoring pass (the BM25 avgdl/N anchor shape rrf_fusion uses); "
+    "the corpus-sized path is the token explode SEMI-JOINED to the "
+    "fixed panel's terms before any shuffle, then equi-joins on "
+    "term/doc_id only",
+    "sim_bitext_margin_mine": "FIXED 16-probe panel broadcast onto "
+    "the target-side scoring pass (the sim_batch_knn_join shape — "
+    "O(N·panel), constant broadcast); neighborhoods/margins/argmax "
+    "all reuse that one pair frame via windows and doc-keyed "
+    "equi-joins",
     "pipeline_pretraining_e2e": "the composed stages inherit their "
     "standalone anchors: the DSIR chain's two 1-row gram-total "
     "aggregates onto the 64-row bucket spine and the mix stage's "
