@@ -1454,3 +1454,194 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------- BM25 panel search
+# Okapi BM25 (Robertson & Zaragoza 2009), the lexical retrieval leg of
+# every hybrid search stack. sim_rrf_fusion embeds a 2-term float-ln
+# BM25 for its fusion demo; this op is the standalone INTEGER-EXACT
+# panel version: idf through the shared pico-ln ladder, the tf
+# saturation as one exact integer rational, so near-tied ranks can
+# never flip cross-engine. Algebra (k1 = 1.2 = 6/5, b = 0.75 = 3/4,
+# avgdl = T/N with T = total tokens, N = total docs):
+#   idf      = ln((N - df + 0.5)/(df + 0.5) + 1) = ln((2N+2)/(2df+1))
+#              → pico-nats via the ladder on (c, t) = (2df+1, 2N+2)
+#   tf factor = tf·(k1+1)/(tf + k1(1-b) + k1·b·dl·N/T)
+#             = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   (scale by 10T)
+#   term score_micro = (idf_pico DIV 1e6)·22·T·tf DIV (10·T·tf+3·T+9·dl·N)
+# All operands non-negative, so Spark DIV (truncate) == DuckDB //
+# (floor). Integer-range note: the biggest intermediate is
+# idf_micro·22·T·tf ≈ 2e7·22·T·tf — safe under int64 up to T·tf ≈ 2e10
+# (far beyond the fixtures); at extreme corpus sizes rescale the grid
+# (milli idf) or pre-divide T from the factor.
+BM25_TOPK = 5
+_BM25_QUERIES = (
+    (1, "spark join order"),
+    (2, "fast hash table scan"),
+    (3, "customer query filter"),
+    (4, "window batch merge data"),
+)
+
+
+def _bm25_oracle() -> str:
+    from pg_archiver_spark.functions.curation import _dsir_staged_sql
+
+    ladder_sql, ladder_last = _dsir_staged_sql("bm0", "bms")
+    vals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid, text in _BM25_QUERIES
+        for w in text.split(" ")
+    )
+    return f"""
+    WITH bmq(query_id, w) AS (VALUES {vals}),
+    bmd AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bmdl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM bmd),
+    bmstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS t_tok
+        FROM bmdl
+    ),
+    bmtf AS MATERIALIZED (
+        SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT d.doc_id, l.dl, unnest(d.toks) AS w
+              FROM bmd d JOIN bmdl l USING (doc_id))
+        WHERE w IN (SELECT DISTINCT w FROM bmq)
+        GROUP BY doc_id, dl, w
+    ),
+    bmdf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY w
+    ),
+    bm0 AS (
+        SELECT w, CAST(2 * df + 1 AS BIGINT) AS c,
+               CAST(2 * n_docs + 2 AS BIGINT) AS t
+        FROM bmdf CROSS JOIN bmstat
+    ),
+{ladder_sql}    bmidf AS (SELECT w, -q AS idf_pico FROM {ladder_last}),
+    bmterm AS (
+        SELECT q.query_id, f.doc_id,
+               (i.idf_pico // 1000000) * (22 * s.t_tok * f.tf)
+                   // (10 * s.t_tok * f.tf + 3 * s.t_tok
+                       + 9 * f.dl * s.n_docs) AS sc
+        FROM bmtf f
+        JOIN bmq q USING (w)
+        JOIN bmidf i USING (w)
+        CROSS JOIN bmstat s
+    ),
+    bmscore AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(sc) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM bmterm GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+           n_terms, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS rank
+          FROM bmscore)
+    WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim_bm25_topk", oracle=_bm25_oracle())
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TOP-K for a fixed query panel — the lexical retrieval
+    operator (Okapi BM25, Robertson & Zaragoza 2009) a hybrid search /
+    decontamination / eval-lookup stage runs against the documents
+    table. Integer-exact cross-engine: idf = ln((N+1)/(df+0.5)) runs
+    through the SHARED pico-ln ladder (ln((2N+2)/(2df+1)) on integer
+    (c, t) — algebraically identical to the Robertson-idf, see the
+    derivation above _bm25_oracle), and the tf-saturation factor is
+    one exact integer rational, so scores are bit-identical BIGINT
+    micro-nats and ranking (score DESC, doc_id) can never flip on
+    float drift (G4/G11).
+
+    Plan shape at 100 TB: the token explode is FILTERED to the panel's
+    terms before the tf shuffle (a broadcast semi-join — the posting
+    scan carries only matching tokens, a tiny fraction of the corpus);
+    df and the 1-row (N, T) stats are map-side-combinable aggregates;
+    idf is a |terms|-row ladder map; scoring re-joins three broadcast
+    frames (panel terms, idf, stats) onto the (doc, term) postings —
+    nothing corpus-sized shuffles twice — and top-k per query is a
+    window over per-query score frames. The panel is FIXED-SIZE
+    (the _KNN_BATCH_IDS discipline): the broadcast never grows with
+    the corpus."""
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, w)
+            for qid, text in _BM25_QUERIES
+            for w in text.split(" ")
+        ],
+        "query_id long, w string",
+    )
+    terms = qterms.select("w").distinct()
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tok"),
+    )
+    # dl rides through the explode+groupBy so the postings frame never
+    # re-joins a corpus-sized length table.
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("w"),
+        )
+        .join(F.broadcast(terms), "w", "semi")
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfr = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    idf = (
+        dfr.crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            (F.col("df") * 2 + 1).cast("long").alias("c"),
+            (F.col("n_docs") * 2 + 2).cast("long").alias("t"),
+        )
+    )
+    for stage in _unigram_q_stages():
+        idf = idf.selectExpr("*", *stage)
+    idf = idf.select("w", (-F.col("q")).alias("idf_pico"))
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(idf_pico DIV 1000000) * (22 * t_tok * tf)"
+                " DIV (10 * t_tok * tf + 3 * t_tok + 9 * dl * n_docs)"
+            ).alias("sc"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("sc").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "score_micro",
+            "n_terms",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

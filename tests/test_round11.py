@@ -320,7 +320,7 @@ def test_bm25_matches_float_reference(spark):
     import math
 
     from pg_archiver_spark.catalog import load
-    from pg_archiver_spark.functions.similarity import _BM25_QUERIES
+    from pg_archiver_spark.functions.text import _BM25_QUERIES
 
     docs = {
         r.doc_id: r.text.split(" ")
