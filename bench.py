@@ -79,13 +79,20 @@ HEADLINE = [
     # filter → per-doc gaps-and-islands interval union) — the
     # ExactSubstr-style dedup hot path added this round.
     "dedup_repeated_substring_spans",
+    # Round-11 representatives: the two retrieval shapes added this
+    # round — panel BM25 (posting-pruned explode + ladder idf) and
+    # margin-based bitext mining (O(N·panel) pair scoring + two-sided
+    # window k-NN) — so regressions in the lexical and mining paths
+    # show up in BENCH deltas.
+    "sim_bm25_topk",
+    "sim_bitext_margin_mine",
 ]
 
 # The headline set is VERSIONED (r6 verdict task 4): bump this when the
 # list above changes so cross-round totals are never compared across
 # different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
 # stable cross-round series.
-HEADLINE_SET_VERSION = 7  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3), v7 = r8 (+1)
+HEADLINE_SET_VERSION = 8  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3), v7 = r8 (+1), v8 = r11 (+2)
 
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the

@@ -1589,7 +1589,13 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("long").alias("t_tok"),
     )
     # dl rides through the explode+groupBy so the postings frame never
-    # re-joins a corpus-sized length table.
+    # re-joins a corpus-sized length table. The tf frame feeds both the
+    # df aggregate and the scoring join, so the filtered explode runs
+    # twice — measured NEUTRAL vs an eager localCheckpoint of the
+    # postings at sf0.1 (1.98 s vs 2.10 s min-of-5), so the simpler
+    # barrier-free plan stays; at cluster scale, if the postings scan
+    # dominates, materialize tf once (checkpoint/parquet) per the
+    # pipeline_pretraining_e2e stage-boundary pattern.
     tf = (
         docs.select(
             "doc_id",
