@@ -1,0 +1,159 @@
+"""Randomized cross-engine equivalence for the round-11 operators.
+
+The driver's hash gate runs only on the fixed fixtures; these tests
+re-run the Spark query AND its DuckDB oracle on RANDOM synthetic
+corpora seeded with the hostile edges the fixtures never exercise
+(single-token docs, repeated panel terms, duplicate embeddings → exact
+cosine ties, near-threshold margins) and require the driver-faithful
+fingerprints to match. This automates the post-close review's
+cross-engine sweep for the new ops."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+import check as ck  # noqa: E402  (driver-faithful comparator)
+
+from pg_archiver_spark.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all_operators,
+)
+
+load_all_operators()
+
+WORDS = [
+    "spark", "join", "order", "fast", "hash", "table", "scan",
+    "customer", "query", "filter", "window", "batch", "merge", "data",
+    "row", "value", "part", "line", "agg", "key", "slow", "small",
+    "the", "a",
+]
+
+
+def _rand_documents(rng: np.random.RandomState, n: int) -> pd.DataFrame:
+    rows = []
+    langs = ["en", "de", "fr", "xx"]
+    for i in range(n):
+        lang = langs[int(rng.randint(len(langs)))]
+        if lang == "xx":
+            # the all-single-token language — the sentinel edge
+            text = WORDS[int(rng.randint(len(WORDS)))]
+        else:
+            ln = int(rng.randint(1, 40))
+            text = " ".join(
+                WORDS[int(rng.randint(len(WORDS)))] for _ in range(ln)
+            )
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": lang,
+                "source": f"src{int(rng.randint(3))}",
+                "n_chars": len(text),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _rand_embeddings(rng: np.random.RandomState, n: int) -> pd.DataFrame:
+    dim = 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # duplicate ~20% of vectors to force EXACT cosine ties (the id
+    # tie-break path in both kNN directions)
+    for i in range(0, n, 5):
+        j = int(rng.randint(n))
+        vecs[i] = vecs[j]
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [int(x) for x in rng.randint(0, 4, size=n)],
+        }
+    )
+
+
+def _compare(spark, tmp_path, name: str):
+    import duckdb
+
+    sf_dir = str(tmp_path)
+    df = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in df.collect()]
+    scols = df.columns
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = tmp_path / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    ocols, orows = ck._oracle_rows_pandas(con.execute(ORACLES[name]))
+    assert ck.frame_fingerprint(scols, srows) == ck.frame_fingerprint(
+        ocols, orows
+    ), name
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bm25_random_corpus_cross_engine(spark, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_documents(rng, 120)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "sim_bm25_topk")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_perplexity_filter_random_corpus_cross_engine(
+    spark, tmp_path, seed
+):
+    rng = np.random.RandomState(seed + 10)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_documents(rng, 100)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "text_perplexity_filter")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_domain_reweight_random_corpus_cross_engine(
+    spark, tmp_path, seed
+):
+    rng = np.random.RandomState(seed + 20)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_documents(rng, 100)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "pipeline_domain_reweight")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bitext_margin_random_embeddings_cross_engine(
+    spark, tmp_path, seed
+):
+    rng = np.random.RandomState(seed + 30)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_embeddings(rng, 90)),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    _compare(spark, tmp_path, "sim_bitext_margin_mine")
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_pretraining_e2e_random_corpus_cross_engine(
+    spark, tmp_path, seed
+):
+    """The whole 7-stage funnel, Spark vs the chained-CTE oracle, on a
+    random corpus — the composition equivalence itself, off-fixture."""
+    rng = np.random.RandomState(seed + 40)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_documents(rng, 150)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "pipeline_pretraining_e2e")
