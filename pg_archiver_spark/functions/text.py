@@ -320,7 +320,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(h), 2) + 0.0 AS avg_entropy_bits,
-           ROUND(AVG(h / nullif(log2(CAST(n AS DOUBLE)), 0)), 2) + 0.0
+           COALESCE(ROUND(AVG(h / nullif(log2(CAST(n AS DOUBLE)), 0)),
+                          2) + 0.0, -1.0)
                AS avg_entropy_norm
     FROM ent
     GROUP BY lang
@@ -343,7 +344,10 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and `+ 0.0` normalizes any -0.0 (G13). A 1-token document has
     log2(n)=0; Spark's 0/0 is NULL but DuckDB's is NaN (which poisons
     AVG), so BOTH sides nullify the zero divisor (`nullif`) and let
-    AVG skip that doc symmetrically."""
+    AVG skip that doc symmetrically. If EVERY doc of a language is
+    single-token the AVG itself is NULL (pandas NaN vs Spark None
+    under the driver compare, G13c — found by the r11 random-corpus
+    sweep), so both sides COALESCE the norm to a -1.0 sentinel."""
     docs = load(spark, sf_dir, "documents")
     wc = (
         docs.select(
@@ -364,7 +368,7 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         (F.round(F.avg("h"), 2) + F.lit(0.0)).alias("avg_entropy_bits"),
-        (
+        F.coalesce(
             F.round(
                 F.avg(
                     F.col("h")
@@ -372,7 +376,8 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
+            F.lit(-1.0),
         ).alias("avg_entropy_norm"),
     )
 

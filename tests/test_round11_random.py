@@ -157,3 +157,58 @@ def test_pretraining_e2e_random_corpus_cross_engine(
         str(tmp_path / "documents.parquet"),
     )
     _compare(spark, tmp_path, "pipeline_pretraining_e2e")
+
+
+# ------------------------------------------------ broad random sweep
+# Every documents-table op whose oracle needs only the documents view,
+# re-run cross-engine on two random corpora. An op joins this list by
+# passing; a mismatch here is a fixture-guarded cross-engine defect
+# (the sweep's first run found exactly one: text_entropy_quality's
+# all-single-token-language NULL, fixed with the -1 sentinel).
+BROAD_SWEEP_OPS = [
+    "text_wordcount",
+    "text_stats",
+    "text_tfidf",
+    "text_quality",
+    "text_gopher_rules",
+    "text_gopher_repetition",
+    "text_entropy_quality",
+    "text_fingerprint",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_paragraph",
+    "minhash_neardup",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "pipeline_mix_temperature",
+    "pipeline_doc_chunking",
+    "pipeline_token_budget",
+    "pipeline_dsir_resample",
+    "pipeline_decontaminate_13gram",
+]
+
+_SWEEP_DIRS: dict[int, str] = {}
+
+
+@pytest.fixture(scope="module", params=[7, 8])
+def sweep_corpus(request, tmp_path_factory):
+    seed = request.param
+    if seed not in _SWEEP_DIRS:
+        d = tmp_path_factory.mktemp(f"sweep{seed}")
+        rng = np.random.RandomState(seed)
+        pq.write_table(
+            pa.Table.from_pandas(_rand_documents(rng, 120)),
+            str(d / "documents.parquet"),
+        )
+        _SWEEP_DIRS[seed] = str(d)
+    return _SWEEP_DIRS[seed]
+
+
+@pytest.mark.parametrize("name", BROAD_SWEEP_OPS)
+def test_broad_random_sweep_cross_engine(spark, sweep_corpus, name):
+    import pathlib
+
+    _compare(spark, pathlib.Path(sweep_corpus), name)
