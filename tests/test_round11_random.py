@@ -63,7 +63,7 @@ def _rand_documents(rng: np.random.RandomState, n: int) -> pd.DataFrame:
 
 
 def _rand_embeddings(rng: np.random.RandomState, n: int) -> pd.DataFrame:
-    dim = 16
+    dim = 64  # the fixture embedding contract several ops hardcode
     vecs = rng.normal(size=(n, dim)).astype(np.float32)
     # duplicate ~20% of vectors to force EXACT cosine ties (the id
     # tie-break path in both kNN directions)
@@ -212,3 +212,51 @@ def test_broad_random_sweep_cross_engine(spark, sweep_corpus, name):
     import pathlib
 
     _compare(spark, pathlib.Path(sweep_corpus), name)
+
+
+# Embeddings-table ops re-run on random 64-dim vectors (with forced
+# exact duplicates → cosine ties). Sign-edge-sensitive sketches
+# (LSH hyperplane signs, binary/Hamming quantization) are EXCLUDED by
+# design: on arbitrary vectors a component can land within an ulp of a
+# hyperplane and flip cross-engine — the fixture-margin tripwire tests
+# own that risk instead.
+EMB_SWEEP_OPS = [
+    "sim_cosine_topk",
+    "sim_label_avg",
+    "sim_batch_knn_join",
+    "dedup_embedding_cosine",
+    "sim_scalar_quantize_int8",
+    "sim_mmr_rerank",
+    "sim_maxsim_multivector",
+    "sim_matryoshka_eval",
+    "dedup_semantic_cluster",
+    "sim_bitext_margin_mine",
+]
+
+_EMB_DIRS: dict[int, str] = {}
+
+
+@pytest.fixture(scope="module", params=[11, 12])
+def emb_corpus(request, tmp_path_factory):
+    seed = request.param
+    if seed not in _EMB_DIRS:
+        d = tmp_path_factory.mktemp(f"emb{seed}")
+        rng = np.random.RandomState(seed)
+        pq.write_table(
+            pa.Table.from_pandas(_rand_embeddings(rng, 400)),
+            str(d / "embeddings.parquet"),
+        )
+        # sim_rrf_fusion fuses a lexical leg over documents too
+        pq.write_table(
+            pa.Table.from_pandas(_rand_documents(rng, 120)),
+            str(d / "documents.parquet"),
+        )
+        _EMB_DIRS[seed] = str(d)
+    return _EMB_DIRS[seed]
+
+
+@pytest.mark.parametrize("name", EMB_SWEEP_OPS + ["sim_rrf_fusion"])
+def test_embeddings_random_sweep_cross_engine(spark, emb_corpus, name):
+    import pathlib
+
+    _compare(spark, pathlib.Path(emb_corpus), name)
