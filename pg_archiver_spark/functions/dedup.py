@@ -1135,8 +1135,10 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_candidates AS BIGINT) AS n_candidates,
            CAST(n_tp AS BIGINT) AS n_tp,
-           CAST((n_tp * 1000) // n_candidates AS BIGINT) AS precision_pm,
-           CAST((n_tp * 1000) // n_exact AS BIGINT) AS recall_pm
+           CAST(COALESCE((n_tp * 1000) // NULLIF(n_candidates, 0), -1)
+                AS BIGINT) AS precision_pm,
+           CAST(COALESCE((n_tp * 1000) // NULLIF(n_exact, 0), -1)
+                AS BIGINT) AS recall_pm
     FROM s
     """,
 )
@@ -1214,8 +1216,16 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("n_cand").cast("bigint").alias("n_candidates"),
         F.col("n_tp").cast("bigint").alias("n_tp"),
-        F.expr("(n_tp * 1000) DIV n_cand").alias("precision_pm"),
-        F.expr("(n_tp * 1000) DIV n_exact").alias("recall_pm"),
+        # A corpus with no candidates / no true pairs leaves P/R
+        # undefined: Spark's ANSI integer DIV raises on zero while
+        # DuckDB returns NULL (r11 random-fixture sweep) — NULLIF +
+        # -1 sentinel on both engines.
+        F.expr(
+            "COALESCE((n_tp * 1000) DIV NULLIF(n_cand, 0), -1)"
+        ).alias("precision_pm"),
+        F.expr(
+            "COALESCE((n_tp * 1000) DIV NULLIF(n_exact, 0), -1)"
+        ).alias("recall_pm"),
     )
 
 

@@ -3799,8 +3799,9 @@ ROC_SCORE_DIMS = 8  # leading embedding dims folded into the score
     )
     SELECT n_pos, n_neg,
            CAST(sum_avg2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-           CAST(sum_avg2_pos - n_pos * (n_pos + 1) AS DOUBLE)
-               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           COALESCE(CAST(sum_avg2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / NULLIF(2.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(n_neg AS DOUBLE), 0.0), -1.0)
                AS auc
     FROM sums
     """,
@@ -3857,9 +3858,18 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         u2.cast("bigint").alias("u2"),
-        (
+        # Single-class data leaves AUC undefined: Spark's ANSI divide
+        # raises on the zero denominator while DuckDB returns inf
+        # (r11 random-fixture sweep) — NULLIF + -1 sentinel both sides.
+        F.coalesce(
             u2.cast("double")
-            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            / F.nullif(
+                2.0
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double"),
+                F.lit(0.0),
+            ),
+            F.lit(-1.0),
         ).alias("auc"),
     )
 

@@ -500,8 +500,8 @@ def composed_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_purchases,
            COUNT(v_ms) AS n_matched,
-           CAST(SUM(ms - v_ms) // (COUNT(v_ms) * 60) AS BIGINT)
-               AS avg_gap_millimin
+           CAST(COALESCE(SUM(ms - v_ms) // (COUNT(v_ms) * 60), -1)
+                AS BIGINT) AS avg_gap_millimin
     FROM g
     """,
 )
@@ -547,9 +547,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.agg(
         F.count("*").alias("n_purchases"),
         F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        # Zero matched purchases → NULL mean gap on both engines →
+        # pandas NaN vs Spark None under the driver compare (G13c,
+        # r11 random-fixture sweep) — sentinel -1.
         F.expr(
-            "SUM(CASE WHEN matched THEN ms - last_v_ms END)"
-            " DIV (SUM(CASE WHEN matched THEN 1 END) * 60)"
+            "COALESCE(SUM(CASE WHEN matched THEN ms - last_v_ms END)"
+            " DIV (SUM(CASE WHEN matched THEN 1 END) * 60), -1)"
         ).alias("avg_gap_millimin"),
     )
 

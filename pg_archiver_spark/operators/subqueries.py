@@ -588,8 +588,8 @@ def composed_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                / 7 AS DOUBLE) AS avg_yearly
+    SELECT COALESCE(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DOUBLE) / 7 AS DOUBLE), 0.0) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN agg ON agg.pk = lineitem.l_partkey
@@ -624,13 +624,17 @@ def composed_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             < F.col("s")
         )
         .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                .cast("double")
-                / 7
-            )
-            .cast("double")
-            .alias("avg_yearly")
+            # No qualifying small-quantity line → NULL sum on both
+            # engines → pandas NaN vs Spark None under the driver
+            # compare (G13c, r11 random-fixture sweep) — zero revenue.
+            F.coalesce(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    / 7
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("avg_yearly")
         )
     )
 

@@ -85,8 +85,12 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     oracle="""
     SELECT event_id, user_id,
-           COALESCE(ROUND(CAST(value - LAG(value) OVER w AS DOUBLE), 2), 0.0) AS delta_prev,
-           COALESCE(ROUND(CAST(LEAD(value) OVER w - value AS DOUBLE), 2), 0.0) AS delta_next
+           COALESCE(CAST(ROUND(CAST(value AS DECIMAL(18,3))
+                          - LAG(CAST(value AS DECIMAL(18,3))) OVER w, 2)
+                         AS DOUBLE), 0.0) AS delta_prev,
+           COALESCE(CAST(ROUND(LEAD(CAST(value AS DECIMAL(18,3))) OVER w
+                          - CAST(value AS DECIMAL(18,3)), 2)
+                         AS DOUBLE), 0.0) AS delta_next
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     """,
@@ -96,20 +100,26 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary rows (no prev/next) emit 0.0, not NULL — a nullable double
     turns into NaN under the driver's pandas oracle fetch while Spark's
     collect keeps None, so nullable numerics are banned from final
-    schemas (G13)."""
+    schemas (G13). The difference runs in DECIMAL(18,3) (the
+    window_running_sum G2 pattern): a double subtraction of two
+    3dp-grid values lands within an ulp of a .xx5 boundary and the
+    engines' 2dp ROUNDs split (Spark BigDecimal saw ...4999 where
+    DuckDB's scaled floor saw ...5000 — found by the r11 random-fixture
+    sweep); exact decimal diffs round identically everywhere."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.expr("ts_ns DIV 1000000"), F.col("event_id")
     )
+    vdec = F.col("value").cast("decimal(18,3)")
     return events.select(
         "event_id",
         "user_id",
         F.coalesce(
-            F.round((F.col("value") - F.lag("value").over(w)).cast("double"), 2),
+            F.round(vdec - F.lag(vdec).over(w), 2).cast("double"),
             F.lit(0.0),
         ).alias("delta_prev"),
         F.coalesce(
-            F.round((F.lead("value").over(w) - F.col("value")).cast("double"), 2),
+            F.round(F.lead(vdec).over(w) - vdec, 2).cast("double"),
             F.lit(0.0),
         ).alias("delta_next"),
     )
