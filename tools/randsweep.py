@@ -22,6 +22,17 @@ Known expected non-passes on arbitrary random data:
 - Sign-edge sketches (sim_ann_lsh hyperplane signs, hamming binary
   quantization) can land within an ulp of a boundary on arbitrary
   vectors; their fixture-margin tripwire tests own that risk.
+
+Sweep envelope (r11 reconnaissance): realistic-scale corpora from
+randfixtures.gen() are the supported input. DEGENERATE corpora (1-2
+rows per table) additionally break ~30 ops whose contracts need more
+data — loud guards firing BY DESIGN (the pinned Markov state-set
+raise, trained-index ops needing >= K vectors for Lloyd), and
+statistical ops whose quantities are undefined at n=1 per TABLE
+(variance/correlation/funnel-denominator NULLs). Realistic corpora
+with singleton GROUPS (empty nations, one-order customers) all pass —
+the per-group n=1 paths are covered; only whole-table degeneracy is
+out of contract, and the driver never ships it.
 """
 import sys
 import time
