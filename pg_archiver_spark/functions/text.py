@@ -1656,3 +1656,460 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- LM
+# Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+# Language Models in Machine Translation" — the distributed n-gram LM
+# built exactly as sharded count tables joined at score time).
+SB_LN04_PICO = -916290731874  # round(ln(0.4) * 1e12), shared literal
+SB_TRAIN_BAND = ("0", "7")  # md5 first hex char → deterministic half
+
+
+def _sb_oracle() -> str:
+    from pg_archiver_spark.functions.curation import _dsir_staged_sql
+
+    ladder_sql, ladder_last = _dsir_staged_sql("sb0", "sbs")
+    lo, hi = SB_TRAIN_BAND
+    return f"""
+    WITH sdoc AS MATERIALIZED (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        BETWEEN '{lo}' AND '{hi}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ),
+    stri AS MATERIALIZED (
+        SELECT doc_id, lang, split,
+               toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM sdoc, UNNEST(range(1, greatest(len(toks) - 1, 1))) t(i)
+    ),
+    sbig AS MATERIALIZED (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM sdoc, UNNEST(range(1, len(toks))) t(i)
+        WHERE split = 'train'
+    ),
+    c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+           FROM stri WHERE split = 'train' GROUP BY w1, w2, w3),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM sbig GROUP BY w1, w2),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS u
+            FROM (SELECT unnest(toks) AS w FROM sdoc
+                  WHERE split = 'train')
+            GROUP BY w),
+    stat AS (SELECT COALESCE(CAST(SUM(u) AS BIGINT), 0) AS n_tok,
+                    CAST(COUNT(*) AS BIGINT) AS vocab
+             FROM uni),
+    sb0 AS MATERIALIZED (
+        SELECT t.doc_id, t.lang, t.split,
+               CASE WHEN tri.c3 IS NOT NULL THEN 0
+                    WHEN num.c2 IS NOT NULL THEN 1
+                    ELSE 2 END AS lvl,
+               CASE WHEN tri.c3 IS NOT NULL THEN tri.c3
+                    WHEN num.c2 IS NOT NULL THEN num.c2
+                    ELSE COALESCE(u3.u, 0) + 1 END AS c,
+               CASE WHEN tri.c3 IS NOT NULL THEN ctx.c2
+                    WHEN num.c2 IS NOT NULL THEN u2.u
+                    ELSE greatest(s.n_tok + s.vocab, 1) END AS t
+        FROM stri t
+        LEFT JOIN c3 tri ON t.w1 = tri.w1 AND t.w2 = tri.w2
+                         AND t.w3 = tri.w3
+        LEFT JOIN c2 ctx ON t.w1 = ctx.w1 AND t.w2 = ctx.w2
+        LEFT JOIN c2 num ON t.w2 = num.w1 AND t.w3 = num.w2
+        LEFT JOIN uni u2 ON t.w2 = u2.w
+        LEFT JOIN uni u3 ON t.w3 = u3.w
+        CROSS JOIN stat s
+    ),
+{ladder_sql}    sterm AS (
+        SELECT doc_id, lang, split, lvl,
+               q + lvl * {SB_LN04_PICO} AS s_pico
+        FROM {ladder_last}
+    ),
+    sdocagg AS (
+        SELECT doc_id, lang, split,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tri_hits,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bi_hits,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS uni_hits,
+               CAST(SUM(-s_pico) AS BIGINT) AS neg_pico
+        FROM sterm GROUP BY doc_id, lang, split
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tri) AS BIGINT) AS n_trigrams,
+           CAST(SUM(tri_hits) AS BIGINT) AS tri_hits,
+           CAST(SUM(bi_hits) AS BIGINT) AS bi_hits,
+           CAST(SUM(uni_hits) AS BIGINT) AS uni_hits,
+           CAST(SUM(neg_pico) // (SUM(n_tri) * 1000000) AS BIGINT)
+               AS mean_surprise_micro,
+           CAST(MAX(neg_pico // (n_tri * 1000000)) AS BIGINT)
+               AS max_doc_mean_micro
+    FROM sdocagg
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """
+
+
+@register("text_stupid_backoff_lm", oracle=_sb_oracle())
+def text_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) — the
+    distributed n-gram LM as sharded count tables: a deterministic
+    md5 half-split trains trigram/bigram/unigram counts, every doc is
+    scored S(w3|w1,w2) = c3/c2(ctx) if the trigram was seen, else
+    0.4 * c2(w2,w3)/u(w2), else 0.4^2 * (u(w3)+1)/(N+V) (add-1 floor
+    for unseen words), and the per-(lang, split) report shows eval
+    docs backing off where train docs hit — the held-out structure
+    that makes the backoff path REAL on any corpus (scoring the
+    training corpus under its own LM never backs off).
+
+    Integer-exact cross-engine (G4/G11): each level's probability is
+    a ratio of exact BIGINT counts, taken through the SHARED pico-ln
+    ladder (q = round((ln c − ln t)·1e12)), and the 0.4-per-level
+    penalty is the shared literal round(ln 0.4 · 1e12) — so every
+    trigram's score is a bit-identical BIGINT pico-nat and the
+    report's floor-divisions run on provably non-negative operands
+    (c ≤ t at every level ⇒ q ≤ 0 ⇒ −Σq ≥ 0). Empty-train edge
+    (hostile splits): t = greatest(N+V, 1) keeps the ladder total.
+
+    Plan shape at 100 TB: trigram/bigram/unigram model tables are
+    explode + map-side-combinable groupBys (shuffles carry n-gram
+    KEYS, never documents); scoring is the Brants sharded-count-join
+    — the trigram stream joins the count tables on their n-gram keys
+    (AQE broadcasts them at small SF; at cluster scale they shuffle
+    co-partitioned by key, which is exactly how the 2007 system
+    served 2e12-token models); the 1-row (N, V) frame broadcasts.
+    Reference anchor: generalizes main.go's single-table scan surface
+    (main.go:88-102) to corpus-model scoring."""
+    lo, hi = SB_TRAIN_BAND
+    toks = F.split("text", " ")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .between(lo, hi),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    tri_structs = F.when(
+        F.col("n") < 3,
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.struct(
+                F.element_at("toks", i.cast("int")).alias("w1"),
+                F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+                F.element_at("toks", (i + 2).cast("int")).alias("w3"),
+            ),
+        )
+    )
+    tri = docs.select(
+        "doc_id", "lang", "split", F.explode(tri_structs).alias("g")
+    ).select("doc_id", "lang", "split", "g.w1", "g.w2", "g.w3")
+    big_structs = F.when(
+        F.col("n") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i.cast("int")).alias("w1"),
+                F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    train_docs = docs.filter(F.col("split") == "train")
+    c3 = (
+        tri.filter(F.col("split") == "train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    c2 = (
+        train_docs.select(F.explode(big_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    uni = (
+        train_docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("u"))
+    )
+    stat = uni.agg(
+        F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    c2ctx = c2.select(
+        F.col("w1").alias("x1"), F.col("w2").alias("x2"),
+        F.col("c2").alias("ctx2"),
+    )
+    c2num = c2.select(
+        F.col("w1").alias("y1"), F.col("w2").alias("y2"),
+        F.col("c2").alias("num2"),
+    )
+    u2 = uni.select(F.col("w").alias("w2k"), F.col("u").alias("u2"))
+    u3 = uni.select(F.col("w").alias("w3k"), F.col("u").alias("u3"))
+    joined = (
+        tri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2ctx,
+            (F.col("w1") == F.col("x1")) & (F.col("w2") == F.col("x2")),
+            "left",
+        )
+        .join(
+            c2num,
+            (F.col("w2") == F.col("y1")) & (F.col("w3") == F.col("y2")),
+            "left",
+        )
+        .join(u2, F.col("w2") == F.col("w2k"), "left")
+        .join(u3, F.col("w3") == F.col("w3k"), "left")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.when(F.col("c3").isNotNull(), F.lit(0))
+            .when(F.col("num2").isNotNull(), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("lvl"),
+            F.when(F.col("c3").isNotNull(), F.col("c3"))
+            .when(F.col("num2").isNotNull(), F.col("num2"))
+            .otherwise(F.coalesce(F.col("u3"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("c"),
+            F.when(F.col("c3").isNotNull(), F.col("ctx2"))
+            .when(F.col("num2").isNotNull(), F.col("u2"))
+            .otherwise(
+                F.greatest(F.col("n_tok") + F.col("vocab"), F.lit(1))
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    for stage in _unigram_q_stages():
+        joined = joined.selectExpr("*", *stage)
+    term = joined.select(
+        "doc_id",
+        "lang",
+        "split",
+        "lvl",
+        (F.col("q") + F.col("lvl") * F.lit(SB_LN04_PICO)).alias(
+            "s_pico"
+        ),
+    )
+    docagg = term.groupBy("doc_id", "lang", "split").agg(
+        F.count("*").cast("long").alias("n_tri"),
+        F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tri_hits"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("bi_hits"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("uni_hits"),
+        F.sum(-F.col("s_pico")).cast("long").alias("neg_pico"),
+    )
+    return (
+        docagg.groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tri").cast("long").alias("n_trigrams"),
+            F.sum("tri_hits").cast("long").alias("tri_hits"),
+            F.sum("bi_hits").cast("long").alias("bi_hits"),
+            F.sum("uni_hits").cast("long").alias("uni_hits"),
+            F.expr("SUM(neg_pico) DIV (SUM(n_tri) * 1000000)")
+            .cast("long")
+            .alias("mean_surprise_micro"),
+            F.max(F.expr("neg_pico DIV (n_tri * 1000000)"))
+            .cast("long")
+            .alias("max_doc_mean_micro"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# --------------------------------------------------------------- PII
+PII_KANON = 3  # tokens with corpus frequency < this are "rare ids"
+PII_EMAIL_RE = r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$"
+PII_IPV4_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+PII_IDNUM_RE = r"^[0-9]{7,16}$"
+
+
+def _pii_oracle() -> str:
+    return f"""
+    WITH ptok AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    pfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM ptok GROUP BY tok
+    ),
+    pflag AS MATERIALIZED (
+        SELECT p.doc_id, p.lang, p.tok,
+               CASE WHEN regexp_matches(p.tok, '{PII_EMAIL_RE}')
+                        THEN 1
+                    WHEN regexp_matches(p.tok, '{PII_IPV4_RE}')
+                        THEN 2
+                    WHEN regexp_matches(p.tok, '{PII_IDNUM_RE}')
+                        THEN 3
+                    WHEN f.freq < {PII_KANON} THEN 4
+                    ELSE 0 END AS cat
+        FROM ptok p JOIN pfreq f USING (tok)
+    ),
+    pdoc AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN cat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_red,
+               CAST(SUM(CASE WHEN cat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_email,
+               CAST(SUM(CASE WHEN cat = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ipv4,
+               CAST(SUM(CASE WHEN cat = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_idnum,
+               CAST(SUM(CASE WHEN cat = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare
+        FROM pflag GROUP BY doc_id, lang
+    ),
+    prare AS (
+        SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT)
+                   AS n_rare_distinct
+        FROM pflag WHERE cat = 4 GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_red > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_red) AS BIGINT) AS n_redacted,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_idnum) AS BIGINT) AS n_idnum,
+           CAST(SUM(n_rare) AS BIGINT) AS n_rare,
+           COALESCE(MAX(r.n_rare_distinct), 0) AS n_rare_distinct,
+           CAST((SUM(n_tok) - SUM(n_red)) * 1000
+                    // greatest(SUM(n_tok), 1) AS BIGINT)
+               AS retained_permille
+    FROM pdoc d LEFT JOIN prare r ON d.lang = r.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / identifier scrub report — the privacy pass every public
+    training corpus runs before release (the BigCode / StarCoder "The
+    Stack" pipeline redacts emails, IPs and keys; medical corpora add
+    k-anonymity): a token is redacted when it matches a PII pattern
+    (email, IPv4, long id-number — disjoint by CASE priority) or,
+    failing those, when its CORPUS-WIDE frequency is below
+    {PII_KANON} (the k-anonymity rare-identifier rule: a token seen
+    once or twice is a name/key/handle with high probability, and is
+    exactly what membership-inference attacks recover). Patterns are
+    the common Java-regex/RE2 subset evaluated on lowercase tokens
+    (normalize case upstream), so Spark ``rlike`` and DuckDB
+    ``regexp_matches`` agree token-for-token; every output is an
+    exact BIGINT count and the retained-permille floor-division runs
+    on non-negative operands (G4/G13).
+
+    Plan shape at 100 TB: the frequency table is one explode +
+    map-side-combinable groupBy (the shuffle carries VOCABULARY keys,
+    never documents); the rare test is a shuffle equi-join of the
+    token stream against that table — deliberately NOT a broadcast:
+    the rare set is corpus-scale by definition (most of the
+    vocabulary is rare under Zipf), so this is the honest
+    co-partitioned-join shape; the regex arms are pure map-side
+    Catalyst predicates inside whole-stage codegen. Per-doc then
+    per-lang aggs are map-side combined. Reference anchor: extends
+    the reference's archival scan (main.go:88-102) with the privacy
+    screen its downstream consumers (README.md:88-102) would run."""
+    ptok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    pfreq = ptok.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    cat = (
+        F.when(F.col("tok").rlike(PII_EMAIL_RE), F.lit(1))
+        .when(F.col("tok").rlike(PII_IPV4_RE), F.lit(2))
+        .when(F.col("tok").rlike(PII_IDNUM_RE), F.lit(3))
+        .when(F.col("freq") < PII_KANON, F.lit(4))
+        .otherwise(F.lit(0))
+    )
+    pflag = ptok.join(pfreq, "tok").select(
+        "doc_id", "lang", "tok", cat.alias("cat")
+    )
+    pdoc = pflag.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("cat") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_red"),
+        F.sum(F.when(F.col("cat") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_email"),
+        F.sum(F.when(F.col("cat") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.sum(F.when(F.col("cat") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_idnum"),
+        F.sum(F.when(F.col("cat") == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    prare = (
+        pflag.filter(F.col("cat") == 4)
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").cast("long").alias("n_rare_distinct"))
+    )
+    return (
+        pdoc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_red") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_red").cast("long").alias("n_redacted"),
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_idnum").cast("long").alias("n_idnum"),
+            F.sum("n_rare").cast("long").alias("n_rare"),
+            F.expr(
+                "(SUM(n_tok) - SUM(n_red)) * 1000"
+                " DIV greatest(SUM(n_tok), 1)"
+            )
+            .cast("long")
+            .alias("retained_permille"),
+        )
+        .join(prare, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_docs_touched",
+            "n_tokens",
+            "n_redacted",
+            "n_email",
+            "n_ipv4",
+            "n_idnum",
+            "n_rare",
+            F.coalesce(F.col("n_rare_distinct"), F.lit(0))
+            .cast("long")
+            .alias("n_rare_distinct"),
+            "retained_permille",
+        )
+        .orderBy("lang")
+    )

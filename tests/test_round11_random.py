@@ -190,6 +190,8 @@ BROAD_SWEEP_OPS = [
     "pipeline_token_budget",
     "pipeline_dsir_resample",
     "pipeline_decontaminate_13gram",
+    "text_stupid_backoff_lm",
+    "text_pii_scrub",
 ]
 
 _SWEEP_DIRS: dict[int, str] = {}
@@ -320,3 +322,63 @@ def test_relational_random_sweep_cross_engine(spark, rel_corpus, name):
     import pathlib
 
     _compare(spark, pathlib.Path(rel_corpus), name)
+
+
+def _rand_pii_documents(rng: np.random.RandomState, n: int) -> pd.DataFrame:
+    """Random corpus with PII-shaped tokens sprinkled in — the regex
+    arms the fixed fixtures can never exercise (their vocabulary is
+    alphabetic), including boundary shapes: max/min octet counts,
+    6/7/16/17-digit numbers, '@' tokens without a TLD."""
+    pii_pool = [
+        "alice@example.com",
+        "b.c-d_e%f+g@mail-host.co.uk",
+        "10.0.0.1",
+        "255.255.255.255",
+        "999.999.999.999",  # loose octet pattern: matches by design
+        "1.2.3",            # 3 octets: no match
+        "1234567",          # 7 digits: matches
+        "123456",           # 6 digits: no match
+        "1234567890123456",  # 16 digits: matches
+        "12345678901234567",  # 17 digits: no match
+        "user@",            # no TLD: no match
+        "@host.com",        # no local part: no match
+    ]
+    base = _rand_documents(rng, n)
+    texts = []
+    for i, t in enumerate(base["text"]):
+        toks = t.split(" ")
+        if i % 3 == 0:
+            toks.insert(
+                int(rng.randint(len(toks))),
+                pii_pool[int(rng.randint(len(pii_pool)))],
+            )
+        texts.append(" ".join(toks))
+    base["text"] = texts
+    base["n_chars"] = [len(t) for t in texts]
+    return base
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pii_scrub_random_pii_corpus_cross_engine(
+    spark, tmp_path, seed
+):
+    rng = np.random.RandomState(seed + 50)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_pii_documents(rng, 120)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "text_pii_scrub")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_stupid_backoff_random_pii_corpus_cross_engine(
+    spark, tmp_path, seed
+):
+    """The LM op on the PII-bearing corpus too: punctuation-heavy
+    tokens stress the n-gram join keys (dots, at-signs, plus)."""
+    rng = np.random.RandomState(seed + 60)
+    pq.write_table(
+        pa.Table.from_pandas(_rand_pii_documents(rng, 100)),
+        str(tmp_path / "documents.parquet"),
+    )
+    _compare(spark, tmp_path, "text_stupid_backoff_lm")

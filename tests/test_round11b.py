@@ -1,0 +1,355 @@
+"""Round-11 continuation ops: stupid-backoff trigram LM + PII scrub.
+
+Each op gets (a) a full Python brute-force replay on a controlled
+corpus, (b) its hostile edges cross-engine (empty train split; a
+PII-bearing corpus the fixtures can never provide), and (c) a ladder
+range pin on the new (c, t) domain — the same discipline as the BM25 /
+perplexity-filter tests in test_round11.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo/tools")
+import check as ck  # noqa: E402
+
+from pg_archiver_spark.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all_operators,
+)
+
+load_all_operators()
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def _cross_engine(spark, tmp_path, name):
+    """Driver-faithful fingerprint compare on a tmp corpus."""
+    import duckdb
+
+    df = QUERIES[name](spark, str(tmp_path))
+    srows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ocols, orows = ck._oracle_rows_pandas(con.execute(ORACLES[name]))
+    assert ck.frame_fingerprint(df.columns, srows) == ck.frame_fingerprint(
+        ocols, orows
+    ), name
+    return srows, df.columns
+
+
+def _split(doc_id: int) -> str:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+    return "train" if h <= "7" else "eval"
+
+
+# ------------------------------------------------ stupid-backoff LM
+
+
+def _sb_replay(rows):
+    """Full float replay of the op: md5 split, train count tables,
+    3-level backoff with add-1 unigram floor, per-(lang, split)
+    report. Levels/counts are exact; surprises are math.log floats."""
+    from pg_archiver_spark.functions.text import SB_LN04_PICO
+
+    ln04 = SB_LN04_PICO / 1e12
+    tri_c, big_c, uni_c = {}, {}, {}
+    for r in rows:
+        if _split(r["doc_id"]) != "train":
+            continue
+        t = r["text"].split(" ")
+        for i in range(len(t) - 2):
+            tri_c[(t[i], t[i + 1], t[i + 2])] = (
+                tri_c.get((t[i], t[i + 1], t[i + 2]), 0) + 1
+            )
+        for i in range(len(t) - 1):
+            big_c[(t[i], t[i + 1])] = big_c.get((t[i], t[i + 1]), 0) + 1
+        for w in t:
+            uni_c[w] = uni_c.get(w, 0) + 1
+    n_tok = sum(uni_c.values())
+    vocab = len(uni_c)
+    out = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        if len(t) < 3:
+            continue
+        sp = _split(r["doc_id"])
+        key = (r["lang"], sp)
+        g = out.setdefault(
+            key,
+            {
+                "n_docs": 0,
+                "n_tri": 0,
+                "hits": [0, 0, 0],
+                "neg": 0.0,
+                "doc_means": [],
+            },
+        )
+        g["n_docs"] += 1
+        doc_neg, doc_n = 0.0, 0
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i], t[i + 1], t[i + 2]
+            if (w1, w2, w3) in tri_c:
+                lvl = 0
+                s = math.log(
+                    tri_c[(w1, w2, w3)] / big_c[(w1, w2)]
+                )
+            elif (w2, w3) in big_c:
+                lvl = 1
+                s = ln04 + math.log(big_c[(w2, w3)] / uni_c[w2])
+            else:
+                lvl = 2
+                s = 2 * ln04 + math.log(
+                    (uni_c.get(w3, 0) + 1) / max(n_tok + vocab, 1)
+                )
+            g["hits"][lvl] += 1
+            g["n_tri"] += 1
+            doc_neg -= s
+            doc_n += 1
+        g["neg"] += doc_neg
+        g["doc_means"].append(doc_neg / doc_n)
+    return out
+
+
+def test_stupid_backoff_python_replay(spark, tmp_path):
+    """Controlled corpus with every backoff level reachable: levels
+    and counts must be EXACT, means within 1 micro of the math.log
+    replay (the ladder is pinned to <=1 pico per term)."""
+    rows = [
+        {"doc_id": i, "lang": "en" if i % 2 == 0 else "de",
+         "text": txt}
+        for i, txt in enumerate(
+            [
+                "a b c a b c d",
+                "a b c d e",
+                "b c d",
+                "e f g h",
+                "x y z a b",
+                "a b",          # no trigram: excluded
+                "q",            # no trigram: excluded
+                "c d e f",
+                "f g h a b c",
+                "z z z z",
+            ]
+        )
+    ]
+    _write_docs(tmp_path, rows)
+    got = {
+        (r.lang, r.split): r
+        for r in QUERIES["text_stupid_backoff_lm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = _sb_replay(rows)
+    assert set(got) == set(want)
+    saw_backoff = 0
+    for key, w in want.items():
+        g = got[key]
+        assert g.n_docs == w["n_docs"], key
+        assert g.n_trigrams == w["n_tri"], key
+        assert (g.tri_hits, g.bi_hits, g.uni_hits) == tuple(
+            w["hits"]
+        ), key
+        saw_backoff += w["hits"][1] + w["hits"][2]
+        mean_ref = w["neg"] * 1e6 / w["n_tri"]
+        assert abs(g.mean_surprise_micro - math.floor(mean_ref)) <= 1, key
+        max_ref = max(w["doc_means"]) * 1e6
+        assert abs(g.max_doc_mean_micro - math.floor(max_ref)) <= 1, key
+    # the corpus was built so eval docs actually back off
+    assert saw_backoff > 0
+    _cross_engine(spark, tmp_path, "text_stupid_backoff_lm")
+
+
+def test_stupid_backoff_empty_train_edge(spark, tmp_path):
+    """HOSTILE split: every doc hashes to the eval band, the train
+    model is EMPTY — all trigrams take the level-2 add-1 floor with
+    t = greatest(N+V, 1) = 1, and Spark must still equal DuckDB."""
+    eval_ids = [i for i in range(200) if _split(i) == "eval"][:6]
+    rows = [
+        {"doc_id": i, "lang": "en", "text": "u v w x y"}
+        for i in eval_ids
+    ]
+    _write_docs(tmp_path, rows)
+    srows, cols = _cross_engine(
+        spark, tmp_path, "text_stupid_backoff_lm"
+    )
+    by = dict(zip(cols, srows[0]))
+    assert by["split"] == "eval"
+    assert by["uni_hits"] == by["n_trigrams"] > 0
+    # ln((0+1)/1) = 0, so the whole surprise is the 2*ln(0.4) penalty
+    want = math.floor(2 * 0.916290731874155 * 1e6)
+    assert abs(by["mean_surprise_micro"] - want) <= 1
+
+
+def test_sb_ladder_pinned_on_lm_ranges():
+    """New (c, t) domains for the ladder: trigram ratios (small c and
+    t), unigram floors with corpus-scale t = N+V up to ~2e6, and the
+    degenerate (1, 1). Pin q against math.log (<=1 pico)."""
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    cases = [
+        (1, 1),
+        (1, 2),
+        (1, 3),
+        (2, 5),
+        (7, 11),
+        (1, 131),
+        (1, 2_000_003),
+        (999_983, 2_000_003),
+        (1_999_999, 2_000_003),
+    ]
+    con = _duck.connect()
+    for c, t in cases:
+        sql = f"SELECT {c}::BIGINT AS c, {t}::BIGINT AS t"
+        for stage in _unigram_q_stages():
+            sql = f"SELECT *, {', '.join(stage)} FROM ({sql})"
+        got = con.execute(f"SELECT q FROM ({sql})").fetchone()[0]
+        want = round((math.log(c) - math.log(t)) * 1e12)
+        assert abs(got - want) <= 1, (c, t, got, want)
+
+
+# --------------------------------------------------------- PII scrub
+
+
+def _pii_replay(rows):
+    import re
+
+    from pg_archiver_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IDNUM_RE,
+        PII_IPV4_RE,
+        PII_KANON,
+    )
+
+    freq = {}
+    for r in rows:
+        for tok in r["text"].split(" "):
+            freq[tok] = freq.get(tok, 0) + 1
+
+    def cat(tok):
+        if re.search(PII_EMAIL_RE, tok):
+            return 1
+        if re.search(PII_IPV4_RE, tok):
+            return 2
+        if re.search(PII_IDNUM_RE, tok):
+            return 3
+        if freq[tok] < PII_KANON:
+            return 4
+        return 0
+
+    out = {}
+    for r in rows:
+        g = out.setdefault(
+            r["lang"],
+            {
+                "n_docs": 0,
+                "touched": 0,
+                "n_tok": 0,
+                "red": 0,
+                "cats": [0, 0, 0, 0],
+                "rare_toks": set(),
+            },
+        )
+        g["n_docs"] += 1
+        doc_red = 0
+        for tok in r["text"].split(" "):
+            c = cat(tok)
+            g["n_tok"] += 1
+            if c > 0:
+                doc_red += 1
+                g["cats"][c - 1] += 1
+                if c == 4:
+                    g["rare_toks"].add(tok)
+        g["red"] += doc_red
+        g["touched"] += 1 if doc_red else 0
+    return out
+
+
+PII_ROWS = [
+    {"doc_id": 1, "lang": "en",
+     "text": "ship the data to bob.smith@example.com by friday"},
+    {"doc_id": 2, "lang": "en",
+     "text": "server 10.0.0.1 and server 192.168.1.255 are up"},
+    {"doc_id": 3, "lang": "en",
+     "text": "account 12345678 belongs to zzyzx"},
+    {"doc_id": 4, "lang": "de",
+     "text": "the data the data the data qwwq"},
+    {"doc_id": 5, "lang": "de",
+     "text": "ship ship by by to to are are up up"},
+    {"doc_id": 6, "lang": "de",
+     "text": "not-an-email@ 1.2.3.4.5 123456 999.0.0.1"},
+]
+
+
+def test_pii_scrub_python_replay(spark, tmp_path):
+    """Exact brute-force replay: regex arms (incl. near-miss tokens
+    that must NOT match), the k-anonymity rare rule, disjoint
+    categories, per-lang rollup."""
+    _write_docs(tmp_path, PII_ROWS)
+    got = {
+        r.lang: r
+        for r in QUERIES["text_pii_scrub"](spark, str(tmp_path)).collect()
+    }
+    want = _pii_replay(PII_ROWS)
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        g = got[lang]
+        assert g.n_docs == w["n_docs"], lang
+        assert g.n_docs_touched == w["touched"], lang
+        assert g.n_tokens == w["n_tok"], lang
+        assert g.n_redacted == w["red"], lang
+        assert (g.n_email, g.n_ipv4, g.n_idnum, g.n_rare) == tuple(
+            w["cats"]
+        ), lang
+        assert g.n_rare_distinct == len(w["rare_toks"]), lang
+        assert g.retained_permille == (
+            (w["n_tok"] - w["red"]) * 1000 // max(w["n_tok"], 1)
+        ), lang
+    # regex arms on the malformed-token doc: the trailing-@ token and
+    # the five-octet token match nothing; '999.0.0.1' DOES match (the
+    # octet pattern is deliberately recall-biased — a privacy screen
+    # over-redacts rather than leaks); '123456' is 6 digits, below the
+    # id-number floor
+    assert got["en"].n_email == 1 and got["en"].n_ipv4 == 2
+    assert got["en"].n_idnum == 1
+    assert got["de"].n_email == 0 and got["de"].n_ipv4 == 1
+    assert got["de"].n_idnum == 0
+    _cross_engine(spark, tmp_path, "text_pii_scrub")
+
+
+def test_pii_scrub_all_rare_corpus(spark, tmp_path):
+    """Every token unique -> everything redacted as rare, retained
+    permille 0; cross-engine equal on the degenerate edge."""
+    rows = [
+        {"doc_id": i, "lang": "en",
+         "text": f"tok{i}a tok{i}b tok{i}c"}
+        for i in range(4)
+    ]
+    _write_docs(tmp_path, rows)
+    srows, cols = _cross_engine(spark, tmp_path, "text_pii_scrub")
+    by = dict(zip(cols, srows[0]))
+    assert by["n_redacted"] == by["n_tokens"] == 12
+    assert by["n_docs_touched"] == 4
+    assert by["retained_permille"] == 0
+    assert by["n_rare_distinct"] == 12

@@ -50,6 +50,13 @@ WHITELIST = {
     "onto the DISTINCT-bigram model frame (the text_bigram_logprob "
     "anchor); the corpus path is the bigram-key equi-join of the "
     "instance stream onto the scored model",
+    # -- round-11 continuation additions ------------------------------
+    "text_stupid_backoff_lm": "1-row (N_tok, vocab) train-stats "
+    "aggregate crossJoined onto the trigram scoring stream (the "
+    "Laplace-floor denominator anchor); every corpus-sized path is "
+    "an n-gram-key equi-join of the trigram stream against the "
+    "vocabulary-bounded count tables (the Brants sharded-count-join "
+    "shape) and the ln ladder is a codegen'd map",
     # -- round-10 additions -------------------------------------------
     "pipeline_dsir_resample": "two 1-row gram-total aggregates "
     "crossJoined onto the 64-row bucket spine (the Laplace "
