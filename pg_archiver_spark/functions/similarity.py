@@ -4253,3 +4253,314 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_above"),
     )
     return best.join(stats, "src_id").orderBy("src_id")
+
+
+# ------------------------------------------------- graph ANN (NSW)
+# The missing index type after LSH / IVF / PQ / IVF-PQ: a navigable
+# graph (Malkov & Yashunin's NSW/HNSW family, arXiv:1603.09320).
+NSW_M = 4  # out-degree of the within-cell k-NN graph
+NSW_BEAM = 6  # beam width per search round (> NSW_TOPK: self rides)
+NSW_ROUNDS = 3  # fixed expansion depth (unrolled — convertible plan)
+NSW_TOPK = 5  # neighbors reported per query
+
+
+def _nsw_cte_chain() -> str:
+    """_IVF_ORACLE_ASSIGN + the NSW graph/serve CTEs through ``fin``
+    (q_id, vec_id, sim, rnk over the final beam minus self). Shared
+    by the serving op's oracle and the recall-eval oracle, so both
+    replay the IDENTICAL index build and beam trajectory."""
+    ids = tuple(_KNN_BATCH_IDS)
+    cos = (
+        "ROUND(CAST(list_cosine_similarity({a}, {b}) AS DOUBLE), 4)"
+    )
+    rounds = ""
+    prev = "nb0"
+    for r in range(1, NSW_ROUNDS + 1):
+        rounds += f"""
+    nc{r} AS (
+        SELECT DISTINCT q_id, vec_id FROM (
+            SELECT q_id, vec_id FROM {prev}
+            UNION ALL
+            SELECT b.q_id, e.dst AS vec_id
+            FROM {prev} b JOIN nedges e ON b.vec_id = e.src
+        )
+    ),
+    ns{r} AS MATERIALIZED (
+        SELECT c.q_id, c.vec_id,
+               {cos.format(a="q.q_emb", b="v.embedding")} AS sim
+        FROM nc{r} c
+        JOIN assigned v ON c.vec_id = v.vec_id
+        JOIN nq q ON c.q_id = q.q_id
+    ),
+    nb{r} AS MATERIALIZED (
+        SELECT q_id, vec_id, sim
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS rn
+              FROM ns{r})
+        WHERE rn <= {NSW_BEAM}
+    ),"""
+        prev = f"nb{r}"
+    return (
+        _IVF_ORACLE_ASSIGN
+        + f"""
+    , npair AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {cos.format(a="a.embedding", b="b.embedding")} AS sim
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    nedges AS MATERIALIZED (
+        SELECT src, dst
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY src ORDER BY sim DESC, dst) AS rn
+              FROM npair)
+        WHERE rn <= {NSW_M}
+    ),
+    nentry AS (
+        SELECT cell, MIN(vec_id) AS entry_id
+        FROM assigned GROUP BY cell
+    ),
+    nq AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+        FROM assigned WHERE vec_id IN {ids}
+    ),
+    nb0 AS (
+        SELECT q.q_id, e.entry_id AS vec_id
+        FROM nq q JOIN nentry e ON q.q_cell = e.cell
+    ),{rounds}
+    fin AS (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rnk
+        FROM nb{NSW_ROUNDS} WHERE vec_id <> q_id
+    )
+    """
+    )
+
+
+def _nsw_oracle() -> str:
+    return (
+        _nsw_cte_chain()
+        + f"""
+    SELECT q_id AS query_id, vec_id, sim AS cos_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM fin WHERE rnk <= {NSW_TOPK}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW build + beam serve, returning the oracle's ``fin``
+    frame: (q_id, vec_id, sim, rnk) — the final beam per panel query,
+    self excluded, ranked (sim DESC, vec_id). Shared by the serving
+    op and the recall eval."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    assigned = _ivf_assign(emb, cents)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("src"),
+        F.col("embedding").alias("v_src"),
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("v_dst"),
+    )
+    w_src = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst")
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_expr(F.col("v_src"), F.col("v_dst")), 4)
+            .alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+        # ingest artifact: built once, served many times — the serve
+        # rounds below reference it NSW_ROUNDS times and must not
+        # replay the within-cell build (the pretraining-e2e
+        # stage-boundary pattern)
+        .localCheckpoint(eager=True)
+    )
+    entry = assigned.groupBy("cell").agg(
+        F.min("vec_id").alias("entry_id")
+    )
+    qp = assigned.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    beam = qp.join(
+        entry, F.col("q_cell") == F.col("cell")
+    ).select("q_id", F.col("entry_id").alias("vec_id"))
+    emb_v = assigned.select("vec_id", "embedding")
+    q_emb = qp.select("q_id", "q_emb")
+    w_q = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    for _ in range(NSW_ROUNDS):
+        expand = (
+            beam.join(edges, beam["vec_id"] == edges["src"])
+            .select("q_id", F.col("dst").alias("vec_id"))
+        )
+        cand = beam.select("q_id", "vec_id").union(expand).distinct()
+        scored = (
+            cand.join(emb_v, "vec_id")
+            .join(F.broadcast(q_emb), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    cosine_expr(F.col("q_emb"), F.col("embedding")), 4
+                ).alias("sim"),
+            )
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= NSW_BEAM)
+            .select("q_id", "vec_id", "sim")
+        )
+    return beam.filter(F.col("vec_id") != F.col("q_id")).withColumn(
+        "rnk", F.row_number().over(w_q)
+    )
+
+
+@register("sim_ann_nsw_beam", oracle=_nsw_oracle())
+def sim_ann_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN — the navigable-small-world index (Malkov &
+    Yashunin, arXiv:1603.09320) that completes the family after LSH /
+    IVF / PQ / IVF-PQ: INGEST builds a bounded k-NN graph (within each
+    trained IVF cell, every vector keeps its NSW_M most-cosine-similar
+    neighbors — the sharded graph build every DiskANN/HNSW pipeline
+    runs: quadratic only WITHIN a cell, exactly
+    dedup_semantic_cluster's within-cluster justification, and the
+    cells come from the SAME cached trained coarse quantizer as the
+    IVF family); SERVE routes a query to its cell's fixed entry node
+    (lowest vec_id — HNSW's fixed entry point) and runs NSW_ROUNDS
+    unrolled beam-search rounds: expand the beam over the graph edges,
+    union the previous beam, dedup, score (rounded-4dp cosine, the
+    family's pinned metric), keep the NSW_BEAM best per query
+    (sim DESC, vec_id — G5 ties). The query's own vector legitimately
+    joins the beam (cos=1 navigation anchor) and is excluded only from
+    the final report, so NSW_BEAM > NSW_TOPK keeps the report full.
+
+    Plan shape at 100 TB: the graph is built ONCE at ingest (cell
+    equi-join, never corpus×corpus; edge list is N·M compact int
+    pairs, eagerly checkpointed so the three serve rounds never replay
+    the build); each serve round touches |panel|·(BEAM·(M+1)) rows —
+    candidate frames are PANEL-bounded, the corpus appears only
+    through vec_id equi-joins against the fixed-size candidate set,
+    and the 16-row query panel broadcasts. Beam depth/width are the
+    recall knobs exactly as nprobe is for IVF. Oracle replays the
+    identical Lloyd training + assignment (shared _IVF_ORACLE_ASSIGN)
+    and the unrolled rounds CTE-for-CTE."""
+    return (
+        _nsw_serve(spark, sf_dir)
+        .filter(F.col("rnk") <= NSW_TOPK)
+        .select(
+            F.col("q_id").alias("query_id"),
+            "vec_id",
+            F.col("sim").alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sim_ann_nsw_recall_eval",
+    oracle=_nsw_cte_chain()
+    + f"""
+    , nexact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, b.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(CAST(list_cosine_similarity(
+                           q.q_emb, b.embedding) AS DOUBLE), 4) DESC,
+                           b.vec_id) AS rn
+            FROM nq q JOIN embeddings b ON b.vec_id <> q.q_id
+        ) WHERE rn <= {NSW_TOPK}
+    ),
+    nswk AS (
+        SELECT q_id, vec_id FROM fin WHERE rnk <= {NSW_TOPK}
+    )
+    SELECT e.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN n.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_nsw
+    FROM nexact e
+    LEFT JOIN nswk n ON n.q_id = e.q_id AND n.vec_id = e.vec_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def sim_ann_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@{NSW_TOPK} of the NSW graph index vs exact brute force —
+    the pre-ship eval the graph index needs exactly as
+    sim_ann_recall_eval is for IVF: for each panel query, how many of
+    the exact top-k (rounded-4dp cosine, vec_id ties — the family's
+    bit-deterministic ranking) did the beam search reach? The hit
+    count is what a team reads to size NSW_M / NSW_BEAM / NSW_ROUNDS,
+    and on the isotropic fixtures it also documents the same data
+    ceiling the IVF eval exposes (greedy graph routing cannot beat
+    the data's own cluster structure).
+
+    Scale shape: the NSW side is the serving op's panel-bounded beam
+    (shared _nsw_serve — same checkpointed ingest graph, same
+    trajectory the oracle replays CTE-for-CTE); the exact side is the
+    sim_batch_knn_join one-pass broadcast-panel scan (sampled-slice
+    discipline at 100 TB, per sim_ann_recall_eval); hit counting is a
+    panel·k-sized left join."""
+    emb = load(spark, sf_dir, "embeddings")
+    qp = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qp), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("q_emb"), F.col("embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= NSW_TOPK)
+        .select("q_id", "vec_id")
+    )
+    nswk = (
+        _nsw_serve(spark, sf_dir)
+        .filter(F.col("rnk") <= NSW_TOPK)
+        .select("q_id", F.col("vec_id").alias("n_vec"))
+    )
+    return (
+        exact.join(
+            nswk,
+            (exact["q_id"] == nswk["q_id"])
+            & (exact["vec_id"] == nswk["n_vec"]),
+            "left",
+        )
+        .select(exact["q_id"].alias("q_id"), "vec_id", "n_vec")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(
+                F.when(F.col("n_vec").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_nsw"),
+        )
+        .orderBy("q_id")
+    )

@@ -235,6 +235,8 @@ EMB_SWEEP_OPS = [
     "sim_matryoshka_eval",
     "dedup_semantic_cluster",
     "sim_bitext_margin_mine",
+    "sim_ann_nsw_beam",
+    "sim_ann_nsw_recall_eval",
 ]
 
 _EMB_DIRS: dict[int, str] = {}

@@ -353,3 +353,160 @@ def test_pii_scrub_all_rare_corpus(spark, tmp_path):
     assert by["n_docs_touched"] == 4
     assert by["retained_permille"] == 0
     assert by["n_rare_distinct"] == 12
+
+
+# ------------------------------------------------- NSW graph ANN
+
+
+def test_nsw_beam_numpy_replay(spark):
+    """Full numpy replay of the serving stack on the fixture corpus:
+    trained-centroid assignment (cached centroids reused — training
+    itself is pinned by the kmeans/IVF replays), within-cell top-M
+    graph, entry routing, NSW_ROUNDS beam rounds, final top-k — must
+    reproduce the op's result set EXACTLY."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        _KNN_BATCH_IDS,
+        NSW_BEAM,
+        NSW_M,
+        NSW_ROUNDS,
+        NSW_TOPK,
+        _ivf_centroids,
+    )
+
+    rows = (
+        load(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vid = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = np.array(_ivf_centroids(spark, SF), dtype=np.float64)
+    # assignment: argmin squared L2, lowest cell on ties
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+
+    def cos4(i, j):
+        num = float(V[i] @ V[j])
+        den = math.sqrt(float(V[i] @ V[i])) * math.sqrt(
+            float(V[j] @ V[j])
+        )
+        return round(num / den, 4)
+
+    idx_of = {v: i for i, v in enumerate(vid)}
+    # within-cell top-M edges, (sim desc, dst asc)
+    edges = {}
+    by_cell = {}
+    for i, c in enumerate(cell):
+        by_cell.setdefault(c, []).append(i)
+    for c, members in by_cell.items():
+        for i in members:
+            cands = sorted(
+                ((-cos4(i, j), vid[j]) for j in members if j != i)
+            )[:NSW_M]
+            edges[vid[i]] = [dj for _, dj in cands]
+    entry = {
+        c: min(vid[i] for i in members)
+        for c, members in by_cell.items()
+    }
+    want = {}
+    for q in _KNN_BATCH_IDS:
+        qi = idx_of[q]
+        beam = {entry[cell[qi]]}
+        for _ in range(NSW_ROUNDS):
+            cand = set(beam)
+            for b in beam:
+                cand.update(edges.get(b, []))
+            ranked = sorted(
+                ((-cos4(qi, idx_of[v]), v) for v in cand)
+            )[:NSW_BEAM]
+            beam = {v for _, v in ranked}
+        fin = sorted(
+            ((-cos4(qi, idx_of[v]), v) for v in beam if v != q)
+        )[:NSW_TOPK]
+        for rnk, (negs, v) in enumerate(fin, 1):
+            want[(q, rnk)] = (v, -negs)
+
+    got = QUERIES["sim_ann_nsw_beam"](spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wv, ws = want[(r.query_id, r.rnk)]
+        assert r.vec_id == wv, (r.query_id, r.rnk)
+        assert abs(r.cos_sim - ws) < 1e-9, (r.query_id, r.rnk)
+
+
+def test_nsw_beam_structural_contract(spark):
+    """Every query reports <= NSW_TOPK rows with dense ranks, no
+    self-matches, sims within [-1, 1] and non-increasing per query."""
+    from pg_archiver_spark.functions.similarity import (
+        _KNN_BATCH_IDS,
+        NSW_TOPK,
+    )
+
+    rows = QUERIES["sim_ann_nsw_beam"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert -1.0 <= r.cos_sim <= 1.0
+        per.setdefault(r.query_id, []).append(r)
+    assert set(per) <= set(_KNN_BATCH_IDS)
+    for q, rs in per.items():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1)), q
+        assert len(rs) <= NSW_TOPK
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True), q
+
+
+def test_nsw_recall_eval_consistent_with_serving_op(spark):
+    """hits_nsw must equal |exact-top-k ∩ serving-op result| per
+    query, computed independently here from the two ops' own outputs
+    plus a brute-force exact ranking."""
+    import numpy as np
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.functions.similarity import (
+        _KNN_BATCH_IDS,
+        NSW_TOPK,
+    )
+
+    rows = (
+        load(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vid = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    idx_of = {v: i for i, v in enumerate(vid)}
+    norms = np.sqrt((V * V).sum(axis=1))
+
+    def exact_topk(q):
+        qi = idx_of[q]
+        sims = np.round(V @ V[qi] / (norms * norms[qi]), 4)
+        order = sorted(
+            (
+                (-sims[i], vid[i])
+                for i in range(len(vid))
+                if vid[i] != q
+            )
+        )[:NSW_TOPK]
+        return {v for _, v in order}
+
+    beam = {}
+    for r in QUERIES["sim_ann_nsw_beam"](spark, SF).collect():
+        beam.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {
+        r.q_id: r
+        for r in QUERIES["sim_ann_nsw_recall_eval"](spark, SF).collect()
+    }
+    assert set(got) == set(_KNN_BATCH_IDS)
+    total_hits = 0
+    for q in _KNN_BATCH_IDS:
+        e = exact_topk(q)
+        assert got[q].n_exact == len(e) == NSW_TOPK, q
+        want_hits = len(e & beam.get(q, set()))
+        assert got[q].hits_nsw == want_hits, q
+        total_hits += want_hits
+    # the beam finds SOMETHING on the fixture corpus (recall > 0)
+    assert total_hits > 0

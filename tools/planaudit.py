@@ -51,6 +51,11 @@ WHITELIST = {
     "anchor); the corpus path is the bigram-key equi-join of the "
     "instance stream onto the scored model",
     # -- round-11 continuation additions ------------------------------
+    "sim_ann_nsw_recall_eval": "16-row query-panel broadcast onto the "
+    "corpus exact-scoring pass (the sim_batch_knn_join shape — "
+    "O(N·panel), never corpus²); the NSW side is the serving op's "
+    "panel-bounded beam over the checkpointed ingest graph; hit "
+    "counting is a panel·k-sized left join",
     "text_stupid_backoff_lm": "1-row (N_tok, vocab) train-stats "
     "aggregate crossJoined onto the trigram scoring stream (the "
     "Laplace-floor denominator anchor); every corpus-sized path is "
