@@ -3473,3 +3473,117 @@ def pipeline_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ weighted reservoir (E-S)
+ES_SAMPLE_K = 64  # sample size
+_ES_SALT = "#esamp"  # independent uniform draw (DSIR-style md5 salt)
+
+
+def _es_oracle() -> str:
+    ladder_sql, ladder_last = _dsir_staged_sql("es0", "ess")
+    return f"""
+    WITH esd AS MATERIALIZED (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w_tokens
+        FROM documents
+    ),
+    es0 AS MATERIALIZED (
+        SELECT doc_id, lang, w_tokens,
+               CAST(CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || '{_ES_SALT}'), 1, 6))
+                   AS BIGINT) + 1 AS BIGINT) AS c,
+               CAST({_DSIR_U_DENOM} AS BIGINT) AS t
+        FROM esd
+    ),
+{ladder_sql}    eskey AS (
+        SELECT doc_id, lang, w_tokens,
+               CAST((((-q) // 1000000) * 1000000000) // w_tokens
+                    AS BIGINT) AS sort_key
+        FROM {ladder_last}
+    ),
+    espick AS (
+        SELECT * FROM eskey
+        ORDER BY sort_key, doc_id LIMIT {ES_SAMPLE_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sort_key, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, lang, w_tokens, sort_key
+    FROM espick
+    ORDER BY rank
+    """
+
+
+@register("sample_weighted_reservoir", oracle=_es_oracle())
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement in one distributed pass —
+    Efraimidis & Spirakis (2006): give every doc the key u^(1/w)
+    (u uniform, w its token-count weight) and keep the k largest; the
+    inclusion probability is proportional to weight and the sample is
+    exact-size — the primitive behind weighted corpus subsampling
+    (epoch mixtures, eval-slice draws) that Bernoulli keep-rates
+    (pipeline_quality_weighted_sample's banded contract) cannot give
+    you when the budget is a hard k. Deterministic and integer-exact
+    cross-engine: u is the salted md5 24-bit uniform on the
+    (c, 2^24) grid and ln u comes from the SHARED pico-ln ladder (the
+    DSIR draw machinery verbatim), maximizing u^(1/w) ⟺ minimizing
+    (−ln u)/w, computed as the fixed-point BIGINT
+    ((−q) // 1e6) · 1e9 // w on provably non-negative operands
+    (q ≤ 0 since c ≤ 2^24) — micro-grid key ties break on doc_id
+    (G4/G5; the micro quantization is the documented tie granularity,
+    not a correctness bound).
+
+    Plan shape at 100 TB: ONE corpus scan — draw, ladder, and key are
+    per-row codegen expressions (no join, no model table); selection
+    is a global top-k, which Spark plans as TakeOrderedAndProject
+    (per-partition k-heaps, k-row driver merge — the flagship
+    orderby_limit_topk shape, zero shuffles); ranking then runs on
+    the k-row result. Task retries re-derive identical keys (the
+    md5-not-rand discipline every sampling op here follows)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("w_tokens"),
+    )
+    drawn = docs.select(
+        "doc_id",
+        "lang",
+        "w_tokens",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(_ES_SALT),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("c"),
+        F.lit(_DSIR_U_DENOM).cast("long").alias("t"),
+    )
+    for stage in _unigram_q_stages():
+        drawn = drawn.selectExpr("*", *stage)
+    keyed = drawn.select(
+        "doc_id",
+        "lang",
+        "w_tokens",
+        F.expr("(((-q) DIV 1000000) * 1000000000) DIV w_tokens")
+        .cast("long")
+        .alias("sort_key"),
+    )
+    picked = keyed.orderBy("sort_key", "doc_id").limit(ES_SAMPLE_K)
+    w_rank = Window.orderBy("sort_key", "doc_id")
+    return (
+        picked.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        )
+        .select("rank", "doc_id", "lang", "w_tokens", "sort_key")
+        .orderBy("rank")
+    )

@@ -4517,7 +4517,18 @@ def sim_ann_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory the oracle replays CTE-for-CTE); the exact side is the
     sim_batch_knn_join one-pass broadcast-panel scan (sampled-slice
     discipline at 100 TB, per sim_ann_recall_eval); hit counting is a
-    panel·k-sized left join."""
+    panel·k-sized left join.
+
+    Measured recall@5 on the panel (fixtures): 13/80 (sf0.001),
+    14/80 (sf0.01), 7/80 (sf0.1). Two documented ceilings compound
+    here: the single-cell routing caps recall at the IVF single-probe
+    ceiling (the fixture embeddings are isotropic — true neighbors
+    spread across cells; see sim_ann_recall_eval), and within the
+    cell a 3-round/beam-6/M-4 walk explores ≤ ~100 of the cell's
+    nodes. Both are the knobs this report exists to size: on
+    clustered production embeddings raise NSW_M first (graph
+    navigability), then NSW_BEAM/NSW_ROUNDS (walk budget), and route
+    multiple cells exactly as IVF multiprobe does."""
     emb = load(spark, sf_dir, "embeddings")
     qp = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"),

@@ -192,6 +192,7 @@ BROAD_SWEEP_OPS = [
     "pipeline_decontaminate_13gram",
     "text_stupid_backoff_lm",
     "text_pii_scrub",
+    "sample_weighted_reservoir",
 ]
 
 _SWEEP_DIRS: dict[int, str] = {}

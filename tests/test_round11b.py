@@ -510,3 +510,95 @@ def test_nsw_recall_eval_consistent_with_serving_op(spark):
         total_hits += want_hits
     # the beam finds SOMETHING on the fixture corpus (recall > 0)
     assert total_hits > 0
+
+
+# ------------------------------------- E-S weighted reservoir sample
+
+
+def _es_replay_keys(rows):
+    """Exact replay: salted md5 24-bit uniform, the ladder replayed
+    through DuckDB per (c, t) (bit-identical to both engines), then
+    the fixed-point key and (key, doc_id) ordering in pure Python."""
+    import duckdb as _duck
+
+    from pg_archiver_spark.functions.curation import (
+        _DSIR_U_DENOM,
+        _ES_SALT,
+        _unigram_q_stages,
+    )
+
+    con = _duck.connect()
+    keys = []
+    for r in rows:
+        c = (
+            int(
+                hashlib.md5(
+                    (str(r["doc_id"]) + _ES_SALT).encode()
+                ).hexdigest()[:6],
+                16,
+            )
+            + 1
+        )
+        sql = f"SELECT {c}::BIGINT AS c, {_DSIR_U_DENOM}::BIGINT AS t"
+        for stage in _unigram_q_stages():
+            sql = f"SELECT *, {', '.join(stage)} FROM ({sql})"
+        q = con.execute(f"SELECT q FROM ({sql})").fetchone()[0]
+        w = max(len(r["text"].split(" ")), 1)
+        keys.append((((-q) // 1000000) * 1000000000 // w, r["doc_id"]))
+    return sorted(keys)
+
+
+def test_es_reservoir_exact_replay(spark, tmp_path):
+    from pg_archiver_spark.functions.curation import ES_SAMPLE_K
+
+    rows = [
+        {
+            "doc_id": i,
+            "lang": "en" if i % 3 else "de",
+            "text": " ".join(f"w{j}" for j in range(1 + (i * 7) % 40)),
+        }
+        for i in range(120)
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["sample_weighted_reservoir"](
+        spark, str(tmp_path)
+    ).collect()
+    want = _es_replay_keys(rows)[:ES_SAMPLE_K]
+    assert len(got) == ES_SAMPLE_K
+    for r, (wkey, wdoc) in zip(sorted(got, key=lambda r: r.rank), want):
+        assert (r.sort_key, r.doc_id) == (wkey, wdoc), r.rank
+    _cross_engine(spark, tmp_path, "sample_weighted_reservoir")
+
+
+def test_es_reservoir_weight_bias(spark, tmp_path):
+    """A single huge-weight doc among tiny ones is (deterministically,
+    on this fixture) sampled at rank 1: key = ((-ln u)//1e-6 grid)
+    *1e9//w shrinks ~linearly in w, the E-S inclusion-∝-weight
+    mechanism. Also: the sample's mean weight must exceed the corpus
+    mean (the bias the op exists to provide)."""
+    rows = [
+        {
+            "doc_id": i,
+            "lang": "en",
+            "text": " ".join("x" for _ in range(2 + i % 5)),
+        }
+        for i in range(150)
+    ]
+    rows.append(
+        {
+            "doc_id": 999,
+            "lang": "en",
+            "text": " ".join("y" for _ in range(20000)),
+        }
+    )
+    _write_docs(tmp_path, rows)
+    got = QUERIES["sample_weighted_reservoir"](
+        spark, str(tmp_path)
+    ).collect()
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].doc_id == 999
+    corpus_mean = sum(
+        len(r["text"].split(" ")) for r in rows
+    ) / len(rows)
+    sample_mean = sum(r.w_tokens for r in got) / len(got)
+    assert sample_mean > corpus_mean
