@@ -3916,3 +3916,133 @@ def analytics_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     ).orderBy("brand")
+
+
+# -------------------------------------- event-sequence regex match
+# (ClickHouse sequenceMatch semantics: a regex over each user's
+# time-ordered event-type string.)
+SEQ_PATTERNS = [
+    # (name, regex over initials S=signup C=click E=error V=view
+    #  P=purchase; Java-regex/RE2 common subset only)
+    ("view_click_purchase", "V.*C.*P"),
+    ("error_streak", "EE"),
+    ("signup_first", "^S"),
+    ("view_no_convert", "^V[^CP]*$"),
+    ("repeat_purchase", "P.*P"),
+]
+
+
+def _seq_oracle() -> str:
+    arms = ", ".join(
+        f"CAST(SUM(CASE WHEN regexp_matches(seq, '{rx}') THEN 1 "
+        f"ELSE 0 END) AS BIGINT) AS m_{name}"
+        for name, rx in SEQ_PATTERNS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, m_{name} AS n_users FROM m"
+        for name, _ in SEQ_PATTERNS
+    )
+    return f"""
+    WITH seqs AS MATERIALIZED (
+        SELECT user_id,
+               string_agg(
+                   CASE event_type
+                       WHEN 'signup' THEN 'S'
+                       WHEN 'click' THEN 'C'
+                       WHEN 'error' THEN 'E'
+                       WHEN 'view' THEN 'V'
+                       WHEN 'purchase' THEN 'P'
+                       ELSE 'X' END,
+                   '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total, {arms}
+        FROM seqs
+    )
+    SELECT pattern, n_users,
+           CAST(n_users * 1000 // greatest(n_total, 1) AS BIGINT)
+               AS share_permille
+    FROM ({rows}) CROSS JOIN (SELECT n_total FROM m)
+    ORDER BY pattern
+    """
+
+
+@register("analytics_event_sequence_match", oracle=_seq_oracle())
+def analytics_event_sequence_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVENT-SEQUENCE PATTERN MATCHING (ClickHouse's sequenceMatch /
+    SQL MATCH_RECOGNIZE, relationally): each user's events collapse to
+    one time-ordered initial string (ts then event_id ties — the
+    deterministic replay order), and fixed regexes over that string
+    express the sequence questions the funnel family cannot:
+    ADJACENCY ('EE' — two errors in a row), NEGATION ('^V[^CP]*$' —
+    viewed but never converted), anchoring ('^S' — signup was the
+    first touch), and recurrence ('P.*P'); analytics_funnel answers
+    only subsequence reachability. Patterns use the Java-regex/RE2
+    common subset (the text_pii_scrub contract) so Spark ``rlike``
+    and DuckDB ``regexp_matches`` agree string-for-string.
+
+    Plan shape at 100 TB: ONE shuffle on user_id builds the per-user
+    string (sort_array over the collected (ts, event_id, initial)
+    structs — per-user state is session-sized, the stream_session
+    assumption); the five regex arms are map-side codegen booleans
+    over the per-user frame folded in the SAME single aggregate pass
+    (one row out), and the report unpivots that row — no second scan,
+    no per-pattern passes. Integer outputs; permille floor-div on
+    non-negative operands (G13). Reference anchor: extends the
+    reference's event archival scan (main.go:88-102) with the
+    sequence report its analysts would run downstream."""
+    ini = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "error", "E")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+    )
+    seqs = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", ini.alias("ini")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    aggs = [F.count("*").cast("long").alias("n_total")] + [
+        F.sum(F.when(F.col("seq").rlike(rx), 1).otherwise(0))
+        .cast("long")
+        .alias(f"m_{name}")
+        for name, rx in SEQ_PATTERNS
+    ]
+    m = seqs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', m_{name}" for name, _ in SEQ_PATTERNS
+    )
+    return (
+        m.select(
+            "n_total",
+            F.expr(
+                f"stack({len(SEQ_PATTERNS)}, {stack_args}) "
+                "AS (pattern, n_users)"
+            ),
+        )
+        .select(
+            "pattern",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("n_users * 1000 DIV greatest(n_total, 1)")
+            .cast("long")
+            .alias("share_permille"),
+        )
+        .orderBy("pattern")
+    )

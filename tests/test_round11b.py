@@ -602,3 +602,102 @@ def test_es_reservoir_weight_bias(spark, tmp_path):
     ) / len(rows)
     sample_mean = sum(r.w_tokens for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+# ------------------------------------- event-sequence regex match
+
+
+def test_event_sequence_match_controlled(spark, tmp_path):
+    """Crafted per-user sequences hit every pattern arm exactly once
+    each where intended — including a same-timestamp tie broken by
+    event_id — and Spark == DuckDB row-for-row on the tmp corpus."""
+    import duckdb as _duck
+
+    base = pd.Timestamp("2026-01-01")
+    evs = []
+
+    def add(uid, types, tie=False):
+        for i, t in enumerate(types):
+            evs.append(
+                {
+                    "event_id": len(evs),
+                    # tie=True: identical ts for ALL events — order
+                    # must fall back to event_id
+                    "ts": base if tie else base + pd.Timedelta(minutes=i),
+                    "user_id": uid,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+
+    add(1, ["view", "click", "purchase"])          # funnel
+    add(2, ["view", "view", "error"])               # view_no_convert
+    add(3, ["signup", "error", "error", "purchase", "purchase"])
+    add(4, ["error", "view", "click"])              # nothing
+    add(5, ["view", "click", "purchase"], tie=True)  # funnel via ties
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(evs)),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.pattern: r
+        for r in QUERIES["analytics_event_sequence_match"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view_click_purchase"].n_users == 2  # users 1 and 5
+    assert got["error_streak"].n_users == 1         # user 3
+    assert got["signup_first"].n_users == 1         # user 3
+    assert got["view_no_convert"].n_users == 1      # user 2
+    assert got["repeat_purchase"].n_users == 1      # user 3
+    assert got["view_click_purchase"].share_permille == 2 * 1000 // 5
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ocols, orows = ck._oracle_rows_pandas(
+        con.execute(ORACLES["analytics_event_sequence_match"])
+    )
+    df = QUERIES["analytics_event_sequence_match"](spark, str(tmp_path))
+    assert ck.frame_fingerprint(
+        df.columns, [tuple(r) for r in df.collect()]
+    ) == ck.frame_fingerprint(ocols, orows)
+
+
+def test_event_sequence_match_python_replay(spark):
+    """Independent re replay on the fixture corpus: rebuild each
+    user's (ts, event_id)-ordered initial string in Python and re-run
+    the five regexes; counts must be exact."""
+    import re as _re
+
+    from pg_archiver_spark.catalog import load
+    from pg_archiver_spark.operators.analytics import SEQ_PATTERNS
+
+    ini = {"signup": "S", "click": "C", "error": "E",
+           "view": "V", "purchase": "P"}
+    rows = (
+        load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, ini.get(r.event_type, "X"))
+        )
+    seqs = {
+        u: "".join(x[2] for x in sorted(es))
+        for u, es in by_user.items()
+    }
+    got = {
+        r.pattern: r.n_users
+        for r in QUERIES["analytics_event_sequence_match"](
+            spark, SF
+        ).collect()
+    }
+    for name, rx in SEQ_PATTERNS:
+        want = sum(1 for s in seqs.values() if _re.search(rx, s))
+        assert got[name] == want, name
