@@ -3587,3 +3587,205 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "lang", "w_tokens", "sort_key")
         .orderBy("rank")
     )
+
+
+# ------------------------------------------- multinomial Naive Bayes
+NB_TRAIN_BAND = ("0", "7")  # md5 first hex char: deterministic half
+
+
+def _nb_oracle() -> str:
+    m_sql, m_last = _dsir_staged_sql("nbm0", "nbms")
+    p_sql, p_last = _dsir_staged_sql("nbp0", "nbps")
+    lo, hi = NB_TRAIN_BAND
+    return f"""
+    WITH nbd AS MATERIALIZED (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        BETWEEN '{lo}' AND '{hi}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ),
+    nbti AS MATERIALIZED (
+        SELECT lang AS cls, unnest(toks) AS w
+        FROM nbd WHERE split = 'train'
+    ),
+    nbcnt AS (SELECT cls, w, CAST(COUNT(*) AS BIGINT) AS n
+              FROM nbti GROUP BY cls, w),
+    nbtok AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS tok_c
+              FROM nbti GROUP BY cls),
+    nbvoc AS (SELECT DISTINCT w FROM nbti),
+    nbv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM nbvoc),
+    nbm0 AS MATERIALIZED (
+        SELECT s.w, s.cls,
+               CAST(COALESCE(c.n, 0) + 1 AS BIGINT) AS c,
+               CAST(t.tok_c + v.v AS BIGINT) AS t
+        FROM (SELECT w, cls FROM nbvoc CROSS JOIN nbtok) s
+        LEFT JOIN nbcnt c ON s.w = c.w AND s.cls = c.cls
+        JOIN nbtok t ON s.cls = t.cls
+        CROSS JOIN nbv v
+    ),
+{m_sql}    nbmodel AS MATERIALIZED (
+        SELECT w, cls, q AS q_wc FROM {m_last}
+    ),
+    nbdc AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS docs_c
+             FROM nbd WHERE split = 'train' GROUP BY lang),
+    nbdt AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs_t FROM nbd
+             WHERE split = 'train'),
+    nbp0 AS (
+        SELECT cls, docs_c AS c, docs_t AS t
+        FROM nbdc CROSS JOIN nbdt
+    ),
+{p_sql}    nbprior AS (SELECT cls, q AS q_pr FROM {p_last}),
+    nbei AS MATERIALIZED (
+        SELECT doc_id, unnest(toks) AS w
+        FROM nbd WHERE split = 'eval'
+    ),
+    nbsum AS (
+        SELECT e.doc_id, m.cls, CAST(SUM(m.q_wc) AS BIGINT) AS s
+        FROM nbei e JOIN nbmodel m ON e.w = m.w
+        GROUP BY e.doc_id, m.cls
+    ),
+    nbscore AS (
+        SELECT d.doc_id, d.lang AS true_lang, p.cls,
+               p.q_pr + COALESCE(s.s, 0) AS score
+        FROM (SELECT doc_id, lang FROM nbd WHERE split = 'eval') d
+        CROSS JOIN nbprior p
+        LEFT JOIN nbsum s ON s.doc_id = d.doc_id AND s.cls = p.cls
+    ),
+    nbpred AS (
+        SELECT doc_id, true_lang, cls AS pred_lang
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, cls) AS rn
+              FROM nbscore)
+        WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM nbpred
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@register("ml_naive_bayes_lang", oracle=_nb_oracle())
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINED AND SERVED in the engine — the
+    fastText-style bag-of-words classifier every data pipeline keeps
+    for language/quality routing (McCallum & Nigam 1998), here as pure
+    relational algebra: a deterministic md5 half-split trains add-1
+    per-class word models P(w|c) = (n_wc+1)/(tok_c+V) and doc priors,
+    every held-out doc scores argmax_c [ln P(c) + Σ ln P(w|c)], and
+    the output is the eval confusion matrix (true_lang × pred_lang
+    counts). Integer-exact cross-engine: every probability is a ratio
+    of exact BIGINT counts through the SHARED pico-ln ladder, scores
+    are BIGINT pico-nat sums, and the argmax tie-breaks on class name
+    (G4/G5). OOV eval words have no vocab row and drop from the sum —
+    uniformly across classes, the standard multinomial-NB treatment.
+    The vocab × class spine guarantees a model row for every
+    in-vocab (w, c) pair, so zero-count smoothing is explicit, and a
+    doc whose every word is OOV still gets the prior-only argmax (the
+    class frame LEFT JOIN keeps it).
+
+    Plan shape at 100 TB: the model is vocab×|classes|-bounded, built
+    by map-side-combinable groupBys (shuffles carry word keys, never
+    documents); serving joins the eval token stream against the model
+    on w (AQE-broadcast at small SF, co-partitioned by word at scale
+    — the same sharded-count-join as text_stupid_backoff_lm), one
+    per-doc partial agg, a |classes|-row broadcast for the prior
+    spine, and a per-doc argmax window. Train/serve are ONE lineage:
+    retraining is rerunning the query — the in-engine-classifier
+    story ml_logreg_gd tells, for the text surface."""
+    lo, hi = NB_TRAIN_BAND
+    toks = F.split("text", " ")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .between(lo, hi),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    ti = docs.filter(F.col("split") == "train").select(
+        F.col("lang").alias("cls"), F.explode("toks").alias("w")
+    )
+    cnt = ti.groupBy("cls", "w").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tok_c = ti.groupBy("cls").agg(
+        F.count("*").cast("long").alias("tok_c")
+    )
+    vocab = ti.select("w").distinct()
+    v = vocab.agg(F.count("*").cast("long").alias("v"))
+    spine = vocab.crossJoin(F.broadcast(tok_c.select("cls")))
+    model = (
+        spine.join(cnt, ["w", "cls"], "left")
+        .join(F.broadcast(tok_c), "cls")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w",
+            "cls",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("c"),
+            (F.col("tok_c") + F.col("v")).cast("long").alias("t"),
+        )
+    )
+    for stage in _unigram_q_stages():
+        model = model.selectExpr("*", *stage)
+    model = model.select("w", "cls", F.col("q").alias("q_wc"))
+    dc = docs.filter(F.col("split") == "train").groupBy("lang").agg(
+        F.count("*").cast("long").alias("docs_c")
+    )
+    dt = docs.filter(F.col("split") == "train").agg(
+        F.count("*").cast("long").alias("docs_t")
+    )
+    prior = (
+        dc.crossJoin(F.broadcast(dt))
+        .select(
+            F.col("lang").alias("cls"),
+            F.col("docs_c").cast("long").alias("c"),
+            F.col("docs_t").cast("long").alias("t"),
+        )
+    )
+    for stage in _unigram_q_stages():
+        prior = prior.selectExpr("*", *stage)
+    prior = prior.select("cls", F.col("q").alias("q_pr"))
+    ei = docs.filter(F.col("split") == "eval").select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    sums = (
+        ei.join(model, "w")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("q_wc").cast("long").alias("s"))
+    )
+    base = (
+        docs.filter(F.col("split") == "eval")
+        .select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(prior))
+        .join(sums, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (
+                F.col("q_pr") + F.coalesce(F.col("s"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls")
+    )
+    pred = (
+        base.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cls").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -57,9 +57,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # 12, and fill the window with the r11 session additions that missed
 # the window (text_stupid_backoff_lm, text_pii_scrub,
 # sim_ann_nsw_beam, sim_ann_nsw_recall_eval,
-# sample_weighted_reservoir, analytics_event_sequence_match — never
-# driver-checked; they MUST lead the r12 window) plus
-# oldest-driver-evidence-first greens (r4-latest).
+# sample_weighted_reservoir, analytics_event_sequence_match,
+# ml_naive_bayes_lang — never driver-checked; they MUST lead the r12
+# window) plus oldest-driver-evidence-first greens (r4-latest).
 # From r12 on the whole registry holds hash evidence, so the window
 # becomes a pure freshness rotation.
 _DRIVER_PRIORITY = [

@@ -193,6 +193,7 @@ BROAD_SWEEP_OPS = [
     "text_stupid_backoff_lm",
     "text_pii_scrub",
     "sample_weighted_reservoir",
+    "ml_naive_bayes_lang",
 ]
 
 _SWEEP_DIRS: dict[int, str] = {}

@@ -701,3 +701,106 @@ def test_event_sequence_match_python_replay(spark):
     for name, rx in SEQ_PATTERNS:
         want = sum(1 for s in seqs.values() if _re.search(rx, s))
         assert got[name] == want, name
+
+
+# --------------------------------------------- multinomial NB lang
+
+
+def _ladder_batch(con, triples):
+    """Replay the shared ladder for a batch of (key, c, t) rows via
+    DuckDB — bit-identical to both engines."""
+    from pg_archiver_spark.functions.curation import _unigram_q_stages
+
+    vals = ", ".join(f"('{k}', {c}::BIGINT, {t}::BIGINT)"
+                     for k, c, t in triples)
+    sql = f"SELECT * FROM (VALUES {vals}) AS v(k, c, t)"
+    for stage in _unigram_q_stages():
+        sql = f"SELECT *, {', '.join(stage)} FROM ({sql})"
+    return dict(con.execute(f"SELECT k, q FROM ({sql})").fetchall())
+
+
+def test_naive_bayes_python_replay(spark, tmp_path):
+    """Exact replay: md5 split, add-1 model on the vocab x class
+    spine, ladder scores replayed through DuckDB, prior + sum argmax
+    with class-name tie-break — confusion counts must match exactly;
+    then the driver-faithful cross-engine compare."""
+    import duckdb as _duck
+
+    corpus = {
+        "en": "the cat sat on the mat and the dog ran",
+        "de": "der hund lief und der baum steht am haus",
+        "fr": "le chat dort sur le tapis et le chien",
+    }
+    rows = []
+    for i in range(60):
+        lang = list(corpus)[i % 3]
+        words = corpus[lang].split(" ")
+        text = " ".join(words[(i + j) % len(words)] for j in range(6))
+        rows.append({"doc_id": i, "lang": lang, "text": text})
+    _write_docs(tmp_path, rows)
+
+    train = [r for r in rows if _split(r["doc_id"]) == "train"]
+    evalr = [r for r in rows if _split(r["doc_id"]) == "eval"]
+    cnt, tok_c, dc = {}, {}, {}
+    vocab = set()
+    for r in train:
+        dc[r["lang"]] = dc.get(r["lang"], 0) + 1
+        for w in r["text"].split(" "):
+            cnt[(w, r["lang"])] = cnt.get((w, r["lang"]), 0) + 1
+            tok_c[r["lang"]] = tok_c.get(r["lang"], 0) + 1
+            vocab.add(w)
+    V, docs_t = len(vocab), len(train)
+    con = _duck.connect()
+    triples = [
+        (f"m|{w}|{c}", cnt.get((w, c), 0) + 1, tok_c[c] + V)
+        for w in vocab
+        for c in tok_c
+    ] + [(f"p|{c}", dc[c], docs_t) for c in dc]
+    q = _ladder_batch(con, triples)
+    confusion = {}
+    for r in evalr:
+        scores = {}
+        for c in sorted(tok_c):
+            s = q[f"p|{c}"]
+            for w in r["text"].split(" "):
+                if w in vocab:
+                    s += q[f"m|{w}|{c}"]
+            scores[c] = s
+        # argmax with ties -> smallest class name wins (G5)
+        best = max(scores.values())
+        pred = min(c for c in scores if scores[c] == best)
+        confusion[(r["lang"], pred)] = (
+            confusion.get((r["lang"], pred), 0) + 1
+        )
+    got = {
+        (r.true_lang, r.pred_lang): r.n_docs
+        for r in QUERIES["ml_naive_bayes_lang"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == confusion
+    _cross_engine(spark, tmp_path, "ml_naive_bayes_lang")
+
+
+def test_naive_bayes_disjoint_vocab_is_diagonal(spark, tmp_path):
+    """Languages with fully disjoint vocabularies must classify
+    perfectly: the confusion matrix is exactly diagonal."""
+    rows = []
+    for i in range(90):
+        lang = ["aa", "bb", "cc"][i % 3]
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(
+                    f"{lang}tok{(i + j) % 7}" for j in range(8)
+                ),
+            }
+        )
+    _write_docs(tmp_path, rows)
+    got = QUERIES["ml_naive_bayes_lang"](spark, str(tmp_path)).collect()
+    assert len(got) == 3
+    n_eval = sum(1 for r in rows if _split(r["doc_id"]) == "eval")
+    assert sum(r.n_docs for r in got) == n_eval
+    for r in got:
+        assert r.true_lang == r.pred_lang

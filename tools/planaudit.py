@@ -51,6 +51,12 @@ WHITELIST = {
     "anchor); the corpus path is the bigram-key equi-join of the "
     "instance stream onto the scored model",
     # -- round-11 continuation additions ------------------------------
+    "ml_naive_bayes_lang": "three bounded crossJoins: the vocab x "
+    "|classes| model spine (classes is a <=|langs|-row broadcast), "
+    "the 1-row vocab-size and train-doc-total anchors, and the "
+    "|classes|-row prior frame onto the eval docs (prior-only argmax "
+    "for all-OOV docs) — every corpus-sized path is a word-key or "
+    "doc_id equi-join",
     "sim_ann_nsw_recall_eval": "16-row query-panel broadcast onto the "
     "corpus exact-scoring pass (the sim_batch_knn_join shape — "
     "O(N·panel), never corpus²); the NSW side is the serving op's "
