@@ -4046,3 +4046,284 @@ def analytics_event_sequence_match(
         )
         .orderBy("pattern")
     )
+
+
+# --------------------------------------------------- RFM segmentation
+def _rfm_oracle() -> str:
+    return """
+    WITH rfm AS MATERIALIZED (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         CAST(MAX(maxd) AS DATE)) AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders
+        CROSS JOIN (SELECT MAX(o_orderdate) AS maxd FROM orders)
+        GROUP BY o_custkey
+    ),
+    bnd AS (
+        SELECT CAST(ROUND(quantile_cont(r_days, 1.0/3) * 1000)
+                    AS BIGINT) AS r33,
+               CAST(ROUND(quantile_cont(r_days, 2.0/3) * 1000)
+                    AS BIGINT) AS r66,
+               CAST(ROUND(quantile_cont(f_cnt, 1.0/3) * 1000)
+                    AS BIGINT) AS f33,
+               CAST(ROUND(quantile_cont(f_cnt, 2.0/3) * 1000)
+                    AS BIGINT) AS f66,
+               CAST(ROUND(quantile_cont(m_cents, 1.0/3) * 1000)
+                    AS BIGINT) AS m33,
+               CAST(ROUND(quantile_cont(m_cents, 2.0/3) * 1000)
+                    AS BIGINT) AS m66
+        FROM rfm
+    ),
+    scored AS (
+        SELECT r.*,
+               CASE WHEN r.r_days * 1000 <= b.r33 THEN 3
+                    WHEN r.r_days * 1000 <= b.r66 THEN 2
+                    ELSE 1 END AS r_s,
+               CASE WHEN r.f_cnt * 1000 <= b.f33 THEN 1
+                    WHEN r.f_cnt * 1000 <= b.f66 THEN 2
+                    ELSE 3 END AS f_s,
+               CASE WHEN r.m_cents * 1000 <= b.m33 THEN 1
+                    WHEN r.m_cents * 1000 <= b.m66 THEN 2
+                    ELSE 3 END AS m_s
+        FROM rfm r CROSS JOIN bnd b
+    ),
+    seg AS (
+        SELECT *,
+               CASE WHEN r_s = 3 AND f_s = 3 AND m_s = 3
+                        THEN 'champion'
+                    WHEN f_s >= 2 AND r_s >= 2 THEN 'loyal'
+                    WHEN m_s = 3 THEN 'big_spender'
+                    WHEN r_s = 3 AND f_s = 1 THEN 'new'
+                    WHEN r_s = 1 AND f_s >= 2 THEN 'at_risk'
+                    WHEN r_s = 1 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m_cents) AS BIGINT) AS sum_value_cents,
+           CAST(SUM(r_days) // COUNT(*) AS BIGINT)
+               AS mean_recency_days,
+           CAST(SUM(f_cnt) * 100 // COUNT(*) AS BIGINT)
+               AS mean_orders_centi
+    FROM seg
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+@register("analytics_rfm_segmentation", oracle=_rfm_oracle())
+def analytics_rfm_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFM CUSTOMER SEGMENTATION — the recency/frequency/monetary
+    tercile report (Hughes' RFM, the workhorse of every CRM/marketing
+    warehouse): per customer compute days-since-last-order, order
+    count, and lifetime cents (double prices go to BIGINT cents PER
+    ROW before summing — G2, no float accumulation), score each
+    dimension 1-3 against the corpus terciles, and map the score
+    triple to the standard segment labels (champion / loyal /
+    big_spender / new / at_risk / hibernating / regular), reporting
+    size, value, and central tendencies per segment.
+
+    Determinism note (the one float in the op): tercile boundaries
+    are continuous percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the agg_percentile-verified pair) — the two
+    engines' interpolation can differ in the last ulp, so boundaries
+    are QUANTIZED to an e3 integer grid before comparison
+    (ROUND(b·1000) vs value·1000): with integer-valued dimensions the
+    scaled boundary's fractional part sits in {0, 1/3, 2/3} — never
+    at the .5 rounding edge — so a 1-ulp drift cannot flip a
+    customer's tercile (the G4 grid discipline).
+
+    Plan shape at 100 TB: one shuffle on o_custkey for the per-
+    customer rollup (map-side combined); the 1-row corpus-max-date
+    and 1-row six-boundary frames broadcast (anchor shape); scoring
+    and segment mapping are codegen CASE maps; the final agg is
+    7-group. Reference anchor: the downstream segmentation query a
+    README.md:88-102 consumer runs on archived orders."""
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("maxd")), F.to_date(F.max("o_orderdate"))
+            ).alias("r_days"),
+            F.count("*").cast("long").alias("f_cnt"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    bnd = rfm.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({c}, {p})") * 1000, 0
+            )
+            .cast("long")
+            .alias(a)
+            for c, p, a in [
+                ("r_days", "1.0/3", "r33"),
+                ("r_days", "2.0/3", "r66"),
+                ("f_cnt", "1.0/3", "f33"),
+                ("f_cnt", "2.0/3", "f66"),
+                ("m_cents", "1.0/3", "m33"),
+                ("m_cents", "2.0/3", "m66"),
+            ]
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(bnd)).select(
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        F.when(F.col("r_days") * 1000 <= F.col("r33"), 3)
+        .when(F.col("r_days") * 1000 <= F.col("r66"), 2)
+        .otherwise(1)
+        .alias("r_s"),
+        F.when(F.col("f_cnt") * 1000 <= F.col("f33"), 1)
+        .when(F.col("f_cnt") * 1000 <= F.col("f66"), 2)
+        .otherwise(3)
+        .alias("f_s"),
+        F.when(F.col("m_cents") * 1000 <= F.col("m33"), 1)
+        .when(F.col("m_cents") * 1000 <= F.col("m66"), 2)
+        .otherwise(3)
+        .alias("m_s"),
+    )
+    seg = scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_s") == 3) & (F.col("f_s") == 3) & (F.col("m_s") == 3),
+            "champion",
+        )
+        .when((F.col("f_s") >= 2) & (F.col("r_s") >= 2), "loyal")
+        .when(F.col("m_s") == 3, "big_spender")
+        .when((F.col("r_s") == 3) & (F.col("f_s") == 1), "new")
+        .when((F.col("r_s") == 1) & (F.col("f_s") >= 2), "at_risk")
+        .when(F.col("r_s") == 1, "hibernating")
+        .otherwise("regular"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("sum_value_cents"),
+            F.expr("SUM(r_days) DIV COUNT(*)")
+            .cast("long")
+            .alias("mean_recency_days"),
+            F.expr("SUM(f_cnt) * 100 DIV COUNT(*)")
+            .cast("long")
+            .alias("mean_orders_centi"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------- market-basket rules
+MB_TOP_PARTS = 20  # vocabulary cap: pair space <= K^2 at any scale
+MB_OUT = 25
+
+
+def _basket_oracle() -> str:
+    return f"""
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+        FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n FROM items),
+    top_p AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS df FROM items
+        GROUP BY item ORDER BY df DESC, item LIMIT {MB_TOP_PARTS}
+    ),
+    hits AS (
+        SELECT i.bid, i.item, t.df FROM items i JOIN top_p t USING (item)
+    ),
+    pairs AS (
+        SELECT a.item AS part_a, b.item AS part_b,
+               a.df AS df_a, b.df AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM hits a JOIN hits b
+          ON a.bid = b.bid AND a.item < b.item
+        GROUP BY a.item, b.item, a.df, b.df
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab * 1000 // df_a AS BIGINT) AS conf_ab_permille,
+           CAST(n_ab * n.n * 10000 // (df_a * df_b) AS BIGINT)
+               AS lift_x1e4
+    FROM pairs CROSS JOIN nb n
+    ORDER BY lift_x1e4 DESC, part_a, part_b
+    LIMIT {MB_OUT}
+    """
+
+
+@register("analytics_market_basket_lift", oracle=_basket_oracle())
+def analytics_market_basket_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES — the apriori 2-itemset pass
+    (Agrawal & Srikant 1994) every retail warehouse runs: for parts
+    co-ordered in the same order, report support (n_ab), confidence
+    (P(b|a) as integer permille) and LIFT (P(ab)/(P(a)P(b)) as an
+    exact ×1e4 integer — support·N·1e4 floor-div df_a·df_b, so the
+    ranking can never flip on float drift, unlike a double ratio;
+    G4/G5 with (part_a, part_b) ties). The retail twin of
+    text_cooccurrence_pmi with the retail metrics (PMI is symmetric
+    log-association; confidence/lift are the directional rule
+    strengths a merchandiser acts on).
+
+    Bounded by construction exactly as PMI: only the top-{MB_TOP_PARTS}
+    parts enter the pair join (broadcast semi-join on the basket
+    stream), so pair space is ≤K² and per-basket fan-out ≤K² no
+    matter the corpus; one pass ranks the vocabulary (TakeOrdered),
+    one builds basket×top-part hits, then a K²-bounded agg; the
+    1-row basket-count anchor broadcasts."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("bid"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    nb = items.agg(F.countDistinct("bid").cast("long").alias("n"))
+    top_p = (
+        items.groupBy("item")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "item")
+        .limit(MB_TOP_PARTS)
+    )
+    hits = items.join(F.broadcast(top_p), "item")
+    a = hits.select(
+        "bid", F.col("item").alias("part_a"), F.col("df").alias("df_a")
+    )
+    b = hits.select(
+        "bid", F.col("item").alias("part_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "df_a", "df_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 1000 DIV df_a")
+            .cast("long")
+            .alias("conf_ab_permille"),
+            F.expr("n_ab * n * 10000 DIV (df_a * df_b)")
+            .cast("long")
+            .alias("lift_x1e4"),
+        )
+        .orderBy(F.desc("lift_x1e4"), "part_a", "part_b")
+        .limit(MB_OUT)
+    )

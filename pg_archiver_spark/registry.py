@@ -58,8 +58,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # the window (text_stupid_backoff_lm, text_pii_scrub,
 # sim_ann_nsw_beam, sim_ann_nsw_recall_eval,
 # sample_weighted_reservoir, analytics_event_sequence_match,
-# ml_naive_bayes_lang — never driver-checked; they MUST lead the r12
-# window) plus oldest-driver-evidence-first greens (r4-latest).
+# ml_naive_bayes_lang, analytics_rfm_segmentation,
+# analytics_market_basket_lift — never driver-checked; they MUST
+# lead the r12 window) plus oldest-driver-evidence-first greens
+# (r4-latest).
 # From r12 on the whole registry holds hash evidence, so the window
 # becomes a pure freshness rotation.
 _DRIVER_PRIORITY = [

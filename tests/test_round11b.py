@@ -804,3 +804,234 @@ def test_naive_bayes_disjoint_vocab_is_diagonal(spark, tmp_path):
     assert sum(r.n_docs for r in got) == n_eval
     for r in got:
         assert r.true_lang == r.pred_lang
+
+
+# ------------------------------------------------- RFM segmentation
+
+
+def _rfm_replay(orders):
+    """Pure-Python replay: per-customer R/F/M, type-7 terciles with
+    the op's e3 grid quantization, score triple -> segment label."""
+    maxd = max(o["o_orderdate"] for o in orders).date()
+    per = {}
+    for o in orders:
+        c = o["o_custkey"]
+        r = per.setdefault(c, {"last": o["o_orderdate"], "f": 0, "m": 0})
+        r["last"] = max(r["last"], o["o_orderdate"])
+        r["f"] += 1
+        r["m"] += round(o["o_totalprice"] * 100)
+    rows = [
+        {
+            "r": (maxd - v["last"].date()).days,
+            "f": v["f"],
+            "m": v["m"],
+        }
+        for v in per.values()
+    ]
+
+    def terc(vals):
+        s = sorted(vals)
+        out = []
+        for p in (1.0 / 3, 2.0 / 3):
+            idx = (len(s) - 1) * p
+            lo, f = int(idx), idx - int(idx)
+            hi = min(lo + 1, len(s) - 1)
+            out.append(round((s[lo] + f * (s[hi] - s[lo])) * 1000))
+        return out
+
+    r33, r66 = terc([x["r"] for x in rows])
+    f33, f66 = terc([x["f"] for x in rows])
+    m33, m66 = terc([x["m"] for x in rows])
+    seg_counts = {}
+    for x in rows:
+        r_s = 3 if x["r"] * 1000 <= r33 else 2 if x["r"] * 1000 <= r66 else 1
+        f_s = 1 if x["f"] * 1000 <= f33 else 2 if x["f"] * 1000 <= f66 else 3
+        m_s = 1 if x["m"] * 1000 <= m33 else 2 if x["m"] * 1000 <= m66 else 3
+        if r_s == 3 and f_s == 3 and m_s == 3:
+            s = "champion"
+        elif f_s >= 2 and r_s >= 2:
+            s = "loyal"
+        elif m_s == 3:
+            s = "big_spender"
+        elif r_s == 3 and f_s == 1:
+            s = "new"
+        elif r_s == 1 and f_s >= 2:
+            s = "at_risk"
+        elif r_s == 1:
+            s = "hibernating"
+        else:
+            s = "regular"
+        seg_counts[s] = seg_counts.get(s, 0) + 1
+    return seg_counts
+
+
+def test_rfm_python_replay_and_boundary_ties(spark, tmp_path):
+    """Controlled corpus with n ≡ 1 (mod 3) customers per dimension so
+    terciles land EXACTLY on data points (the boundary-tie edge the
+    e3 grid must keep stable), plus the driver-faithful cross-engine
+    compare."""
+    import duckdb as _duck
+
+    base = pd.Timestamp("2026-02-01")
+    orders = []
+    oid = 0
+    # 13 customers (13 % 3 == 1): recency 0..12 days, frequency
+    # 1..13 orders, value proportional — every tercile boundary is a
+    # data point
+    for c in range(13):
+        for k in range(c + 1):
+            orders.append(
+                {
+                    "o_orderkey": (oid := oid + 1),
+                    "o_custkey": c,
+                    "o_orderstatus": "F",
+                    "o_totalprice": 100.0 + c * 7 + k,
+                    "o_orderdate": base - pd.Timedelta(days=c + k),
+                    "o_orderpriority": "3-MEDIUM",
+                }
+            )
+    odf = pd.DataFrame(orders).astype({"o_orderdate": "datetime64[us]"})
+    pq.write_table(
+        pa.Table.from_pandas(odf),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {
+        r.segment: r.n_customers
+        for r in QUERIES["analytics_rfm_segmentation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = _rfm_replay(orders)
+    assert got == want
+    assert sum(got.values()) == 13
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    ocols, orows = ck._oracle_rows_pandas(
+        con.execute(ORACLES["analytics_rfm_segmentation"])
+    )
+    df = QUERIES["analytics_rfm_segmentation"](spark, str(tmp_path))
+    assert ck.frame_fingerprint(
+        df.columns, [tuple(r) for r in df.collect()]
+    ) == ck.frame_fingerprint(ocols, orows)
+
+
+def test_rfm_fixture_invariants(spark):
+    """Segments partition the customer base: counts sum to the number
+    of distinct ordering customers; labels from the fixed set; value
+    conservation (segment sums == corpus total cents)."""
+    import duckdb as _duck
+
+    rows = QUERIES["analytics_rfm_segmentation"](spark, SF).collect()
+    labels = {
+        "champion", "loyal", "big_spender", "new", "at_risk",
+        "hibernating", "regular",
+    }
+    assert {r.segment for r in rows} <= labels
+    con = _duck.connect()
+    n_cust, total_cents = con.execute(
+        "SELECT COUNT(DISTINCT o_custkey), "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.sum_value_cents for r in rows) == total_cents
+
+
+# ---------------------------------------------- market-basket rules
+
+
+def test_market_basket_python_replay(spark, tmp_path):
+    """Exact replay on a controlled basket set with known pair
+    structure: supports, integer confidence/lift, ordering."""
+    import itertools
+
+    import duckdb as _duck
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 30],
+        4: [20, 30, 40],
+        5: [10, 20, 30, 40],
+        6: [40, 50],
+        7: [50, 10],
+        8: [20, 40],
+    }
+    rows = []
+    for bid, parts in baskets.items():
+        for p in parts:
+            # duplicate lines for the same (order, part): the DISTINCT
+            # basket projection must collapse them
+            for _ in range(2 if p == 10 else 1):
+                rows.append(
+                    {
+                        "l_orderkey": bid,
+                        "l_partkey": p,
+                        "l_quantity": 1.0,
+                    }
+                )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from pg_archiver_spark.operators.analytics import MB_OUT
+
+    df_cnt = {}
+    for parts in baskets.values():
+        for p in set(parts):
+            df_cnt[p] = df_cnt.get(p, 0) + 1
+    n = len(baskets)
+    want = []
+    for a, b in itertools.combinations(sorted(df_cnt), 2):
+        n_ab = sum(
+            1 for parts in baskets.values()
+            if a in parts and b in parts
+        )
+        if n_ab:
+            want.append(
+                (
+                    -(n_ab * n * 10000 // (df_cnt[a] * df_cnt[b])),
+                    a,
+                    b,
+                    n_ab,
+                    n_ab * 1000 // df_cnt[a],
+                )
+            )
+    want.sort()
+    got = QUERIES["analytics_market_basket_lift"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == min(len(want), MB_OUT)
+    for r, (neg_lift, a, b, n_ab, conf) in zip(got, want):
+        assert (r.part_a, r.part_b) == (a, b)
+        assert r.n_ab == n_ab
+        assert r.conf_ab_permille == conf
+        assert r.lift_x1e4 == -neg_lift
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    ocols, orows = ck._oracle_rows_pandas(
+        con.execute(ORACLES["analytics_market_basket_lift"])
+    )
+    df = QUERIES["analytics_market_basket_lift"](spark, str(tmp_path))
+    assert ck.frame_fingerprint(
+        df.columns, [tuple(r) for r in df.collect()]
+    ) == ck.frame_fingerprint(ocols, orows)
+
+
+def test_market_basket_fixture_invariants(spark):
+    """Lift sanity on the fixture: supports positive, confidence in
+    (0, 1000], pairs ordered by (lift desc, part_a, part_b)."""
+    rows = QUERIES["analytics_market_basket_lift"](spark, SF).collect()
+    assert rows
+    keys = [(-r.lift_x1e4, r.part_a, r.part_b) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.n_ab >= 1
+        assert 0 < r.conf_ab_permille <= 1000
+        assert r.part_a < r.part_b

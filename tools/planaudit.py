@@ -51,6 +51,15 @@ WHITELIST = {
     "anchor); the corpus path is the bigram-key equi-join of the "
     "instance stream onto the scored model",
     # -- round-11 continuation additions ------------------------------
+    "analytics_market_basket_lift": "1-row basket-count aggregate "
+    "crossJoin (the lift denominator anchor — the "
+    "text_cooccurrence_pmi pattern); the pair join is a basket-id "
+    "equi-join bounded to the top-K part vocabulary",
+    "analytics_rfm_segmentation": "two 1-row anchor crossJoins: the "
+    "corpus max-date frame onto the orders scan and the six-boundary "
+    "tercile frame onto the per-customer rollup (the "
+    "analytics_forecast_backtest anchor pattern); the only shuffle "
+    "is the o_custkey rollup",
     "ml_naive_bayes_lang": "three bounded crossJoins: the vocab x "
     "|classes| model spine (classes is a <=|langs|-row broadcast), "
     "the 1-row vocab-size and train-doc-total anchors, and the "
