@@ -215,7 +215,8 @@ ACF_MAX_LAG = 7
         FROM lagged
     )
     SELECT CAST(lag AS INT) AS lag,
-           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0
+               AS acf
     FROM sums, LATERAL (VALUES
         {", ".join(f"({k}, num_{k})" for k in range(1, ACF_MAX_LAG + 1))}
     ) AS t(lag, num)
@@ -279,8 +280,19 @@ def analytics_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.select(F.expr(stack_expr), "den")
         .select(
             F.col("lag").cast("int").alias("lag"),
+            # ROUND 6dp + 0.0 (G4/G13): beyond 2^53 the BIGINT/HUGEINT
+            # -> double casts differ between engines in the last ulp
+            # (DuckDB converts hugeint as upper*2^64 + lower, two
+            # roundings), so the full-precision repr is NOT stable on
+            # arbitrary data — the seed-99 randsweep caught exactly
+            # this. 6dp is far beyond the statistic's meaning.
             (
-                F.col("num").cast("double") / F.col("den").cast("double")
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("acf"),
         )
         .orderBy("lag")
@@ -1620,11 +1632,12 @@ def analytics_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(CASE WHEN i = tau_i THEN day END), '%Y-%m-%d')
                AS tau_day,
            CAST(MAX(k_stat) AS BIGINT) AS k_stat,
-           2 * exp(-6.0 * CAST(MAX(k_stat) AS DOUBLE)
+           ROUND(2 * exp(-6.0 * CAST(MAX(k_stat) AS DOUBLE)
                    * CAST(MAX(k_stat) AS DOUBLE)
                    / (CAST(MAX(tt) AS DOUBLE) * CAST(MAX(tt) AS DOUBLE)
                       * CAST(MAX(tt) AS DOUBLE)
-                      + CAST(MAX(tt) AS DOUBLE) * CAST(MAX(tt) AS DOUBLE)))
+                      + CAST(MAX(tt) AS DOUBLE) * CAST(MAX(tt) AS DOUBLE))),
+                 6) + 0.0
                AS p_approx
     FROM k
     """,
@@ -1710,8 +1723,20 @@ def analytics_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
             "yyyy-MM-dd",
         ).alias("tau_day"),
         F.max("k_stat").cast("bigint").alias("k_stat"),
+        # ROUND 6dp + 0.0 (G4/G13): exp() is a libm call — Java
+        # Math.exp and DuckDB's libm are each high-quality but NOT
+        # bit-identical on every input, so the full-precision repr of
+        # p can differ in the last ulp on arbitrary (K, T) (the
+        # seed-99 randsweep caught exactly this); 6dp is far beyond
+        # the approximation's meaning.
         (
-            F.lit(2.0)
-            * F.exp(-F.lit(6.0) * ks * ks / (ttd * ttd * ttd + ttd * ttd))
+            F.round(
+                F.lit(2.0)
+                * F.exp(
+                    -F.lit(6.0) * ks * ks / (ttd * ttd * ttd + ttd * ttd)
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("p_approx"),
     )

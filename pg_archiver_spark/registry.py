@@ -60,7 +60,11 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # sample_weighted_reservoir, analytics_event_sequence_match,
 # ml_naive_bayes_lang, analytics_rfm_segmentation,
 # analytics_market_basket_lift — never driver-checked; they MUST
-# lead the r12 window) plus oldest-driver-evidence-first greens
+# lead the r12 window), then analytics_autocorrelation and
+# analytics_pettitt_changepoint (outputs changed to the ROUND-6dp
+# discipline after the seed-99 sweep found their full-precision
+# doubles engine-unstable — their old driver evidence refers to the
+# unrounded outputs), plus oldest-driver-evidence-first greens
 # (r4-latest).
 # From r12 on the whole registry holds hash evidence, so the window
 # becomes a pure freshness rotation.
