@@ -65,7 +65,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # discipline after the seed-99 sweep found their full-precision
 # doubles engine-unstable — their old driver evidence refers to the
 # unrounded outputs), plus oldest-driver-evidence-first greens
-# (r4-latest).
+# (r4-latest). R12 AUDIT (SURVEY §9): sweep the ~20 remaining
+# unrounded CAST(int AS DOUBLE)/... output columns (grep
+# '"AS DOUBLE) /"' minus ROUND) onto ROUND(.,6)+0.0 — stable on four
+# random seeds today, but the >2^53 cast-ulp class is reachable at
+# 100 TB magnitudes; batch each fix with that op's window slot so
+# fresh driver evidence lands the same round.
 # From r12 on the whole registry holds hash evidence, so the window
 # becomes a pure freshness rotation.
 _DRIVER_PRIORITY = [
