@@ -43,101 +43,90 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
-# ROUND-11 PIN (executes VERDICT r10 item #1): the 50 r10-evidenced
-# names are deleted. Slots 1-23 are the remaining never-driver-checked
-# ops (r10 queue order preserved); slots 24-26 are the three r10
-# session additions (also never checked); slots 27-45 are the 19 ops
-# whose only driver records are rows-only/no_oracle from rounds 1-5
-# (since converted to sql oracles), oldest evidence first; slots 46-50
-# top up from oldest-driver-evidence greens (r4, registry order).
-# As r11 session ops land (pipeline_pretraining_e2e, ...), swap them
-# in for the green top-ups so the window stays 100% first-time.
-# ROUND-12 PIN (write now in case of context reset): delete every name
-# below that holds r11 evidence (expected: all 50), bump _PIN_ROUND to
-# 12, and fill the window with the r11 session additions that missed
-# the window (text_stupid_backoff_lm, text_pii_scrub,
-# sim_ann_nsw_beam, sim_ann_nsw_recall_eval,
-# sample_weighted_reservoir, analytics_event_sequence_match,
-# ml_naive_bayes_lang, analytics_rfm_segmentation,
-# analytics_market_basket_lift — never driver-checked; they MUST
-# lead the r12 window), then analytics_autocorrelation and
-# analytics_pettitt_changepoint (outputs changed to the ROUND-6dp
-# discipline after the seed-99 sweep found their full-precision
-# doubles engine-unstable — their old driver evidence refers to the
-# unrounded outputs), plus oldest-driver-evidence-first greens
-# (r4-latest). R12 AUDIT (SURVEY §9): sweep the ~20 remaining
-# unrounded CAST(int AS DOUBLE)/... output columns (grep
-# '"AS DOUBLE) /"' minus ROUND) onto ROUND(.,6)+0.0 — stable on four
-# random seeds today, but the >2^53 cast-ulp class is reachable at
-# 100 TB magnitudes; batch each fix with that op's window slot so
-# fresh driver evidence lands the same round.
-# From r12 on the whole registry holds hash evidence, so the window
-# becomes a pure freshness rotation.
+# ROUND-12 PIN (executes VERDICT r11 item #1): all 50 r11-window names
+# hold fresh r11 evidence and are deleted. Slots 1-9 are the nine r11
+# session additions that missed the r11 window (never driver-checked —
+# mandatory leads per the r11 verdict); slots 10-11 are the two ops
+# whose outputs changed to the ROUND-6dp discipline after the seed-99
+# sweep (their old driver evidence refers to the unrounded outputs);
+# slots 12-31 are the 20 ops swept by the R12 AUDIT this session
+# (unrounded CAST(int AS DOUBLE)/... OUTPUT columns moved onto
+# ROUND(.,6)+0.0 — their fixture hashes CHANGE, so each needs fresh
+# driver evidence the same round its output changes); slots 32-50 top
+# up from oldest-driver-evidence greens (r4, registry order).
+# From r13 on the whole registry holds current hash evidence and the
+# window becomes a pure freshness rotation: delete every name below
+# that holds r12 evidence, bump _PIN_ROUND to 13, lead with any r12
+# session additions, then fill oldest-driver-evidence-first (r4-up).
 _DRIVER_PRIORITY = [
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "analytics_markov_removal_attribution",
-    "sink_manifest_committer",
-    "pipeline_neardup_eval_pr",
-    "pipeline_bpe_merges",
-    "pipeline_bpe_apply",
-    "pipeline_unigram_tokenizer_em",
-    "multimodal_phash_neardup",
-    "multimodal_audio_fingerprint_neardup",
-    "sim_ann_ivf_multiprobe",
-    "ml_logreg_gd",
-    "sim_mmr_rerank",
-    "ml_ols_normal_eq",
-    "ml_pr_auc_average_precision",
-    "dedup_repeated_substring_spans",
-    "text_readability",
-    "text_ngram_novelty_decay",
-    "ml_logreg_inference_gate",
-    "pipeline_decontaminate_13gram",
-    "pipeline_decontaminate_spans",
-    "text_gopher_repetition",
-    "sim_ann_recall_eval",
-    "sim_ivfpq_search",
-    "pipeline_dsir_resample",
-    "pipeline_tokenizer_fertility",
-    "agg_hll_partial_merge",
-    "graph_pagerank",
-    "ml_kmeans_lloyd",
-    "maintenance_compact",
-    "stream_stateful_count",
-    "ml_pca_project",
-    "sim_batch_knn_ivf",
-    "pipeline_neardup_dedup_e2e",
-    "stream_progress_metrics",
-    "stream_state_timeout_sessions",
-    "source_jdbc_poll",
-    "agg_approx_percentile",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivf_partitioned",
-    "sim_cosine_topk_arrow",
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "multimodal_binary_features",
-    # round-11 session additions (never driver-checked):
-    "pipeline_pretraining_e2e",
-    "pipeline_domain_reweight",
-    "text_perplexity_filter",
-    "sim_bm25_topk",
-    "sim_bitext_margin_mine",
+    # never driver-checked (r11 session additions):
+    "text_stupid_backoff_lm",
+    "text_pii_scrub",
+    "sim_ann_nsw_beam",
+    "sim_ann_nsw_recall_eval",
+    "sample_weighted_reservoir",
+    "analytics_event_sequence_match",
+    "ml_naive_bayes_lang",
+    "analytics_rfm_segmentation",
+    "analytics_market_basket_lift",
+    # stale evidence (outputs re-rounded post-check, commit ed64783):
+    "analytics_autocorrelation",
+    "analytics_pettitt_changepoint",
+    # R12 double-output sweep (outputs now ROUND(.,6)+0.0 — hashes
+    # changed this session, fresh evidence must land this round):
+    "agg_kmv_jaccard_estimate",
+    "analytics_attribution_position",
+    "analytics_bootstrap_ci",
+    "analytics_chisq_independence",
+    "analytics_did_estimator",
+    "analytics_ks_test",
+    "analytics_mannwhitney_u",
+    "analytics_pareto_abc",
+    "analytics_permutation_test",
+    "analytics_price_index",
+    "analytics_root_cause_contribution",
+    "analytics_seasonal_naive_backtest",
+    "analytics_seasonal_residual_outliers",
+    "analytics_shapley_attribution",
+    "analytics_theil_sen_trend",
+    "analytics_yoy_growth",
+    "composed_q17_small_qty_revenue",
+    "ml_calibration_bins",
+    "pipeline_source_mix",
+    "text_repetition",
+    # oldest-driver-evidence greens (r4, registry order):
+    "agg_global_stats",
+    "agg_max_timestamp",
+    "agg_mode_stats",
+    "agg_unpivot",
+    "analytics_histogram",
+    "analytics_sessionize",
+    "analytics_funnel",
+    "analytics_retention_cohort",
+    "join_range_binned",
+    "window_rolling_distinct",
+    "window_gaps_islands",
+    "window_ewma",
+    "analytics_zscore_outliers",
+    "filter_range_cutoff",
+    "filter_conjunction",
+    "cast_epoch_ms",
+    "join_asof",
+    "join_interval_pairs",
+    "join_asof_tolerance",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py
 # ignores CORRECTNESS files from rounds >= this when deciding whether
-# the window is stale (ADVICE r9 #1: the driver writes CORRECTNESS_r11
-# DURING round 11, giving the window ops fresh full passes -- that is
+# the window is stale (ADVICE r9 #1: the driver writes CORRECTNESS_r12
+# DURING round 12, giving the window ops fresh full passes -- that is
 # the pin WORKING, not a stale pin; only evidence from rounds BEFORE
 # the pin means the budget would be wasted re-verifying greens).
 # ADVICE r10 #4: the rotation test also asserts _PIN_ROUND equals
 # 1 + the max round present in CORRECTNESS_r*.json, so bumping this
 # without actually re-pinning the window re-arms the tripwire instead
 # of disarming it.
-_PIN_ROUND = 11
+_PIN_ROUND = 12
 
 
 def load_all_operators() -> None:
