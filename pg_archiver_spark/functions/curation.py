@@ -44,6 +44,10 @@ from pg_archiver_spark.registry import register
 # ≤~0.2 — same gap dedup_ngram_jaccard uses).
 _BENCH_CHARS = ("c", "d", "e", "f")
 CONTAINMENT_THRESHOLD = 0.5
+# Exact rational form (== CONTAINMENT_THRESHOLD) for integer threshold
+# predicates: n/t >= 1/2  ⟺  2·n >= t (r12 sweep — no double cast in
+# keep/drop logic).
+CONTAINMENT_T_NUM, CONTAINMENT_T_DEN = 1, 2
 
 TOKEN_BUDGET = 12_000
 DOMAIN_QUOTA = 15
@@ -114,8 +118,8 @@ def _with_global_running(docs: DataFrame) -> DataFrame:
         SELECT DISTINCT t.doc_id
         FROM d t, d b
         WHERE NOT t.is_bench AND b.is_bench
-          AND CAST(len(list_intersect(t.shingles, b.shingles)) AS DOUBLE)
-              / len(t.shingles) >= {CONTAINMENT_THRESHOLD}
+          AND {CONTAINMENT_T_DEN} * len(list_intersect(t.shingles, b.shingles))
+              >= {CONTAINMENT_T_NUM} * len(t.shingles)
     )
     SELECT lang,
            COUNT(*) FILTER (WHERE NOT is_bench) AS n_train,
@@ -169,9 +173,10 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(bench, "shingle")
         .groupBy("t_id", "b_id", "t_n")
         .agg(F.count("*").alias("n_common"))
+        # integer-exact threshold (r12 sweep)
         .filter(
-            F.col("n_common").cast("double") / F.col("t_n")
-            >= CONTAINMENT_THRESHOLD
+            F.col("n_common") * CONTAINMENT_T_DEN
+            >= F.col("t_n") * CONTAINMENT_T_NUM
         )
         .select(F.col("t_id").alias("doc_id"))
         .distinct()
@@ -782,8 +787,8 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tok - n_uniq) AS BIGINT) AS repeated_tokens,
-           CAST(SUM(n_tok - n_uniq) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
-               AS repetition_ratio
+           ROUND(CAST(SUM(n_tok - n_uniq) AS DOUBLE)
+               / CAST(SUM(n_tok) AS DOUBLE), 6) + 0.0 AS repetition_ratio
     FROM t
     GROUP BY lang
     """,
@@ -805,9 +810,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("lang").agg(
         total.alias("total_tokens"),
         repeated.alias("repeated_tokens"),
-        (repeated.cast("double") / total.cast("double")).alias(
-            "repetition_ratio"
-        ),
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+        (
+            F.round(repeated.cast("double") / total.cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("repetition_ratio"),
     )
 
 
@@ -934,7 +941,7 @@ _MIX_THRESHOLDS = ("4", "8", "c", "g")
         FROM d
     )
     SELECT source,
-           CAST(g + 1 AS DOUBLE) / 4 AS target_rate,
+           ROUND(CAST(g + 1 AS DOUBLE) / 4, 6) + 0.0 AS target_rate,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE kept) AS n_kept,
            CAST(COALESCE(SUM(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
@@ -969,7 +976,11 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_tokens"),
     ).select(
         "source",
-        ((F.col("g") + 1).cast("double") / 4).alias("target_rate"),
+        # ROUND 6dp + 0.0 (r12 sweep): exact here (quarters), rounded
+        # anyway so the G13 double-output grep class stays empty.
+        (F.round((F.col("g") + 1).cast("double") / 4, 6) + F.lit(0.0)).alias(
+            "target_rate"
+        ),
         "n_total",
         "n_kept",
         "kept_tokens",

@@ -31,6 +31,18 @@ from pg_archiver_spark.registry import register
 # ≥0.9; the background is ≤0.1 — verified empirically at sf0.01).
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# Exact rational form of the threshold (== JACCARD_THRESHOLD) for
+# INTEGER threshold predicates: n/(u) >= p/q  ⟺  q·n >= p·u. Used in
+# every WHERE/filter so the keep/drop decision is exact integer
+# arithmetic on both engines at any magnitude (the double-cast form is
+# engine-unstable in the last ulp once a count exceeds 2^53 — the r12
+# unrounded-double sweep, SURVEY §9).
+JACCARD_T_NUM, JACCARD_T_DEN = 1, 2
+# SQL fragment over the _shingle_pairs_ctes pair columns:
+JACCARD_PRED_SQL = (
+    f"{JACCARD_T_DEN} * n_common >= "
+    f"{JACCARD_T_NUM} * (n1 + n2 - n_common)"
+)
 
 # Hot-shingle doc-frequency cap for the shared-shingle pair joins. The
 # equi-join on shingle is sub-quadratic only while per-shingle doc
@@ -163,8 +175,7 @@ _EXACT_PAIRS_SELECT = f"""
            ROUND(CAST(n_common AS DOUBLE) / (n1 + n2 - n_common), 3)
                AS jaccard
     FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-          >= {JACCARD_THRESHOLD}
+    WHERE {JACCARD_PRED_SQL}
     """
 
 
@@ -236,9 +247,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inter.withColumn("jaccard", F.round(jaccard, 3))
-        .filter(jaccard >= JACCARD_THRESHOLD)
+        .filter(_jaccard_pred())
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def _jaccard_pred():
+    """Integer-exact Jaccard threshold predicate over the standard
+    pair columns (n1, n2, n_common) — the Spark twin of
+    JACCARD_PRED_SQL (r12 sweep: no double cast in keep/drop logic)."""
+    return F.col("n_common") * JACCARD_T_DEN >= (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    ) * JACCARD_T_NUM
 
 
 def _neardup_loser_ids(frame: DataFrame) -> DataFrame:
@@ -269,15 +289,12 @@ def _neardup_loser_ids(frame: DataFrame) -> DataFrame:
     b = ex.select(
         F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"), "shingle"
     )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    )
     return (
         a.join(b, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
         .groupBy("doc1", "doc2", "n1", "n2")
         .agg(F.count("*").alias("n_common"))
-        .filter(jaccard >= JACCARD_THRESHOLD)
+        .filter(_jaccard_pred())
         .select(F.col("doc2").alias("doc_id"))
         .distinct()
     )
@@ -428,12 +445,17 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         candidates.join(sh1, "doc1")
         .join(sh2, "doc2")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("n_union", F.size(F.array_union("sh1", "sh2")))
+        # integer-exact threshold (r12 sweep), double only for display
+        .filter(
+            F.col("n_inter") * JACCARD_T_DEN
+            >= F.col("n_union") * JACCARD_T_NUM
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh1", "sh2")).cast("double")
-            / F.size(F.array_union("sh1", "sh2")),
+            F.col("n_inter").cast("double") / F.col("n_union"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.round("jaccard", 3).alias("jaccard"))
     )
     return verified.orderBy("doc1", "doc2")
@@ -749,8 +771,7 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     ),
     edges AS (
         SELECT doc1, doc2 FROM pairs
-        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-              >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_PRED_SQL}
     ),
     bidir AS (
         SELECT doc1 AS src, doc2 AS dst FROM edges
@@ -792,6 +813,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_THRESHOLD = 0.8
+# Exact rational form (== CONTAINMENT_THRESHOLD) for integer threshold
+# predicates: n_common/n_a >= 4/5  ⟺  5·n_common >= 4·n_a (r12 sweep).
+CONTAINMENT_T_NUM, CONTAINMENT_T_DEN = 4, 5
 
 
 @register(
@@ -822,7 +846,7 @@ CONTAINMENT_THRESHOLD = 0.8
     SELECT contained_doc, container_doc,
            ROUND(CAST(n_common AS DOUBLE) / n_a, 3) AS containment
     FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / n_a >= {CONTAINMENT_THRESHOLD}
+    WHERE {CONTAINMENT_T_DEN} * n_common >= {CONTAINMENT_T_NUM} * n_a
     ORDER BY contained_doc, container_doc
     """,
 )
@@ -876,7 +900,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     containment = F.col("n_common").cast("double") / F.col("n_a")
     return (
-        inter.filter(containment >= CONTAINMENT_THRESHOLD)
+        # integer-exact threshold (r12 sweep), double only for display
+        inter.filter(
+            F.col("n_common") * CONTAINMENT_T_DEN
+            >= F.col("n_a") * CONTAINMENT_T_NUM
+        )
         .select(
             "contained_doc",
             "container_doc",
@@ -1113,8 +1141,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_shingle_pairs_ctes("prs")},
     exact AS (
         SELECT doc1, doc2 FROM prs
-        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-              >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_PRED_SQL}
     ),
     {_minhash_oracle_sig_sql()},
     cand AS (
@@ -1183,12 +1210,11 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         shared.join(sh1, "doc1")
         .join(sh2, "doc2")
-        .withColumn(
-            "j",
-            F.size(F.array_intersect("s1", "s2")).cast("double")
-            / F.size(F.array_union("s1", "s2")),
+        # integer-exact threshold (r12 sweep)
+        .filter(
+            F.size(F.array_intersect("s1", "s2")) * JACCARD_T_DEN
+            >= F.size(F.array_union("s1", "s2")) * JACCARD_T_NUM
         )
-        .filter(F.col("j") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2")
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from pg_archiver_spark.catalog import load
 from pg_archiver_spark.functions.dedup import (
+    JACCARD_PRED_SQL,
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
     SHINGLE_K,
@@ -159,8 +160,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_shingle_pairs_ctes("prs")},
     p AS (
         SELECT doc1, doc2 FROM prs
-        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-              >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_PRED_SQL}
     ),
     edges AS (
         SELECT doc1 AS s, doc2 AS d FROM p
@@ -478,8 +478,7 @@ def _pretraining_e2e_oracle() -> str:
     {_shingle_pairs_ctes(src="s3docs")},
     losers AS (
         SELECT DISTINCT doc2 AS doc_id FROM pairs
-        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)
-              >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_PRED_SQL}
     ),
     s4 AS MATERIALIZED (
         SELECT * FROM s3

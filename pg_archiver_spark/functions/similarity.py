@@ -2889,12 +2889,12 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(bin AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(p_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               / 1000.0 AS mean_p,
-           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               AS frac_pos,
-           CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               / 1000000.0 AS brier
+           ROUND(CAST(SUM(p_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000.0, 6) + 0.0 AS mean_p,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               + 0.0 AS frac_pos,
+           ROUND(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000.0, 6) + 0.0 AS brier
     FROM binned
     GROUP BY bin
     ORDER BY bin
@@ -2941,18 +2941,31 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n"),
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
             (
-                F.sum("p_milli").cast("double")
-                / F.count("*").cast("double")
-                / 1000.0
+                F.round(
+                    F.sum("p_milli").cast("double")
+                    / F.count("*").cast("double")
+                    / 1000.0,
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("mean_p"),
             (
-                F.sum("y").cast("double") / F.count("*").cast("double")
+                F.round(
+                    F.sum("y").cast("double") / F.count("*").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("frac_pos"),
             (
-                F.sum("sq").cast("double")
-                / F.count("*").cast("double")
-                / 1000000.0
+                F.round(
+                    F.sum("sq").cast("double")
+                    / F.count("*").cast("double")
+                    / 1000000.0,
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("brier"),
         )
         .orderBy("bin")

@@ -1673,8 +1673,8 @@ ATTR_LAST_PERMILLE = 400
     SELECT channel,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
            CAST(SUM(CAST(permille AS BIGINT)) AS BIGINT) AS permille_sum,
-           CAST(SUM(amount * permille) AS DOUBLE) / 1000.0
-               AS attributed_revenue
+           CAST(SUM(amount * permille) * 1000 AS BIGINT)
+               AS attributed_revenue_micro
     FROM credited
     GROUP BY channel
     """,
@@ -1745,10 +1745,13 @@ def analytics_attribution_position(spark: SparkSession, sf_dir: str) -> DataFram
     return credited.groupBy("channel").agg(
         F.count("*").alias("n_touches"),
         F.sum("permille").cast("bigint").alias("permille_sum"),
-        (
-            F.sum(F.col("amount") * F.col("permille")).cast("double")
-            / F.lit(1000.0)
-        ).alias("attributed_revenue"),
+        # Exact-integer output (r12 sweep): amount is DECIMAL(18,2), so
+        # amount·permille·1000 is integer-valued micro-dollars — the
+        # whole credit ledger stays exact at any scale, where a double
+        # division at this magnitude is engine-unstable in the last ulp.
+        (F.sum(F.col("amount") * F.col("permille")) * 1000)
+        .cast("bigint")
+        .alias("attributed_revenue_micro"),
     )
 
 
@@ -1826,8 +1829,8 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_days,
-           CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
-           CAST(SUM(err) AS DOUBLE) / COUNT(*) AS bias
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mae,
+           ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) + 0.0 AS bias
     FROM scored
     GROUP BY event_type
     """,
@@ -1866,8 +1869,15 @@ def analytics_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataF
     )
     return scored.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
-        (F.sum("abs_err").cast("double") / F.count("*")).alias("mae"),
-        (F.sum("err").cast("double") / F.count("*")).alias("bias"),
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+        (
+            F.round(F.sum("abs_err").cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("mae"),
+        (
+            F.round(F.sum("err").cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("bias"),
     )
 
 
@@ -2903,7 +2913,8 @@ def analytics_sequence_pattern_regex(
         FROM rev
     )
     SELECT brand,
-           CAST(rev_ten_thousandths AS DOUBLE) / 10000 AS revenue,
+           CAST(rev_ten_thousandths // 100 AS DOUBLE) / 100.0
+               + 0.0 AS revenue,
            CAST(cum * 1000 // total AS BIGINT) AS cum_permille,
            CASE WHEN cum * 5 <= total * 4 THEN 'A'
                 WHEN cum * 20 <= total * 19 THEN 'B'
@@ -2959,7 +2970,15 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "brand",
-        (F.col("rev_ten_thousandths").cast("double") / 10000).alias("revenue"),
+        # Exact-integer derivation (r12 sweep): floor to whole cents
+        # first (non-negative, so Spark DIV == DuckDB //), then ONE
+        # IEEE division by 100 — engine-stable at any magnitude where
+        # cents < 2^53 (~9e13 dollars/brand). ROUND(·,6) is NOT usable
+        # at this ~1e9 output magnitude (engine round impls disagree).
+        (
+            F.expr("rev_ten_thousandths DIV 100").cast("double") / 100.0
+            + F.lit(0.0)
+        ).alias("revenue"),
         F.expr("CAST(cum * 1000 DIV total AS BIGINT)").alias("cum_permille"),
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
@@ -3021,7 +3040,7 @@ def _shapley_oracle() -> str:
         {union}
     )
     SELECT channel, shapley_x24,
-           CAST(shapley_x24 AS DOUBLE) / 24 AS shapley
+           ROUND(CAST(shapley_x24 AS DOUBLE) / 24, 6) + 0.0 AS shapley
     FROM shap
     ORDER BY channel
     """
@@ -3123,7 +3142,11 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("p.channel").alias("channel"),
             F.col("p.shapley_x24").alias("shapley_x24"),
-            (F.col("p.shapley_x24").cast("double") / 24).alias("shapley"),
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+            (
+                F.round(F.col("p.shapley_x24").cast("double") / 24, 6)
+                + F.lit(0.0)
+            ).alias("shapley"),
         )
         .orderBy("channel")
     )
@@ -3480,11 +3503,11 @@ RC_CUTOFF_DAY = 19738  # 2024-01-16 — fixture midpoint (events span 2024-01)
     )
     SELECT dimension, dim_value,
            a_cents, b_cents, CAST(delta_cents AS BIGINT) AS delta_cents,
-           CAST(delta_cents AS DOUBLE)
-               / CAST(b_tot - a_tot AS DOUBLE) AS share_of_delta,
-           CAST(b_cents AS DOUBLE) / CAST(b_tot AS DOUBLE)
-               - CAST(a_cents AS DOUBLE) / CAST(a_tot AS DOUBLE)
-               AS mix_shift
+           ROUND(CAST(delta_cents AS DOUBLE)
+               / CAST(b_tot - a_tot AS DOUBLE), 6) + 0.0 AS share_of_delta,
+           ROUND(CAST(b_cents AS DOUBLE) / CAST(b_tot AS DOUBLE)
+               - CAST(a_cents AS DOUBLE) / CAST(a_tot AS DOUBLE), 6)
+               + 0.0 AS mix_shift
     FROM tot
     ORDER BY dimension, dim_value
     """,
@@ -3554,13 +3577,24 @@ def analytics_root_cause_contribution(
         "a_cents",
         "b_cents",
         F.col("delta_cents").cast("bigint").alias("delta_cents"),
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
         (
-            F.col("delta_cents").cast("double")
-            / (F.col("b_tot") - F.col("a_tot")).cast("double")
+            F.round(
+                F.col("delta_cents").cast("double")
+                / (F.col("b_tot") - F.col("a_tot")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("share_of_delta"),
         (
-            F.col("b_cents").cast("double") / F.col("b_tot").cast("double")
-            - F.col("a_cents").cast("double") / F.col("a_tot").cast("double")
+            F.round(
+                F.col("b_cents").cast("double")
+                / F.col("b_tot").cast("double")
+                - F.col("a_cents").cast("double")
+                / F.col("a_tot").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mix_shift"),
     ).orderBy("dimension", "dim_value")
 
@@ -3578,8 +3612,8 @@ def analytics_root_cause_contribution(
     SELECT c.yr, c.mo, c.cents AS cents,
            p.cents AS prior_cents,
            CAST(c.cents - p.cents AS BIGINT) AS delta_cents,
-           CAST(c.cents - p.cents AS DOUBLE) / CAST(p.cents AS DOUBLE)
-               AS yoy_growth
+           ROUND(CAST(c.cents - p.cents AS DOUBLE)
+               / CAST(p.cents AS DOUBLE), 6) + 0.0 AS yoy_growth
     FROM monthly c JOIN monthly p
       ON c.yr = p.yr + 1 AND c.mo = p.mo
     ORDER BY c.yr, c.mo
@@ -3625,9 +3659,14 @@ def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c.cents") - F.col("p.cents"))
             .cast("bigint")
             .alias("delta_cents"),
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
             (
-                (F.col("c.cents") - F.col("p.cents")).cast("double")
-                / F.col("p.cents").cast("double")
+                F.round(
+                    (F.col("c.cents") - F.col("p.cents")).cast("double")
+                    / F.col("p.cents").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("yoy_growth"),
         )
         .orderBy("yr", "mo")
@@ -3761,8 +3800,8 @@ PRICE_INDEX_BASE_YEAR = 1995
            CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
            CAST(SUM(ext0) AS BIGINT) AS base_value_cents,
            CAST(SUM(num_micro) AS BIGINT) AS current_value_micro,
-           CAST(SUM(num_micro) AS DOUBLE) / 1e6
-               / CAST(SUM(ext0) AS DOUBLE) AS laspeyres_index
+           ROUND(CAST(SUM(num_micro) AS DOUBLE) / 1e6
+               / CAST(SUM(ext0) AS DOUBLE), 6) + 0.0 AS laspeyres_index
     FROM matched
     GROUP BY yr
     ORDER BY yr
@@ -3824,10 +3863,17 @@ def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("num_micro").cast("decimal(38,0)"))
             .cast("bigint")
             .alias("current_value_micro"),
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
             (
-                F.sum(F.col("num_micro").cast("decimal(38,0)")).cast("double")
-                / 1e6
-                / F.sum("ext0").cast("double")
+                F.round(
+                    F.sum(F.col("num_micro").cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / 1e6
+                    / F.sum("ext0").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("laspeyres_index"),
         )
         .orderBy("yr")

@@ -45,9 +45,9 @@ from pg_archiver_spark.registry import register
     )
     SELECT CAST(MAX(tot_a) AS BIGINT) AS n_a,
            CAST(MAX(tot_b) AS BIGINT) AS n_b,
-           MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
-                   - CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE)))
-               AS ks_d
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE))), 6)
+               + 0.0 AS ks_d
     FROM cum
     """,
 )
@@ -108,7 +108,9 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         F.max("tot_a").cast("bigint").alias("n_a"),
         F.max("tot_b").cast("bigint").alias("n_b"),
-        F.max(d).alias("ks_d"),
+        # ROUND 6dp + 0.0 (r12 sweep): beyond 2^53 the int->double casts
+        # differ between engines in the last ulp (G13 output discipline).
+        (F.round(F.max(d), 6) + F.lit(0.0)).alias("ks_d"),
     )
 
 
@@ -124,14 +126,14 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     colm AS (SELECT status, SUM(obs) AS c_cnt FROM cells GROUP BY 1),
     tot AS (SELECT SUM(obs) AS n FROM cells)
     SELECT c.priority, c.status, CAST(c.obs AS BIGINT) AS obs,
-           CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)
-               AS expected,
-           (CAST(c.obs AS DOUBLE)
+           ROUND(CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE),
+                 6) + 0.0 AS expected,
+           ROUND((CAST(c.obs AS DOUBLE)
             - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
            * (CAST(c.obs AS DOUBLE)
               - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
-           / (CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
-               AS chi_cell
+           / (CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                 6) + 0.0 AS chi_cell
     FROM cells c
     JOIN rowm r ON c.priority = r.priority
     JOIN colm col ON c.status = col.status
@@ -177,8 +179,11 @@ def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority",
             "status",
             F.col("obs").cast("bigint").alias("obs"),
-            expected.alias("expected"),
-            (dev * dev / expected).alias("chi_cell"),
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+            (F.round(expected, 6) + F.lit(0.0)).alias("expected"),
+            (F.round(dev * dev / expected, 6) + F.lit(0.0)).alias(
+                "chi_cell"
+            ),
         )
         .orderBy("priority", "status")
     )
@@ -335,14 +340,15 @@ HEX15_SPACE = float(1 << 60)  # 16^15 — the hash-fraction denominator
     SELECT CAST(k AS BIGINT) AS k,
            CAST(kth_hash AS BIGINT) AS kth_hash,
            CAST(both_in_sketch AS BIGINT) AS both_in_sketch,
-           CAST(k - 1 AS DOUBLE)
-               / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}) AS est_union,
-           CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE)
-               AS est_jaccard,
-           (CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE))
+           ROUND(CAST(k - 1 AS DOUBLE)
+               / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}), 6)
+               + 0.0 AS est_union,
+           ROUND(CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE), 6)
+               + 0.0 AS est_jaccard,
+           ROUND((CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE))
                * (CAST(k - 1 AS DOUBLE)
-                  / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}))
-               AS est_intersection,
+                  / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r})), 6)
+               + 0.0 AS est_intersection,
            CAST(exact_union AS BIGINT) AS exact_union,
            CAST(exact_both AS BIGINT) AS exact_both
     FROM sk CROSS JOIN ex
@@ -415,9 +421,12 @@ def agg_kmv_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k"),
         F.col("kth_hash").cast("bigint").alias("kth_hash"),
         F.col("both_in_sketch").cast("bigint").alias("both_in_sketch"),
-        est_union.alias("est_union"),
-        est_jacc.alias("est_jaccard"),
-        (est_jacc * est_union).alias("est_intersection"),
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+        (F.round(est_union, 6) + F.lit(0.0)).alias("est_union"),
+        (F.round(est_jacc, 6) + F.lit(0.0)).alias("est_jaccard"),
+        (F.round(est_jacc * est_union, 6) + F.lit(0.0)).alias(
+            "est_intersection"
+        ),
         F.col("exact_union").cast("bigint").alias("exact_union"),
         F.col("exact_both").cast("bigint").alias("exact_both"),
     )
@@ -451,10 +460,12 @@ DID_CUTOFF = "1998-07-01"
     )
     SELECT t1.n AS n_treat_pre, t2.n AS n_treat_post,
            c1.n AS n_ctrl_pre, c2.n AS n_ctrl_post,
-           t1.mean_price AS treat_pre, t2.mean_price AS treat_post,
-           c1.mean_price AS ctrl_pre, c2.mean_price AS ctrl_post,
-           (t2.mean_price - t1.mean_price)
-               - (c2.mean_price - c1.mean_price) AS did_estimate
+           ROUND(t1.mean_price, 6) + 0.0 AS treat_pre,
+           ROUND(t2.mean_price, 6) + 0.0 AS treat_post,
+           ROUND(c1.mean_price, 6) + 0.0 AS ctrl_pre,
+           ROUND(c2.mean_price, 6) + 0.0 AS ctrl_post,
+           ROUND((t2.mean_price - t1.mean_price)
+               - (c2.mean_price - c1.mean_price), 6) + 0.0 AS did_estimate
     FROM means t1, means t2, means c1, means c2
     WHERE t1.treated = 1 AND t1.post = 0
       AND t2.treated = 1 AND t2.post = 1
@@ -525,13 +536,20 @@ def analytics_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_treat_post",
             "n_ctrl_pre",
             "n_ctrl_post",
-            "treat_pre",
-            "treat_post",
-            "ctrl_pre",
-            "ctrl_post",
+            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+            (F.round(F.col("treat_pre"), 6) + F.lit(0.0)).alias("treat_pre"),
+            (F.round(F.col("treat_post"), 6) + F.lit(0.0)).alias(
+                "treat_post"
+            ),
+            (F.round(F.col("ctrl_pre"), 6) + F.lit(0.0)).alias("ctrl_pre"),
+            (F.round(F.col("ctrl_post"), 6) + F.lit(0.0)).alias("ctrl_post"),
             (
-                (F.col("treat_post") - F.col("treat_pre"))
-                - (F.col("ctrl_post") - F.col("ctrl_pre"))
+                F.round(
+                    (F.col("treat_post") - F.col("treat_pre"))
+                    - (F.col("ctrl_post") - F.col("ctrl_pre")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("did_estimate"),
         )
     )
@@ -692,10 +710,10 @@ def _boot_oracle() -> str:
         FROM sums
     )
     SELECT CAST({BOOT_B} AS BIGINT) AS b_resamples,
-           MAX(CAST(tot_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
-               AS mean_price,
-           quantile_cont(m, 0.025) AS ci_lo,
-           quantile_cont(m, 0.975) AS ci_hi
+           ROUND(MAX(CAST(tot_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0),
+                 6) + 0.0 AS mean_price,
+           ROUND(quantile_cont(m, 0.025), 6) + 0.0 AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) + 0.0 AS ci_hi
     FROM means
     """
 
@@ -782,12 +800,24 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return means.agg(
         F.lit(BOOT_B).cast("bigint").alias("b_resamples"),
-        F.max(
-            F.col("tot_cents").cast("double") / F.col("n").cast("double")
-            / 100.0
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+        (
+            F.round(
+                F.max(
+                    F.col("tot_cents").cast("double")
+                    / F.col("n").cast("double")
+                    / 100.0
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mean_price"),
-        F.expr("percentile(m, 0.025)").alias("ci_lo"),
-        F.expr("percentile(m, 0.975)").alias("ci_hi"),
+        (F.round(F.expr("percentile(m, 0.025)"), 6) + F.lit(0.0)).alias(
+            "ci_lo"
+        ),
+        (F.round(F.expr("percentile(m, 0.975)"), 6) + F.lit(0.0)).alias(
+            "ci_hi"
+        ),
     )
 
 
@@ -808,17 +838,20 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dev AS (
         SELECT d.d, d.dow, d.cents,
-               CAST(d.cents AS DOUBLE)
-                   - CAST(s.sum_dow AS DOUBLE) / CAST(s.n_dow AS DOUBLE)
-                   AS dev
+               CASE WHEN d.cents * s.n_dow - s.sum_dow >= 0
+                    THEN (d.cents * s.n_dow - s.sum_dow) // s.n_dow
+                    ELSE -((s.sum_dow - d.cents * s.n_dow) // s.n_dow)
+               END AS dev_cents
         FROM daily d JOIN season s ON d.dow = s.dow
     ),
     scale AS (
-        SELECT quantile_cont(ABS(dev), 0.5) AS mad FROM dev
+        SELECT quantile_cont(ABS(CAST(dev_cents AS DOUBLE)), 0.5) AS mad
+        FROM dev
     )
-    SELECT dev.d, CAST(dev.dow AS BIGINT) AS dow, dev.cents, dev.dev
+    SELECT dev.d, CAST(dev.dow AS BIGINT) AS dow, dev.cents,
+           CAST(dev.dev_cents AS DOUBLE) + 0.0 AS dev
     FROM dev CROSS JOIN scale
-    WHERE ABS(dev.dev) > 3 * 1.4826 * scale.mad
+    WHERE CAST(ABS(dev.dev_cents) AS DOUBLE) > 3 * 1.4826 * scale.mad
     ORDER BY dev.d
     """,
 )
@@ -861,20 +894,38 @@ def analytics_seasonal_residual_outliers(
         F.sum("cents").cast("bigint").alias("sum_dow"),
         F.count("*").cast("bigint").alias("n_dow"),
     )
+    # The residual is quantized to EXACT integer cents BEFORE the
+    # output/median/threshold (r12 sweep): dev_cents = trunc-div of the
+    # exact bigint numerator cents·n − Σ by n (Spark DIV truncates;
+    # the oracle forces the same truncation with a sign CASE because
+    # DuckDB // floors — the documented negative-operand trap). The
+    # ROUND(·,6) discipline is NOT usable here: at the residual's ~1e8
+    # magnitude 6dp sits at double-repr limits where Spark's
+    # string-based ROUND and DuckDB's multiply-based round disagree
+    # (seen at sf0.001). Sub-cent precision is irrelevant to a
+    # 3-robust-sigma flag. Int64 headroom: |cents·n_dow| ≲ 1e13·3650
+    # ≈ 4e16 at 100 TB daily-revenue magnitudes — within int64.
     dev = daily.join(F.broadcast(season), "dow").select(
         "d",
         "dow",
         "cents",
-        (
-            F.col("cents").cast("double")
-            - F.col("sum_dow").cast("double") / F.col("n_dow").cast("double")
-        ).alias("dev"),
+        F.expr("(cents * n_dow - sum_dow) DIV n_dow").alias("dev_cents"),
     )
-    scale = dev.agg(F.expr("percentile(abs(dev), 0.5)").alias("mad"))
+    scale = dev.agg(
+        F.expr("percentile(abs(cast(dev_cents as double)), 0.5)").alias("mad")
+    )
     return (
         dev.crossJoin(F.broadcast(scale))
-        .filter(F.abs(F.col("dev")) > 3 * 1.4826 * F.col("mad"))
-        .select("d", F.col("dow").cast("bigint").alias("dow"), "cents", "dev")
+        .filter(
+            F.abs(F.col("dev_cents")).cast("double")
+            > 3 * 1.4826 * F.col("mad")
+        )
+        .select(
+            "d",
+            F.col("dow").cast("bigint").alias("dow"),
+            "cents",
+            (F.col("dev_cents").cast("double") + F.lit(0.0)).alias("dev"),
+        )
         .orderBy("d")
     )
 
@@ -891,7 +942,10 @@ def analytics_seasonal_residual_outliers(
     ),
     slopes AS (
         SELECT a.priority,
-               CAST(b.cents - a.cents AS DOUBLE) / (b.m - a.m) AS s
+               CASE WHEN b.cents >= a.cents
+                    THEN (b.cents - a.cents) // (b.m - a.m)
+                    ELSE -((a.cents - b.cents) // (b.m - a.m))
+               END AS s
         FROM monthly a JOIN monthly b
           ON a.priority = b.priority AND a.m < b.m
     )
@@ -900,7 +954,7 @@ def analytics_seasonal_residual_outliers(
                  WHERE mm.priority = slopes.priority) AS BIGINT)
                AS n_months,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           quantile_cont(s, 0.5) AS sen_slope
+           quantile_cont(CAST(s AS DOUBLE), 0.5) + 0.0 AS sen_slope
     FROM slopes
     GROUP BY priority
     ORDER BY priority
@@ -939,15 +993,20 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = monthly.select(
         "priority", F.col("m").alias("m2"), F.col("cents").alias("c2")
     )
+    # Each pairwise slope is quantized to EXACT integer cents/month via
+    # truncating division (r12 sweep): Spark DIV truncates; the oracle
+    # forces the same truncation with a sign CASE (DuckDB // floors —
+    # the negative-operand trap). The median of integers interpolates
+    # to k or k+0.5, both exactly representable, so sen_slope is
+    # engine-stable at ANY magnitude — ROUND(·,6) is NOT usable here
+    # (slopes reach ~1e10 cents/month at sf0.1, where the two engines'
+    # round implementations disagree in the 6th decimal).
     slopes = (
         a.join(b, "priority")
         .filter(F.col("m1") < F.col("m2"))
         .select(
             "priority",
-            (
-                (F.col("c2") - F.col("c1")).cast("double")
-                / (F.col("m2") - F.col("m1"))
-            ).alias("s"),
+            F.expr("(c2 - c1) DIV (m2 - m1)").alias("s"),
         )
     )
     n_months = monthly.groupBy("priority").agg(
@@ -957,7 +1016,9 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slopes.groupBy("priority")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.expr("percentile(s, 0.5)").alias("sen_slope"),
+            (
+                F.expr("percentile(cast(s as double), 0.5)") + F.lit(0.0)
+            ).alias("sen_slope"),
         )
         .join(F.broadcast(n_months), "priority")
         .select("priority", "n_months", "n_pairs", "sen_slope")
@@ -995,7 +1056,7 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
            CAST(sum_avg2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
-           (CAST(sum_avg2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+           ROUND((CAST(sum_avg2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
             - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
            / sqrt(
                (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
@@ -1003,7 +1064,7 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - CAST(tie_cube AS DOUBLE)
                     / (CAST(n_a + n_b AS DOUBLE)
                        * CAST(n_a + n_b - 1 AS DOUBLE)))
-           ) AS z_score
+           ), 6) + 0.0 AS z_score
     FROM sums
     """,
 )
@@ -1074,7 +1135,8 @@ def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         u2_a.cast("bigint").alias("u2_a"),
-        z.alias("z_score"),
+        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
 
 
@@ -1091,9 +1153,12 @@ def _perm_oracle() -> str:
         f"AS BIGINT) AS n{b}"
         for b in range(PERM_B)
     )
+    # Each replicate diff is ROUNDed 6dp before the extreme compare
+    # (r12 sweep): the compare then runs on engine-stable values, so a
+    # >2^53 decimal->double cast ulp cannot flip an extreme count.
     extreme = " + ".join(
-        f"CASE WHEN ABS(CAST(s{b} AS DOUBLE) / n{b} "
-        f"- CAST(s_tot - s{b} AS DOUBLE) / (n_tot - n{b})) "
+        f"CASE WHEN ABS(ROUND(CAST(s{b} AS DOUBLE) / n{b} "
+        f"- CAST(s_tot - s{b} AS DOUBLE) / (n_tot - n{b}), 6)) "
         ">= ABS(diff_obs) THEN 1 ELSE 0 END"
         for b in range(PERM_B)
     )
@@ -1116,9 +1181,9 @@ def _perm_oracle() -> str:
     ),
     obs AS (
         SELECT *,
-               CAST(s_obs AS DOUBLE) / n_obs
-                   - CAST(s_tot - s_obs AS DOUBLE) / (n_tot - n_obs)
-                   AS diff_obs
+               ROUND(CAST(s_obs AS DOUBLE) / n_obs
+                   - CAST(s_tot - s_obs AS DOUBLE) / (n_tot - n_obs), 6)
+                   + 0.0 AS diff_obs
         FROM agg
     )
     SELECT n_tot, n_obs, diff_obs,
@@ -1183,17 +1248,27 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"n{b}")
         )
     agg = orders.agg(*aggs)
+    # diff_obs and every replicate diff are ROUNDed 6dp + 0.0 BEFORE
+    # the extreme compare (r12 sweep): output and comparison both run
+    # on engine-stable values (G13 double-output discipline).
     obs = agg.withColumn(
         "diff_obs",
-        F.col("s_obs").cast("double") / F.col("n_obs")
-        - (F.col("s_tot") - F.col("s_obs")).cast("double")
-        / (F.col("n_tot") - F.col("n_obs")),
+        F.round(
+            F.col("s_obs").cast("double") / F.col("n_obs")
+            - (F.col("s_tot") - F.col("s_obs")).cast("double")
+            / (F.col("n_tot") - F.col("n_obs")),
+            6,
+        )
+        + F.lit(0.0),
     )
     extreme = None
     for b in range(PERM_B):
-        diff_b = F.col(f"s{b}").cast("double") / F.col(f"n{b}") - (
-            F.col("s_tot") - F.col(f"s{b}")
-        ).cast("double") / (F.col("n_tot") - F.col(f"n{b}"))
+        diff_b = F.round(
+            F.col(f"s{b}").cast("double") / F.col(f"n{b}")
+            - (F.col("s_tot") - F.col(f"s{b}")).cast("double")
+            / (F.col("n_tot") - F.col(f"n{b}")),
+            6,
+        )
         ind = F.when(F.abs(diff_b) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
         extreme = ind if extreme is None else extreme + ind
     return obs.select(

@@ -588,8 +588,8 @@ def composed_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT COALESCE(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                             AS DOUBLE) / 7 AS DOUBLE), 0.0) AS avg_yearly
+    SELECT COALESCE(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DOUBLE) / 7, 2) + 0.0, 0.0) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN agg ON agg.pk = lineitem.l_partkey
@@ -627,12 +627,18 @@ def composed_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             # No qualifying small-quantity line → NULL sum on both
             # engines → pandas NaN vs Spark None under the driver
             # compare (G13c, r11 random-fixture sweep) — zero revenue.
+            # ROUND 2dp + 0.0 (r12 sweep): TPC-H's own money precision.
+            # 6dp is unusable at this ~1e8 output magnitude (the two
+            # engines' round impls disagree in the 6th decimal); 2dp is
+            # stable while the sum stays below ~1e12 dollars.
             F.coalesce(
-                (
+                F.round(
                     F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                     .cast("double")
-                    / 7
-                ).cast("double"),
+                    / 7,
+                    2,
+                )
+                + F.lit(0.0),
                 F.lit(0.0),
             ).alias("avg_yearly")
         )

@@ -72,8 +72,10 @@ _DRIVER_PRIORITY = [
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
-    # R12 double-output sweep (outputs now ROUND(.,6)+0.0 — hashes
-    # changed this session, fresh evidence must land this round):
+    # R12 double-output sweep (outputs now engine-stable: ROUND(.,6)
+    # +0.0 at small magnitudes, exact-integer ladders / ROUND(.,2) at
+    # money magnitudes — hashes changed this session, fresh evidence
+    # must land this round; details in SURVEY §9 round-12 deltas):
     "agg_kmv_jaccard_estimate",
     "analytics_attribution_position",
     "analytics_bootstrap_ci",

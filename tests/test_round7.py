@@ -1987,7 +1987,19 @@ def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
         ]
         return st.median(slopes)
 
+    # Independent replica of the op's integer-quantized slopes
+    # (trunc-div toward zero, exact int arithmetic — the r12 ladder).
+    def sen_int(points):
+        slopes = []
+        for i, (m1, y1) in enumerate(points):
+            for m2, y2 in points[i + 1 :]:
+                dy, dm = int(y2) - int(y1), m2 - m1
+                q = abs(dy) // dm
+                slopes.append(q if dy >= 0 else -q)
+        return st.median(slopes)
+
     base = sen(pts)
+    base_int = sen_int([(r.m, r.cents) for r in monthly])
     corrupted = [
         (m, y * 100 if i == len(pts) // 2 else y)
         for i, (m, y) in enumerate(pts)
@@ -1995,7 +2007,10 @@ def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
     spread = max(y for _, y in pts) - min(y for _, y in pts)
     assert abs(sen(corrupted) - base) < spread  # bounded movement
     got = [r.sen_slope for r in rows if r.priority == "1-URGENT"][0]
-    assert abs(got - base) < 1e-6 * max(1.0, abs(base))
+    assert got == base_int  # exact: both sides are integer-median exact
+    # quantization moves the estimate by less than 1 cent/month per
+    # slope, so the float replica still agrees to that tolerance
+    assert abs(got - base) <= 1.0
 
 
 def test_warc_record_roundtrip_and_corruption_detection(spark, sf_dir):
@@ -2222,9 +2237,17 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     rows = QUERIES["analytics_shapley_attribution"](spark, sf_dir).collect()
     assert sorted(r.channel for r in rows) == ["click", "error", "signup", "view"]
     # Monotone characteristic function => every Shapley value >= 0.
+    from decimal import ROUND_HALF_UP, Decimal
+
     for r in rows:
         assert r.shapley_x24 >= 0
-        assert r.shapley == r.shapley_x24 / 24
+        # shapley is the 6dp HALF_UP rounding of x24/24 (r12 sweep)
+        want = float(
+            Decimal(r.shapley_x24 / 24).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.shapley == want
     # Efficiency: sum of attributions == v(all channels) - v(empty set)
     # = converters with a nonempty pre-purchase touch set.
     ev = load(spark, sf_dir, "events").select(
@@ -2481,9 +2504,11 @@ def test_root_cause_shares_sum_to_one_per_dimension(spark, sf_dir):
     assert set(dims) == {"event_type", "weekday"}
     for dim, rs in dims.items():
         # Conservation: per-dimension deltas sum to the SAME global
-        # metric delta, and shares sum to 1.
-        assert abs(sum(x.share_of_delta for x in rs) - 1.0) < 1e-9
-        assert abs(sum(x.mix_shift for x in rs)) < 1e-9
+        # metric delta, and shares sum to 1 (each share is 6dp-rounded
+        # per the r12 output discipline — allow that quantization).
+        tol = len(rs) * 5e-7 + 1e-9
+        assert abs(sum(x.share_of_delta for x in rs) - 1.0) < tol
+        assert abs(sum(x.mix_shift for x in rs)) < tol
         for x in rs:
             assert x.delta_cents == x.b_cents - x.a_cents
     d1 = sum(x.delta_cents for x in dims["event_type"])
@@ -2718,7 +2743,8 @@ def test_yoy_growth_join_alignment(spark, sf_dir):
         assert monthly[(r.yr, r.mo)] == r.cents
         assert monthly[(r.yr - 1, r.mo)] == r.prior_cents
         assert r.delta_cents == r.cents - r.prior_cents
-        assert abs(r.yoy_growth - r.delta_cents / r.prior_cents) < 1e-12
+        # yoy_growth is 6dp-rounded (r12 output discipline)
+        assert abs(r.yoy_growth - r.delta_cents / r.prior_cents) <= 5e-7
     # Every month with a prior-year twin is present — none dropped.
     expected = {
         (y, m) for (y, m) in monthly if (y - 1, m) in monthly
