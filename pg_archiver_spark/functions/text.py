@@ -1734,7 +1734,8 @@ def _sb_oracle() -> str:
                    AS bi_hits,
                CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS uni_hits,
-               CAST(SUM(-s_pico) AS BIGINT) AS neg_pico
+               CAST(SUM(-s_pico) AS BIGINT) AS neg_pico,
+               CAST(SUM(-s_pico) // 1000000 AS BIGINT) AS neg_micro
         FROM sterm GROUP BY doc_id, lang, split
     )
     SELECT lang, split,
@@ -1743,7 +1744,7 @@ def _sb_oracle() -> str:
            CAST(SUM(tri_hits) AS BIGINT) AS tri_hits,
            CAST(SUM(bi_hits) AS BIGINT) AS bi_hits,
            CAST(SUM(uni_hits) AS BIGINT) AS uni_hits,
-           CAST(SUM(neg_pico) // (SUM(n_tri) * 1000000) AS BIGINT)
+           CAST(SUM(neg_micro) // SUM(n_tri) AS BIGINT)
                AS mean_surprise_micro,
            CAST(MAX(neg_pico // (n_tri * 1000000)) AS BIGINT)
                AS max_doc_mean_micro
@@ -1919,6 +1920,11 @@ def text_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("uni_hits"),
         F.sum(-F.col("s_pico")).cast("long").alias("neg_pico"),
+        # Per-doc reduction to MICRO before the cross-doc SUM (ADVICE
+        # r11 #2): a pico-nat corpus total wraps int64 past ~1e6
+        # trigrams; micro totals hold to ~5e11 trigrams (the envelope
+        # documented below). neg_pico >= 0, so DIV == // (floor).
+        F.expr("SUM(-s_pico) DIV 1000000").cast("long").alias("neg_micro"),
     )
     return (
         docagg.groupBy("lang", "split")
@@ -1928,7 +1934,11 @@ def text_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tri_hits").cast("long").alias("tri_hits"),
             F.sum("bi_hits").cast("long").alias("bi_hits"),
             F.sum("uni_hits").cast("long").alias("uni_hits"),
-            F.expr("SUM(neg_pico) DIV (SUM(n_tri) * 1000000)")
+            # int64 envelope: per-trigram surprise ~2e7 micro-nats →
+            # SUM(neg_micro) stays in int64 to ~4.6e11 corpus trigrams
+            # (vs ~9e5 before the per-doc micro reduction); past that,
+            # shard the group or lift this one SUM to DECIMAL(38,0).
+            F.expr("SUM(neg_micro) DIV SUM(n_tri)")
             .cast("long")
             .alias("mean_surprise_micro"),
             F.max(F.expr("neg_pico DIV (n_tri * 1000000)"))

@@ -2757,8 +2757,9 @@ def analytics_markov_removal_attribution(
     # event type (mass silently rerouted) or a vanished one (singular
     # system) would corrupt BOTH engines identically, invisible to the
     # hash gate. Bounded collect: ≤ (|states|+2)² distinct labels.
-    srcs = {r.src for r in counts.select("src").distinct().collect()}
-    dsts = {r.dst for r in counts.select("dst").distinct().collect()}
+    edge_labels = counts.select("src", "dst").distinct().collect()
+    srcs = {r.src for r in edge_labels}
+    dsts = {r.dst for r in edge_labels}
     expected = set(_MKV_STATES)
     if not (srcs | dsts) <= expected | {"CONV", "DROP"} or not expected <= srcs:
         raise RuntimeError(
@@ -4300,7 +4301,8 @@ def _basket_oracle() -> str:
     )
     SELECT part_a, part_b, n_ab,
            CAST(n_ab * 1000 // df_a AS BIGINT) AS conf_ab_permille,
-           CAST(n_ab * n.n * 10000 // (df_a * df_b) AS BIGINT)
+           CAST(CAST(n_ab AS HUGEINT) * n.n * 10000
+                // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT)
                AS lift_x1e4
     FROM pairs CROSS JOIN nb n
     ORDER BY lift_x1e4 DESC, part_a, part_b
@@ -4366,7 +4368,17 @@ def analytics_market_basket_lift(
             F.expr("n_ab * 1000 DIV df_a")
             .cast("long")
             .alias("conf_ab_permille"),
-            F.expr("n_ab * n * 10000 DIV (df_a * df_b)")
+            # The lift numerator n_ab·n·1e4 exceeds int64 once n_ab·n
+            # passes ~9e14 (reachable at 100 TB basket counts): Spark
+            # non-ANSI would wrap silently while DuckDB promotes, so
+            # both sides compute in 38-digit exact integers
+            # (DECIMAL(38,0) / HUGEINT) before the floor-div — the
+            # quotient itself is ≤ n·1e4, comfortably back in int64
+            # (ADVICE r11 #1).
+            F.expr(
+                "CAST(n_ab AS DECIMAL(38,0)) * n * 10000"
+                " DIV (CAST(df_a AS DECIMAL(38,0)) * df_b)"
+            )
             .cast("long")
             .alias("lift_x1e4"),
         )

@@ -386,3 +386,37 @@ def test_stupid_backoff_random_pii_corpus_cross_engine(
         str(tmp_path / "documents.parquet"),
     )
     _compare(spark, tmp_path, "text_stupid_backoff_lm")
+
+
+def _dense_baskets(rng: np.random.RandomState, n_orders: int,
+                   n_parts: int) -> pd.DataFrame:
+    """Dense market baskets: a small part vocabulary shared across many
+    orders, so top-part pairs co-occur heavily — the regime the sparse
+    TPC-H fixture never reaches (1 output row at sf0.1, ADVICE r11 #4).
+    Includes duplicate order-lines the op's DISTINCT basket projection
+    must collapse before counting support."""
+    rows = []
+    for o in range(n_orders):
+        k = int(rng.randint(2, 7))
+        for p in rng.choice(n_parts, size=k, replace=True):
+            rows.append({"l_orderkey": o, "l_partkey": int(p)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_market_basket_dense_random_cross_engine(spark, tmp_path, seed):
+    """Cross-engine equivalence of the pair join, confidence, and lift
+    ranking on a DENSE basket corpus where the result set is large —
+    exercising the path the fixture's sparse baskets barely touch."""
+    rng = np.random.RandomState(seed + 70)
+    pq.write_table(
+        pa.Table.from_pandas(_dense_baskets(rng, 200, 12)),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = QUERIES["analytics_market_basket_lift"](
+        spark, str(tmp_path)
+    ).collect()
+    # the dense corpus must actually exercise the pair/lift machinery
+    assert len(rows) >= 10
+    assert any(r.n_ab > 1 for r in rows)
+    _compare(spark, tmp_path, "analytics_market_basket_lift")
