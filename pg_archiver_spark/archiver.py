@@ -72,6 +72,7 @@ def run() -> dict:
         dest_dir,
         batch_id=batch_id,
     )
+    # bounded: one row per archived table name (|sources| rows)
     per_table = {
         r["table_name"]: r["n"]
         for r in ledger.groupBy("table_name").agg(F.count("*").alias("n")).collect()

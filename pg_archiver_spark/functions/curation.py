@@ -2390,6 +2390,7 @@ def pipeline_unigram_tokenizer_em(
     staged = vocab_df.crossJoin(F.broadcast(tot))
     for stage in _unigram_q_stages():
         staged = staged.selectExpr("*", *stage)
+    # bounded: hard-capped vocab + distinct codepoints (<= 65536)
     logp = {r.tok: int(r.q) for r in staged.select("tok", "q").collect()}
     # multi-char side is hard-capped; chars are distinct-codepoint
     # bounded (<= 65536 for BMP text), so the dict cannot grow with

@@ -378,6 +378,7 @@ def _kmeans_step(
         .withColumn("xq", F.expr(_KM_Q.format("x")))
         .groupBy("cid", "pos")
         .agg(F.sum("xq").alias("s"), F.count("*").alias("n"))
+        # bounded: K*dim centroid partials (the docstring's driver bound)
         .collect()
     )
     new = [list(c) for c in centroids]
@@ -437,6 +438,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             )
             .persist()
         )
+        # bounded: _IVF_CELLS seed centroids
         cents = [r.v for r in emb.orderBy("vec_id").limit(_IVF_CELLS).collect()]
         for _ in range(_IVF_TRAIN_ITERS):
             cents = _kmeans_step(_kmeans_assign(emb, cents), cents)
@@ -733,6 +735,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     centroids = [
+        # bounded: KMEANS_K seed centroids
         r.v for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
     ]
     for _ in range(KMEANS_ITERS):
@@ -1356,6 +1359,7 @@ def _pq_trained_codebooks(
     if cbs is not None:
         return cbs
     emb = load(spark, sf_dir, "embeddings")
+    # bounded: PQ_CENTROIDS seed rows (S*K*D driver state)
     init_rows = emb.orderBy("vec_id").limit(PQ_CENTROIDS).collect()
     cbs = [
         [
@@ -1411,6 +1415,7 @@ def _pq_lloyd_train(
             .withColumn("xq", F.expr(_KM_Q.format("x")))
             .groupBy("s", "cid", "pos")
             .agg(F.sum("xq").alias("m"), F.count("*").alias("n"))
+            # bounded: K*dim centroid partials per Lloyd iteration
             .collect()
         )
         new = [[list(c) for c in cbs[s]] for s in range(PQ_SUBSPACES)]
@@ -1650,6 +1655,7 @@ def sim_vector_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order matches exactly. Output is integer-only (rank, vec_id)."""
     emb = load(spark, sf_dir, "embeddings")
     cbs = _pq_trained_codebooks(spark, sf_dir)
+    # bounded: 1-row query anchor
     qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
 
@@ -1736,6 +1742,7 @@ def _ivfpq_residual_codebooks(
         return cbs
     emb = load(spark, sf_dir, "embeddings")
     res = _ivfpq_residuals(emb, _ivf_centroids(spark, sf_dir))
+    # bounded: PQ_CENTROIDS seed rows
     init_rows = res.orderBy("vec_id").limit(PQ_CENTROIDS).collect()
     cbs = [
         [
@@ -1885,9 +1892,11 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cdist", "cell")
         .limit(_MULTIPROBE_CELLS)
         .select("cell")
+        # bounded: _MULTIPROBE_CELLS probe cells
         .collect()
     )
     probes = [int(r.cell) for r in probe_rows]
+    # bounded: 1-row query anchor
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
 

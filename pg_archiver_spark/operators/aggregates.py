@@ -1466,7 +1466,7 @@ def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(name)
         for name, (blo, local_rank) in plan.items()
     ]
-    row = cumgrid.agg(*sel).collect()[0]  # 2 scalars
+    row = cumgrid.agg(*sel).collect()[0]  # bounded: 1 row, 2 scalars
     results = {name: row[name] for name in plan}
     return spark.createDataFrame(
         [

@@ -3362,7 +3362,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
     try:
-        src = undirected.agg(F.min("a")).collect()[0][0]  # 1 scalar
+        # bounded: 1-row BFS-root scalar
+        src = undirected.agg(F.min("a")).collect()[0][0]
         dist = spark.createDataFrame(
             [(src, 0)], "brand string, dist int"
         ).cache()
@@ -3385,6 +3386,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.select("brand", F.col("dist").cast("bigint").alias("dist"))
             .orderBy("dist", "brand")
         )
+        # bounded: one row per brand (<= 25-value dimension)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -177,6 +177,7 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(base)
     back = back.cache()
     try:
+        # bounded: 1-row good/corrupt count summary
         rows = back.agg(
             F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
             F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
@@ -1110,6 +1111,7 @@ def maintenance_retention_drop_partitions(
         .orderBy("year")
     )
     # Materialize before cleanup: the plan lazily re-reads `base`.
+    # bounded: one row per partition year (<= 8)
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
@@ -1463,6 +1465,7 @@ def sink_s3_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sizes.append(len(blob))
                 yield pd.DataFrame({"key": keys, "n_bytes": sizes})
 
+        # bounded: one row per uploaded file (<= partition count)
         uploaded = files.mapInPandas(upload, "key string, n_bytes long").collect()
 
         # Restore: ListObjectsV2 + GetObject into a fresh tree (driver
@@ -2166,6 +2169,7 @@ def scan_columnar_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = by_region.unionAll(by_segment)
         # Materialize while the cache is alive; the returned frame is
         # the (tiny) union result, independent of the cache lifetime.
+        # bounded: one row per region + per segment (<= 10)
         rows = out.collect()
     finally:
         joined.unpersist()
@@ -2391,6 +2395,7 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
         load(spark, sf_dir, name).write.mode("overwrite").saveAsTable(tbl)
         spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        # bounded: DESCRIBE metadata rows (catalog-sized, not data)
         desc = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
         line = next(r.data_type for r in desc if r.col_name == "Statistics")
         # "<bytes> bytes, <rows> rows"
@@ -2468,6 +2473,7 @@ def maintenance_backfill_overwrite(
         )
         .orderBy("year")
     )
+    # bounded: one row per year (<= 8)
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
@@ -2545,6 +2551,7 @@ def maintenance_deletion_vectors(
         )
         .orderBy("year")
     )
+    # bounded: one row per year (<= 8)
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(dv_path, ignore_errors=True)
@@ -2613,6 +2620,7 @@ def layout_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+    # bounded: the fixed BLOOM_LOOKUP_IDS probe set
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
@@ -2694,6 +2702,7 @@ def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"nested pruning evidence missing from plan: {schema_line}"
         )
+    # bounded: the pruned per-year report frame (<= 8 rows)
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)

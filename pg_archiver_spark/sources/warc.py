@@ -162,6 +162,7 @@ def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("blob")
         )
+        # bounded: one row per WARC shard (WARC_SHARDS)
         .collect()
     )
     for row in shards:
@@ -198,6 +199,7 @@ def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("bigint").alias("n_sources"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+    # bounded: 1-row corpus summary
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
@@ -280,6 +282,7 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # bounded: one row per event_type (<= 5)
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)

@@ -1349,6 +1349,7 @@ def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CDC snapshot diverged: vs live table {d1} rows, "
                 f"vs batch compaction {d2} rows"
             )
+        # bounded: one row per CDC op kind (I/U/D — <= 3 rows)
         n_ops = log.groupBy("op").count().collect()
         ops = {r["op"].strip(): r["count"] for r in n_ops}
         return spark.createDataFrame(
@@ -1628,6 +1629,7 @@ def stream_multisink_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[os.path.join(sink_b, f"batch={b}") for b in committed]
     )
     # In-op cross-check: sink B must equal sink A re-aggregated.
+    # bounded: one row per event_type on each side (<= 5 rows each)
     a_agg = {
         (r.event_type): (r.n, str(r.s))
         for r in a.groupBy("event_type")
@@ -1639,6 +1641,7 @@ def stream_multisink_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     b_agg = {
         (r.event_type): (r.n, str(r.s))
+        # bounded: one row per event_type (<= 5)
         for r in b.groupBy("event_type")
         .agg(
             F.sum("n_events").alias("n"), F.sum("sum_value").alias("s")
@@ -1958,6 +1961,7 @@ def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = clone.sql(
         "SELECT day, n_events, sum_value FROM rocksdb_sink ORDER BY day"
     )
+    # bounded: one row per fixture day (the report frame itself)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 
@@ -2036,5 +2040,6 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+    # bounded: one row per stateful user key (the report frame itself)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)

@@ -709,3 +709,16 @@ def test_s3a_committer_confs_shape():
     assert "PathOutputCommitProtocol" in confs["spark.sql.sources.commitProtocolClass"]
     joined = " ".join(confs) + " ".join(confs.values())
     assert "secret" not in joined.lower() and "key.id" not in joined.lower()
+
+
+def test_every_collect_site_is_justified_bounded():
+    """VERDICT r11 #5: every driver-side .collect() in the package
+    must carry a '# bounded: ...' justification comment within the
+    preceding lines — tools/collectlint.py makes the house convention
+    mandatory so an unbounded driver collect cannot land unreviewed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from collectlint import violations
+
+    assert violations() == []
