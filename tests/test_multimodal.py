@@ -168,3 +168,43 @@ def test_audio_features_op_bounds(spark, sf_dir):
     # synth samples are (b-128)*256 over mostly-ASCII text (b<128), so
     # nearly every sample is negative: crossings are rare or zero.
     assert row.total_zero_crossings >= 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_decoder_roundtrip_randomized_payloads(seed):
+    """VERDICT r11 #6: the registered multimodal ops only ever feed the
+    decoders filter-0 grayscale PNGs and 8 kHz mono WAVs, so the other
+    decode arms (PNG filters 1-4, RGB/RGBA, other sample rates) had no
+    fixture coverage. tools/randfixtures generates spec-valid payloads
+    that vary dims / per-scanline filter types (>=1 type-2 Up row
+    forced) / channels / rates alongside the exact expected features;
+    the decode must match bit-for-bit across 4 seeds x 25 payloads."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    from randfixtures import rand_png_payload, rand_wav_payload
+
+    from pg_archiver_spark.functions.multimodal import decode_media
+
+    rng = np.random.RandomState(1000 + seed)
+    for _ in range(25):
+        png, want_png = rand_png_payload(rng)
+        assert decode_media(png) == want_png
+        wav, want_wav = rand_wav_payload(rng)
+        assert decode_media(wav) == want_wav
+
+
+def test_decoder_rejects_unknown_magic_bytes():
+    """Quarantine semantics hold for random garbage too."""
+    import numpy as np
+
+    from pg_archiver_spark.functions.multimodal import decode_media
+
+    rng = np.random.RandomState(7)
+    blob = bytes(rng.randint(0, 256, size=64).astype(np.uint8).tobytes())
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" or blob[:4] == b"RIFF":
+        blob = b"\x00" + blob
+    with pytest.raises(NotImplementedError):
+        decode_media(blob)

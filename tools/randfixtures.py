@@ -119,3 +119,110 @@ def gen(seed: int, out: str):
 if __name__ == "__main__":
     import sys
     gen(int(sys.argv[1]), sys.argv[2])
+
+
+# ----------------------- randomized media payloads (VERDICT r11 #6)
+# The registered multimodal ops synthesize filter-0 grayscale PNGs and
+# 8 kHz mono WAVs from document text, so the decoder's other arms
+# (PNG filters 1-4, RGB/RGBA channels, other sample rates) never see a
+# fixture byte. These generators produce spec-valid payloads that DO
+# exercise those arms, together with the exact expected feature dict,
+# for the multi-seed round-trip tests in tests/test_multimodal.py.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def rand_png_payload(rng) -> tuple[bytes, dict]:
+    """Random spec-valid 8-bit PNG: random dims, random color type
+    (grayscale / RGB / RGBA), and a RANDOM FILTER TYPE PER SCANLINE
+    with at least one type-2 (Up) row forced when height > 1. Returns
+    (payload, expected decode_png feature dict)."""
+    import struct
+    import zlib
+
+    width = int(rng.randint(1, 24))
+    height = int(rng.randint(1, 24))
+    color_type = int([0, 2, 6][rng.randint(3)])
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * channels
+    pixels = rng.randint(0, 256, size=(height, stride)).astype(np.uint8)
+    fts = [int(rng.randint(5)) for _ in range(height)]
+    if height > 1 and 2 not in fts:
+        fts[int(rng.randint(1, height))] = 2
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        line = pixels[y].astype(np.int32)
+        ft = fts[y]
+        filt = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(line[i - channels]) if i >= channels else 0
+            b = int(prev[i])
+            c = int(prev[i - channels]) if i >= channels else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (int(line[i]) - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    total = int(pixels.astype(np.int64).sum())
+    expected = {
+        "width": width,
+        "height": height,
+        "duration_ms": 0,
+        "mean_milli": (total * 1000) // (height * stride),
+    }
+    return payload, expected
+
+
+def rand_wav_payload(rng) -> tuple[bytes, dict]:
+    """Random 16-bit mono PCM WAV: random length and sample rate.
+    Returns (payload, expected decode_wav feature dict)."""
+    import io
+    import struct
+    import wave
+
+    n = int(rng.randint(1, 600))
+    rate = int([8000, 16000, 22050, 44100][rng.randint(4)])
+    samples = rng.randint(-32768, 32768, size=n).astype(np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *[int(s) for s in samples]))
+    expected = {
+        "width": n,
+        "height": 1,
+        "duration_ms": (n * 1000) // rate,
+        "mean_milli": int(np.abs(samples).sum() * 1000) // n,
+    }
+    return buf.getvalue(), expected
