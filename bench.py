@@ -126,9 +126,31 @@ def _tpch_suite(queries, spark, sf_dir) -> dict[str, float]:
     return out
 
 
+def _box_canary() -> float:
+    """Engine-independent box-speed control: a fixed single-thread
+    md5+arithmetic workload, min of 3. Cross-round bench drift that
+    scales WITH the canary is machine drift, not a plan regression —
+    the adjudication r10-r12 had to argue from PLANS.md byte-identity
+    alone (r12 measured a ~15% uniform suite shift with byte-identical
+    plans; this pins the control for next time)."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        h = b"canary"
+        acc = 0
+        for i in range(200_000):
+            h = hashlib.md5(h + i.to_bytes(4, "little")).digest()
+            acc += h[0]
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    canary = _box_canary()
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
@@ -190,6 +212,7 @@ def main() -> None:
                 "stats": stats,
                 "value_tpch_suite": round(sum(tpch.values()), 3),
                 "tpch_queries": tpch,
+                "box_canary_sec": canary,
                 "sf": float(sf),
             }
         )
@@ -208,6 +231,7 @@ def main() -> None:
                 "value_r1_subset": r1_subset,
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
                 "value_tpch_suite": round(sum(tpch.values()), 3),
+                "box_canary_sec": canary,
                 "sf": float(sf),
             }
         )
