@@ -4597,3 +4597,291 @@ def sim_ann_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+THRESH_SWEEP = tuple(range(100, 1000, 100))  # 9 operating points (milli)
+
+
+@register(
+    "ml_confusion_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               ((ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                 - 1) * 1000)
+                   // COUNT(*) OVER () AS p_milli
+        FROM orders
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in THRESH_SWEEP)}]) AS t),
+    cells AS (
+        SELECT th.t,
+               CAST(SUM(CASE WHEN p_milli >= th.t AND y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN p_milli >= th.t AND y = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN p_milli < th.t AND y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN p_milli < th.t AND y = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored CROSS JOIN th
+        GROUP BY th.t
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_milli, tp, fp, fn, tn,
+           CAST(COALESCE(tp * 1000 // NULLIF(tp + fp, 0), -1) AS BIGINT)
+               AS precision_pm,
+           CAST(COALESCE(tp * 1000 // NULLIF(tp + fn, 0), -1) AS BIGINT)
+               AS recall_pm,
+           CAST(COALESCE(2000 * tp // NULLIF(2 * tp + fp + fn, 0), -1)
+                AS BIGINT) AS f1_pm
+    FROM cells
+    ORDER BY threshold_milli
+    """,
+)
+def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep — the table a model-rollout review reads
+    next to ml_roc_auc's scalar: the full confusion matrix plus
+    precision/recall/F1 at nine decision thresholds over the same
+    deterministic rank-fraction score and fulfilled-status label as
+    ml_calibration_bins. Every metric is EXACT integer permille — F1
+    uses the identity F1 = 2tp/(2tp+fp+fn), so no float ever enters
+    (numerators ≤ 2000·N fit int64 to N≈4.6e15 rows); empty
+    denominators report the -1 sentinel (G13: no nullable numerics).
+
+    Plan: one scan → global rank window (at 100 TB swap in the
+    window_ntile_scalable two-pass partition-offset rank — identical
+    integers) → the 9-row threshold spine cross-joins BEFORE the
+    aggregate so all 9 operating points fold in ONE partial-agg pass
+    (9× agg columns, no second scan, no shuffle growth with the sweep
+    width).
+
+    Reference parity: no reference counterpart (main.go has no ML
+    surface); completes the eval trio of SURVEY §2's ml_* family."""
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.expr(
+            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
+            " * 1000) DIV (count(*) OVER ())"
+        ).alias("p_milli"),
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in THRESH_SWEEP])).alias("t")
+    )
+    cells = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                ((F.col("p_milli") >= F.col("t")) & (F.col("y") == 1)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                ((F.col("p_milli") >= F.col("t")) & (F.col("y") == 0)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                ((F.col("p_milli") < F.col("t")) & (F.col("y") == 1)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(
+                ((F.col("p_milli") < F.col("t")) & (F.col("y") == 0)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    return cells.select(
+        F.col("t").cast("bigint").alias("threshold_milli"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.coalesce(
+            F.expr("tp * 1000 DIV nullif(tp + fp, 0)"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("precision_pm"),
+        F.coalesce(
+            F.expr("tp * 1000 DIV nullif(tp + fn, 0)"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("recall_pm"),
+        F.coalesce(
+            F.expr("2000 * tp DIV nullif(2 * tp + fp + fn, 0)"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("f1_pm"),
+    ).orderBy("threshold_milli")
+
+
+NDCG_K = 10
+# Integer milli-discounts round(1000/log2(i+1)) for ranks 1..K, and
+# their prefix sums (ideal DCG for m relevant docs = _NDCG_PREFIX[m]).
+# Computed ONCE in Python and embedded as identical literals in both
+# engines, so no libm log2 ever runs inside a query (G11).
+_NDCG_DISC = (1000, 631, 500, 431, 387, 356, 333, 315, 301, 289)
+_NDCG_PREFIX = (0, 1000, 1631, 2131, 2562, 2949, 3305, 3638, 3953, 4254, 4543)
+
+
+def _ndcg_oracle() -> str:
+    ids = tuple(_KNN_BATCH_IDS)
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    pre = ", ".join(str(p) for p in _NDCG_PREFIX)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id IN {ids}
+    ),
+    relcnt AS (
+        SELECT q.q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_corpus_rel
+        FROM q JOIN embeddings b
+          ON b.label = q.q_label AND b.vec_id <> q.q_id
+        GROUP BY q.q_id
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, b.vec_id, b.label,
+               ROUND(CAST(list_cosine_similarity(b.embedding, q.q_emb)
+                          AS DOUBLE), 4) AS sim
+        FROM q JOIN embeddings b ON b.vec_id <> q.q_id
+    ),
+    topk AS (
+        SELECT q_id, q_label, label,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= {NDCG_K}
+    ),
+    dcg AS (
+        SELECT q_id,
+               CAST(SUM(CASE WHEN label = q_label
+                             THEN [{disc}][rnk] ELSE 0 END) AS BIGINT)
+                   AS dcg_milli,
+               CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel_topk
+        FROM topk GROUP BY q_id
+    )
+    SELECT d.q_id AS query_id,
+           r.n_corpus_rel,
+           d.n_rel_topk,
+           d.dcg_milli,
+           CAST([{pre}][CAST(LEAST(r.n_corpus_rel, {NDCG_K}) AS INTEGER) + 1]
+                AS BIGINT) AS idcg_milli,
+           ROUND(CASE WHEN r.n_corpus_rel = 0 THEN -1.0
+                 ELSE CAST(d.dcg_milli AS DOUBLE)
+                      / [{pre}][CAST(LEAST(r.n_corpus_rel, {NDCG_K})
+                                     AS INTEGER) + 1]
+                 END, 6) + 0.0 AS ndcg
+    FROM dcg d JOIN relcnt r ON d.q_id = r.q_id
+    ORDER BY query_id
+    """
+
+
+@register("ml_ndcg_at_k", oracle=_ndcg_oracle())
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval eval — the graded-ranking metric the recall
+    evals (sim_ann_recall_eval et al.) don't capture: recall@k treats
+    every hit equally, NDCG discounts by rank position, so a system
+    that buries its relevant hits at rank 9-10 scores visibly worse.
+    Relevance is binary label agreement (the sim_label_avg contract);
+    the discount table round(1000/log2(i+1)) and its prefix sums are
+    Python-computed INTEGER literals embedded identically in both
+    engines, so DCG and ideal DCG are exact bigint milli-units and the
+    single float step is the final ratio, ROUND(·,6)+0.0 (O(1), G13).
+    Queries with no same-label mate report the -1 sentinel.
+
+    Plan: the 16-query panel broadcasts; scoring is ONE map pass over
+    the corpus (|panel|·N pairs, no corpus shuffle); top-k is a
+    fixed-state window per query; the corpus relevance counts are a
+    |panel|-row broadcast re-join. At 100 TB nothing but the O(N)
+    scoring pass scales with the corpus.
+
+    Reference parity: no reference counterpart (main.go has no vector
+    surface); completes the retrieval-eval set next to the recall@k
+    and MRR-style ops."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    relcnt = (
+        q.join(
+            emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label")),
+            (F.col("b_label") == F.col("q_label"))
+            & (F.col("b_id") != F.col("q_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_corpus_rel"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_expr(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("q_emb").cast("array<double>"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    topk = scored.withColumn("rnk", F.row_number().over(w_q)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    disc_arr = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    dcg = topk.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("q_label"),
+                F.element_at(disc_arr, F.col("rnk")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_milli"),
+        F.sum((F.col("label") == F.col("q_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_rel_topk"),
+    )
+    pre_arr = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    idcg = F.element_at(
+        pre_arr,
+        (F.least(F.col("n_corpus_rel"), F.lit(NDCG_K)) + 1).cast("int"),
+    )
+    return (
+        dcg.join(F.broadcast(relcnt), "q_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            "n_corpus_rel",
+            "n_rel_topk",
+            "dcg_milli",
+            idcg.cast("bigint").alias("idcg_milli"),
+            (
+                F.round(
+                    F.when(F.col("n_corpus_rel") == 0, F.lit(-1.0)).otherwise(
+                        F.col("dcg_milli").cast("double") / idcg
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

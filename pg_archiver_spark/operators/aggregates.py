@@ -1480,3 +1480,117 @@ def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n bigint, p50_cents bigint, p99_cents bigint, p50 double, p99 double",
     )
+
+
+CMS_DEPTH = 4  # independent salted hash rows
+CMS_WIDTH = 64  # buckets per row
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH keys AS (
+        SELECT l_partkey AS k FROM lineitem
+    ),
+    cells AS (
+        SELECT d.d,
+               ('0x' || substring(md5('cm' || d.d || '|' ||
+                                      CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % {CMS_WIDTH} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keys CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) d
+        GROUP BY 1, 2
+    ),
+    tops AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM keys GROUP BY k
+        ORDER BY true_cnt DESC, k
+        LIMIT 10
+    ),
+    est AS (
+        SELECT t.k, t.true_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+        FROM tops t
+        CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) d
+        JOIN cells c
+          ON c.d = d.d
+         AND c.bucket = ('0x' || substring(md5('cm' || d.d || '|' ||
+                                               CAST(t.k AS VARCHAR)), 1, 15)
+                        )::BIGINT % {CMS_WIDTH}
+        GROUP BY t.k, t.true_cnt
+    )
+    SELECT k AS l_partkey, true_cnt, est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS over_cnt
+    FROM est
+    ORDER BY true_cnt DESC, l_partkey
+    """
+
+
+@register("agg_countmin_sketch", oracle=_cms_oracle())
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005) —
+    the frequency sketch completing the family after HLL (distinct),
+    KMV (intersection) and bottom-k (sampling): a CMS_DEPTH x CMS_WIDTH
+    (4x64) grid of salted-md5 counters answers "how often did key x occur?"
+    in O(1) space-per-key with one-sided error (never under-counts).
+    The op builds the sketch over lineitem part keys in ONE pass,
+    then reports the exact top-10 parts' true counts next to their
+    sketch estimates and the (provably ≥ 0) overestimate — the
+    accuracy audit a production rollout of the sketch ships with.
+
+    Determinism: bucket ids are md5-derived integers (engine-identical,
+    task-retry-safe, mergeable across partitions/streams — counters
+    add), counts are exact bigints, no float anywhere.
+
+    Plan: the sketch build partial-aggs to DEPTH*WIDTH = 256
+    cells regardless of corpus size (THE point of the sketch); the
+    exact top-10 is TakeOrdered over the per-key agg; probing joins
+    the 10×{CMS_DEPTH} probe rows to the broadcast cell frame.
+
+    Reference parity: extends the reference's COUNT-style batch stats
+    (main.go:202-223 row-count ledger) with the sketch a 100 TB
+    archive uses when exact per-key counts stop fitting anywhere."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+
+    def bucket(d: int, key):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{d}|"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint") % CMS_WIDTH
+
+    pairs = li.select(
+        F.posexplode(
+            F.array(*[bucket(d, F.col("k")) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    cells = pairs.groupBy("d", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tops = (
+        li.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "k")
+        .limit(10)
+    )
+    probes = tops.select(
+        "k",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[bucket(d, F.col("k")) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("over_cnt"),
+    ).orderBy(F.desc("true_cnt"), "l_partkey")

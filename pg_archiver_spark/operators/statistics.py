@@ -1815,3 +1815,146 @@ def analytics_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("p_approx"),
     )
+
+
+@register(
+    "analytics_mann_kendall",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.priority,
+               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM monthly a JOIN monthly b
+          ON a.priority = b.priority AND a.m < b.m
+        GROUP BY a.priority
+    ),
+    nn AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM monthly GROUP BY priority
+    ),
+    ties AS (
+        SELECT priority,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (
+            SELECT priority, cents, COUNT(*) AS t
+            FROM monthly GROUP BY priority, cents
+        ) GROUP BY priority
+    )
+    SELECT s.priority,
+           nn.n AS n_months,
+           s.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                AS BIGINT) AS var18,
+           ROUND(CASE WHEN s.s_stat = 0 THEN 0.0
+                 ELSE (CAST(s.s_stat AS DOUBLE)
+                       - CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END)
+                      / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                  - ties.tie_term AS DOUBLE) / 18.0)
+                 END, 6) + 0.0 AS z_mk
+    FROM s JOIN nn ON s.priority = nn.priority
+    JOIN ties ON s.priority = ties.priority
+    ORDER BY s.priority
+    """,
+)
+def analytics_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975) — the
+    SIGNIFICANCE side of analytics_theil_sen_trend's magnitude: is the
+    per-priority monthly-revenue series monotonically trending at all?
+    S = Σ_{i<j} sign(x_j − x_i) is a pure integer (sum of ±1/0 over
+    ordered pairs), the tie-corrected variance numerator
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is exact bigint, and the
+    continuity-corrected z = (S ∓ 1)/sqrt(var18/18) is the single
+    float step, ROUND(·,6)+0.0 per the G13 output discipline (z is
+    O(1)). Nonparametric: no distributional assumption, robust to the
+    same outlier months Theil-Sen tolerates — the pair every
+    forecasting warehouse runs together (slope + its p-value).
+
+    Plan: the theil_sen topology — one scan collapses to the
+    ≤|priorities|·|months| frame; the pair join is group-local over
+    month-granular frames (metadata-sized); ties/counts are
+    re-aggregations of the same tiny frame. At 100 TB the monthly
+    collapse IS the reduction; nothing downstream scales with rows.
+
+    Reference parity: extends the reference's analytics surface
+    (README.md:88-102 trend-shaped downstream queries) with the
+    standard companion test; no reference counterpart exists
+    (main.go has no analytics)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = monthly.select(
+        "priority", F.col("m").alias("m1"), F.col("cents").alias("c1")
+    )
+    b = monthly.select(
+        "priority", F.col("m").alias("m2"), F.col("cents").alias("c2")
+    )
+    s = (
+        a.join(b, "priority")
+        .filter(F.col("m1") < F.col("m2"))
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = monthly.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ties = (
+        monthly.groupBy("priority", "cents")
+        .agg(F.count("*").alias("t"))
+        .groupBy("priority")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    z = F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("s_stat").cast("double")
+            - F.when(F.col("s_stat") > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        )
+        / F.sqrt(var18.cast("double") / 18.0)
+    )
+    return (
+        s.join(F.broadcast(nn), "priority")
+        .join(F.broadcast(ties), "priority")
+        .select(
+            "priority",
+            F.col("n").alias("n_months"),
+            "s_stat",
+            var18.alias("var18"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z_mk"),
+        )
+        .orderBy("priority")
+    )

@@ -69,6 +69,11 @@ _DRIVER_PRIORITY = [
     "ml_naive_bayes_lang",
     "analytics_rfm_segmentation",
     "analytics_market_basket_lift",
+    # round-12 session additions (never driver-checked):
+    "analytics_mann_kendall",
+    "ml_confusion_threshold_sweep",
+    "ml_ndcg_at_k",
+    "agg_countmin_sketch",
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
@@ -112,10 +117,6 @@ _DRIVER_PRIORITY = [
     "analytics_zscore_outliers",
     "filter_range_cutoff",
     "filter_conjunction",
-    "cast_epoch_ms",
-    "join_asof",
-    "join_interval_pairs",
-    "join_asof_tolerance",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

@@ -239,6 +239,7 @@ EMB_SWEEP_OPS = [
     "sim_bitext_margin_mine",
     "sim_ann_nsw_beam",
     "sim_ann_nsw_recall_eval",
+    "ml_ndcg_at_k",
 ]
 
 _EMB_DIRS: dict[int, str] = {}
@@ -304,6 +305,9 @@ RELATIONAL_SWEEP_OPS = [
     "analytics_sessionize", "analytics_funnel",
     "analytics_retention_cohort", "merge_cdc_apply",
     "pipeline_neardup_eval_pr", "ml_roc_auc", "stream_tumbling_daily",
+    # round-12 additions
+    "analytics_mann_kendall", "ml_confusion_threshold_sweep",
+    "agg_countmin_sketch",
 ]
 
 _REL_DIR: list[str] = []

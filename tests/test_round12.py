@@ -1,0 +1,182 @@
+"""Unit tests for the round-12 operators — each verified against an
+INDEPENDENT pure-Python/numpy replica (the five-gate discipline's
+third implementation), plus the op-specific invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pg_archiver_spark.catalog import load
+from pg_archiver_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def _round6(x: float) -> float:
+    return float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_mann_kendall_matches_python_replica(spark, sf_dir):
+    rows = QUERIES["analytics_mann_kendall"](spark, sf_dir).collect()
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in monthly:
+        series.setdefault(r.p, []).append((r.m, int(r.c)))
+    assert len(rows) == len(series)
+    for r in rows:
+        pts = sorted(series[r.priority])
+        n = len(pts)
+        s = sum(
+            (1 if pts[j][1] > pts[i][1] else -1 if pts[j][1] < pts[i][1] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(c for _, c in pts)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        assert r.n_months == n
+        assert r.s_stat == s
+        assert r.var18 == var18
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        if s == 0:
+            assert r.z_mk == 0.0
+        else:
+            z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+            assert r.z_mk == _round6(z)
+
+
+def test_threshold_sweep_matches_python_replica(spark, sf_dir):
+    rows = QUERIES["ml_confusion_threshold_sweep"](spark, sf_dir).collect()
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    ranked = sorted(orders, key=lambda r: (r.o_totalprice, r.o_orderkey))
+    n = len(ranked)
+    scored = [
+        ((i * 1000) // n, 1 if r.o_orderstatus == "F" else 0)
+        for i, r in enumerate(ranked)
+    ]
+    assert [r.threshold_milli for r in rows] == list(range(100, 1000, 100))
+    prev_tp = None
+    for r in rows:
+        t = r.threshold_milli
+        tp = sum(1 for p, y in scored if p >= t and y == 1)
+        fp = sum(1 for p, y in scored if p >= t and y == 0)
+        fn = sum(1 for p, y in scored if p < t and y == 1)
+        tn = n - tp - fp - fn
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.precision_pm == (tp * 1000 // (tp + fp) if tp + fp else -1)
+        assert r.recall_pm == (tp * 1000 // (tp + fn) if tp + fn else -1)
+        assert r.f1_pm == (
+            2000 * tp // (2 * tp + fp + fn) if 2 * tp + fp + fn else -1
+        )
+        # monotone: raising the threshold can only shrink tp
+        if prev_tp is not None:
+            assert tp <= prev_tp
+        prev_tp = tp
+        assert tp + fn == sum(y for _, y in scored)  # positives constant
+
+
+def test_ndcg_matches_numpy_replica(spark, sf_dir):
+    from pg_archiver_spark.functions.similarity import (
+        _KNN_BATCH_IDS,
+        _NDCG_DISC,
+        _NDCG_PREFIX,
+        NDCG_K,
+    )
+
+    rows = QUERIES["ml_ndcg_at_k"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    assert len(rows) == len(_KNN_BATCH_IDS)
+    for r in rows:
+        q = r.query_id
+        qv = vecs[q]
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            c = float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            c4 = float(
+                Decimal(c).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+            sims.append((-c4, vid))
+        sims.sort()
+        topk = [vid for _, vid in sims[:NDCG_K]]
+        rel = [1 if labels[v] == labels[q] else 0 for v in topk]
+        dcg = sum(rl * _NDCG_DISC[i] for i, rl in enumerate(rel))
+        m = sum(1 for v in labels if v != q and labels[v] == labels[q])
+        idcg = _NDCG_PREFIX[min(m, NDCG_K)]
+        assert r.n_corpus_rel == m
+        assert r.n_rel_topk == sum(rel)
+        assert r.dcg_milli == dcg
+        assert r.idcg_milli == idcg
+        assert r.dcg_milli <= r.idcg_milli  # never beats ideal
+        if m:
+            assert r.ndcg == _round6(dcg / idcg)
+            assert 0.0 <= r.ndcg <= 1.0
+        else:
+            assert r.ndcg == -1.0
+
+
+def test_countmin_matches_python_replica_and_never_undercounts(
+    spark, sf_dir
+):
+    from pg_archiver_spark.operators.aggregates import CMS_DEPTH, CMS_WIDTH
+
+    rows = QUERIES["agg_countmin_sketch"](spark, sf_dir).collect()
+    keys = [
+        int(r.k)
+        for r in load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("k"))
+        .collect()
+    ]
+
+    def bucket(d: int, k: int) -> int:
+        h = hashlib.md5(f"cm{d}|{k}".encode()).hexdigest()[:15]
+        return int(h, 16) % CMS_WIDTH
+
+    cells: dict[tuple[int, int], int] = {}
+    true_cnt: dict[int, int] = {}
+    for k in keys:
+        true_cnt[k] = true_cnt.get(k, 0) + 1
+        for d in range(CMS_DEPTH):
+            cells[(d, bucket(d, k))] = cells.get((d, bucket(d, k)), 0) + 1
+
+    def est(k: int) -> int:
+        return min(cells[(d, bucket(d, k))] for d in range(CMS_DEPTH))
+
+    tops = sorted(true_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.l_partkey, r.true_cnt, r.est_cnt) for r in rows] == [
+        (k, c, est(k)) for k, c in tops
+    ]
+    # CMS one-sided error: NEVER undercounts, for any key
+    for k in list(true_cnt)[:200]:
+        assert est(k) >= true_cnt[k]
+    for r in rows:
+        assert r.over_cnt == r.est_cnt - r.true_cnt
+        assert r.over_cnt >= 0

@@ -23,6 +23,15 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
+    # -- round-12 additions -------------------------------------------
+    "ml_confusion_threshold_sweep": "FIXED 9-row threshold spine "
+    "broadcast onto the scored pass so all nine operating points fold "
+    "in ONE partial-agg (9x agg columns, never 9 scans); the only "
+    "data-sized work is the rank window",
+    "ml_ndcg_at_k": "FIXED 16-query panel broadcast onto the corpus "
+    "scoring pass (the sim_batch_knn_join O(N*panel) shape, constant "
+    "broadcast); top-k is a per-query window, everything after runs "
+    "on <= panel*K rows",
     # -- round-11 additions -------------------------------------------
     "sim_bm25_topk": "two 1-row (N, T) corpus-stats broadcasts — onto "
     "the |panel-terms|-row idf ladder frame and onto the postings "
