@@ -1594,3 +1594,120 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("over_cnt"),
     ).orderBy(F.desc("true_cnt"), "l_partkey")
+
+
+SKEW_Q = 100_000  # cents -> ~$1000 units: 550 shape-resolution levels
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle=f"""
+    WITH q AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // {SKEW_Q} AS xq
+        FROM orders
+    ),
+    anchor AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) // COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY priority
+    ),
+    t AS (
+        SELECT q.priority, a.n, a.c,
+               CAST(SUM(q.xq - a.c) AS BIGINT) AS t1,
+               CAST(SUM((q.xq - a.c) * (q.xq - a.c)) AS BIGINT) AS t2,
+               CAST(SUM((q.xq - a.c) * (q.xq - a.c) * (q.xq - a.c))
+                    AS BIGINT) AS t3,
+               CAST(SUM((q.xq - a.c) * (q.xq - a.c) * (q.xq - a.c)
+                        * (q.xq - a.c)) AS BIGINT) AS t4
+        FROM q JOIN anchor a ON q.priority = a.priority
+        GROUP BY q.priority, a.n, a.c
+    ),
+    m AS (
+        SELECT priority, n, c, t1, t2, t3, t4,
+               CAST(t1 AS DOUBLE) / n AS d,
+               CAST(t2 AS DOUBLE) / n AS r2,
+               CAST(t3 AS DOUBLE) / n AS r3,
+               CAST(t4 AS DOUBLE) / n AS r4
+        FROM t
+    )
+    SELECT priority, n AS n_orders, c AS q_anchor, t2, t3, t4,
+           ROUND((r3 - 3 * d * r2 + 2 * d * d * d)
+                 / pow(r2 - d * d, 1.5), 6) + 0.0 AS skewness_g1,
+           ROUND((r4 - 4 * d * r3 + 6 * d * d * r2 - 3 * d * d * d * d)
+                 / ((r2 - d * d) * (r2 - d * d)) - 3.0, 6) + 0.0
+               AS kurtosis_excess
+    FROM m
+    ORDER BY priority
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness and excess kurtosis of order value — the
+    distribution-SHAPE profile (heavy tail? lopsided?) that mean/stddev
+    reports miss, the screen run before choosing between mean-based
+    and robust statistics downstream.
+
+    Exactness via the SHIFTED-MOMENT integer ladder: order cents are
+    floor-quantized to ~$1000 units (SKEW_Q — 550 resolution levels,
+    ample for a shape statistic), the anchor c = floor(mean) is an
+    exact integer, and the four shifted power sums T_k = Σ(x−c)^k are
+    exact BIGINTs kept under 2^53 BY CONSTRUCTION (|x−c| ≤ ~550 ⇒
+    T4 ≤ n·9e10 — safe to n ≈ 9e4 per group at this spread; raise
+    SKEW_Q for bigger groups, the documented knob). The true central
+    moments follow exactly from the shift identity with δ = T1/n ∈
+    [0,1): m2 = r2−δ², m3 = r3−3δr2+2δ³, m4 = r4−4δr3+6δ²r2−3δ⁴ —
+    a fixed IEEE dag over exact integers, ROUND(·,6)+0.0 outputs at
+    O(1) magnitude (G13). Naive Σx⁴ would overflow every integer type
+    at cents scale (5e7⁴ ≈ 6e30/row); the quantize+shift ladder is
+    the standard fix.
+
+    Plan: one scan → per-group (n, Σ) anchor (broadcast back) → one
+    partial-agg pass folds all four power sums; nothing after the
+    first agg scales with rows.
+
+    Reference parity: no reference counterpart; extends the
+    agg_global_stats family with the 3rd/4th moments."""
+    orders = load(spark, sf_dir, "orders")
+    q = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {SKEW_Q}"
+        ).alias("xq"),
+    )
+    anchor = q.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("SUM(xq) DIV COUNT(*)").cast("bigint").alias("c"),
+    )
+    dev = F.col("xq") - F.col("c")
+    t = (
+        q.join(F.broadcast(anchor), "priority")
+        .groupBy("priority", "n", "c")
+        .agg(
+            F.sum(dev).cast("bigint").alias("t1"),
+            F.sum(dev * dev).cast("bigint").alias("t2"),
+            F.sum(dev * dev * dev).cast("bigint").alias("t3"),
+            F.sum(dev * dev * dev * dev).cast("bigint").alias("t4"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    d = F.col("t1").cast("double") / n_d
+    r2 = F.col("t2").cast("double") / n_d
+    r3 = F.col("t3").cast("double") / n_d
+    r4 = F.col("t4").cast("double") / n_d
+    m2 = r2 - d * d
+    g1 = (r3 - 3 * d * r2 + 2 * d * d * d) / F.pow(m2, 1.5)
+    g2 = (r4 - 4 * d * r3 + 6 * d * d * r2 - 3 * d * d * d * d) / (
+        m2 * m2
+    ) - 3.0
+    return t.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.col("c").alias("q_anchor"),
+        "t2",
+        "t3",
+        "t4",
+        (F.round(g1, 6) + F.lit(0.0)).alias("skewness_g1"),
+        (F.round(g2, 6) + F.lit(0.0)).alias("kurtosis_excess"),
+    ).orderBy("priority")

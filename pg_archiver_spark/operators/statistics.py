@@ -1958,3 +1958,131 @@ def analytics_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "analytics_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m
+            FROM daily),
+    signs AS (
+        SELECT day,
+               CASE WHEN CAST(cents AS DOUBLE) > med.m THEN 1 ELSE -1 END
+                   AS s
+        FROM daily CROSS JOIN med
+        WHERE CAST(cents AS DOUBLE) <> med.m
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS DISTINCT FROM s
+                    THEN 1 ELSE 0 END AS is_start
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(is_start) AS BIGINT) AS n_runs
+        FROM runs
+    )
+    SELECT n1, n2, n_runs,
+           ROUND((CAST(n_runs AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))),
+                 6) + 0.0 AS z_runs
+    FROM agg
+    """,
+)
+def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test — the randomness screen completing the
+    nonparametric family (mannwhitney: location; ks: distribution;
+    pettitt: changepoint; THIS: serial dependence): is the daily
+    revenue series above/below its median in RANDOM order, or does it
+    streak? Too few runs = positive autocorrelation (regimes), too
+    many = oscillation. Days equal to the median are dropped (the
+    classical treatment).
+
+    Determinism: signs compare exact integer cents against the exact
+    interpolated median (k or k+0.5 — both exactly representable, the
+    theil_sen/median-of-integers argument); run starts are integer
+    window flags; n1/n2/n_runs are exact bigints; the normal
+    approximation z is the single float step over exact integers,
+    ROUND(·,6)+0.0 at O(1) magnitude (G13).
+
+    Plan: one fact pass to the |calendar| daily frame; the 1-row
+    median anchor crossJoins back (planaudit-whitelisted); the run
+    walk is one ordered pass over the bounded daily frame — the
+    analytics_ks_test topology.
+
+    Reference parity: no reference counterpart (main.go has no
+    analytics); rounds out SURVEY §2's inference family."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    med = daily.agg(
+        F.expr("percentile(cast(cents as double), 0.5)").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents").cast("double") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("cents").cast("double") > F.col("m"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum("is_start").cast("bigint").alias("n_runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    e_runs = 2.0 * n1d * n2d / nd + 1.0
+    var = (
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_runs",
+        (
+            F.round(
+                (F.col("n_runs").cast("double") - e_runs) / F.sqrt(var), 6
+            )
+            + F.lit(0.0)
+        ).alias("z_runs"),
+    )

@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "ml_confusion_threshold_sweep",
     "ml_ndcg_at_k",
     "agg_countmin_sketch",
+    "analytics_runs_test",
+    "agg_skew_kurtosis",
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
@@ -115,8 +117,6 @@ _DRIVER_PRIORITY = [
     "window_gaps_islands",
     "window_ewma",
     "analytics_zscore_outliers",
-    "filter_range_cutoff",
-    "filter_conjunction",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

@@ -307,7 +307,7 @@ RELATIONAL_SWEEP_OPS = [
     "pipeline_neardup_eval_pr", "ml_roc_auc", "stream_tumbling_daily",
     # round-12 additions
     "analytics_mann_kendall", "ml_confusion_threshold_sweep",
-    "agg_countmin_sketch",
+    "agg_countmin_sketch", "analytics_runs_test", "agg_skew_kurtosis",
 ]
 
 _REL_DIR: list[str] = []

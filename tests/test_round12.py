@@ -180,3 +180,80 @@ def test_countmin_matches_python_replica_and_never_undercounts(
     for r in rows:
         assert r.over_cnt == r.est_cnt - r.true_cnt
         assert r.over_cnt >= 0
+
+
+def test_runs_test_matches_python_replica(spark, sf_dir):
+    import statistics as st
+
+    rows = QUERIES["analytics_runs_test"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    daily = sorted(
+        (r2.day, int(r2.c))
+        for r2 in load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    med = st.median([float(c) for _, c in daily])
+    signs = [1 if c > med else -1 for _, c in daily if float(c) != med]
+    n1 = sum(1 for s in signs if s == 1)
+    n2 = len(signs) - n1
+    n_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert (r.n1, r.n2, r.n_runs) == (n1, n2, n_runs)
+    e = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (float(n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert r.z_runs == _round6((n_runs - e) / math.sqrt(var))
+    # runs count bounds: 1 <= R <= n1 + n2
+    assert 1 <= r.n_runs <= r.n1 + r.n2
+
+
+def test_skew_kurtosis_matches_numpy_replica(spark, sf_dir):
+    from pg_archiver_spark.operators.aggregates import SKEW_Q
+
+    rows = QUERIES["agg_skew_kurtosis"](spark, sf_dir).collect()
+    raw = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.expr(
+                f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                f" DIV {SKEW_Q}"
+            ).alias("xq"),
+        )
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r2 in raw:
+        groups.setdefault(r2.p, []).append(int(r2.xq))
+    assert len(rows) == len(groups)
+    for r in rows:
+        xs = np.array(groups[r.priority], dtype=np.int64)
+        n = len(xs)
+        c = int(xs.sum()) // n
+        dev = xs - c
+        t = [int((dev.astype(object) ** k).sum()) for k in (1, 2, 3, 4)]
+        assert (r.n_orders, r.q_anchor) == (n, c)
+        assert (r.t2, r.t3, r.t4) == (t[1], t[2], t[3])
+        # exact-int ladder headroom: T4 must stay below 2^53
+        assert abs(t[3]) < 2**53
+        d = t[0] / n
+        r2_, r3_, r4_ = t[1] / n, t[2] / n, t[3] / n
+        m2 = r2_ - d * d
+        g1 = (r3_ - 3 * d * r2_ + 2 * d**3) / m2**1.5
+        g2 = (r4_ - 4 * d * r3_ + 6 * d * d * r2_ - 3 * d**4) / m2**2 - 3.0
+        assert r.skewness_g1 == _round6(g1)
+        assert r.kurtosis_excess == _round6(g2)
+        # sanity: numpy's own (population) moments agree to float tol
+        mu, sd = xs.mean(), xs.std()
+        np_g1 = float(((xs - mu) ** 3).mean() / sd**3)
+        np_g2 = float(((xs - mu) ** 4).mean() / sd**4 - 3.0)
+        assert abs(r.skewness_g1 - np_g1) < 1e-6
+        assert abs(r.kurtosis_excess - np_g2) < 1e-6

@@ -24,6 +24,9 @@ SCALE_KILLERS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 # name -> why the non-equi join is the correct plan at 100 TB.
 WHITELIST = {
     # -- round-12 additions -------------------------------------------
+    "analytics_runs_test": "1-row exact-median anchor crossJoin back "
+    "onto the <=|days| daily frame (the seasonal_residual MAD shape); "
+    "the run walk is one ordered pass over that bounded frame",
     "ml_confusion_threshold_sweep": "FIXED 9-row threshold spine "
     "broadcast onto the scored pass so all nine operating points fold "
     "in ONE partial-agg (9x agg columns, never 9 scans); the only "
