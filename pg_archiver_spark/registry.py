@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "agg_countmin_sketch",
     "analytics_runs_test",
     "agg_skew_kurtosis",
+    "source_notify_push_archival",
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
@@ -116,7 +117,6 @@ _DRIVER_PRIORITY = [
     "window_rolling_distinct",
     "window_gaps_islands",
     "window_ewma",
-    "analytics_zscore_outliers",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

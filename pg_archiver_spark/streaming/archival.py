@@ -2043,3 +2043,187 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded: one row per stateful user key (the report frame itself)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "source_notify_push_archival",
+    # Thirds partition by RANK-derived ID cuts (not dense-domain
+    # arithmetic — random corpora have gaps/duplicates): each cut is
+    # the max event_id of a rank-third, each notification's watermark
+    # is its cut, and n_rows counts ids in the HALF-OPEN RANGE
+    # (prev_cut, cut] — the id-range semantics the listener's pull
+    # predicate actually has (a duplicate id straddling a rank
+    # boundary is pulled once, with its earlier batch). A listener
+    # that double-pulled, skipped a notification, or mis-ordered the
+    # wake-ups hash-fails.
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id,
+               ((ROW_NUMBER() OVER (ORDER BY event_id) - 1) * 3)
+                   // COUNT(*) OVER () AS b
+        FROM events
+    ),
+    cuts AS (
+        SELECT MAX(CASE WHEN b = 0 THEN event_id END) AS c1,
+               MAX(CASE WHEN b = 1 THEN event_id END) AS c2,
+               MAX(event_id) AS c3
+        FROM ranked
+    )
+    SELECT CAST(1 AS BIGINT) AS batch,
+           CAST((SELECT COUNT(*) FROM events WHERE event_id <= c1)
+                AS BIGINT) AS n_rows,
+           CAST(c1 AS BIGINT) AS watermark
+    FROM cuts
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_id > c1 AND event_id <= c2) AS BIGINT),
+           CAST(c2 AS BIGINT)
+    FROM cuts
+    UNION ALL
+    SELECT CAST(3 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_id > c2 AND event_id <= c3) AS BIGINT),
+           CAST(c3 AS BIGINT)
+    FROM cuts
+    ORDER BY batch
+    """,
+)
+def source_notify_push_archival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUSH-BASED real-time archival — the faithful analogue of the
+    reference's named-but-unimplemented PostgreSQL NOTIFY/LISTEN
+    trigger (README.md:124), built from components this harness
+    actually has. LISTEN/NOTIFY semantics are (a) the WRITER commits
+    rows, then notifies a channel with a small payload; (b) the
+    LISTENER wakes on the notification — not on a poll interval — and
+    pulls exactly the notified range. Here the channel is a file
+    directory watched by a Structured Streaming file source (real
+    wake-up semantics: the stream processes nothing until a
+    notification lands), the payload is the committed batch's
+    watermark, the data lives in a LIVE embedded Derby database the
+    writer appends to BEFORE each notify (the commit-then-notify
+    ordering that makes the protocol race-free), and the listener's
+    foreachBatch handler runs the incremental JDBC pull
+    ``id > last_wm AND id <= notified_wm`` (predicate pushed down —
+    each wake-up reads ONLY the notified rows) and appends to the
+    parquet archive. Exactly-once coverage is asserted in-op (the
+    source_jdbc_poll contract): archived rows must partition the
+    fixture, else RuntimeError.
+
+    At 100 TB this is the shape that replaces interval polling when
+    ingest latency matters: wake-ups cost one small file/message each
+    (any bus — S3 events, Kafka, pg_notify — slots into the file
+    source's place), pulls stay O(new rows), and the watermark ledger
+    makes replays idempotent.
+
+    Reference parity: closes the last named future-work item
+    (README.md:123-128) that had only the polling approximation
+    (source_jdbc_poll)."""
+    import json
+
+    from pg_archiver_spark.sources import derby
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    total = events.count()
+    # Rank-derived ID cuts (robust to gapped/duplicated id domains):
+    # the writer commits half-open id ranges (prev_cut, cut].
+    from pyspark.sql.window import Window as _W
+
+    ranked = events.select(
+        "event_id",
+        F.expr(
+            "((row_number() OVER (ORDER BY event_id) - 1) * 3)"
+            " DIV (count(*) OVER ())"
+        ).alias("b"),
+    )
+    # bounded: 1-row cut anchor (three watermark scalars)
+    cut_row = ranked.agg(
+        F.max(F.when(F.col("b") == 0, F.col("event_id"))).alias("c1"),
+        F.max(F.when(F.col("b") == 1, F.col("event_id"))).alias("c2"),
+        F.max("event_id").alias("c3"),
+    ).first()
+    his = [int(cut_row.c1), int(cut_row.c2), int(cut_row.c3)]
+    batches = [
+        events.filter(F.col("event_id") <= his[0]),
+        events.filter(
+            (F.col("event_id") > his[0]) & (F.col("event_id") <= his[1])
+        ),
+        events.filter(
+            (F.col("event_id") > his[1]) & (F.col("event_id") <= his[2])
+        ),
+    ]
+
+    notify_dir = _fresh_dir("notify", "channel")
+    archive_dir = _fresh_dir("notify", "archive")
+    checkpoint = _fresh_dir("notify", "checkpoint")
+
+    # Writer side: commit batch k to the database, THEN notify — with
+    # strictly ascending mtimes so the channel replays in commit order.
+    url = derby.stage_frame(spark, batches[0], "events_push")
+    for k in range(3):
+        if k > 0:
+            (
+                batches[k]
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "events_push")
+                .option("driver", derby.DERBY_DRIVER)
+                .mode("append")
+                .save()
+            )
+        path = os.path.join(notify_dir, f"notify_{k + 1}.json")
+        with open(path, "w") as f:
+            json.dump({"batch": k + 1, "hi": his[k]}, f)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    # Listener side: wake on notifications, pull the notified range.
+    ledger: list[tuple[int, int, int]] = []
+    state = {"wm": -1}
+
+    def handle(batch_df: DataFrame, _epoch: int) -> None:
+        # bounded: <= 3 notification payloads per wake-up
+        for r in sorted(batch_df.collect(), key=lambda x: x.batch):
+            pulled = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "events_push")
+                .option("driver", derby.DERBY_DRIVER)
+                .option("pushDownPredicate", "true")
+                .load()
+                .filter(
+                    (F.col("event_id") > state["wm"])
+                    & (F.col("event_id") <= r.hi)
+                )
+            )
+            n = pulled.count()
+            pulled.write.mode("append").parquet(archive_dir)
+            ledger.append((int(r.batch), n, int(r.hi)))
+            state["wm"] = int(r.hi)
+
+    stream = (
+        spark.readStream.schema("batch long, hi long")
+        .json(notify_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    archived = spark.read.parquet(archive_dir)
+    n_arch = archived.count()
+    n_dist = archived.select("event_id").distinct().count()
+    want_dist = events.select("event_id").distinct().count()
+    if n_arch != total or n_dist != want_dist or len(ledger) != 3:
+        raise RuntimeError(
+            "push archival lost or duplicated rows: "
+            f"archived={n_arch} distinct={n_dist} total={total} "
+            f"notifications={len(ledger)}"
+        )
+    return spark.createDataFrame(
+        sorted(ledger), "batch long, n_rows long, watermark long"
+    )

@@ -257,3 +257,29 @@ def test_skew_kurtosis_matches_numpy_replica(spark, sf_dir):
         np_g2 = float(((xs - mu) ** 4).mean() / sd**4 - 3.0)
         assert abs(r.skewness_g1 - np_g1) < 1e-6
         assert abs(r.kurtosis_excess - np_g2) < 1e-6
+
+
+def test_notify_push_archival_commit_then_notify_order(spark, sf_dir):
+    rows = QUERIES["source_notify_push_archival"](spark, sf_dir).collect()
+    ids = sorted(
+        r.event_id
+        for r in load(spark, sf_dir, "events").select("event_id").collect()
+    )
+    total = len(ids)
+    # python replica of the rank-derived ID cuts and half-open ranges
+    b = [((rn * 3) // total) for rn in range(total)]
+    c1 = max(i for i, bb in zip(ids, b) if bb == 0)
+    c2 = max(i for i, bb in zip(ids, b) if bb == 1)
+    c3 = ids[-1]
+    n1 = sum(1 for i in ids if i <= c1)
+    n2 = sum(1 for i in ids if c1 < i <= c2)
+    n3 = sum(1 for i in ids if c2 < i <= c3)
+    assert [(r.batch, r.n_rows, r.watermark) for r in rows] == [
+        (1, n1, c1),
+        (2, n2, c2),
+        (3, n3, c3),
+    ]
+    # watermark ledger strictly ascends — replays are idempotent
+    wms = [r.watermark for r in rows]
+    assert wms == sorted(wms) and len(set(wms)) == 3
+    assert sum(r.n_rows for r in rows) == total  # exactly-once coverage
