@@ -4885,3 +4885,157 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               ((ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                 - 1) * 1000)
+                   // COUNT(*) OVER () AS p_milli
+        FROM orders
+    ),
+    bins AS (
+        SELECT p_milli // 100 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(p_milli) AS BIGINT) AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y))
+                    AS BIGINT) AS sq
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS sy_tot,
+               CAST(SUM(sq) AS BIGINT) AS sq_tot,
+               CAST(SUM((sp - 1000 * sy) * (sp - 1000 * sy) // nk)
+                    AS BIGINT) AS rel_num,
+               CAST(SUM(CAST((SELECT SUM(nk) FROM bins) * sy
+                             - nk * (SELECT SUM(sy) FROM bins)
+                        AS HUGEINT)
+                        * ((SELECT SUM(nk) FROM bins) * sy
+                           - nk * (SELECT SUM(sy) FROM bins)) // nk)
+                    AS BIGINT) AS res_num
+        FROM bins
+    )
+    SELECT n,
+           ROUND(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+               + 0.0 AS brier,
+           ROUND(CAST(rel_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+               + 0.0 AS reliability,
+           ROUND(CAST(res_num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE)), 6) + 0.0 AS resolution,
+           ROUND(CAST(sy_tot AS DOUBLE) * (n - sy_tot)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0
+               AS uncertainty
+    FROM tot
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score —
+    Brier = RELIABILITY − RESOLUTION + UNCERTAINTY — the diagnosis
+    behind ml_calibration_bins' reliability curve: is a bad Brier bad
+    CALIBRATION (predictions off the observed rates — fixable by
+    recalibration) or poor RESOLUTION (the model doesn't separate
+    outcomes at all — not fixable without a better model)? Same
+    deterministic rank-fraction score and fulfilled label, same decile
+    bins.
+
+    Integer-ladder exactness: per-bin sufficient statistics (n_k, Σp,
+    Σy, Σ(p−1000y)²) are exact bigints; the reliability numerator
+    Σ (Σp_k − 1000Σy_k)² DIV n_k and resolution numerator
+    Σ (nΣy_k − n_kΣy)² DIV n_k quantize each bin's square by a
+    truncating division (error < 1 milli²-unit per bin, 10 bins —
+    invisible at the 6dp output) and accumulate as exact integers (the
+    resolution squares pass through DECIMAL(38,0)/HUGEINT — n·Σy_k
+    reaches ~2e9 at sf0.1, squared ~5e18, int64-marginal); each
+    reported component is ONE rounded float ratio of exact integers
+    (G13). The decomposition identity is pinned in pytest to the
+    quantization tolerance.
+
+    Plan: one scan → rank window (window_ntile_scalable swap at
+    100 TB) → 10-bin partial agg → 1-row recombination. Nothing after
+    the bin agg scales with rows.
+
+    Reference parity: no reference counterpart; completes the
+    calibration/eval family (SURVEY §2 ml_*)."""
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.expr(
+            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
+            " * 1000) DIV (count(*) OVER ())"
+        ).alias("p_milli"),
+    )
+    bins = scored.groupBy(
+        (F.col("p_milli") / 100).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("p_milli").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            (F.col("p_milli") - 1000 * F.col("y"))
+            * (F.col("p_milli") - 1000 * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withtot = bins.select(
+        "*",
+        F.sum("nk").over(w_all).alias("n"),
+        F.sum("sy").over(w_all).alias("sy_tot"),
+    )
+    tot = withtot.groupBy().agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("sy_tot").cast("bigint").alias("sy_tot"),
+        F.sum("sq").cast("bigint").alias("sq_tot"),
+        F.sum(F.expr("(sp - 1000 * sy) * (sp - 1000 * sy) DIV nk"))
+        .cast("bigint")
+        .alias("rel_num"),
+        # g² runs in DECIMAL(38,0) (int64-marginal at sf0.1) and the
+        # per-bin quantization is Spark DIV == DuckDB // (g² >= 0, so
+        # floor == trunc — a decimal '/'-then-cast would HALF_UP-round
+        # where the oracle floors).
+        F.sum(
+            F.expr(
+                "CAST(n * sy - nk * sy_tot AS DECIMAL(38,0))"
+                " * CAST(n * sy - nk * sy_tot AS DECIMAL(38,0))"
+                " DIV nk"
+            )
+        )
+        .cast("bigint")
+        .alias("res_num"),
+    )
+    n_d = F.col("n").cast("double")
+    return tot.select(
+        "n",
+        (
+            F.round(F.col("sq_tot").cast("double") / (n_d * 1e6), 6)
+            + F.lit(0.0)
+        ).alias("brier"),
+        (
+            F.round(F.col("rel_num").cast("double") / (n_d * 1e6), 6)
+            + F.lit(0.0)
+        ).alias("reliability"),
+        (
+            F.round(
+                F.col("res_num").cast("double") / (n_d * n_d * n_d), 6
+            )
+            + F.lit(0.0)
+        ).alias("resolution"),
+        (
+            F.round(
+                F.col("sy_tot").cast("double")
+                * (F.col("n") - F.col("sy_tot"))
+                / (n_d * n_d),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("uncertainty"),
+    )

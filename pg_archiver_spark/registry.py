@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "analytics_runs_test",
     "agg_skew_kurtosis",
     "source_notify_push_archival",
+    "ml_brier_decomposition",
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
@@ -116,7 +117,6 @@ _DRIVER_PRIORITY = [
     "join_range_binned",
     "window_rolling_distinct",
     "window_gaps_islands",
-    "window_ewma",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

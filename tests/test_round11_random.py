@@ -308,7 +308,7 @@ RELATIONAL_SWEEP_OPS = [
     # round-12 additions
     "analytics_mann_kendall", "ml_confusion_threshold_sweep",
     "agg_countmin_sketch", "analytics_runs_test", "agg_skew_kurtosis",
-    "source_notify_push_archival",
+    "source_notify_push_archival", "ml_brier_decomposition",
 ]
 
 _REL_DIR: list[str] = []

@@ -283,3 +283,60 @@ def test_notify_push_archival_commit_then_notify_order(spark, sf_dir):
     wms = [r.watermark for r in rows]
     assert wms == sorted(wms) and len(set(wms)) == 3
     assert sum(r.n_rows for r in rows) == total  # exactly-once coverage
+
+
+def test_brier_decomposition_identity_and_replica(spark, sf_dir):
+    rows = QUERIES["ml_brier_decomposition"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    ranked = sorted(orders, key=lambda x: (x.o_totalprice, x.o_orderkey))
+    n = len(ranked)
+    scored = [
+        ((i * 1000) // n, 1 if x.o_orderstatus == "F" else 0)
+        for i, x in enumerate(ranked)
+    ]
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for p, y in scored:
+        bins.setdefault(p // 100, []).append((p, y))
+    sy_tot = sum(y for _, y in scored)
+    sq_tot = sum((p - 1000 * y) ** 2 for p, y in scored)
+    rel_num = sum(
+        (sum(p for p, _ in b) - 1000 * sum(y for _, y in b)) ** 2
+        // len(b)
+        for b in bins.values()
+    )
+    res_num = sum(
+        (n * sum(y for _, y in b) - len(b) * sy_tot) ** 2 // len(b)
+        for b in bins.values()
+    )
+    assert r.n == n
+    assert r.brier == _round6(sq_tot / (n * 1e6))
+    assert r.reliability == _round6(rel_num / (n * 1e6))
+    assert r.resolution == _round6(res_num / n**3)
+    assert r.uncertainty == _round6(sy_tot * (n - sy_tot) / n**2)
+    # Generalized Murphy identity (Stephenson et al.): with forecasts
+    # VARYING inside a bin, Brier = REL - RES + UNC + WBV - 2*WBC,
+    # where WBV/WBC are the within-bin variance/covariance terms (zero
+    # only for constant-per-bin forecasts). Verify it exactly from the
+    # replica, up to the op's per-bin integer truncation + 6dp rounds.
+    wbv = wbc = 0.0
+    for b in bins.values():
+        nk = len(b)
+        pbar = sum(p for p, _ in b) / nk / 1000.0
+        ybar = sum(y for _, y in b) / nk
+        for p, y in b:
+            wbv += (p / 1000.0 - pbar) ** 2
+            wbc += (p / 1000.0 - pbar) * (y - ybar)
+    wbv /= n
+    wbc /= n
+    gap = r.brier - (
+        r.reliability - r.resolution + r.uncertainty + wbv - 2 * wbc
+    )
+    assert abs(gap) < 2e-5, gap
+    assert 0.0 <= r.uncertainty <= 0.25 + 1e-9
+    assert r.reliability >= 0.0 and r.resolution >= 0.0
