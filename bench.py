@@ -86,13 +86,23 @@ HEADLINE = [
     # show up in BENCH deltas.
     "sim_bm25_topk",
     "sim_bitext_margin_mine",
+    # Round-12 representatives: the Count-Min sketch build (one
+    # 256-cell partial-agg over the fact scan — the sketch-family
+    # scan shape) and NDCG@10 (panel-broadcast corpus scoring + per-
+    # query top-k window — the retrieval-eval shape). No trained-index
+    # op joins the headline set: their per-corpus centroid/codebook
+    # caches would time build on the first pass and serve on the rest,
+    # making a min-of-5 read misleading (the r10/r11 build-vs-serve
+    # ask) — the stress/recall pytests own those paths instead.
+    "agg_countmin_sketch",
+    "ml_ndcg_at_k",
 ]
 
 # The headline set is VERSIONED (r6 verdict task 4): bump this when the
 # list above changes so cross-round totals are never compared across
 # different compositions; `value_r1_subset` (HEADLINE[:15]) stays the
 # stable cross-round series.
-HEADLINE_SET_VERSION = 8  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3), v7 = r8 (+1), v8 = r11 (+2)
+HEADLINE_SET_VERSION = 9  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3), v7 = r8 (+1), v8 = r11 (+2), v9 = r12 (+2)
 
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the

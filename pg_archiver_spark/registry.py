@@ -44,20 +44,25 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
 # ROUND-12 PIN (executes VERDICT r11 item #1): all 50 r11-window names
-# hold fresh r11 evidence and are deleted. Slots 1-9 are the nine r11
-# session additions that missed the r11 window (never driver-checked —
-# mandatory leads per the r11 verdict); slots 10-11 are the two ops
-# whose outputs changed to the ROUND-6dp discipline after the seed-99
-# sweep (their old driver evidence refers to the unrounded outputs);
-# slots 12-31 are the 20 ops swept by the R12 AUDIT this session
-# (unrounded CAST(int AS DOUBLE)/... OUTPUT columns moved onto
-# ROUND(.,6)+0.0 — their fixture hashes CHANGE, so each needs fresh
-# driver evidence the same round its output changes); slots 32-50 top
-# up from oldest-driver-evidence greens (r4, registry order).
-# From r13 on the whole registry holds current hash evidence and the
-# window becomes a pure freshness rotation: delete every name below
-# that holds r12 evidence, bump _PIN_ROUND to 13, lead with any r12
-# session additions, then fill oldest-driver-evidence-first (r4-up).
+# hold fresh r11 evidence and are deleted. The window leads with the
+# nine r11 session additions that missed the r11 window, then the
+# EIGHT r12 session additions (mann_kendall, threshold sweep, ndcg,
+# count-min, runs test, skew/kurtosis, push archival, brier decomp —
+# all never driver-checked), then the two ops whose outputs were
+# re-rounded post-check, then the 20 R12-AUDIT sweep ops whose output
+# hashes changed this session, topped up with oldest-evidence (r4)
+# greens (several greens were swapped OUT as session ops landed, per
+# the keep-the-window-first-time rule).
+# ROUND-13 PIN (write now in case of context reset): delete every
+# name below that holds r12 evidence (expected: all 50), bump
+# _PIN_ROUND to 13, lead with any r13 session additions, then fill
+# oldest-driver-evidence-first greens (r4-up: cast_epoch_ms,
+# join_asof, join_interval_pairs, join_asof_tolerance,
+# filter_range_cutoff, filter_conjunction, analytics_zscore_outliers,
+# window_ewma were the greens displaced from the r12 window — they
+# are the oldest-evidence pool to draw from first). From r13 on the
+# whole registry holds current hash evidence and the window is a pure
+# freshness rotation.
 _DRIVER_PRIORITY = [
     # never driver-checked (r11 session additions):
     "text_stupid_backoff_lm",

@@ -266,3 +266,30 @@ def test_vocab_coverage_topk_no_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan and "WindowExec" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_countmin_build_is_partial_agg_no_cartesian(spark, sf_dir):
+    """The sketch build must stay a posexplode → partial-agg collapse
+    (DEPTH·WIDTH cells), never a join against the corpus."""
+    plan = physical_plan(QUERIES["agg_countmin_sketch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_threshold_sweep_single_pass_broadcast_spine(spark, sf_dir):
+    """All nine operating points fold in one agg over a broadcast
+    9-row spine — a SortMergeJoin here would mean the spine shuffled
+    the corpus."""
+    plan = physical_plan(
+        QUERIES["ml_confusion_threshold_sweep"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ndcg_panel_broadcasts_not_shuffles(spark, sf_dir):
+    """The 16-query panel must broadcast onto the corpus scoring pass;
+    a shuffle join on the panel would re-partition the corpus."""
+    plan = physical_plan(QUERIES["ml_ndcg_at_k"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
