@@ -2086,3 +2086,128 @@ def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z_runs"),
     )
+
+
+@register(
+    "analytics_spearman_corr",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem
+    ),
+    xr AS (
+        SELECT x, 2 * (1 + COALESCE(SUM(t) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)) + t - 1 AS r2
+        FROM (SELECT x, COUNT(*) AS t FROM base GROUP BY x)
+    ),
+    yr AS (
+        SELECT y, 2 * (1 + COALESCE(SUM(t) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)) + t - 1 AS r2
+        FROM (SELECT y, COUNT(*) AS t FROM base GROUP BY y)
+    ),
+    ranked AS (
+        SELECT CAST(xr.r2 AS HUGEINT) AS rx, CAST(yr.r2 AS HUGEINT) AS ry
+        FROM base JOIN xr ON base.x = xr.x JOIN yr ON base.y = yr.y
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * ry) AS sxy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM ranked
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) + 0.0 AS spearman_rho
+    FROM s
+    """,
+)
+def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the ROBUST sibling of the Pearson matrix (agg family's
+    corr): monotone association free of the linearity and
+    outlier-sensitivity assumptions, the screen run before trusting a
+    Pearson number on heavy-tailed warehouse measures.
+
+    Exactness: ties take average ranks via the DOUBLED-midrank trick
+    (r2 = 2·r_min + t − 1 is always an integer — the mannwhitney/
+    pettitt device), so every rank is exact; Spearman = Pearson ON the
+    midranks, whose five sufficient sums accumulate in DECIMAL(38,0)/
+    HUGEINT (r2 ≤ 2n ⇒ Σ(r2·r2) ≤ 4n³ — exact to n ≈ 2.9e11 rows);
+    the final rho is one fixed IEEE dag over those exact integers,
+    ROUND(·,6)+0.0 at O(1) magnitude (G13; the >2^53 casts inside it
+    carry ~1e-16 relative ulp noise, invisible at 6dp). The classic
+    1 − 6Σd²/(n³−n) shortcut is WRONG under ties and is deliberately
+    not used.
+
+    Plan: two groupBy(value) collapses (distinct-value frames) → two
+    ordered cumulative windows over those bounded frames for midranks
+    → two equi-joins re-attach ranks → ONE partial-agg pass folds all
+    five sums. At 100 TB swap the plain cumulative windows for the
+    window_ntile_scalable two-pass partition-offset prefix sum — the
+    ranks are unchanged.
+
+    Reference parity: no reference counterpart; completes the
+    correlation family next to agg's Pearson and the Mann-Kendall /
+    Theil-Sen monotone-trend pair."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+
+    def midranks(df, col):
+        vals = df.groupBy(col).agg(F.count("*").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return vals.select(
+            col,
+            (
+                2 * (1 + F.coalesce(F.sum("t").over(w), F.lit(0)))
+                + F.col("t")
+                - 1
+            ).alias("r2"),
+        )
+
+    xr = midranks(li, "x").withColumnRenamed("r2", "rx")
+    yr = midranks(li, "y").withColumnRenamed("r2", "ry")
+    ranked = (
+        li.join(xr, "x")
+        .join(yr, "y")
+        .select(
+            F.col("rx").cast("decimal(38,0)").alias("rx"),
+            F.col("ry").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            n_d * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            n_d * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return s.select(
+        "n",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("spearman_rho"),
+    )

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "agg_skew_kurtosis",
     "source_notify_push_archival",
     "ml_brier_decomposition",
+    "analytics_spearman_corr",
     # stale evidence (outputs re-rounded post-check, commit ed64783):
     "analytics_autocorrelation",
     "analytics_pettitt_changepoint",
@@ -121,7 +122,6 @@ _DRIVER_PRIORITY = [
     "analytics_retention_cohort",
     "join_range_binned",
     "window_rolling_distinct",
-    "window_gaps_islands",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py

@@ -309,6 +309,7 @@ RELATIONAL_SWEEP_OPS = [
     "analytics_mann_kendall", "ml_confusion_threshold_sweep",
     "agg_countmin_sketch", "analytics_runs_test", "agg_skew_kurtosis",
     "source_notify_push_archival", "ml_brier_decomposition",
+    "analytics_spearman_corr",
 ]
 
 _REL_DIR: list[str] = []

@@ -340,3 +340,90 @@ def test_brier_decomposition_identity_and_replica(spark, sf_dir):
     assert abs(gap) < 2e-5, gap
     assert 0.0 <= r.uncertainty <= 0.25 + 1e-9
     assert r.reliability >= 0.0 and r.resolution >= 0.0
+
+
+def test_spearman_matches_scipy_style_replica(spark, sf_dir):
+    rows = QUERIES["analytics_spearman_corr"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+        )
+        .collect()
+    )
+    xs = [float(row.x) for row in li]
+    ys = [float(row.y) for row in li]
+    n = len(xs)
+    assert r.n == n
+
+    def midrank(vals):
+        order = sorted(range(n), key=lambda i: vals[i])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    rx, ry = midrank(xs), midrank(ys)
+    mean_rx = sum(rx) / n
+    mean_ry = sum(ry) / n
+    num = sum((a - mean_rx) * (b - mean_ry) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mean_rx) ** 2 for a in rx)
+        * sum((b - mean_ry) ** 2 for b in ry)
+    )
+    rho = num / den
+    # the op's exact-integer path vs the float replica: agree to float
+    # accumulation noise, well inside the 6dp output grid
+    assert abs(r.spearman_rho - rho) < 1e-6
+    assert -1.0 <= r.spearman_rho <= 1.0
+    # midrank invariant: average ranks always sum to n(n+1)/2 exactly
+    assert abs(sum(rx) - n * (n + 1) / 2) < 1e-9
+    assert abs(sum(ry) - n * (n + 1) / 2) < 1e-9
+    # the fixture's quantity and price are independent draws — the
+    # null-calibration read: |rho| must be small (not a sign pin)
+    assert abs(r.spearman_rho) < 0.1
+
+
+def test_countmin_sketch_is_mergeable(spark, sf_dir):
+    """CMS counters ADD: sketch(A ∪ B) == sketch(A) + sketch(B) cell
+    by cell — the property that makes the sketch partition-parallel
+    and stream-mergeable. Verified on the fixture key stream split in
+    half (pure-python replica; no engine involvement needed — the
+    bucket function is the op's md5 contract)."""
+    from pg_archiver_spark.operators.aggregates import CMS_DEPTH, CMS_WIDTH
+
+    keys = [
+        int(r.l_partkey)
+        for r in load(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+
+    def bucket(d: int, k: int) -> int:
+        h = hashlib.md5(f"cm{d}|{k}".encode()).hexdigest()[:15]
+        return int(h, 16) % CMS_WIDTH
+
+    def sketch(ks):
+        c: dict[tuple[int, int], int] = {}
+        for k in ks:
+            for d in range(CMS_DEPTH):
+                b = (d, bucket(d, k))
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    half = len(keys) // 2
+    a, b, whole = sketch(keys[:half]), sketch(keys[half:]), sketch(keys)
+    merged: dict[tuple[int, int], int] = dict(a)
+    for cell, v in b.items():
+        merged[cell] = merged.get(cell, 0) + v
+    assert merged == whole
