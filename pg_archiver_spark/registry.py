@@ -43,85 +43,79 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # only the first 50 registered queries per round (SURVEY.md §9), so
 # registration order is a verification budget that must be RE-PINNED
 # every round (the list does not rotate by itself).
-# ROUND-12 PIN (executes VERDICT r11 item #1): all 50 r11-window names
-# hold fresh r11 evidence and are deleted. The window leads with the
-# nine r11 session additions that missed the r11 window, then the
-# EIGHT r12 session additions (mann_kendall, threshold sweep, ndcg,
-# count-min, runs test, skew/kurtosis, push archival, brier decomp —
-# all never driver-checked), then the two ops whose outputs were
-# re-rounded post-check, then the 20 R12-AUDIT sweep ops whose output
-# hashes changed this session, topped up with oldest-evidence (r4)
-# greens (several greens were swapped OUT as session ops landed, per
-# the keep-the-window-first-time rule).
-# ROUND-13 PIN (write now in case of context reset): delete every
-# name below that holds r12 evidence (expected: all 50), bump
-# _PIN_ROUND to 13, lead with any r13 session additions, then fill
-# oldest-driver-evidence-first greens (r4-up: cast_epoch_ms,
-# join_asof, join_interval_pairs, join_asof_tolerance,
-# filter_range_cutoff, filter_conjunction, analytics_zscore_outliers,
-# window_ewma were the greens displaced from the r12 window — they
-# are the oldest-evidence pool to draw from first). From r13 on the
-# whole registry holds current hash evidence and the window is a pure
-# freshness rotation.
+# ROUND-13 PIN (executes VERDICT r12 item #1): all 50 r12-window names
+# landed fresh r12 evidence (CORRECTNESS_r12 50/50 green) and are
+# deleted. The registry's evidence backlog is empty (394/394 hold a
+# green latest check), so from this round on the window is a pure
+# freshness rotation: lead with any r13 session additions or ops whose
+# output hashes change this session, then fill oldest-driver-evidence-
+# first — here all 32 remaining r4-evidence greens, topped up with the
+# 18 oldest r5-evidence greens in registry order.
+# ROUND-14 PIN (write now in case of context reset): delete every
+# name below that holds r13 evidence (expected: all 50), bump
+# _PIN_ROUND to 14, lead with any r14 session additions / changed-
+# hash ops, then fill oldest-evidence-first greens — the pool after
+# this rotation is the 26 remaining r5 greens (sim_batch_knn_join,
+# composed_q7_volume_shipping, join_null_safe_eq, and onward in
+# registry order), then r6.
 _DRIVER_PRIORITY = [
-    # never driver-checked (r11 session additions):
-    "text_stupid_backoff_lm",
-    "text_pii_scrub",
-    "sim_ann_nsw_beam",
-    "sim_ann_nsw_recall_eval",
-    "sample_weighted_reservoir",
-    "analytics_event_sequence_match",
-    "ml_naive_bayes_lang",
-    "analytics_rfm_segmentation",
-    "analytics_market_basket_lift",
-    # round-12 session additions (never driver-checked):
-    "analytics_mann_kendall",
-    "ml_confusion_threshold_sweep",
+    # hashes changed this session (ADVICE r12 fixes: ndcg -1 sentinel
+    # now reachable via left join; KMV/chisq count-magnitude outputs
+    # moved off ROUND(.,6) onto exact-integer ladders):
     "ml_ndcg_at_k",
-    "agg_countmin_sketch",
-    "analytics_runs_test",
-    "agg_skew_kurtosis",
-    "source_notify_push_archival",
-    "ml_brier_decomposition",
-    "analytics_spearman_corr",
-    # stale evidence (outputs re-rounded post-check, commit ed64783):
-    "analytics_autocorrelation",
-    "analytics_pettitt_changepoint",
-    # R12 double-output sweep (outputs now engine-stable: ROUND(.,6)
-    # +0.0 at small magnitudes, exact-integer ladders / ROUND(.,2) at
-    # money magnitudes — hashes changed this session, fresh evidence
-    # must land this round; details in SURVEY §9 round-12 deltas):
     "agg_kmv_jaccard_estimate",
-    "analytics_attribution_position",
-    "analytics_bootstrap_ci",
     "analytics_chisq_independence",
-    "analytics_did_estimator",
-    "analytics_ks_test",
-    "analytics_mannwhitney_u",
-    "analytics_pareto_abc",
-    "analytics_permutation_test",
-    "analytics_price_index",
-    "analytics_root_cause_contribution",
-    "analytics_seasonal_naive_backtest",
-    "analytics_seasonal_residual_outliers",
-    "analytics_shapley_attribution",
-    "analytics_theil_sen_trend",
-    "analytics_yoy_growth",
-    "composed_q17_small_qty_revenue",
-    "ml_calibration_bins",
-    "pipeline_source_mix",
-    "text_repetition",
-    # oldest-driver-evidence greens (r4, registry order):
-    "agg_global_stats",
-    "agg_max_timestamp",
-    "agg_mode_stats",
-    "agg_unpivot",
-    "analytics_histogram",
-    "analytics_sessionize",
-    "analytics_funnel",
-    "analytics_retention_cohort",
-    "join_range_binned",
-    "window_rolling_distinct",
+    # oldest-driver-evidence greens (all 32 r4-evidence ops, registry
+    # order):
+    "window_gaps_islands",
+    "window_ewma",
+    "analytics_zscore_outliers",
+    "filter_range_cutoff",
+    "filter_conjunction",
+    "cast_epoch_ms",
+    "join_asof",
+    "join_interval_pairs",
+    "join_asof_tolerance",
+    "composed_q3_shipping_priority",
+    "join_bloom_runtime_filter",
+    "composed_q18_large_orders",
+    "sink_csv_roundtrip",
+    "sink_parquet_sorted",
+    "sink_parquet_partitioned",
+    "source_schema_evolution",
+    "sample_stratified",
+    "scan_dpp_partition_pruned",
+    "maintenance_incremental_agg",
+    "layout_zorder_scan",
+    "orderby_limit_topk",
+    "subquery_lateral_topn",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_first_last",
+    "window_ntile_scalable",
+    "window_scd2_intervals",
+    "stream_tumbling_daily",
+    "stream_dedup_watermark",
+    "stream_rate_trigger",
+    "stream_stream_join",
+    # next-oldest greens (r5 evidence, registry order), topping up to
+    # 50:
+    "agg_bitmap_distinct",
+    "agg_string_concat_groups",
+    "analytics_mad_outliers",
+    "analytics_markov_transitions",
+    "analytics_rfm_segments",
+    "analytics_linreg_trend",
+    "analytics_cumulative_users",
+    "analytics_ab_ztest",
+    "analytics_time_to_convert",
+    "analytics_seasonality_profile",
+    "analytics_zero_filled_report",
+    "window_nth_value",
+    "composed_q10_returned_items",
+    "composed_q12_priority_shipmode",
+    "composed_q14_promo_revenue",
 ]
 
 # The round this pin was written for. tests/test_registry_rotation.py
@@ -134,7 +128,7 @@ _DRIVER_PRIORITY = [
 # 1 + the max round present in CORRECTNESS_r*.json, so bumping this
 # without actually re-pinning the window re-arms the tripwire instead
 # of disarming it.
-_PIN_ROUND = 12
+_PIN_ROUND = 13
 
 
 def load_all_operators() -> None:
