@@ -104,6 +104,14 @@ HEADLINE = [
 # stable cross-round series.
 HEADLINE_SET_VERSION = 9  # v1 = r1-r4 (15 q), v2 = r5 (+4), v3 = r6 (+1), v4 = r7 (+2), v5 = r7s3 (+2), v6 = r7s4 (+3), v7 = r8 (+1), v8 = r11 (+2), v9 = r12 (+2)
 
+# TPC-H suite timing methodology is versioned separately (ADVICE r12
+# #4): v1 = single pass (r ≤ 11), v2 = min-of-3 (r12+). Cross-round
+# suite totals must only be trended within one methodology version —
+# min-of-3 reads systematically lower than single-pass on the same
+# plans.
+TPCH_SUITE_METHOD_VERSION = 2
+TPCH_SUITE_PASSES = 3
+
 # Per-query r1 baselines (BENCH_r01.json, sf0.1, this box) for the
 # first 15 queries — the driver's 2x envelope is against these; the
 # emitted vs_r1 ratio table makes per-query compliance machine-readable.
@@ -128,7 +136,7 @@ def _tpch_suite(queries, spark, sf_dir) -> dict[str, float]:
     estimator the headline set already uses (VERDICT r11 item #3)."""
     names = sorted(q for q in queries if q.startswith("composed_q"))
     out = {n: float("inf") for n in names}
-    for _pass in range(3):
+    for _pass in range(TPCH_SUITE_PASSES):
         for name in names:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
@@ -209,6 +217,14 @@ def main() -> None:
         if q in times
     }
     tpch = _tpch_suite(queries, spark, sf_dir)
+    tpch_total = round(sum(tpch.values()), 3)
+    # Canary-normalized ratios (VERDICT r12 item #5): box-speed drift
+    # divides out, so a cross-round plan regression shows as a ratio
+    # shift WITHOUT re-arguing from probe ladders. Accepted bands are
+    # recorded in BASELINE.md (r12 anchors: subset/canary 85-90,
+    # tpch/canary 110-122 across a ±20% machine swing).
+    subset_per_canary = round(r1_subset / canary, 1)
+    tpch_per_canary = round(tpch_total / canary, 1)
     print(
         json.dumps(
             {
@@ -220,9 +236,13 @@ def main() -> None:
                 "vs_r1": vs_r1,
                 "queries": times,
                 "stats": stats,
-                "value_tpch_suite": round(sum(tpch.values()), 3),
+                "value_tpch_suite": tpch_total,
+                "tpch_suite_method_version": TPCH_SUITE_METHOD_VERSION,
+                "tpch_suite_passes": TPCH_SUITE_PASSES,
                 "tpch_queries": tpch,
                 "box_canary_sec": canary,
+                "subset_per_canary": subset_per_canary,
+                "tpch_per_canary": tpch_per_canary,
                 "sf": float(sf),
             }
         )
@@ -240,8 +260,11 @@ def main() -> None:
                 "headline_set_version": HEADLINE_SET_VERSION,
                 "value_r1_subset": r1_subset,
                 "vs_r1_max": max(vs_r1.values()) if vs_r1 else None,
-                "value_tpch_suite": round(sum(tpch.values()), 3),
+                "value_tpch_suite": tpch_total,
+                "tpch_suite_method_version": TPCH_SUITE_METHOD_VERSION,
                 "box_canary_sec": canary,
+                "subset_per_canary": subset_per_canary,
+                "tpch_per_canary": tpch_per_canary,
                 "sf": float(sf),
             }
         )

@@ -4773,17 +4773,18 @@ def _ndcg_oracle() -> str:
         FROM topk GROUP BY q_id
     )
     SELECT d.q_id AS query_id,
-           r.n_corpus_rel,
+           CAST(COALESCE(r.n_corpus_rel, 0) AS BIGINT) AS n_corpus_rel,
            d.n_rel_topk,
            d.dcg_milli,
-           CAST([{pre}][CAST(LEAST(r.n_corpus_rel, {NDCG_K}) AS INTEGER) + 1]
+           CAST([{pre}][CAST(LEAST(COALESCE(r.n_corpus_rel, 0), {NDCG_K})
+                             AS INTEGER) + 1]
                 AS BIGINT) AS idcg_milli,
-           ROUND(CASE WHEN r.n_corpus_rel = 0 THEN -1.0
+           ROUND(CASE WHEN COALESCE(r.n_corpus_rel, 0) = 0 THEN -1.0
                  ELSE CAST(d.dcg_milli AS DOUBLE)
                       / [{pre}][CAST(LEAST(r.n_corpus_rel, {NDCG_K})
                                      AS INTEGER) + 1]
                  END, 6) + 0.0 AS ndcg
-    FROM dcg d JOIN relcnt r ON d.q_id = r.q_id
+    FROM dcg d LEFT JOIN relcnt r ON d.q_id = r.q_id
     ORDER BY query_id
     """
 
@@ -4861,21 +4862,27 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rel_topk"),
     )
     pre_arr = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    # LEFT join from the panel-complete dcg frame (ADVICE r12): a
+    # panel query whose label is unique in the corpus has no relcnt
+    # row; the inner join silently shrank the 16-row panel contract
+    # instead of firing the documented -1 sentinel. n_corpus_rel
+    # coalesces to 0 so the sentinel branch is reachable.
+    rel = F.coalesce(F.col("n_corpus_rel"), F.lit(0)).cast("bigint")
     idcg = F.element_at(
         pre_arr,
-        (F.least(F.col("n_corpus_rel"), F.lit(NDCG_K)) + 1).cast("int"),
+        (F.least(rel, F.lit(NDCG_K)) + 1).cast("int"),
     )
     return (
-        dcg.join(F.broadcast(relcnt), "q_id")
+        dcg.join(F.broadcast(relcnt), "q_id", "left")
         .select(
             F.col("q_id").alias("query_id"),
-            "n_corpus_rel",
+            rel.alias("n_corpus_rel"),
             "n_rel_topk",
             "dcg_milli",
             idcg.cast("bigint").alias("idcg_milli"),
             (
                 F.round(
-                    F.when(F.col("n_corpus_rel") == 0, F.lit(-1.0)).otherwise(
+                    F.when(rel == 0, F.lit(-1.0)).otherwise(
                         F.col("dcg_milli").cast("double") / idcg
                     ),
                     6,
@@ -4912,11 +4919,13 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(sq) AS BIGINT) AS sq_tot,
                CAST(SUM((sp - 1000 * sy) * (sp - 1000 * sy) // nk)
                     AS BIGINT) AS rel_num,
-               CAST(SUM(CAST((SELECT SUM(nk) FROM bins) * sy
-                             - nk * (SELECT SUM(sy) FROM bins)
-                        AS HUGEINT)
-                        * ((SELECT SUM(nk) FROM bins) * sy
-                           - nk * (SELECT SUM(sy) FROM bins)) // nk)
+               CAST(SUM(
+                        (CAST((SELECT SUM(nk) FROM bins) AS HUGEINT) * sy
+                         - CAST(nk AS HUGEINT)
+                           * (SELECT SUM(sy) FROM bins))
+                        * (CAST((SELECT SUM(nk) FROM bins) AS HUGEINT) * sy
+                           - CAST(nk AS HUGEINT)
+                             * (SELECT SUM(sy) FROM bins)) // nk)
                     AS BIGINT) AS res_num
         FROM bins
     )
@@ -4950,8 +4959,10 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ (nΣy_k − n_kΣy)² DIV n_k quantize each bin's square by a
     truncating division (error < 1 milli²-unit per bin, 10 bins —
     invisible at the 6dp output) and accumulate as exact integers (the
-    resolution squares pass through DECIMAL(38,0)/HUGEINT — n·Σy_k
-    reaches ~2e9 at sf0.1, squared ~5e18, int64-marginal); each
+    resolution term n·Σy_k − n_k·Σy and its square run entirely in
+    DECIMAL(38,0)/HUGEINT — operands promoted BEFORE the multiply, so
+    no int64 stage exists to wrap; n·Σy_k reaches ~2e9 at sf0.1 and
+    the DECIMAL envelope holds to n·Σy_k ≈ 1e19); each
     reported component is ONE rounded float ratio of exact integers
     (G13). The decomposition identity is pinned in pytest to the
     quantization tolerance.
@@ -4998,14 +5009,19 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(sp - 1000 * sy) * (sp - 1000 * sy) DIV nk"))
         .cast("bigint")
         .alias("rel_num"),
-        # g² runs in DECIMAL(38,0) (int64-marginal at sf0.1) and the
-        # per-bin quantization is Spark DIV == DuckDB // (g² >= 0, so
-        # floor == trunc — a decimal '/'-then-cast would HALF_UP-round
-        # where the oracle floors).
+        # g = n·Σy_k − n_k·Σy and g² run ENTIRELY in DECIMAL(38,0) —
+        # the operands are promoted BEFORE the multiply (ADVICE r12:
+        # an int64 n*sy wraps silently under Spark non-ANSI once
+        # n·Σy_k > 2^63 while the DuckDB oracle, which promotes to
+        # HUGEINT, errors). Per-bin quantization is Spark DIV ==
+        # DuckDB // (g² >= 0, so floor == trunc — a decimal
+        # '/'-then-cast would HALF_UP-round where the oracle floors).
         F.sum(
             F.expr(
-                "CAST(n * sy - nk * sy_tot AS DECIMAL(38,0))"
-                " * CAST(n * sy - nk * sy_tot AS DECIMAL(38,0))"
+                "(CAST(n AS DECIMAL(38,0)) * sy"
+                " - CAST(nk AS DECIMAL(38,0)) * sy_tot)"
+                " * (CAST(n AS DECIMAL(38,0)) * sy"
+                "    - CAST(nk AS DECIMAL(38,0)) * sy_tot)"
                 " DIV nk"
             )
         )

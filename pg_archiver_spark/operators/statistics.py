@@ -124,21 +124,23 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rowm AS (SELECT priority, SUM(obs) AS r_cnt FROM cells GROUP BY 1),
     colm AS (SELECT status, SUM(obs) AS c_cnt FROM cells GROUP BY 1),
-    tot AS (SELECT SUM(obs) AS n FROM cells)
-    SELECT c.priority, c.status, CAST(c.obs AS BIGINT) AS obs,
-           ROUND(CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE),
-                 6) + 0.0 AS expected,
-           ROUND((CAST(c.obs AS DOUBLE)
-            - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
-           * (CAST(c.obs AS DOUBLE)
-              - CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
-           / (CAST(r.r_cnt * col.c_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)),
-                 6) + 0.0 AS chi_cell
-    FROM cells c
-    JOIN rowm r ON c.priority = r.priority
-    JOIN colm col ON c.status = col.status
-    CROSS JOIN tot t
-    ORDER BY c.priority, c.status
+    tot AS (SELECT SUM(obs) AS n FROM cells),
+    joined AS (
+        SELECT c.priority, c.status, c.obs,
+               CAST(CAST(r.r_cnt AS HUGEINT) * col.c_cnt * 1000 // t.n
+                    AS BIGINT) AS expected_milli
+        FROM cells c
+        JOIN rowm r ON c.priority = r.priority
+        JOIN colm col ON c.status = col.status
+        CROSS JOIN tot t
+    )
+    SELECT priority, status, CAST(obs AS BIGINT) AS obs,
+           expected_milli,
+           CAST(CAST(obs * 1000 - expected_milli AS HUGEINT)
+                * (obs * 1000 - expected_milli)
+                // GREATEST(expected_milli, 1) AS BIGINT) AS chi_cell_milli
+    FROM joined
+    ORDER BY priority, status
     """,
 )
 def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,12 +150,19 @@ def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with each cell's observed count, expected count under
     independence (row·col marginals / N), and chi-square contribution.
 
-    The statistic is emitted PER CELL rather than as one summed total:
-    every cell value is exact-integer arithmetic followed by IEEE
-    divisions/products (bit-identical across engines), whereas a
-    float SUM of the ≤|priorities|·|statuses| contributions would
-    depend on accumulation order (G11). The caller sums the tiny
-    cell frame for the test statistic.
+    The statistic is emitted PER CELL rather than as one summed total
+    (a float SUM of the ≤|priorities|·|statuses| contributions would
+    depend on accumulation order, G11); the caller sums the tiny cell
+    frame for the test statistic. Both outputs are COUNT-magnitude
+    (expected ≈ N·marginal fractions grows linearly with rows), so
+    they ride the exact-integer milli ladder rather than ROUND(·,6)
+    doubles (ADVICE r12): expected_milli = r·c·1000 DIV n (exact in
+    DECIMAL(38,0)/HUGEINT — r·c ≤ N² ≈ 1e24 at 100 TB), and
+    chi_cell_milli = (1000·obs − expected_milli)² DIV expected_milli
+    ≈ 1000·(obs−E)²/E, quantized by the milli-expected (error
+    < 1 milli-unit per cell over a ≤15-cell frame). All DIV operands
+    are non-negative, so Spark trunc == DuckDB floor; GREATEST(·,1)
+    guards the expected<1-milli degenerate cell.
 
     Plan: one scan → groupBy partial+final count (the only data-sized
     shuffle); the marginals are re-aggregations of the ≤15-row cell
@@ -167,10 +176,6 @@ def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowm = cells.groupBy("priority").agg(F.sum("obs").alias("r_cnt"))
     colm = cells.groupBy("status").agg(F.sum("obs").alias("c_cnt"))
     tot = cells.agg(F.sum("obs").alias("n"))
-    expected = (F.col("r_cnt") * F.col("c_cnt")).cast("double") / F.col(
-        "n"
-    ).cast("double")
-    dev = F.col("obs").cast("double") - expected
     return (
         cells.join(F.broadcast(rowm), "priority")
         .join(F.broadcast(colm), "status")
@@ -179,11 +184,21 @@ def analytics_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority",
             "status",
             F.col("obs").cast("bigint").alias("obs"),
-            # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
-            (F.round(expected, 6) + F.lit(0.0)).alias("expected"),
-            (F.round(dev * dev / expected, 6) + F.lit(0.0)).alias(
-                "chi_cell"
-            ),
+            F.expr(
+                "CAST(CAST(r_cnt AS DECIMAL(38,0)) * c_cnt * 1000"
+                " DIV n AS BIGINT)"
+            ).alias("expected_milli"),
+        )
+        .select(
+            "priority",
+            "status",
+            "obs",
+            "expected_milli",
+            F.expr(
+                "CAST(CAST(obs * 1000 - expected_milli AS DECIMAL(38,0))"
+                " * CAST(obs * 1000 - expected_milli AS DECIMAL(38,0))"
+                " DIV GREATEST(expected_milli, 1) AS BIGINT)"
+            ).alias("chi_cell_milli"),
         )
         .orderBy("priority", "status")
     )
@@ -306,6 +321,7 @@ def analytics_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 128
 HEX15_SPACE = float(1 << 60)  # 16^15 — the hash-fraction denominator
+HEX15_INT = 1 << 60  # same space as an exact integer (milli-ladder)
 
 
 @register(
@@ -340,15 +356,14 @@ HEX15_SPACE = float(1 << 60)  # 16^15 — the hash-fraction denominator
     SELECT CAST(k AS BIGINT) AS k,
            CAST(kth_hash AS BIGINT) AS kth_hash,
            CAST(both_in_sketch AS BIGINT) AS both_in_sketch,
-           ROUND(CAST(k - 1 AS DOUBLE)
-               / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r}), 6)
-               + 0.0 AS est_union,
+           CAST(CAST(k - 1 AS HUGEINT) * {HEX15_INT} * 1000
+                // GREATEST(kth_hash, 1) AS BIGINT) AS est_union_milli,
            ROUND(CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE), 6)
                + 0.0 AS est_jaccard,
-           ROUND((CAST(both_in_sketch AS DOUBLE) / CAST(k AS DOUBLE))
-               * (CAST(k - 1 AS DOUBLE)
-                  / (CAST(kth_hash AS DOUBLE) / {HEX15_SPACE!r})), 6)
-               + 0.0 AS est_intersection,
+           CAST(CAST(both_in_sketch AS HUGEINT) * (k - 1)
+                * {HEX15_INT} * 1000
+                // (CAST(k AS HUGEINT) * GREATEST(kth_hash, 1))
+                AS BIGINT) AS est_intersection_milli,
            CAST(exact_union AS BIGINT) AS exact_union,
            CAST(exact_both AS BIGINT) AS exact_both
     FROM sk CROSS JOIN ex
@@ -367,9 +382,11 @@ def agg_kmv_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB you drop those two columns; the sketch IS the answer).
 
     Determinism: md5 is engine-identical, the sketch boundary is
-    totally ordered by (h, key), and the estimators are single IEEE
-    ops over exact integers — the whole sketch is task-retry-safe and
-    mergeable (bottom-k commutes with union, per sample_bottomk_sketch).
+    totally ordered by (h, key), and the count-magnitude estimators
+    (union/intersection) are EXACT integer milli ladders — only the
+    O(1) Jaccard ratio is a rounded float. The whole sketch is
+    task-retry-safe and mergeable (bottom-k commutes with union, per
+    sample_bottomk_sketch).
 
     Plan: one scan with the A∪B filter pushed down → global bottom-k
     = TakeOrderedAndProject (each task keeps k rows, no full sort) →
@@ -411,22 +428,33 @@ def agg_kmv_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("has_a") == 1) & (F.col("has_b") == 1)).cast("int")
         ).alias("exact_both"),
     )
-    est_union = (F.col("k") - 1).cast("double") / (
-        F.col("kth_hash").cast("double") / F.lit(HEX15_SPACE)
-    )
     est_jacc = F.col("both_in_sketch").cast("double") / F.col("k").cast(
         "double"
     )
+    # est_union/est_intersection are COUNT-magnitude (≈ distinct-count
+    # scale, ~1e12 at 100 TB) — ROUND(·,6) on a double is engine-
+    # unstable past ~1e8 (ADVICE r12), so both ride the exact-integer
+    # milli ladder: (k−1)·2^60·1000 DIV kth_hash in DECIMAL(38,0) /
+    # HUGEINT (numerator ≤ ~2e23, well inside 38 digits; all operands
+    # non-negative so Spark DIV trunc == DuckDB // floor). est_union
+    # ≤ ~1e12 → milli ≤ ~1e15, inside int64. est_jaccard is O(1) and
+    # keeps ROUND(·,6)+0.0. GREATEST(kth_hash,1) guards the k≤1
+    # degenerate sketch.
     return sk.crossJoin(F.broadcast(ex)).select(
         F.col("k").cast("bigint").alias("k"),
         F.col("kth_hash").cast("bigint").alias("kth_hash"),
         F.col("both_in_sketch").cast("bigint").alias("both_in_sketch"),
-        # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
-        (F.round(est_union, 6) + F.lit(0.0)).alias("est_union"),
+        F.expr(
+            f"CAST(CAST(k - 1 AS DECIMAL(38,0)) * {HEX15_INT} * 1000"
+            " DIV GREATEST(kth_hash, 1) AS BIGINT)"
+        ).alias("est_union_milli"),
         (F.round(est_jacc, 6) + F.lit(0.0)).alias("est_jaccard"),
-        (F.round(est_jacc * est_union, 6) + F.lit(0.0)).alias(
-            "est_intersection"
-        ),
+        F.expr(
+            f"CAST(CAST(both_in_sketch AS DECIMAL(38,0)) * (k - 1)"
+            f" * {HEX15_INT} * 1000"
+            " DIV (CAST(k AS DECIMAL(38,0)) * GREATEST(kth_hash, 1))"
+            " AS BIGINT)"
+        ).alias("est_intersection_milli"),
         F.col("exact_union").cast("bigint").alias("exact_union"),
         F.col("exact_both").cast("bigint").alias("exact_both"),
     )

@@ -1312,11 +1312,20 @@ def test_chisq_cells_reconcile_to_marginals(spark, sf_dir):
     rows = QUERIES["analytics_chisq_independence"](spark, sf_dir).collect()
     n_orders = load(spark, sf_dir, "orders").count()
     assert sum(r.obs for r in rows) == n_orders
-    # Expected counts under independence also sum to N (up to fp eps).
-    assert abs(sum(r.expected for r in rows) - n_orders) < 1e-6 * n_orders
+    # Expected counts under independence also sum to N; each cell's
+    # milli-expected truncates < 1 milli, so the sum of ≤15 cells sits
+    # within 15 milli-units of 1000·N.
+    assert abs(sum(r.expected_milli for r in rows) - 1000 * n_orders) <= len(
+        rows
+    )
     for r in rows:
-        assert r.chi_cell >= 0.0
-        assert r.expected > 0.0
+        assert r.chi_cell_milli >= 0
+        assert r.expected_milli > 0
+        # Independent replay of the quantized ladder from the row's own
+        # exact integers (obs is exact; E_milli comes from the op).
+        assert r.chi_cell_milli == (1000 * r.obs - r.expected_milli) ** 2 // max(
+            r.expected_milli, 1
+        )
 
 
 def test_autocorrelation_bounds_and_shape(spark, sf_dir):
@@ -1337,9 +1346,19 @@ def test_kmv_estimates_within_sketch_error(spark, sf_dir):
         assert row.both_in_sketch == row.exact_both
     else:
         # KMV relative error ~ 1/sqrt(k-2) ~ 9% at k=128; allow 4 sigma.
-        assert abs(row.est_union - row.exact_union) < 0.4 * row.exact_union
+        est_union = row.est_union_milli / 1000.0
+        assert abs(est_union - row.exact_union) < 0.4 * row.exact_union
         exact_j = row.exact_both / row.exact_union
         assert abs(row.est_jaccard - exact_j) < 0.3
+        # The intersection ladder is jaccard·union on the same exact
+        # integers: replay it from the row's own sketch stats.
+        space = 1 << 60
+        assert row.est_intersection_milli == (
+            row.both_in_sketch * (row.k - 1) * space * 1000
+        ) // (row.k * max(row.kth_hash, 1))
+        assert row.est_union_milli == (
+            (row.k - 1) * space * 1000
+        ) // max(row.kth_hash, 1)
 
 
 def test_spatial_grid_matches_bruteforce(spark, sf_dir):
