@@ -734,15 +734,21 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary value, then counted per (R,F,M) cell — the classic
     customer-base map (1,1,1 = best customers, 4,4,4 = churned).
 
-    The windows run over the AGGREGATED per-user frame (|users| rows,
-    one shuffle collapses events first), not raw events — same
-    discipline as window_ratio_to_report. The partition-less NTILEs
-    over that small frame are the documented small-frame case; at a
-    user population too big for one task, window_ntile_scalable's
-    two-phase bucket-offset rewrite applies to each dimension
-    unchanged. Determinism: every NTILE pins a unique total order with
-    the user_id tiebreak (G5); counts and decimal sums are exact."""
-    from pyspark.sql import Window
+    The quartiles run over the AGGREGATED per-user frame (one shuffle
+    collapses events first), not raw events — but |users| is CORPUS
+    cardinality at 100 TB, so the r12-flagged partition-less NTILE
+    windows are replaced by three bucket-offset two-pass global ranks
+    (scalable.py: width_bucket on the negated key → per-bucket
+    row_number bounded by |users|/256 → ≤256-row offset frame) with
+    the closed-form NTILE tile algebra from window_ntile_scalable.
+    Output is IDENTICAL to the NTILE windows (the oracle still uses
+    plain NTILE — the driver proves the rewrite). Determinism: every
+    rank pins a unique total order with the user_id tiebreak (G5);
+    counts and decimal sums are exact."""
+    from pg_archiver_spark.operators.scalable import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
 
     events = load(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
@@ -750,16 +756,32 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
     )
-    tiles = per_user.select(
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_ms").desc(), F.col("user_id")))
-        .alias("r_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
-        .alias("f_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
-        .alias("m_tile"),
+    # Three global ranks, each bucket-keyed by the NEGATED measure so
+    # bucket order matches the DESC sort; ties break on user_id inside
+    # the per-bucket window exactly as the NTILE ORDER BY did.
+    ranked = per_user
+    for key, rank_name in (
+        ("last_ms", "r_rank"),
+        ("freq", "f_rank"),
+        ("monetary", "m_rank"),
+    ):
+        ranked = bucketed_global_rank(
+            ranked,
+            -F.col(key),
+            [F.col(key).desc(), F.col("user_id")],
+            rank_name,
+            f"{rank_name}_total",
+        )
+    tiles = ranked.select(
+        ntile_from_rank(
+            F.col("r_rank"), F.col("r_rank_total"), 4
+        ).alias("r_tile"),
+        ntile_from_rank(
+            F.col("f_rank"), F.col("f_rank_total"), 4
+        ).alias("f_tile"),
+        ntile_from_rank(
+            F.col("m_rank"), F.col("m_rank_total"), 4
+        ).alias("m_tile"),
     )
     return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count("*").alias("n_users")

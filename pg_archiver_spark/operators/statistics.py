@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pg_archiver_spark.catalog import load
+from pg_archiver_spark.operators.scalable import bucketed_prefix_sums
 from pg_archiver_spark.registry import register
 
 
@@ -66,11 +67,12 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation anywhere (G11).
 
     Plan: one scan → groupBy(v) count (shuffle 1, partial-agg combined)
-    → ordered cumulative window → global max (partial-agg). The
-    cumulative window is a single ordered pass over the DISTINCT-value
-    frame (|values| ≤ |orders|, here ~2 000–150 000 rows); at 100 TB
-    swap the plain window for the two-pass partition-offset prefix sum
-    used by window_ntile_scalable — the statistic is unchanged."""
+    → bucket-offset two-pass cumulative sums (scalable.py — the
+    window_ntile_scalable pattern: per-bucket windows bounded by
+    |values|/256, the only GLOBAL window runs on the ≤256-row offset
+    frame) → global max (partial-agg). The distinct-value frame is
+    corpus-cardinality (|values| ≤ |orders|), so the r12-flagged
+    single-task global window is gone; the statistic is unchanged."""
     orders = load(spark, sf_dir, "orders")
     is_a = (
         F.when(
@@ -89,17 +91,11 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
         )
     )
-    w_cum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = counts.select(
-        F.sum("ca").over(w_cum).alias("cum_a"),
-        F.sum("cb").over(w_cum).alias("cum_b"),
-        F.sum("ca").over(w_all).alias("tot_a"),
-        F.sum("cb").over(w_all).alias("tot_b"),
+    cum = bucketed_prefix_sums(counts, "v", ["ca", "cb"]).select(
+        (F.col("ca_prefix") + F.col("ca")).alias("cum_a"),
+        (F.col("cb_prefix") + F.col("cb")).alias("cum_b"),
+        F.col("ca_tot").alias("tot_a"),
+        F.col("cb_tot").alias("tot_b"),
     )
     d = F.abs(
         F.col("cum_a").cast("double") / F.col("tot_a").cast("double")
@@ -1111,11 +1107,12 @@ def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (correctly rounded per IEEE 754, engine-identical).
 
     Plan: the analytics_ks_test machinery — one scan → groupBy(v)
-    (the only data-sized shuffle, partial-agg combined) → ordered
-    cumulative window over the distinct-value frame for min ranks →
-    one final partial-agg row. Same 100 TB note: swap the plain
-    cumulative window for the window_running_sum_scalable
-    bucket-offset pass."""
+    (the only data-sized shuffle, partial-agg combined) → bucket-
+    offset two-pass prefix sums (scalable.py) for the min ranks —
+    per-bucket windows bounded by |values|/256, the only global
+    window on the ≤256-row offset frame — → one final partial-agg
+    row. The r12-flagged single-task window over the corpus-
+    cardinality distinct-value frame is gone; ranks are unchanged."""
     orders = load(spark, sf_dir, "orders")
     is_a = (
         F.when(
@@ -1131,9 +1128,8 @@ def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("t"), F.sum("is_a").alias("ta"))
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.withColumn(
-        "r_min", F.lit(1) + F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+    ranked = bucketed_prefix_sums(vals, "v", ["t"]).withColumn(
+        "r_min", F.lit(1) + F.col("t_prefix")
     )
     sums = ranked.agg(
         F.sum("ta").cast("bigint").alias("n_a"),

@@ -2128,16 +2128,22 @@ def source_notify_push_archival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = events.count()
     # Rank-derived ID cuts (robust to gapped/duplicated id domains):
-    # the writer commits half-open id ranges (prev_cut, cut].
-    from pyspark.sql.window import Window as _W
+    # the writer commits half-open id ranges (prev_cut, cut]. The rank
+    # comes from the bucket-offset two-pass (scalable.py), NOT a
+    # partition-less row_number over the full events table (VERDICT
+    # r12 #4: the old global window made the writer-side cut
+    # derivation itself the scale bottleneck). Duplicate ids straddling
+    # a rank third are still safe: the cut is MAX(id) within the
+    # third, identical whichever twin lands on which side.
+    from pg_archiver_spark.operators.scalable import bucketed_global_rank
 
-    ranked = events.select(
-        "event_id",
-        F.expr(
-            "((row_number() OVER (ORDER BY event_id) - 1) * 3)"
-            " DIV (count(*) OVER ())"
-        ).alias("b"),
-    )
+    ranked = bucketed_global_rank(
+        events.select("event_id"),
+        F.col("event_id"),
+        [F.col("event_id")],
+        "r",
+        "n_total",
+    ).select("event_id", F.expr("((r - 1) * 3) DIV n_total").alias("b"))
     # bounded: 1-row cut anchor (three watermark scalars)
     cut_row = ranked.agg(
         F.max(F.when(F.col("b") == 0, F.col("event_id"))).alias("c1"),

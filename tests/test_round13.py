@@ -108,6 +108,97 @@ def test_brier_resolution_term_survives_int64_scale():
     assert wrapped * wrapped // nk != want
 
 
+def test_bucketed_prefix_sums_match_bruteforce(spark):
+    """scalable.bucketed_prefix_sums (the two-pass bucket-offset
+    rewrite of the single-task global cumulative window) must return
+    bit-identical prefix sums / totals to a plain Python scan, on a
+    gapped, shuffled, negative-valued distinct-key frame."""
+    import random
+
+    from pg_archiver_spark.operators.scalable import bucketed_prefix_sums
+
+    rng = random.Random(13)
+    keys = rng.sample(range(-5000, 5000), 700)  # distinct, gapped
+    data = [(k, rng.randint(0, 9), rng.randint(0, 9)) for k in keys]
+    df = spark.createDataFrame(data, "v long, ca long, cb long")
+    got = {
+        r.v: (r.ca_prefix, r.cb_prefix, r.ca_tot, r.cb_tot)
+        for r in bucketed_prefix_sums(df, "v", ["ca", "cb"], n_buckets=16)
+        .collect()
+    }
+    data.sort()
+    run_a = run_b = 0
+    tot_a = sum(d[1] for d in data)
+    tot_b = sum(d[2] for d in data)
+    for v, ca, cb in data:
+        assert got[v] == (run_a, run_b, tot_a, tot_b), v
+        run_a += ca
+        run_b += cb
+
+
+def test_bucketed_global_rank_and_ntile_match_window(spark):
+    """scalable.bucketed_global_rank + ntile_from_rank must reproduce
+    row_number()/NTILE(4) exactly — including duplicate keys broken by
+    the id tiebreak and a descending sort — on a random frame."""
+    import random
+
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from pg_archiver_spark.operators.scalable import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
+    rng = random.Random(31)
+    # heavy ties: keys drawn from a small domain
+    data = [(i, rng.randint(0, 40)) for i in range(503)]
+    df = spark.createDataFrame(data, "uid long, key long")
+    w = Window.orderBy(F.col("key").desc(), F.col("uid"))
+    want = {
+        r.uid: (r.rnk, r.tile)
+        for r in df.select(
+            "uid",
+            F.row_number().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("tile"),
+        ).collect()
+    }
+    ranked = bucketed_global_rank(
+        df,
+        -F.col("key"),
+        [F.col("key").desc(), F.col("uid")],
+        "rnk",
+        "total",
+        n_buckets=16,
+    )
+    got = {
+        r.uid: (r.rnk, r.tile)
+        for r in ranked.select(
+            "uid",
+            "rnk",
+            ntile_from_rank(F.col("rnk"), F.col("total"), 4).alias("tile"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_small_totals(spark):
+    """total < n must reproduce NTILE's tile == rank behavior (the
+    branch where base == 0 and the guarded dead branch never fires)."""
+    import pyspark.sql.functions as F
+
+    from pg_archiver_spark.operators.scalable import ntile_from_rank
+
+    df = spark.createDataFrame([(1, 3), (2, 3), (3, 3)], "r long, t long")
+    got = sorted(
+        r.tile
+        for r in df.select(
+            ntile_from_rank(F.col("r"), F.col("t"), 4).alias("tile")
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
 def test_brier_resolution_decimal_promotion_in_spark(spark):
     """Drive the exact Spark expression from ml_brier_decomposition on
     a 1-row frame whose n*sy exceeds int64: the promoted-operand form
