@@ -2824,10 +2824,16 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_quality_weighted_sample (what to keep) and
     pipeline_length_batching (how to batch): this is WHEN to feed it.
 
-    Scale: the NTILE is a single global sort over (cheap) per-doc
-    integers — at 100 TB swap in the two-pass bucket-offset rank
-    (window_ntile_scalable's pattern, same output) exactly as that
-    op documents; everything downstream is |phases|-bounded."""
+    Scale: the phase cut runs on the two-pass bucket-offset global
+    rank (scalable.py) over the integer difficulty key, with the
+    closed-form NTILE algebra — no single-task sort at any corpus
+    size (the oracle keeps plain NTILE; the driver proves the
+    rewrite); everything downstream is |phases|-bounded."""
+    from pg_archiver_spark.operators.scalable import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -2837,11 +2843,16 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "length(text) * 1000 DIV size(split(text, ' '))"
         ).alias("mean_wlen_milli"),
     )
-    w = Window.orderBy(
-        F.col("n_tokens") * 1000000 + F.col("mean_wlen_milli"), "doc_id"
-    )
-    ranked = scored.select(
-        "*", F.ntile(CURRICULUM_PHASES).over(w).alias("phase")
+    difficulty = F.col("n_tokens") * 1000000 + F.col("mean_wlen_milli")
+    ranked = bucketed_global_rank(
+        scored,
+        difficulty,
+        [difficulty, F.col("doc_id")],
+        "__r",
+        "__n",
+    ).withColumn(
+        "phase",
+        ntile_from_rank(F.col("__r"), F.col("__n"), CURRICULUM_PHASES),
     )
     per_phase = ranked.groupBy("phase").agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -2881,6 +2881,31 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_fraction_scored(orders: DataFrame) -> DataFrame:
+    """(y, p_milli) for the deterministic price-rank 'model' shared by
+    ml_calibration_bins / ml_confusion_threshold_sweep /
+    ml_brier_decomposition: label y = fulfilled, score p_milli =
+    ((r−1)·1000) DIV n with r the exact global rank over
+    (o_totalprice, o_orderkey). The rank comes from the two-pass
+    bucket-offset (scalable.py) — NOT a partition-less row_number over
+    the whole orders table (the r12-flagged single-task window class);
+    the integers are identical, so the oracles keep the plain
+    ROW_NUMBER form and the driver proves the rewrite."""
+    from pg_archiver_spark.operators.scalable import bucketed_global_rank
+
+    ranked = bucketed_global_rank(
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        F.col("o_totalprice"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "__r",
+        "__n",
+    )
+    return ranked.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.expr("((__r - 1) * 1000) DIV __n").alias("p_milli"),
+    )
+
+
 @register(
     "ml_calibration_bins",
     oracle="""
@@ -2926,17 +2951,12 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(p−1000y)²) are exact integers, and each reported metric is one
     IEEE division (G11) — no float accumulates anywhere.
 
-    Plan: one scan → global rank window (single ordered pass; at
-    100 TB swap in the window_ntile_scalable two-pass partition-offset
-    rank — same integers) → 10-group partial+final agg."""
+    Plan: one scan → two-pass bucket-offset global rank
+    (_rank_fraction_scored / scalable.py — no single-task window at
+    any corpus size; same integers as the oracle's plain ROW_NUMBER)
+    → 10-group partial+final agg."""
     orders = load(spark, sf_dir, "orders")
-    scored = orders.select(
-        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
-        F.expr(
-            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
-            " * 1000) DIV (count(*) OVER ())"
-        ).alias("p_milli"),
-    )
+    scored = _rank_fraction_scored(orders)
     binned = scored.select(
         (F.col("p_milli") / 100).cast("bigint").alias("bin"),
         "y",
@@ -3842,10 +3862,12 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE division at the end is the AUC. No sampling, no
     trapezoid approximation: this IS the exact area.
 
-    Scale: groupBy(score) partial-agg → cumulative window over the
-    distinct-score frame (bounded by score cardinality, not rows) →
-    1-row sums. The same plan computes AUC at any corpus size; a
-    per-segment AUC is one partitionBy away."""
+    Scale: groupBy(score) partial-agg → bucket-offset two-pass prefix
+    sums (scalable.py — no single-task window over the distinct-score
+    frame) → 1-row sums. The same plan computes AUC at any corpus
+    size; a per-segment AUC is one partitionBy away."""
+    from pg_archiver_spark.operators.scalable import bucketed_prefix_sums
+
     emb = load(spark, sf_dir, "embeddings")
     scored = emb.select(
         F.round(
@@ -3861,12 +3883,11 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = scored.groupBy("score").agg(
         F.count("*").alias("t"), F.sum("pos").alias("tp")
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
+    ranked = bucketed_prefix_sums(vals, "score", ["t"]).select(
         "score",
         "t",
         "tp",
-        (1 + F.coalesce(F.sum("t").over(w), F.lit(0))).alias("r_min"),
+        (1 + F.col("t_prefix")).alias("r_min"),
     )
     sums = ranked.agg(
         F.sum("tp").cast("bigint").alias("n_pos"),
@@ -3941,8 +3962,11 @@ def ml_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the result is deterministic to the micro digit.
 
     Scale: same shape as ml_roc_auc — one groupBy(score) partial agg,
-    one cumulative window over the distinct-score frame (score-
-    cardinality-bounded, not corpus-bounded), one 1-row reduce."""
+    one bucket-offset two-pass prefix pass (scalable.py, over the
+    NEGATED score so the cumulative runs descending; no single-task
+    window over the distinct-score frame), one 1-row reduce."""
+    from pg_archiver_spark.operators.scalable import bucketed_prefix_sums
+
     emb = load(spark, sf_dir, "embeddings")
     scored = emb.select(
         F.round(
@@ -3958,14 +3982,13 @@ def ml_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = scored.groupBy("score").agg(
         F.count("*").alias("t"), F.sum("pos").alias("tp")
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = vals.select(
+    ranked = bucketed_prefix_sums(
+        vals.withColumn("nscore", -F.col("score")), "nscore", ["t", "tp"]
+    ).select(
         "t",
         "tp",
-        F.sum("t").over(w).alias("cum_n"),
-        F.sum("tp").over(w).alias("cum_tp"),
+        (F.col("t_prefix") + F.col("t")).alias("cum_n"),
+        (F.col("tp_prefix") + F.col("tp")).alias("cum_tp"),
     )
     sums = ranked.agg(
         F.sum("tp").cast("bigint").alias("n_pos"),
@@ -4029,9 +4052,16 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ratios (capture·1000÷total, n_pos·N·1000÷(n·N_pos) — all
     operands positive, floor division identical in both engines).
 
-    Scale: the NTILE is a global sort over integer scores — at 100 TB
-    swap in window_ntile_scalable's two-pass bucket-offset rank (the
-    documented substitute); everything after is |deciles|-bounded."""
+    Scale: the decile cut runs on the two-pass bucket-offset global
+    rank (scalable.py) with the closed-form NTILE algebra — no
+    single-task sort at any corpus size (the oracle keeps plain NTILE;
+    the driver proves the rewrite); everything after is
+    |deciles|-bounded."""
+    from pg_archiver_spark.operators.scalable import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     scored = emb.select(
         "vec_id",
@@ -4045,9 +4075,14 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
     )
-    w_rank = Window.orderBy(F.desc("score"), "vec_id")
-    ranked = scored.select(
-        "*", F.ntile(LIFT_DECILES).over(w_rank).alias("decile")
+    ranked = bucketed_global_rank(
+        scored,
+        -F.col("score"),
+        [F.desc("score"), F.col("vec_id")],
+        "__r",
+        "__n",
+    ).withColumn(
+        "decile", ntile_from_rank(F.col("__r"), F.col("__n"), LIFT_DECILES)
     )
     per_decile = ranked.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -4647,9 +4682,10 @@ def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (numerators ≤ 2000·N fit int64 to N≈4.6e15 rows); empty
     denominators report the -1 sentinel (G13: no nullable numerics).
 
-    Plan: one scan → global rank window (at 100 TB swap in the
-    window_ntile_scalable two-pass partition-offset rank — identical
-    integers) → the 9-row threshold spine cross-joins BEFORE the
+    Plan: one scan → two-pass bucket-offset global rank
+    (_rank_fraction_scored / scalable.py — no single-task window at
+    any corpus size; same integers as the oracle's plain ROW_NUMBER)
+    → the 9-row threshold spine cross-joins BEFORE the
     aggregate so all 9 operating points fold in ONE partial-agg pass
     (9× agg columns, no second scan, no shuffle growth with the sweep
     width).
@@ -4657,13 +4693,7 @@ def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no reference counterpart (main.go has no ML
     surface); completes the eval trio of SURVEY §2's ml_* family."""
     orders = load(spark, sf_dir, "orders")
-    scored = orders.select(
-        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
-        F.expr(
-            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
-            " * 1000) DIV (count(*) OVER ())"
-        ).alias("p_milli"),
-    )
+    scored = _rank_fraction_scored(orders)
     th = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in THRESH_SWEEP])).alias("t")
     )
@@ -4967,20 +4997,15 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (G13). The decomposition identity is pinned in pytest to the
     quantization tolerance.
 
-    Plan: one scan → rank window (window_ntile_scalable swap at
-    100 TB) → 10-bin partial agg → 1-row recombination. Nothing after
-    the bin agg scales with rows.
+    Plan: one scan → two-pass bucket-offset global rank
+    (_rank_fraction_scored / scalable.py — no single-task window at
+    any corpus size) → 10-bin partial agg → 1-row recombination.
+    Nothing after the bin agg scales with rows.
 
     Reference parity: no reference counterpart; completes the
     calibration/eval family (SURVEY §2 ml_*)."""
     orders = load(spark, sf_dir, "orders")
-    scored = orders.select(
-        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
-        F.expr(
-            "((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)"
-            " * 1000) DIV (count(*) OVER ())"
-        ).alias("p_milli"),
-    )
+    scored = _rank_fraction_scored(orders)
     bins = scored.groupBy(
         (F.col("p_milli") / 100).cast("bigint").alias("bin")
     ).agg(

@@ -2173,11 +2173,12 @@ def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     not used.
 
     Plan: two groupBy(value) collapses (distinct-value frames) → two
-    ordered cumulative windows over those bounded frames for midranks
-    → two equi-joins re-attach ranks → ONE partial-agg pass folds all
-    five sums. At 100 TB swap the plain cumulative windows for the
-    window_ntile_scalable two-pass partition-offset prefix sum — the
-    ranks are unchanged.
+    bucket-offset two-pass prefix sums (scalable.py — per-bucket
+    windows bounded by |values|/256, global window only on the
+    ≤256-row offset frame) for midranks → two equi-joins re-attach
+    ranks → ONE partial-agg pass folds all five sums. The
+    distinct-price frame is corpus-cardinality, so the r12-flagged
+    single-task window class is gone; the ranks are unchanged.
 
     Reference parity: no reference counterpart; completes the
     correlation family next to agg's Pearson and the Mann-Kendall /
@@ -2189,13 +2190,10 @@ def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def midranks(df, col):
         vals = df.groupBy(col).agg(F.count("*").alias("t"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return vals.select(
+        return bucketed_prefix_sums(vals, col, ["t"]).select(
             col,
             (
-                2 * (1 + F.coalesce(F.sum("t").over(w), F.lit(0)))
-                + F.col("t")
-                - 1
+                2 * (1 + F.col("t_prefix")) + F.col("t") - 1
             ).alias("r2"),
         )
 
