@@ -108,6 +108,46 @@ def test_brier_resolution_term_survives_int64_scale():
     assert wrapped * wrapped // nk != want
 
 
+def test_unpartitioned_window_detector(spark):
+    """planaudit.unpartitioned_windows must flag order-only and
+    global-frame windows, and must NOT flag partitioned ones (with or
+    without ordering) — probed against real formatted plans, so a
+    Spark plan-format change breaks this test, not the audit silently.
+    """
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from planaudit import unpartitioned_windows
+    from pg_archiver_spark.plans.inspect import physical_plan
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    cases = [
+        (Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0), 1),
+        (Window.partitionBy("g").orderBy("id"), 0),
+        (Window.partitionBy("g"), 0),
+        (
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            ),
+            1,
+        ),
+    ]
+    for w, want in cases:
+        plan = physical_plan(df.select(F.sum("id").over(w).alias("s")))
+        assert unpartitioned_windows(plan) == want, plan
+
+
+def test_planaudit_window_whitelist_names_are_registered():
+    """A typo'd or since-renamed name in WINDOW_WHITELIST silently
+    re-justifies nothing (same guard as the registry priority list)."""
+    from planaudit import WINDOW_WHITELIST
+
+    from pg_archiver_spark.registry import QUERIES
+
+    unknown = [n for n in WINDOW_WHITELIST if n not in QUERIES]
+    assert not unknown, f"WINDOW_WHITELIST names not in registry: {unknown}"
+
+
 def test_bucketed_prefix_sums_match_bruteforce(spark):
     """scalable.bucketed_prefix_sums (the two-pass bucket-offset
     rewrite of the single-task global cumulative window) must return
