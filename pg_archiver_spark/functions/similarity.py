@@ -3836,7 +3836,8 @@ ROC_SCORE_DIMS = 8  # leading embedding dims folded into the score
     sums AS (
         SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
                CAST(SUM(t - tp) AS BIGINT) AS n_neg,
-               CAST(SUM(tp * (2 * r_min + t - 1)) AS BIGINT) AS sum_avg2_pos
+               CAST(SUM(CAST(tp AS HUGEINT) * (2 * r_min + t - 1))
+                    AS BIGINT) AS sum_avg2_pos
         FROM ranked
     )
     SELECT n_pos, n_neg,
@@ -3892,7 +3893,14 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.agg(
         F.sum("tp").cast("bigint").alias("n_pos"),
         F.sum(F.col("t") - F.col("tp")).cast("bigint").alias("n_neg"),
-        F.sum(F.col("tp") * (2 * F.col("r_min") + F.col("t") - 1))
+        # tp·(2r+t−1) is N²-class per row — DECIMAL(38,0)/HUGEINT
+        # promotion before the multiply (the mannwhitney treatment);
+        # the BIGINT u2 output holds to N ≈ 2.1e9 rows (documented
+        # envelope).
+        F.sum(
+            F.col("tp").cast("decimal(38,0)")
+            * (2 * F.col("r_min") + F.col("t") - 1)
+        )
         .cast("bigint")
         .alias("sum_avg2_pos"),
     )
@@ -3939,8 +3947,8 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
                CAST(SUM(t - tp) AS BIGINT) AS n_neg,
-               CAST(SUM(tp * cum_tp * 1000000 // cum_n) AS BIGINT)
-                   AS ap_num
+               CAST(SUM(CAST(tp AS HUGEINT) * cum_tp * 1000000 // cum_n)
+                    AS BIGINT) AS ap_num
         FROM ranked
     )
     SELECT n_pos, n_neg,
@@ -3993,8 +4001,11 @@ def ml_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.agg(
         F.sum("tp").cast("bigint").alias("n_pos"),
         F.sum(F.col("t") - F.col("tp")).cast("bigint").alias("n_neg"),
+        # per-group term tp·cumTP·1e6 is ~n_pos²·1e6 — DECIMAL(38,0)/
+        # HUGEINT promotion BEFORE the multiply (int64 wraps silently
+        # past 2^63); ap_num itself stays ≤ n_pos·1e6, inside int64.
         F.sum(
-            F.expr("tp * cum_tp * 1000000 DIV cum_n")
+            F.expr("CAST(tp AS DECIMAL(38,0)) * cum_tp * 1000000 DIV cum_n")
         ).cast("bigint").alias("ap_num"),
     )
     return sums.select(
@@ -4034,8 +4045,9 @@ LIFT_DECILES = 10
     SELECT decile, n, n_pos,
            CAST(SUM(n_pos) OVER (ORDER BY decile) * 1000
                 // SUM(n_pos) OVER () AS BIGINT) AS cum_capture_pm,
-           CAST(n_pos * SUM(n) OVER () * 1000
-                // (n * SUM(n_pos) OVER ()) AS BIGINT) AS lift_milli
+           CAST(CAST(n_pos AS HUGEINT) * SUM(n) OVER () * 1000
+                // (CAST(n AS HUGEINT) * SUM(n_pos) OVER ())
+                AS BIGINT) AS lift_milli
     FROM per_decile
     ORDER BY decile
     """,
@@ -4105,10 +4117,15 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "DIV SUM(n_pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING "
                 "AND UNBOUNDED FOLLOWING) AS BIGINT)"
             ).alias("cum_capture_pm"),
+            # lift numerator n_pos·N·1000 is ~N²·1000 — DECIMAL(38,0)/
+            # HUGEINT promotion BEFORE the multiply (int64 wraps
+            # silently past 2^63; the market_basket_lift class).
             F.expr(
-                "CAST(n_pos * SUM(n) OVER (ROWS BETWEEN UNBOUNDED "
-                "PRECEDING AND UNBOUNDED FOLLOWING) * 1000 DIV "
-                "(n * SUM(n_pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING "
+                "CAST(CAST(n_pos AS DECIMAL(38,0)) * SUM(n) OVER "
+                "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                "FOLLOWING) * 1000 DIV "
+                "(CAST(n AS DECIMAL(38,0)) * SUM(n_pos) OVER "
+                "(ROWS BETWEEN UNBOUNDED PRECEDING "
                 "AND UNBOUNDED FOLLOWING)) AS BIGINT)"
             ).alias("lift_milli"),
         )

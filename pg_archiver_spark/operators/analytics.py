@@ -2032,8 +2032,8 @@ TRI_EDGES = 60  # triangle count: top-K co-occurrence edges kept
     SELECT p.brand_a, p.brand_b,
            CAST(p.pair_n AS BIGINT) AS pair_n,
            CAST((p.pair_n * 1000) // t.n_orders AS BIGINT) AS support_pm,
-           CAST((p.pair_n * t.n_orders * 1000000)
-                // (na.n_b * nb.n_b) AS BIGINT) AS lift_ppm
+           CAST((CAST(p.pair_n AS HUGEINT) * t.n_orders * 1000000)
+                // (CAST(na.n_b AS HUGEINT) * nb.n_b) AS BIGINT) AS lift_ppm
     FROM pairs p
     CROSS JOIN tot t
     JOIN bn na ON na.brand = p.brand_a
@@ -2092,8 +2092,14 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_b",
             "pair_n",
             F.expr("(pair_n * 1000) DIV n_orders").alias("support_pm"),
+            # lift numerator pair_n·n_orders·1e6 is ~N²·1e6 — promoted
+            # to DECIMAL(38,0)/HUGEINT BEFORE the multiply (int64 wraps
+            # silently past 2^63; the market_basket_lift r12 fix
+            # applied to this op's older sibling). support_pm's
+            # pair_n·1000 holds in int64 to N ≈ 9.2e15 baskets.
             F.expr(
-                "(pair_n * n_orders * 1000000) DIV (na * nb)"
+                "CAST((CAST(pair_n AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("pair_n"), "brand_a", "brand_b")
@@ -3924,17 +3930,17 @@ XYZ_T2_SQ_X1E4 = 2116
         SELECT brand,
                CAST(COUNT(*) AS BIGINT) AS n_weeks,
                CAST(SUM(q) AS BIGINT) AS s,
-               CAST(SUM(q * q) AS BIGINT) AS ss
+               SUM(CAST(q AS HUGEINT) * q) AS ss
         FROM wk GROUP BY brand
     )
     SELECT brand, n_weeks,
            CAST(s * 1000 // n_weeks AS BIGINT) AS mean_qty_milli,
-           sqrt(CAST(n_weeks * ss - s * s AS DOUBLE)) / CAST(s AS DOUBLE)
-               AS cv,
-           CASE WHEN (n_weeks * ss - s * s) * 10000
-                     <= s * s * {XYZ_T1_SQ_X1E4} THEN 'X'
-                WHEN (n_weeks * ss - s * s) * 10000
-                     <= s * s * {XYZ_T2_SQ_X1E4} THEN 'Y'
+           sqrt(CAST(n_weeks * ss - CAST(s AS HUGEINT) * s AS DOUBLE))
+               / CAST(s AS DOUBLE) AS cv,
+           CASE WHEN (n_weeks * ss - CAST(s AS HUGEINT) * s) * 10000
+                     <= CAST(s AS HUGEINT) * s * {XYZ_T1_SQ_X1E4} THEN 'X'
+                WHEN (n_weeks * ss - CAST(s AS HUGEINT) * s) * 10000
+                     <= CAST(s AS HUGEINT) * s * {XYZ_T2_SQ_X1E4} THEN 'Y'
                 ELSE 'Z' END AS xyz_class
     FROM stats
     ORDER BY brand
@@ -3971,19 +3977,27 @@ def analytics_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
     )
+    # Sufficient statistics and the CV² cross-multiplications run in
+    # DECIMAL(38,0)/HUGEINT — per-brand Σq reaches corpus/|brands| and
+    # its square wraps int64 past Σq ≈ 3e9 (the market_basket_lift
+    # overflow class); promoting the operands BEFORE the multiply
+    # keeps every band decision exact at any scale.
     stats = wk.groupBy("brand").agg(
         F.count("*").cast("bigint").alias("n_weeks"),
         F.sum("q").cast("bigint").alias("s"),
-        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
     )
-    var_n2 = F.col("n_weeks") * F.col("ss") - F.col("s") * F.col("s")
+    var_n2 = F.col("n_weeks") * F.col("ss") - F.col("s").cast(
+        "decimal(38,0)"
+    ) * F.col("s")
+    s_sq = F.col("s").cast("decimal(38,0)") * F.col("s")
     return stats.select(
         "brand",
         "n_weeks",
         F.expr("CAST(s * 1000 DIV n_weeks AS BIGINT)").alias("mean_qty_milli"),
         (F.sqrt(var_n2.cast("double")) / F.col("s").cast("double")).alias("cv"),
-        F.when(var_n2 * 10000 <= F.col("s") * F.col("s") * XYZ_T1_SQ_X1E4, "X")
-        .when(var_n2 * 10000 <= F.col("s") * F.col("s") * XYZ_T2_SQ_X1E4, "Y")
+        F.when(var_n2 * 10000 <= s_sq * XYZ_T1_SQ_X1E4, "X")
+        .when(var_n2 * 10000 <= s_sq * XYZ_T2_SQ_X1E4, "Y")
         .otherwise("Z")
         .alias("xyz_class"),
     ).orderBy("brand")

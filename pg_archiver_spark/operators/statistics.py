@@ -1074,8 +1074,10 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
                CAST(SUM(t - ta) AS BIGINT) AS n_b,
-               CAST(SUM(ta * (2 * r_min + t - 1)) AS BIGINT) AS sum_avg2_a,
-               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+               CAST(SUM(CAST(ta AS HUGEINT) * (2 * r_min + t - 1))
+                    AS BIGINT) AS sum_avg2_a,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT)
+                   AS tie_cube
         FROM ranked
     )
     SELECT n_a, n_b,
@@ -1134,13 +1136,22 @@ def analytics_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.agg(
         F.sum("ta").cast("bigint").alias("n_a"),
         F.sum(F.col("t") - F.col("ta")).cast("bigint").alias("n_b"),
+        # ta·(2r+t−1) is ~2N per tied group and Σ reaches 2N·n_a (N²
+        # class) — the per-row product runs in DECIMAL(38,0)/HUGEINT
+        # so no int64 stage wraps mid-sum; the BIGINT output column
+        # itself holds to N ≈ 2.1e9 rows (documented envelope — past
+        # that the u2 contract needs wider output units).
         F.sum(
-            F.col("ta") * (2 * F.col("r_min") + F.col("t") - 1)
+            F.col("ta").cast("decimal(38,0)")
+            * (2 * F.col("r_min") + F.col("t") - 1)
         )
         .cast("bigint")
         .alias("sum_avg2_a"),
+        # t³ wraps int64 past t ≈ 2.1e6 ties on one value — DECIMAL
+        # promotion before the cube.
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         )
         .cast("bigint")
         .alias("tie_cube"),

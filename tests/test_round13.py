@@ -148,6 +148,22 @@ def test_planaudit_window_whitelist_names_are_registered():
     assert not unknown, f"WINDOW_WHITELIST names not in registry: {unknown}"
 
 
+def test_int64_headroom_lint_clean():
+    """VERDICT r12 #3: the int64-headroom audit is mechanized — every
+    big-literal integer multiplication in the package either carries a
+    DECIMAL(38)/HUGEINT promotion, a documented envelope marker, or a
+    bound-justified suppression; stale suppressions also fail."""
+    from intlint import scan, stale_suppressions
+
+    findings = scan()
+    assert not findings, (
+        "unsuppressed big-literal multiplications (promote to "
+        f"DECIMAL(38,0)/HUGEINT or document the envelope): {findings}"
+    )
+    stale = stale_suppressions()
+    assert not stale, f"stale intlint suppressions — prune: {stale}"
+
+
 def test_bucketed_prefix_sums_match_bruteforce(spark):
     """scalable.bucketed_prefix_sums (the two-pass bucket-offset
     rewrite of the single-task global cumulative window) must return
