@@ -1050,10 +1050,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slope is the single closed-form IEEE division.
 
     Scale: explode → word-frequency partial agg (the text_wordcount
-    shuffle); everything after runs on the VOCABULARY frame — ranking
-    included, so the global sort is |vocab|-bounded, not corpus-bound
-    (swap in the bucket-offset rank if a web-scale vocab ever
-    outgrows a task)."""
+    shuffle); everything after runs on the VOCABULARY frame — and
+    since r13 the rank itself is the bucket-offset two-pass
+    (scalable.py; a web-scale vocabulary IS corpus-cardinality, so
+    the former |vocab| global sort was the one remaining single-task
+    stage). Bucket key is −f (monotone in the freq-DESC order; ties
+    break on word inside the per-bucket window) and the ranks are
+    unchanged — the oracle keeps the plain ROW_NUMBER form."""
+    from pg_archiver_spark.operators.scalable import bucketed_global_rank
+
     docs = load(spark, sf_dir, "documents")
     freq = (
         docs.select(
@@ -1063,8 +1068,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    w_rank = Window.orderBy(F.desc("f"), "w")
-    ranked = freq.select("f", F.row_number().over(w_rank).alias("r"))
+    ranked = bucketed_global_rank(
+        freq,
+        -F.col("f"),
+        [F.desc("f"), F.col("w")],
+        "r",
+        "__n",
+    ).select("f", "r")
     logs = ranked.select(
         F.round(F.lit(1e9) * F.log(F.col("r").cast("double")))
         .cast("bigint")

@@ -148,6 +148,39 @@ def test_planaudit_window_whitelist_names_are_registered():
     assert not unknown, f"WINDOW_WHITELIST names not in registry: {unknown}"
 
 
+CONVERTED_TWO_PASS_OPS = [
+    # every op whose corpus-sized single-task window was converted to
+    # the scalable.py bucket-offset two-pass in r13 (plan-visible
+    # subset; notify-push materializes its ledger so its interior
+    # plan is pinned by the 3-SF hash gate instead)
+    "analytics_ks_test",
+    "analytics_mannwhitney_u",
+    "analytics_rfm_segments",
+    "analytics_spearman_corr",
+    "ml_calibration_bins",
+    "ml_confusion_threshold_sweep",
+    "ml_brier_decomposition",
+    "ml_roc_auc",
+    "ml_pr_auc_average_precision",
+    "ml_lift_gains_table",
+    "pipeline_curriculum_phases",
+    "text_zipf_fit",
+]
+
+
+def test_converted_ops_keep_two_pass_plan(spark, sf_dir):
+    """Regression pin for the r13 window conversions: each converted
+    op's physical plan must still carry the width_bucket two-pass
+    marker (a revert to the single-task global window would drop it —
+    and would only be caught by the slower full planaudit run
+    otherwise)."""
+    from pg_archiver_spark.plans.inspect import physical_plan
+
+    for name in CONVERTED_TWO_PASS_OPS:
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert "width_bucket" in plan, f"{name} lost the two-pass rank"
+
+
 def test_int64_headroom_lint_clean():
     """VERDICT r12 #3: the int64-headroom audit is mechanized — every
     big-literal integer multiplication in the package either carries a

@@ -182,9 +182,9 @@ WINDOW_WHITELIST = {
     "(the residual per-length skew bound is documented in the op)",
     "sample_weighted_reservoir": "final ordering over the k-row "
     "reservoir (TakeOrdered top-k before the window)",
-    "text_zipf_fit": "rank over the |vocab| word-frequency frame "
-    "(vocabulary-bounded; bucket-offset swap documented for web-scale "
-    "vocabularies)",
+    "text_zipf_fit": "≤256-row bucket-offset spine (scalable.py "
+    "two-pass vocabulary rank; converted r13 — a web-scale vocab is "
+    "corpus-cardinality)",
     # deliberate weak twins (OPERATORS.md labels them weak_at_scale
     # with the scale-safe alternate):
     "window_ntile": "deliberate weak twin — weak_at_scale(→ "
@@ -224,6 +224,8 @@ WHITELIST = {
     "(scalable.py two-pass decile rank)",
     "pipeline_curriculum_phases": "1-row (min, max) bucket-grid "
     "anchor (scalable.py two-pass phase rank)",
+    "text_zipf_fit": "1-row (min, max) bucket-grid anchor "
+    "(scalable.py two-pass vocabulary rank)",
     # -- round-12 additions -------------------------------------------
     "analytics_runs_test": "1-row exact-median anchor crossJoin back "
     "onto the <=|days| daily frame (the seasonal_residual MAD shape); "
