@@ -102,9 +102,9 @@ WINDOW_WHITELIST = {
     "(scalable.py two-pass midranks; converted r13)",
     "analytics_spearman_corr": "two ≤256-row bucket-offset spines "
     "(scalable.py two-pass midranks per variable; converted r13)",
-    "analytics_rfm_segments": "three ≤256-row bucket-offset spines "
-    "(scalable.py two-pass NTILE per RFM dimension; converted r13 "
-    "from the |users|-frame NTILEs VERDICT r12 flagged)",
+    # (analytics_rfm_segments needs NO entry since the r13 STACKED
+    # rewrite: its offset/total windows are PARTITIONED by dimension,
+    # so nothing unpartitioned remains in its plan at all.)
     "ml_calibration_bins": "≤256-row bucket-offset spine "
     "(_rank_fraction_scored two-pass rank; converted r13)",
     "ml_confusion_threshold_sweep": "≤256-row bucket-offset spine "
@@ -210,8 +210,9 @@ WHITELIST = {
     "(scalable.py two-pass midranks)",
     "analytics_spearman_corr": "two 1-row (min, max) bucket-grid "
     "anchors (scalable.py two-pass midranks per variable)",
-    "analytics_rfm_segments": "three 1-row (min, max) bucket-grid "
-    "anchors (scalable.py two-pass NTILE per RFM dimension)",
+    # (analytics_rfm_segments: the stacked rewrite replaced the
+    # per-dim 1-row anchors with a 3-row per-dim bounds EQUI-join —
+    # no non-equi shape remains.)
     "ml_calibration_bins": "1-row (min, max) bucket-grid anchor "
     "(_rank_fraction_scored two-pass rank)",
     "ml_brier_decomposition": "1-row (min, max) bucket-grid anchor "
