@@ -462,24 +462,39 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank over per-supplier revenue — the relative-standing
-    score ((rank−1)/(n−1)). Window runs over the AGGREGATED
-    |suppliers| frame (house discipline: never window the raw fact);
-    the unique (revenue, suppkey) order pins rank ties, and the
-    resulting (k−1)/(n−1) is an IEEE division of identical integers on
-    both engines — bit-deterministic. Partition-less over the small
-    aggregate is the documented small-frame case; at a supplier
-    population too large for one task, window_ntile_scalable's
-    two-phase bucket-offset rewrite applies identically."""
+    score ((rank−1)/(n−1)), built from the two-pass bucket-offset rank
+    (scalable.py) instead of a partition-less window: a supplier
+    population is corpus-cardinality at 100 TB, so even the AGGREGATED
+    frame must not funnel through one task. The unique (revenue,
+    suppkey) order makes row_number == rank (no shared ties), so
+    percent_rank is exactly (global_rank−1)/(n−1) — an IEEE division
+    of identical integers on both engines, bit-deterministic. The
+    bucket key is the revenue decimal cast to double inside the helper
+    (decimal→double rounding is monotone, so bucket order preserves
+    the total order; in-bucket sort on the exact decimal breaks any
+    collisions). n==1 guard matches SQL percent_rank's 0.0
+    convention."""
+    from pg_archiver_spark.operators.scalable import bucketed_global_rank
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    w = Window.orderBy(F.col("r"), F.col("l_suppkey"))
+    ranked = bucketed_global_rank(
+        rev,
+        F.col("r"),
+        [F.col("r"), F.col("l_suppkey")],
+        "__rk",
+        "__n",
+    )
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
     return (
-        rev.select(
+        ranked.select(
             "l_suppkey",
             F.col("r").cast("double").alias("revenue"),
-            F.percent_rank().over(w).alias("pr"),
+            pr.alias("pr"),
         )
         .orderBy("l_suppkey")
     )

@@ -165,6 +165,7 @@ CONVERTED_TWO_PASS_OPS = [
     "ml_lift_gains_table",
     "pipeline_curriculum_phases",
     "text_zipf_fit",
+    "window_percent_rank",
 ]
 
 

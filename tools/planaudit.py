@@ -189,10 +189,9 @@ WINDOW_WHITELIST = {
     # with the scale-safe alternate):
     "window_ntile": "deliberate weak twin — weak_at_scale(→ "
     "window_ntile_scalable), equivalence-pinned in pytest",
-    "window_percent_rank": "percent_rank over the AGGREGATED "
-    "|suppliers| frame (supplier vocabulary, not facts); "
-    "window_ntile_scalable's rewrite applies if suppliers outgrow a "
-    "task",
+    "window_percent_rank": "≤256-row bucket-offset spine (scalable.py "
+    "two-pass rank; converted r13 — a supplier population is "
+    "corpus-cardinality at 100 TB)",
 }
 
 # name -> why the non-equi join is the correct plan at 100 TB.
@@ -227,6 +226,8 @@ WHITELIST = {
     "anchor (scalable.py two-pass phase rank)",
     "text_zipf_fit": "1-row (min, max) bucket-grid anchor "
     "(scalable.py two-pass vocabulary rank)",
+    "window_percent_rank": "1-row (min, max) bucket-grid anchor "
+    "(scalable.py two-pass supplier-revenue rank)",
     # -- round-12 additions -------------------------------------------
     "analytics_runs_test": "1-row exact-median anchor crossJoin back "
     "onto the <=|days| daily frame (the seasonal_residual MAD shape); "
