@@ -50,28 +50,42 @@ def _stage_quartile_batches(events: DataFrame, staging: str, cols) -> None:
     source replays them deterministically. This staging is byte-for-
     byte the relational definition the stream_state_timeout_sessions /
     stream_progress_metrics oracles simulate; keep the two in lockstep
-    by changing ONLY this helper."""
+    by changing ONLY this helper.
+
+    r13 optimization (guide §2.4): the original form re-ran the global
+    rank window — a full sort — once PER batch filter (4 sort jobs +
+    the count, ~2.0 s of the op at sf0.1). One ``partitionBy("batch")``
+    write now produces all four directories from a single sort pass
+    (~0.7 s), byte-equivalent: the post-window frame is one partition,
+    so each batch directory still holds exactly ONE file, rows in the
+    same global (ts, event_id) order, and the mtime ladder is applied
+    identically after a directory rename."""
     from pyspark.sql.window import Window as _W
 
     total = events.count()
     ranked = events.withColumn(
         "rk", F.row_number().over(_W.orderBy("ts", "event_id"))
     ).withColumn("batch", F.expr(f"CAST(((rk - 1) * 4) DIV {total} AS INT)"))
+    tmp = staging.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ranked.select(*cols, "batch")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp)
+    )
     for b in range(4):
         path = os.path.join(staging, f"b{b}")
-        (
-            ranked.filter(F.col("batch") == b)
-            .select(*cols)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(os.path.join(tmp, f"batch={b}"), path)
         for root, _, files in os.walk(path):
             for f in files:
                 os.utime(
                     os.path.join(root, f),
                     (1_700_000_000 + b, 1_700_000_000 + b),
                 )
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def archive_batch(
