@@ -1554,28 +1554,41 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket(d: int, key):
+        # bucket = (int(md5[0:15], 16)) % WIDTH. Since 16² ≡ 0
+        # (mod 64), only the last two hex chars of the 15-char prefix
+        # contribute to the value mod 64 — parse exactly those two
+        # (r13, guide §1.2 per-task work: identical bucket ids, 2-char
+        # conv instead of 15-char).
+        assert CMS_WIDTH == 64
         return F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"cm{d}|"), key.cast("string"))), 1, 15
+                F.md5(F.concat(F.lit(f"cm{d}|"), key.cast("string"))), 14, 2
             ),
             16,
             10,
         ).cast("bigint") % CMS_WIDTH
 
-    pairs = li.select(
+    # r13 (guide §2.3 "aggregate before you shuffle", §2.4 shared
+    # exchange): count per key FIRST, then hash only the distinct keys
+    # — the 4 salted md5s run once per DISTINCT part key instead of
+    # once per lineitem row (~30× fewer hashes at sf0.1, and |keys| ≪
+    # |rows| at any scale). Cell counts are the identical sums
+    # (Σ_keys cnt(k)·[bucket(k)=cell]), and the same per-key count
+    # frame feeds the exact top-10, so Catalyst reuses ONE keyed
+    # exchange for both branches instead of scanning lineitem twice.
+    keycnt = li.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    pairs = keycnt.select(
+        "true_cnt",
         F.posexplode(
             F.array(*[bucket(d, F.col("k")) for d in range(CMS_DEPTH)])
-        ).alias("d", "bucket")
+        ).alias("d", "bucket"),
     )
     cells = pairs.groupBy("d", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
+        F.sum("true_cnt").cast("bigint").alias("cnt")
     )
-    tops = (
-        li.groupBy("k")
-        .agg(F.count("*").cast("bigint").alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), "k")
-        .limit(10)
-    )
+    tops = keycnt.orderBy(F.desc("true_cnt"), "k").limit(10)
     probes = tops.select(
         "k",
         "true_cnt",
