@@ -3133,34 +3133,34 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.expr("ts_ns DIV 1000000").alias("ms"),
     )
-    fp = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ms").alias("fp_ms"))
+    # r13 (guide §2.4/§2.3): the original form scanned events twice
+    # (first-purchase agg + a user_id shuffle join back onto the full
+    # events table) before collapsing to masks. "Channel ch touched
+    # before the first purchase" ≡ "min event-ms of ch < min
+    # purchase-ms", so ONE groupBy with 5 conditional MINs computes the
+    # identical per-user mask — one scan, one shuffle of map-side
+    # partials, no corpus-sized join. Converters with no prior channel
+    # events land on mask 0 exactly as the old LEFT join did.
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ms"))
+        ).alias("fp_ms"),
+        *[
+            F.min(F.when(F.col("event_type") == ch, F.col("ms"))).alias(
+                f"m_{i}"
+            )
+            for i, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
     )
-    e = events.alias("e")
-    touched = (
-        fp.alias("f")
-        .join(
-            e,
-            (F.col("e.user_id") == F.col("f.user_id"))
-            & (F.col("e.ms") < F.col("f.fp_ms"))
-            & (F.col("e.event_type") != "purchase"),
-            "left",
-        )
-        .groupBy(F.col("f.user_id"))
-        .agg(
-            sum(
-                [
-                    F.max(
-                        F.when(F.col("e.event_type") == ch, 1).otherwise(0)
-                    )
-                    * (1 << i)
-                    for i, ch in enumerate(SHAPLEY_CHANNELS)
-                ],
-                F.lit(0),
-            ).alias("mask")
-        )
+    touched = per_user.filter(F.col("fp_ms").isNotNull()).select(
+        "user_id",
+        sum(
+            [
+                F.when(F.col(f"m_{i}") < F.col("fp_ms"), 1 << i).otherwise(0)
+                for i in range(len(SHAPLEY_CHANNELS))
+            ],
+            F.lit(0),
+        ).alias("mask"),
     )
     by_mask = touched.groupBy("mask").agg(
         F.count("*").cast("bigint").alias("cnt")
