@@ -1343,14 +1343,21 @@ def dedup_repeated_substring_spans(
     # descending for n < SPAN_K and slice(...,0,..) raises. With the
     # filter after the select this only worked because Catalyst pushed
     # the predicate below the Generate; make the safety structural.
+    #
+    # r13 (guide §1.2 per-task work): tokenize ONCE into a projected
+    # column. The old spelling kept `split(text,' ')` inside the
+    # transform lambda, and Catalyst does not hoist loop-invariant
+    # subexpressions out of higher-order-function lambdas — every
+    # window position re-split the whole document (O(len²) chars/doc).
     wins = (
-        docs.filter(F.expr(f"size(split(text,' ')) >= {SPAN_K}"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= SPAN_K)
         .select(
             "doc_id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, size(split(text,' ')) - {SPAN_K}), "
-                    f"i -> xxhash64(array_join(slice(split(text,' '), i+1, {SPAN_K}), ' ')))"
+                    f"transform(sequence(0, size(toks) - {SPAN_K}), "
+                    f"i -> xxhash64(array_join(slice(toks, i+1, {SPAN_K}), ' ')))"
                 )
             ).alias("pos", "wh"),
         )
@@ -1362,17 +1369,16 @@ def dedup_repeated_substring_spans(
         .select("wh")
     )
     r = wins.join(rep, "wh").select("doc_id", "pos")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # r13: pos is strictly ascending and unique per doc in this order,
+    # so the running MAX over all preceding rows equals LAG(pos) —
+    # constant window state instead of a growing-frame aggregate.
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
     isl = r.select(
         "doc_id",
         "pos",
         F.when(
-            F.max("pos").over(w_prev).isNull()
-            | (F.col("pos") > F.max("pos").over(w_prev) + (SPAN_K - 1)),
+            F.lag("pos").over(w_lag).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_lag) + (SPAN_K - 1)),
             1,
         )
         .otherwise(0)
