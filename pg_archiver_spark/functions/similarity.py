@@ -4248,6 +4248,16 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt_id"),
         F.col("embedding").alias("t_emb"),
     )
+    # r13 restructure (guide §2.4): the old graph referenced the
+    # cosine-scoring `pairs` frame from FOUR subtrees (fwd agg, bwd
+    # agg, the margin join probe, and the margin frame again for best
+    # + stats), so the |panel|·N scoring pass recomputed up to 4×.
+    # Both k-NN neighborhoods, the margin, the per-src argmax AND the
+    # per-src counts are now ANALYTIC columns over one lineage: one
+    # cosine pass, one shuffle by tgt_id (backward k-NN), one shuffle
+    # by src_id (forward k-NN — 16-partition frames, shared by the
+    # final rank/stat windows). Every value is computed by the same
+    # expression as before; output verified row-identical.
     pairs = tgt.crossJoin(F.broadcast(src)).select(
         "src_id",
         "tgt_id",
@@ -4255,34 +4265,46 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c4"),
     )
-    w_f = Window.partitionBy("src_id").orderBy(
-        F.col("c4").desc(), F.col("tgt_id")
-    )
     w_b = Window.partitionBy("tgt_id").orderBy(
         F.col("c4").desc(), F.col("src_id")
     )
-    fwd = (
-        pairs.withColumn("rn", F.row_number().over(w_f))
-        .filter(F.col("rn") <= BITEXT_K)
-        .groupBy("src_id")
-        .agg(
-            F.sum("c4").cast("long").alias("dx"),
-            F.count("*").cast("long").alias("nx"),
+    w_b_all = Window.partitionBy("tgt_id")
+    p_b = (
+        pairs.withColumn("rn_b", F.row_number().over(w_b))
+        .withColumn(
+            "dy",
+            F.sum(F.when(F.col("rn_b") <= BITEXT_K, F.col("c4")))
+            .over(w_b_all)
+            .cast("long"),
+        )
+        .withColumn(
+            "ny",
+            F.sum(F.when(F.col("rn_b") <= BITEXT_K, 1).otherwise(0))
+            .over(w_b_all)
+            .cast("long"),
         )
     )
-    bwd = (
-        pairs.withColumn("rn", F.row_number().over(w_b))
-        .filter(F.col("rn") <= BITEXT_K)
-        .groupBy("tgt_id")
-        .agg(
-            F.sum("c4").cast("long").alias("dy"),
-            F.count("*").cast("long").alias("ny"),
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.col("c4").desc(), F.col("tgt_id")
+    )
+    w_f_all = Window.partitionBy("src_id")
+    p_f = (
+        p_b.withColumn("rn_f", F.row_number().over(w_f))
+        .withColumn(
+            "dx",
+            F.sum(F.when(F.col("rn_f") <= BITEXT_K, F.col("c4")))
+            .over(w_f_all)
+            .cast("long"),
+        )
+        .withColumn(
+            "nx",
+            F.sum(F.when(F.col("rn_f") <= BITEXT_K, 1).otherwise(0))
+            .over(w_f_all)
+            .cast("long"),
         )
     )
     margins = (
-        pairs.join(F.broadcast(fwd), "src_id")
-        .join(bwd, "tgt_id")
-        .filter(
+        p_f.filter(
             F.col("dx") * F.col("ny") + F.col("dy") * F.col("nx") > 0
         )
         .select(
@@ -4308,25 +4330,29 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_m = Window.partitionBy("src_id").orderBy(
         F.col("marg").desc(), F.col("tgt_id")
     )
-    best = (
+    w_s = Window.partitionBy("src_id")
+    return (
         margins.withColumn("rn", F.row_number().over(w_m))
+        .withColumn("n_scored", F.count("*").over(w_s).cast("long"))
+        .withColumn(
+            "n_above",
+            F.sum(
+                F.when(F.col("marg") >= BITEXT_MARGIN_THR, 1).otherwise(0)
+            )
+            .over(w_s)
+            .cast("long"),
+        )
         .filter(F.col("rn") == 1)
         .select(
             "src_id",
             F.col("tgt_id").alias("best_tgt"),
             F.col("c4").alias("cos_e4"),
             F.col("marg").alias("margin"),
+            "n_scored",
+            "n_above",
         )
+        .orderBy("src_id")
     )
-    stats = margins.groupBy("src_id").agg(
-        F.count("*").cast("long").alias("n_scored"),
-        F.sum(
-            F.when(F.col("marg") >= BITEXT_MARGIN_THR, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_above"),
-    )
-    return best.join(stats, "src_id").orderBy("src_id")
 
 
 # ------------------------------------------------- graph ANN (NSW)
