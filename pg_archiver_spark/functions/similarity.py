@@ -4885,22 +4885,39 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface); completes the retrieval-eval set next to the recall@k
     and MRR-style ops."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
+    # r13 (guide §2.3/§1.2): hoist the float→double array cast and the
+    # corpus-side norm OUT of the per-(query, doc) pair loop — the old
+    # form re-cast and re-normed every corpus vector once per panel
+    # query (16×). Same dot/(nrm_a·nrm_b) factors in the same order,
+    # so the IEEE result is bit-identical.
+    embd = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb_d"),
+    ).withColumn("nrm", norm_expr(F.col("emb_d")))
+    q = embd.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_d").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
     )
+    # r13 (guide §2.4): the corpus relevance count is a per-LABEL count
+    # minus the query itself — a tiny label aggregate broadcast onto
+    # the panel — not a panel⋈corpus equality join (which re-scanned
+    # embeddings). Queries whose label is unique drop out (count 0),
+    # exactly like the old inner join, so the -1 sentinel path via the
+    # left join below is unchanged.
+    label_cnt = emb.groupBy("label").agg(F.count("*").alias("n_label"))
     relcnt = (
-        q.join(
-            emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label")),
-            (F.col("b_label") == F.col("q_label"))
-            & (F.col("b_id") != F.col("q_id")),
+        q.join(F.broadcast(label_cnt), q["q_label"] == label_cnt["label"])
+        .select(
+            "q_id",
+            (F.col("n_label") - 1).cast("bigint").alias("n_corpus_rel"),
         )
-        .groupBy("q_id")
-        .agg(F.count("*").cast("bigint").alias("n_corpus_rel"))
+        .filter(F.col("n_corpus_rel") > 0)
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        embd.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -4908,10 +4925,8 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                cosine_expr(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("q_emb").cast("array<double>"),
-                ),
+                dot_expr(F.col("emb_d"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
                 4,
             ).alias("sim"),
         )
