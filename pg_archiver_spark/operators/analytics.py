@@ -3141,72 +3141,60 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     # identical per-user mask — one scan, one shuffle of map-side
     # partials, no corpus-sized join. Converters with no prior channel
     # events land on mask 0 exactly as the old LEFT join did.
+    # r13 (guide §7.3 driver-side cost): the Shapley algebra — 64 v(S)
+    # subset-sums across 4 channels — was assembled as hundreds of
+    # individual Column operations (~1 ms of py4j per call, ~0.8 s of
+    # pure DataFrame construction per bench pass). The SAME expressions
+    # are now generated as SQL text, exactly like the oracle builder,
+    # so construction is a handful of py4j calls. Values unchanged.
     per_user = events.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ms"))
-        ).alias("fp_ms"),
+        F.expr("MIN(CASE WHEN event_type = 'purchase' THEN ms END) AS fp_ms"),
         *[
-            F.min(F.when(F.col("event_type") == ch, F.col("ms"))).alias(
-                f"m_{i}"
-            )
+            F.expr(f"MIN(CASE WHEN event_type = '{ch}' THEN ms END) AS m_{i}")
             for i, ch in enumerate(SHAPLEY_CHANNELS)
         ],
     )
-    touched = per_user.filter(F.col("fp_ms").isNotNull()).select(
-        "user_id",
-        sum(
-            [
-                F.when(F.col(f"m_{i}") < F.col("fp_ms"), 1 << i).otherwise(0)
-                for i in range(len(SHAPLEY_CHANNELS))
-            ],
-            F.lit(0),
-        ).alias("mask"),
+    mask_sql = " + ".join(
+        f"(CASE WHEN m_{i} < fp_ms THEN {1 << i} ELSE 0 END)"
+        for i in range(len(SHAPLEY_CHANNELS))
+    )
+    touched = per_user.filter("fp_ms IS NOT NULL").selectExpr(
+        "user_id", mask_sql + " AS mask"
     )
     by_mask = touched.groupBy("mask").agg(
-        F.count("*").cast("bigint").alias("cnt")
+        F.expr("CAST(COUNT(*) AS BIGINT) AS cnt")
     )
 
-    def v(s: int):
-        return F.sum(
-            F.when(F.col("mask").bitwiseAND(15 - s) == 0, F.col("cnt")).otherwise(
-                F.lit(0)
-            )
-        )
+    def v(s: int) -> str:
+        return f"SUM(CASE WHEN (mask & {15 - s}) = 0 THEN cnt ELSE 0 END)"
 
     fact = [1, 1, 2, 6, 24]
     n = len(SHAPLEY_CHANNELS)
     shap_cols = []
     for i, ch in enumerate(SHAPLEY_CHANNELS):
         bit = 1 << i
-        phi = None
+        terms = []
         for s in range(16):
             if s & bit:
                 continue
             size = bin(s).count("1")
             w24 = fact[size] * fact[n - 1 - size]
-            term = F.lit(w24) * (v(s | bit) - v(s))
-            phi = term if phi is None else phi + term
-        shap_cols.append(phi.cast("bigint").alias(f"x24_{ch}"))
+            terms.append(f"{w24} * (({v(s | bit)}) - ({v(s)}))")
+        shap_cols.append(
+            F.expr(f"CAST({' + '.join(terms)} AS BIGINT) AS x24_{ch}")
+        )
     wide = by_mask.agg(*shap_cols)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(ch).alias("channel"),
-                F.col(f"x24_{ch}").alias("shapley_x24"),
-            )
-            for ch in SHAPLEY_CHANNELS
-        ]
+    structs = ", ".join(
+        f"named_struct('channel', '{ch}', 'shapley_x24', x24_{ch})"
+        for ch in SHAPLEY_CHANNELS
     )
     return (
-        wide.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.channel").alias("channel"),
-            F.col("p.shapley_x24").alias("shapley_x24"),
+        wide.selectExpr(f"explode(array({structs})) AS p")
+        .selectExpr(
+            "p.channel AS channel",
+            "p.shapley_x24 AS shapley_x24",
             # ROUND 6dp + 0.0 (r12 sweep): G13 double-output discipline.
-            (
-                F.round(F.col("p.shapley_x24").cast("double") / 24, 6)
-                + F.lit(0.0)
-            ).alias("shapley"),
+            "ROUND(CAST(p.shapley_x24 AS DOUBLE) / 24, 6) + 0.0 AS shapley",
         )
         .orderBy("channel")
     )
