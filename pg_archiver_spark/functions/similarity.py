@@ -2042,16 +2042,21 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode to their constant (guarded identically on both engines).
     """
     emb = load(spark, sf_dir, "embeddings")
-    mins = [
-        F.min(F.element_at("embedding", i + 1).cast("double"))
+    # r13 (guide §7.3 driver-side cost): the 2·64 per-dimension min/max
+    # aggregates were built as ~500 individual Column operations
+    # (~0.5 s of py4j construction per bench pass); the identical
+    # aggregate now parses from two SQL array expressions.
+    mins_sql = ", ".join(
+        f"min(cast(element_at(embedding, {i + 1}) as double))"
         for i in range(SQ_DIM)
-    ]
-    maxs = [
-        F.max(F.element_at("embedding", i + 1).cast("double"))
+    )
+    maxs_sql = ", ".join(
+        f"max(cast(element_at(embedding, {i + 1}) as double))"
         for i in range(SQ_DIM)
-    ]
+    )
     bounds = emb.agg(
-        F.array(*mins).alias("mns"), F.array(*maxs).alias("mxs")
+        F.expr(f"array({mins_sql}) AS mns"),
+        F.expr(f"array({maxs_sql}) AS mxs"),
     )
 
     def _code(i):
