@@ -85,6 +85,24 @@ def get_spark(app_name: str = "pg_archiver_spark", shuffle_partitions: int | Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Dimension tables (region/nation/supplier/part) stay broadcast-able.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # r13 (guide §2.4/§7.2): InferFiltersFromGenerate copies the
+        # generator's CHILD EXPRESSION into an inferred
+        # `size(child)>0 AND isnotnull(child)` predicate, which then
+        # pushes below exchanges — for every explode over a computed
+        # array (shingles, n-gram windows, hash grids) the whole
+        # construction re-runs per row on the PRE-shuffle side (on one
+        # task when the source is a single split: measured 6.4 s→0.35 s
+        # on the shingle explode at sf0.1, with multi-second GC stalls
+        # from the duplicated allocations). The inferred filter can
+        # never reach parquet (the predicate is on a derived value), so
+        # excluding the rule costs nothing at any scale; explicit
+        # short-input guards in the ops provide the empty-array
+        # pruning where it matters. Scale-independent: the same 2×
+        # re-evaluation happens per row on a cluster.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Small local fixture files would otherwise become one scan task
         # (default 128m); at cluster scale files are many and this only
         # caps per-task input.
