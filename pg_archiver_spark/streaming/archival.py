@@ -1150,9 +1150,15 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     # 100 TB you'd size this UP with key cardinality — the knob, not
     # the value, is the point. The conf is pinned into the checkpoint
     # at first start, and each run stages a fresh checkpoint, so there
-    # is no replay-mismatch risk.
+    # is no replay-mismatch risk. r13: the value is env-overridable
+    # (SPARK_GRAFT_STATE_PARTS) so the knob can be re-A/B'd per box /
+    # sized with key cardinality on a cluster without a code edit;
+    # the local default stays the measured optimum.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STATE_PARTS", "16"),
+    )
     try:
         query = (
             sessions.writeStream.format("memory")
