@@ -268,15 +268,23 @@ def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decorrelation: the textbook plan scans lineitem THREE times (l1 +
     the two correlated subqueries). Here lineitem is scanned ONCE into
     a per-(order, supplier) aggregate — has_r (any R line), n_rlines
-    (R-line count) — and both EXISTS collapse to window counts over
+    (R-line count) — and both EXISTS collapse to per-ORDER counts over
     that frame: EXISTS(other supplier) ⟺ n_supp > 1; NOT EXISTS(other
     R-supplier), given this supplier has an R line ⟺ n_rsupp = 1.
     numwait = Σ n_rlines preserves the textbook row-level COUNT(*).
+
+    r13 (guide §2.4): the per-order counts were a Window over
+    l_orderkey — an Exchange + Sort + WindowExec carrying the whole
+    |order×supplier| frame. A kept order has EXACTLY ONE R-supplier
+    (n_rsupp = 1), so that supplier and its line count are recoverable
+    from a plain per-order aggregate (conditional MAX over has_r = 1
+    rows) — a second HashAggregate level instead of the window: no
+    sort, map-side partial combine, and the orderkey exchange now
+    carries ONE row per order instead of one per (order, supplier).
     Plan-asserted single lineitem scan (tests/test_round6.py): one
-    fact shuffle on (orderkey, suppkey), one window re-shuffle of the
-    ALREADY-AGGREGATED frame on orderkey — at 100 TB that second
-    exchange carries |order×supplier| rows, not lines — then orders
-    key-join and supplier broadcast.
+    fact shuffle on (orderkey, suppkey), one partially-aggregated
+    re-shuffle on orderkey, then orders key-join and supplier
+    broadcast.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -286,17 +294,21 @@ def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
         F.count_if(F.col("l_returnflag") == "R").alias("n_rlines"),
     )
-    w = Window.partitionBy("l_orderkey")
-    cand = (
-        grp.withColumn("n_supp", F.count("*").over(w))
-        .withColumn("n_rsupp", F.sum("has_r").over(w))
-        .filter(
-            (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)
-        )
-        .join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+    per_order = grp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_rsupp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
+        F.max(F.when(F.col("has_r") == 1, F.col("n_rlines"))).alias(
+            "n_rlines"
+        ),
+    )
+    cand = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)
+    ).join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
         cand.join(F.broadcast(supplier), cand.l_suppkey == supplier.s_suppkey)
