@@ -63,16 +63,24 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject (no global sort)."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        norm_expr(F.col("embedding")).alias("q_nrm"),
     )
+    # r13: norms hoisted out of the pair expression — the corpus norm
+    # folds once per row and the query norm once per query instead of
+    # inside every cosine (3 folds/pair → 1). Same sqrt-then-multiply
+    # op order as cosine_expr → bit-identical (cf. sim_label_avg).
     return (
         emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm"))
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -812,17 +820,28 @@ def sim_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_expr(F.col("embedding")).alias("q_nrm"),
     )
+    # r13: norms hoisted out of the pair loop — the corpus norm folds
+    # once per row (N folds) and the query norms once per query (|Q|),
+    # instead of 2·|Q|·N norm folds inside cosine_expr. Same
+    # sqrt-then-multiply op order (q_nrm · nrm) → bit-identical.
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select(
+            "vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm")
+        )
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
