@@ -442,11 +442,16 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set).
     sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
     sh2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    # r13: |A ∪ B| = |A| + |B| − |A ∩ B| (shingle arrays are distinct
+    # by construction) — one hash-set build per candidate pair instead
+    # of two, identical counts.
     verified = (
         candidates.join(sh1, "doc1")
         .join(sh2, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn("n_union", F.size(F.array_union("sh1", "sh2")))
+        .withColumn(
+            "n_union", F.size("sh1") + F.size("sh2") - F.col("n_inter")
+        )
         # integer-exact threshold (r12 sweep), double only for display
         .filter(
             F.col("n_inter") * JACCARD_T_DEN
@@ -1210,10 +1215,14 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         shared.join(sh1, "doc1")
         .join(sh2, "doc2")
-        # integer-exact threshold (r12 sweep)
+        # integer-exact threshold (r12 sweep); r13: |A∪B| via the
+        # inclusion-exclusion identity (arrays are distinct) — one
+        # hash-set build per pair, identical counts.
+        .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")))
         .filter(
-            F.size(F.array_intersect("s1", "s2")) * JACCARD_T_DEN
-            >= F.size(F.array_union("s1", "s2")) * JACCARD_T_NUM
+            F.col("n_inter") * JACCARD_T_DEN
+            >= (F.size("s1") + F.size("s2") - F.col("n_inter"))
+            * JACCARD_T_NUM
         )
         .select("doc1", "doc2")
     )

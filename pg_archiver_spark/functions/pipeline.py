@@ -382,10 +382,13 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         candidates.join(sh_n, "new_doc")
         .join(sh_o, "other_doc")
+        # r13: |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct) —
+        # one hash-set build per candidate pair, identical quotient.
+        .withColumn("n_inter", F.size(F.array_intersect("sh_n", "sh_o")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
-            / F.size(F.array_union("sh_n", "sh_o")),
+            F.col("n_inter").cast("double")
+            / (F.size("sh_n") + F.size("sh_o") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
