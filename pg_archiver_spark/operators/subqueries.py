@@ -187,12 +187,22 @@ def composed_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     Decorrelation: the textbook spelling re-evaluates the regional-min
     subquery per part (a second full scan). Here the (part, supplier)
     cost table is computed ONCE from one lineitem scan, the regional
-    min per part is a window MIN over that aggregated frame (shares
-    the groupBy's hash partitioning on l_partkey — Catalyst reuses the
-    exchange, so no extra shuffle), and the correlated predicate
-    becomes a same-row filter. supplier⋈nation⋈region collapses to a
-    broadcast hash probe (dims are fixed-size). At 100 TB: one fact
-    shuffle on (partkey, suppkey), everything after runs on the
+    min per part is a window MIN over that aggregated frame, and the
+    correlated predicate becomes a same-row filter.
+    supplier⋈nation⋈region collapses to a broadcast hash probe (dims
+    are fixed-size).
+
+    r13 (guide §2.3, project before the exchange): the EU restriction
+    is applied as a broadcast SEMI join on s_suppkey and the supplier
+    attributes (s_name, n_name, s_acctbal — functionally dependent on
+    l_suppkey) are re-attached by a second broadcast probe AFTER the
+    min-filter, instead of riding through both fact exchanges as
+    group keys. Both the (partkey, suppkey) aggregate exchange and
+    the partkey window exchange now carry (partkey, suppkey, cost)
+    only — ~¼ the bytes — and the attribute probe runs on the
+    min-cost survivors, not the full cost table. At 100 TB: one fact
+    shuffle on (partkey, suppkey), one narrow re-shuffle of the
+    aggregate on partkey, everything after runs on the
     |parts|×|suppliers-per-part| aggregate.
 
     Determinism: double division/MIN of identical inputs is
@@ -215,13 +225,19 @@ def composed_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
-        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "s_acctbal")
+        li.join(
+            F.broadcast(eu.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
-    best = cost.withColumn("min_cost", min_cost).filter(
-        F.col("unit_cost") == F.col("min_cost")
+    best = (
+        cost.withColumn("min_cost", min_cost)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
     )
     wanted = part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
     return (
