@@ -1311,8 +1311,25 @@ def composed_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg pass (no second scan, no self-join); both are exact
     decimals, and the single ratio is an IEEE divide of two identical-
     valued doubles — deterministic across engines (G4/G11; no ROUND
-    needed). The two facts shuffle on their join keys once; customer
-    is the only non-broadcast dim side and AQE sizes it at runtime."""
+    needed).
+
+    r13 (guide §2.4): the join order previously shuffled the WIDEST
+    frame twice — lineitem⋈orders on orderkey, then that lineitem-
+    grain result again on custkey to meet customer. Now customer is
+    pruned to the ASIA region first (two broadcast probes, then
+    projected to c_custkey alone), orders meets it on custkey while
+    still order-grain, and the lineitem-grain frame shuffles exactly
+    once (orderkey) — the q5 topology. Same four exchanges, but the
+    custkey exchange carries orders rows, not lineitem rows, and the
+    orderkey re-shuffle of the order side is two columns wide.
+
+    Measured cost at sf0.1 (where EVERY side broadcasts, so the
+    exchange win is invisible): ~+0.4 s med, because the
+    orders⋈asian-customers intermediate becomes a broadcast build
+    that must finish before lineitem streams — a serial chain the old
+    shape didn't have. That regime inverts at scale: none of these
+    sides is broadcastable at 100 TB, and the old shape's second
+    lineitem-grain exchange dominates. Kept deliberately."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -1333,18 +1350,22 @@ def composed_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
-    rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+    cust_asia = (
+        customer.join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(asia), F.col("cn_reg") == asia.r_regionkey)
+        .select("c_custkey")
+    )
+    ordc = (
+        orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("bigint").alias("yr")
+        )
+    )
+    rev = (
+        li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("yr"),
-            vol.alias("vol"),
-            "supp_nation",
-        )
+        .select("yr", vol.alias("vol"), "supp_nation")
     )
     num = F.sum(
         F.when(F.col("supp_nation") == "NATION_2", F.col("vol")).otherwise(
