@@ -290,17 +290,22 @@ def composed_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     numwait = Σ n_rlines preserves the textbook row-level COUNT(*).
 
     r13 (guide §2.4): the per-order counts were a Window over
-    l_orderkey — an Exchange + Sort + WindowExec carrying the whole
+    l_orderkey — an Exchange + Sort + WindowExec over the
     |order×supplier| frame. A kept order has EXACTLY ONE R-supplier
     (n_rsupp = 1), so that supplier and its line count are recoverable
     from a plain per-order aggregate (conditional MAX over has_r = 1
-    rows) — a second HashAggregate level instead of the window: no
-    sort, map-side partial combine, and the orderkey exchange now
-    carries ONE row per order instead of one per (order, supplier).
+    rows) — a second HashAggregate level instead of the window,
+    removing the per-partition Sort and the WindowExec pass. (The
+    orderkey exchange itself still carries ~one row per (order,
+    supplier): its map side is hash-partitioned on (orderkey,
+    suppkey), so an order's suppliers rarely colocate and partial
+    combine is minimal — the honest accounting; the Sort removal is
+    the win, A/B'd neutral-to-better under box noise at sf0.1.)
     Plan-asserted single lineitem scan (tests/test_round6.py): one
-    fact shuffle on (orderkey, suppkey), one partially-aggregated
-    re-shuffle on orderkey, then orders key-join and supplier
-    broadcast.
+    fact shuffle on (orderkey, suppkey), one re-shuffle of the
+    already-aggregated per-(order, supplier) frame on orderkey —
+    at 100 TB that exchange carries |order×supplier| rows, not
+    lines — then orders key-join and supplier broadcast.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
