@@ -876,11 +876,16 @@ def composed_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     BELOW the joins so the Parquet scans prune row groups first
     (quarter selectivity ~1/24 on orders, flag ~1/3 on lineitem);
     nation broadcasts (25 rows); orders⋈lineitem shuffles on orderkey
-    and the customer join keys on custkey — AQE broadcasts the
-    quarter-filtered orders side when its runtime size permits. Final
-    top-20 is TakeOrderedAndProject (no global sort materialization),
-    revenue decimal-exact with one final DOUBLE cast and c_custkey as
-    the deterministic tiebreak (G11/G13)."""
+    — AQE broadcasts the quarter-filtered orders side when its runtime
+    size permits. r13 (guide §2.3, aggregate before you shuffle):
+    revenue/line counts aggregate per o_custkey FIRST — the custkey
+    exchange carries map-side-combined per-customer partials instead
+    of the lineitem-grain join output with c_name riding along — and
+    customer/nation attributes (functionally dependent on the key)
+    attach to the ~|active customers per quarter| aggregate, not to
+    every line. Final top-20 is TakeOrderedAndProject (no global sort
+    materialization), revenue decimal-exact with one final DOUBLE cast
+    and c_custkey as the deterministic tiebreak (G11/G13)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -897,13 +902,14 @@ def composed_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.filter(F.col("l_returnflag") == "R"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("o_custkey")
         .agg(
             F.sum(disc_price).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_lines")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
