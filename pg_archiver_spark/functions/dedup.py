@@ -1081,17 +1081,31 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same reasoning as dedup_embedding_cosine's 0.42 threshold, driver
     hash-pass r6).
     """
-    from pg_archiver_spark.functions.similarity import cosine_expr
+    from pg_archiver_spark.functions.similarity import dot_expr, norm_expr
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r13: norms hoisted out of both cosine sites (the
+    # dedup_embedding_cosine treatment) — the corpus norm folds once
+    # per row and the K anchor norms once each instead of inside every
+    # K·N assignment cosine, and the within-cluster pair verify reuses
+    # the same per-row norm (3 HOF folds per pair → 1). Same
+    # sqrt-then-multiply op order as cosine_expr → bit-identical.
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm")
+    )
     anchors = emb.filter(F.col("vec_id") < K_SEM).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     scored = emb.crossJoin(F.broadcast(anchors)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "a_id",
-        cosine_expr(F.col("embedding"), F.col("a_emb")).alias("cos"),
+        (
+            dot_expr(F.col("embedding"), F.col("a_emb"))
+            / (F.col("nrm") * F.col("a_nrm"))
+        ).alias("cos"),
     )
     assigned = (
         scored.withColumn(
@@ -1103,23 +1117,26 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("a_id").alias("cluster_id"))
+        .select("vec_id", "embedding", "nrm", F.col("a_id").alias("cluster_id"))
     )
     x = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     y = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     dup_pairs = (
         x.join(y, "cluster_id")
         .filter(F.col("va") < F.col("vb"))
         .filter(
-            cosine_expr(F.col("ea"), F.col("eb")) >= SEM_COS_THRESHOLD
+            dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= SEM_COS_THRESHOLD
         )
         .select("cluster_id", F.col("vb").alias("dup_id"))
     )
