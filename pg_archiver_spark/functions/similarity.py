@@ -471,12 +471,13 @@ def _ivf_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             lambda acc, d: acc + d,
         ),
     )
-    return emb.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cell"),
+    # r13: withColumn instead of a fixed select so callers can thread
+    # extra per-row columns (e.g. a hoisted norm) through assignment;
+    # every caller projects explicitly downstream, so outputs are
+    # unchanged.
+    return emb.withColumn(
+        "cell",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
 
 
@@ -1044,12 +1045,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index config."""
     from pyspark.sql import Window as _W
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of all three scoring passes (exact is
+    # corpus×|panel| — 3 interpreted HOF folds per pair → 1; same
+    # sqrt-then-multiply order as cosine_expr → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm")
+    )
     cents = _ivf_centroids(spark, sf_dir)
     assigned = _ivf_assign(emb, cents)
     qb = assigned.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("cell").alias("q_cell"),
     )
     w_probe = _W.partitionBy("vec_id").orderBy("cdist", "cell")
@@ -1070,42 +1077,29 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id")
         )
 
+    hoisted_cos = F.round(
+        dot_expr(F.col("embedding"), F.col("q_emb"))
+        / (F.col("nrm") * F.col("q_nrm")),
+        4,
+    )
     exact = topk(
         emb.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
-        )
+        .select("q_id", "vec_id", hoisted_cos.alias("cos_sim"))
     )
     single = topk(
         assigned.join(
             F.broadcast(qb),
             (F.col("cell") == F.col("q_cell"))
             & (F.col("vec_id") != F.col("q_id")),
-        ).select(
-            "q_id",
-            "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
-        )
+        ).select("q_id", "vec_id", hoisted_cos.alias("cos_sim"))
     )
     multi = topk(
         assigned.join(
             F.broadcast(probe.join(qb, "q_id")),
             (F.col("cell") == F.col("p_cell"))
             & (F.col("vec_id") != F.col("q_id")),
-        ).select(
-            "q_id",
-            "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
-        )
+        ).select("q_id", "vec_id", hoisted_cos.alias("cos_sim"))
     )
     return (
         exact.join(
@@ -3336,11 +3330,17 @@ def ml_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window → votes collapse to ≤panel·|labels| rows → rank-1 vote
     window → per-class agg. At 100 TB the scorer swaps to the IVF
     candidate set (sim_ann_ivf) unchanged."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the corpus×panel scoring pass (3
+    # interpreted HOF folds per pair → 1; same sqrt-then-multiply
+    # order as cosine_expr → bit-identical scores).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     queries = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -3351,7 +3351,9 @@ def ml_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                cosine_expr(F.col("embedding"), F.col("q_emb")), 3
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                3,
             ).alias("s"),
         )
     )
@@ -4653,22 +4655,30 @@ def sim_ann_nsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered production embeddings raise NSW_M first (graph
     navigability), then NSW_BEAM/NSW_ROUNDS (walk budget), and route
     multiple cells exactly as IVF multiprobe does."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the corpus×panel exact pass (3
+    # interpreted HOF folds per pair → 1; q_nrm·nrm preserves
+    # cosine_expr's multiply order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     qp = emb.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     w_rank = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
     exact = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding", "nrm")
         .join(F.broadcast(qp), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             F.round(
-                cosine_expr(F.col("q_emb"), F.col("embedding")), 4
+                dot_expr(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
             ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w_rank))
