@@ -497,8 +497,11 @@ def _ivf_cell_dists(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             lambda acc, d: acc + d,
         ),
     )
+    # r13: "*" instead of a fixed column list so callers can thread
+    # extra per-row columns (e.g. a hoisted norm) through the probe
+    # view; callers project explicitly downstream.
     return emb.select(
-        "vec_id", "embedding", F.posexplode(dists).alias("cell", "cdist")
+        "*", F.posexplode(dists).alias("cell", "cdist")
     ).withColumn("cell", F.col("cell").cast("int"))
 
 
@@ -562,10 +565,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_ivf_partitioned demonstrates the at-rest form); training
     is paid once at ingest over a sample, not per query. Recall vs
     probes is measured by sim_ann_recall_eval."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the probed-cell scoring (3 HOF folds
+    # per candidate → 1, same op order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     assigned = _ivf_assign(emb, _ivf_centroids(spark, sf_dir))
     query = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     return (
         assigned.filter(F.col("vec_id") != 0)
@@ -573,9 +582,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell") == F.col("q_cell"))
         .select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -597,7 +608,14 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: the per-row norm is computed once at INDEX BUILD time and
+    # stored beside the vector — the at-rest analogue of the norm
+    # hoist (serving reads the stored norm instead of re-folding the
+    # array; the query norm collects with the query row). Parquet
+    # stores the double exactly, so cos_sim bits are unchanged.
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     assigned = _ivf_assign(emb, _ivf_centroids(spark, sf_dir))
 
     # pid-isolated like every other tmp write (scans/joins/archival):
@@ -610,16 +628,22 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index = spark.read.parquet(index_dir)
     query = index.filter(F.col("vec_id") == 0).select(
-        F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    q_cell, q_emb = query.first()
+    q_cell, q_emb, q_nrm = query.first()
     # The literal cell filter is what prunes partitions at the source.
     return (
         index.filter((F.col("cell") == q_cell) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             F.round(
-                cosine_expr(F.col("embedding"), F.array(*[F.lit(float(v)) for v in q_emb])),
+                dot_expr(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in q_emb]),
+                )
+                / (F.col("nrm") * F.lit(float(q_nrm))),
                 4,
             ).alias("cos_sim"),
         )
@@ -905,7 +929,12 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the candidate scoring (3 HOF folds per
+    # (query, candidate) pair → 1; q_nrm·nrm preserves cosine_expr's
+    # multiply order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     cents = _ivf_centroids(spark, sf_dir)
     assigned = _ivf_assign(emb, cents)
     # Queries probe their top-_KNN_NPROBE cells (16·nprobe rows total):
@@ -921,6 +950,7 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.col("cell").alias("q_cell"),
             "cdist",
         )
@@ -939,9 +969,11 @@ def sim_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             F.col("cell"),
-            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -2246,7 +2278,11 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as _W
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the probed-cells scoring (3 HOF folds
+    # per candidate → 1, same op order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     cents = _ivf_centroids(spark, sf_dir)
     assigned = _ivf_assign(emb, cents)
     # Query probe set: top-3 nearest trained cells by squared L2.
@@ -2257,7 +2293,7 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell")
     )
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     return (
         assigned.filter(F.col("vec_id") != 0)
@@ -2267,7 +2303,9 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "vec_id",
             F.round(
-                cosine_expr(F.col("embedding"), F.col("q_emb")), 4
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                4,
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
