@@ -225,11 +225,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4, radius 8 → 62% / 9. Clustered real-world embeddings separate
     far better; radius 5 is the demo operating point.
     """
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "sketch", _sketch_expr(F.col("embedding"))
+    # r13: norms hoisted out of the candidate re-rank (3 HOF folds per
+    # candidate → 1, same op order → bit-identical); the hamming
+    # filter doesn't reference nrm, so Catalyst evaluates it only for
+    # surviving candidates.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("sketch", _sketch_expr(F.col("embedding")))
+        .withColumn("nrm", norm_expr(F.col("embedding")))
     )
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("sketch").alias("q_sketch")
+        F.col("embedding").alias("q_emb"),
+        F.col("sketch").alias("q_sketch"),
+        F.col("nrm").alias("q_nrm"),
     )
     candidates = (
         emb.filter(F.col("vec_id") != 0)
@@ -241,9 +249,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -2129,8 +2139,13 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(idx, _code).alias("codes"),
         F.transform(idx, _decode).alias("decoded"),
     )
+    # r13: the QUERY norm is hoisted (folds once, broadcast); the
+    # decoded vector's norm must still fold per row — it exists only
+    # as an expression (3 HOF folds per row → 2, same op order →
+    # bit-identical).
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        norm_expr(F.col("embedding")).alias("q_nrm"),
     )
     return (
         coded.filter(F.col("vec_id") != 0)
@@ -2145,7 +2160,9 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, v: acc + v,
             ).alias("code_l1"),
             F.round(
-                cosine_expr(F.col("decoded"), F.col("q_emb")), 4
+                dot_expr(F.col("decoded"), F.col("q_emb"))
+                / (norm_expr(F.col("decoded")) * F.col("q_nrm")),
+                4,
             ).alias("approx_cos"),
         )
         .orderBy(F.desc("approx_cos"), "vec_id")
@@ -2844,16 +2861,21 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rank_lex")
     )
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+    # r13: norms hoisted out of the dense leg's corpus pass (3 HOF
+    # folds per row → 1, same op order → bit-identical).
+    embn = emb.withColumn("nrm", norm_expr(F.col("embedding")))
+    query = embn.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     scored = (
-        emb.filter(F.col("vec_id") != 0)
+        embn.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(query))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                cosine_expr(F.col("embedding"), F.col("q_emb")), 6
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
             ).alias("cos"),
         )
     )
@@ -3121,19 +3143,32 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus the scoring pass swaps to the IVF candidate set
     (sim_ann_ivf) with this same eval unchanged — that is the point
     of an eval op: it rides any retrieval backend."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: per-prefix norms hoisted out of the corpus×panel scoring —
+    # each slice's norm folds once per row / once per query instead of
+    # twice per (pair, dim); nrm_d·q_nrm_d preserves cosine_expr's
+    # multiply order → bit-identical scores.
+    emb = load(spark, sf_dir, "embeddings").select(
+        "*",
+        *[
+            norm_expr(F.slice(F.col("embedding"), 1, d)).alias(f"nrm_{d}")
+            for d in MRL_DIMS
+        ],
+    )
     queries = emb.filter(F.col("vec_id") < MRL_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        *[F.col(f"nrm_{d}").alias(f"q_nrm_{d}") for d in MRL_DIMS],
     )
     pairs = emb.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id")
     )
     scored_cols = [
         F.round(
-            cosine_expr(
+            dot_expr(
                 F.slice(F.col("embedding"), 1, d),
                 F.slice(F.col("q_emb"), 1, d),
-            ),
+            )
+            / (F.col(f"nrm_{d}") * F.col(f"q_nrm_{d}")),
             4,
         ).alias(f"s_{d}")
         for d in MRL_DIMS
@@ -3249,11 +3284,16 @@ def pipeline_hard_negative_mining(
     swap the scorer for the IVF candidate set); one scoring pass, two
     rank-1 windows partitioned by (anchor, same-label), a tiny
     pos⋈neg join on anchor id."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the corpus×anchor scoring (3 HOF folds
+    # per pair → 1, same op order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     anchors = emb.filter(F.col("vec_id") < HNM_N_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("a_label"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(anchors))
@@ -3263,7 +3303,9 @@ def pipeline_hard_negative_mining(
             "vec_id",
             (F.col("label") == F.col("a_label")).alias("same"),
             F.round(
-                cosine_expr(F.col("embedding"), F.col("a_emb")), 3
+                dot_expr(F.col("embedding"), F.col("a_emb"))
+                / (F.col("nrm") * F.col("a_nrm")),
+                3,
             ).alias("s"),
         )
     )
@@ -3524,9 +3566,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across runs, partitionings, and retries."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the corpus relevance pass (3 HOF folds
+    # per row → 1, same op order → bit-identical).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     cands = (
         emb.filter(F.col("vec_id") != 0)
@@ -3535,7 +3581,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.round(
-                cosine_expr(F.col("embedding"), F.col("q_emb")), 6
+                dot_expr(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
             ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id"))
@@ -4298,7 +4346,12 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     both-sides-full mining routes each side through the IVF cell
     probe first (sim_batch_knn_ivf) and runs THIS margin math on the
     candidate pairs only."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the |panel|·N scoring pass (3 HOF
+    # folds per pair → 1; s_nrm·t_nrm preserves cosine_expr's multiply
+    # order → bit-identical c4).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     src = (
         emb.filter(F.col("label") == 0)
         .orderBy("vec_id")
@@ -4306,11 +4359,13 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("src_id"),
             F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
         )
     )
     tgt = emb.filter(F.col("label") == 1).select(
         F.col("vec_id").alias("tgt_id"),
         F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
     )
     # r13 restructure (guide §2.4): the old graph referenced the
     # cosine-scoring `pairs` frame from FOUR subtrees (fwd agg, bwd
@@ -4325,7 +4380,12 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tgt.crossJoin(F.broadcast(src)).select(
         "src_id",
         "tgt_id",
-        F.round(cosine_expr(F.col("s_emb"), F.col("t_emb")) * 10000, 0)
+        F.round(
+            dot_expr(F.col("s_emb"), F.col("t_emb"))
+            / (F.col("s_nrm") * F.col("t_nrm"))
+            * 10000,
+            0,
+        )
         .cast("long")
         .alias("c4"),
     )
@@ -4521,16 +4581,24 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame: (q_id, vec_id, sim, rnk) — the final beam per panel query,
     self excluded, ranked (sim DESC, vec_id). Shared by the serving
     op and the recall eval."""
-    emb = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the within-cell k-NN graph build — the
+    # quadratic-within-cell pair frame is the hottest cosine site in
+    # the NSW family (3 HOF folds per pair → 1, same op order →
+    # bit-identical sims, so the graph edges are unchanged).
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm_expr(F.col("embedding"))
+    )
     cents = _ivf_centroids(spark, sf_dir)
     assigned = _ivf_assign(emb, cents)
     a = assigned.select(
         "cell", F.col("vec_id").alias("src"),
         F.col("embedding").alias("v_src"),
+        F.col("nrm").alias("n_src"),
     )
     b = assigned.select(
         "cell", F.col("vec_id").alias("dst"),
         F.col("embedding").alias("v_dst"),
+        F.col("nrm").alias("n_dst"),
     )
     w_src = Window.partitionBy("src").orderBy(
         F.col("sim").desc(), F.col("dst")
@@ -4541,8 +4609,11 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            F.round(cosine_expr(F.col("v_src"), F.col("v_dst")), 4)
-            .alias("sim"),
+            F.round(
+                dot_expr(F.col("v_src"), F.col("v_dst"))
+                / (F.col("n_src") * F.col("n_dst")),
+                4,
+            ).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w_src))
         .filter(F.col("rn") <= NSW_M)
@@ -4559,13 +4630,14 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = assigned.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("cell").alias("q_cell"),
     )
     beam = qp.join(
         entry, F.col("q_cell") == F.col("cell")
     ).select("q_id", F.col("entry_id").alias("vec_id"))
-    emb_v = assigned.select("vec_id", "embedding")
-    q_emb = qp.select("q_id", "q_emb")
+    emb_v = assigned.select("vec_id", "embedding", "nrm")
+    q_emb = qp.select("q_id", "q_emb", "q_nrm")
     w_q = Window.partitionBy("q_id").orderBy(
         F.col("sim").desc(), F.col("vec_id")
     )
@@ -4582,7 +4654,9 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_id",
                 "vec_id",
                 F.round(
-                    cosine_expr(F.col("q_emb"), F.col("embedding")), 4
+                    dot_expr(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_nrm") * F.col("nrm")),
+                    4,
                 ).alias("sim"),
             )
         )
