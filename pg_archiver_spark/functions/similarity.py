@@ -2222,22 +2222,54 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.slice(col, (i * MV_SUBDIM + 1).cast("int"), MV_SUBDIM),
         )
 
+    # r13: chunk norms hoisted — each side's MV_CHUNKS sub-vector
+    # norms fold once (per row / per query) instead of inside every
+    # q-chunk×d-chunk cosine (3 folds per chunk pair → 1). The lambdas
+    # iterate chunk values and norms in the same positional order and
+    # q_nrm·d_nrm preserves cosine_expr's multiply order →
+    # bit-identical maxsim.
+    def chunk_norms(ch):
+        return F.transform(ch, lambda c: F.sqrt(dot_expr(c, c)))
+
     query = emb.filter(F.col("vec_id") == 0).select(
         chunks(F.col("embedding")).alias("q_chunks")
-    )
+    ).select("q_chunks", chunk_norms(F.col("q_chunks")).alias("q_nrms"))
+    idx = F.sequence(F.lit(1), F.lit(MV_CHUNKS))
+    d_chunks = chunks(F.col("embedding"))
     scored = (
         emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", d_chunks.alias("d_chunks"))
+        .select(
+            "vec_id",
+            "d_chunks",
+            chunk_norms(F.col("d_chunks")).alias("d_nrms"),
+        )
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
             F.round(
                 F.aggregate(
                     F.transform(
-                        "q_chunks",
-                        lambda qc: F.array_max(
+                        idx,
+                        lambda qi: F.array_max(
                             F.transform(
-                                chunks(F.col("embedding")),
-                                lambda dc: cosine_expr(qc, dc),
+                                idx,
+                                lambda di: dot_expr(
+                                    F.element_at(
+                                        F.col("q_chunks"), qi.cast("int")
+                                    ),
+                                    F.element_at(
+                                        F.col("d_chunks"), di.cast("int")
+                                    ),
+                                )
+                                / (
+                                    F.element_at(
+                                        F.col("q_nrms"), qi.cast("int")
+                                    )
+                                    * F.element_at(
+                                        F.col("d_nrms"), di.cast("int")
+                                    )
+                                ),
                             )
                         ),
                     ),
