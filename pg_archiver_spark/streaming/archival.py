@@ -1090,8 +1090,16 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             return
         ms_list: list[int] = []
         for pdf in pdfs:
+            # Vectorized ns→ms conversion (guide §4.2): the sessionize
+            # fn runs once per (user, batch), so a per-element Python
+            # loop here pays its cost thousands of times per micro-
+            # batch; datetime64[ns] → int64 // 1e6 is the same value
+            # int(Timestamp.value) // 1e6 produced element-wise.
             ms_list.extend(
-                int(v.value) // 1_000_000 for v in pd.to_datetime(pdf["ts"])
+                (
+                    pd.to_datetime(pdf["ts"]).values.astype("int64")
+                    // 1_000_000
+                ).tolist()
             )
         ms_list.sort()
         start, last, n = state.get if state.exists else (None, None, 0)
