@@ -151,16 +151,49 @@ def _box_canary() -> float:
     the adjudication r10-r12 had to argue from PLANS.md byte-identity
     alone (r12 measured a ~15% uniform suite shift with byte-identical
     plans; this pins the control for next time)."""
-    import hashlib
-
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        h = b"canary"
-        acc = 0
-        for i in range(200_000):
-            h = hashlib.md5(h + i.to_bytes(4, "little")).digest()
-            acc += h[0]
+        _canary_work()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
+def _canary_work() -> int:
+    """The fixed md5+arithmetic canary workload (one unit). Module-level
+    so the parallel canary can fork it unchanged — byte-identical work
+    per process."""
+    import hashlib
+
+    h = b"canary"
+    acc = 0
+    for i in range(200_000):
+        h = hashlib.md5(h + i.to_bytes(4, "little")).digest()
+        acc += h[0]
+    return acc
+
+
+def _box_canary_parallel(nproc: int = 8) -> float:
+    """Multi-core twin of the serial canary: the SAME workload forked
+    onto nproc processes at once, min wall of 3 rounds. Session-2 r13
+    probes showed the box's single-thread and parallel states move
+    independently (fastest serial canary of the round coincided with
+    the highest subset/canary ratio), so drift adjudication needs a
+    control in each regime: parallel/serial ≈ 1 means an idle
+    multi-core box; ≫ 1 means scheduler/SMT contention that the serial
+    canary cannot see. Fixed nproc (not cpu_count) so the workload is
+    comparable across boxes and core-count settings."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    best = float("inf")
+    for _ in range(3):
+        procs = [ctx.Process(target=_canary_work) for _ in range(nproc)]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
         best = min(best, time.time() - t0)
     return round(best, 4)
 
@@ -169,6 +202,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     canary = _box_canary()
+    canary_par = _box_canary_parallel()
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
@@ -241,6 +275,7 @@ def main() -> None:
                 "tpch_suite_passes": TPCH_SUITE_PASSES,
                 "tpch_queries": tpch,
                 "box_canary_sec": canary,
+                "box_canary_parallel_sec": canary_par,
                 "subset_per_canary": subset_per_canary,
                 "tpch_per_canary": tpch_per_canary,
                 "sf": float(sf),
@@ -263,6 +298,7 @@ def main() -> None:
                 "value_tpch_suite": tpch_total,
                 "tpch_suite_method_version": TPCH_SUITE_METHOD_VERSION,
                 "box_canary_sec": canary,
+                "box_canary_parallel_sec": canary_par,
                 "subset_per_canary": subset_per_canary,
                 "tpch_per_canary": tpch_per_canary,
                 "sf": float(sf),
