@@ -300,24 +300,34 @@ def _neardup_loser_ids(frame: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_strs(text_col):
+def _shingle_strs(col: str = "text"):
     """Distinct k-token shingles as STRINGS — the md5-minhash sibling
     of _shingles (which hashes to longs): string shingles let both
     engines derive identical md5-based signatures. concat_ws(' ')
     matches the oracle's array_to_string(slice, ' ') byte-for-byte on
-    the space-tokenized fixture text."""
-    toks = F.split(text_col, " ")
-    return F.when(
-        F.size(toks) < SHINGLE_K, F.array().cast("array<string>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
-                ),
-            )
-        )
+    the space-tokenized fixture text.
+
+    r13 (guide §7.3): parsed from SQL text over the named input column
+    instead of assembling ~60 Column objects (HOF lambda construction
+    alone cost ~75 ms of py4j round-trips per call); the repeated
+    split() subtrees match the original Column form, which also
+    referenced the tokens expression per element (codegen CSE folds
+    them at runtime either way). Accepts the column NAME; a plain
+    Column (the pre-r13 signature, still used by tests) is unwrapped
+    via its SQL text."""
+    if not isinstance(col, str):
+        col = col._jc.toString()
+    toks = f"split({col}, ' ')"
+    parts = ", ".join(
+        f"element_at({toks}, i + {k})" if k else f"element_at({toks}, i)"
+        for k in range(SHINGLE_K)
+    )
+    return F.expr(
+        f"CASE WHEN size({toks}) < {SHINGLE_K}"
+        f" THEN CAST(array() AS array<string>)"
+        f" ELSE array_distinct(transform("
+        f"sequence(1, size({toks}) - {SHINGLE_K - 1}),"
+        f" i -> concat_ws(' ', {parts}))) END"
     )
 
 
@@ -331,10 +341,13 @@ MINHASH_CHUNKS = 4
 
 
 def _minhash_min_exprs() -> list:
+    # Parsed, not assembled (r13 guide §7.3): the 24 aliased MIN
+    # aggregates were ~150 py4j round-trips per construction.
     return [
-        F.min(
-            F.substring(F.col(f"d{s}"), 1 + 8 * c, 8)
-        ).alias(f"mh{MINHASH_CHUNKS * s + c}")
+        F.expr(
+            f"min(substring(d{s}, {1 + 8 * c}, 8))"
+            f" AS mh{MINHASH_CHUNKS * s + c}"
+        )
         for s in range(MINHASH_SALTS)
         for c in range(MINHASH_CHUNKS)
     ]
@@ -342,10 +355,10 @@ def _minhash_min_exprs() -> list:
 
 def _minhash_sig(ex):
     """(doc_id, shingle) → (doc_id, mh0..mh23) via salted md5 chunks."""
-    hashed = ex.select(
+    hashed = ex.selectExpr(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"d{s}")
+            f"md5(concat('{s}|', shingle)) AS d{s}"
             for s in range(MINHASH_SALTS)
         ],
     )
@@ -356,15 +369,13 @@ def _minhash_bands(sig):
     """Signature frame → (doc_id, band, bucket) with 12 two-hash bands
     (bucket = concat of the two 8-hex minhashes — string equality is
     exact in both engines)."""
-    band_arr = F.array(
-        *[
-            F.concat(
-                F.col(f"mh{b * LSH_ROWS}"), F.col(f"mh{b * LSH_ROWS + 1}")
-            )
-            for b in range(LSH_BANDS)
-        ]
+    buckets = ", ".join(
+        f"concat(mh{b * LSH_ROWS}, mh{b * LSH_ROWS + 1})"
+        for b in range(LSH_BANDS)
     )
-    return sig.select("doc_id", F.posexplode(band_arr).alias("band", "bucket"))
+    return sig.selectExpr(
+        "doc_id", f"posexplode(array({buckets})) AS (band, bucket)"
+    )
 
 
 def _minhash_oracle_sig_sql() -> str:
@@ -423,7 +434,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cached: consumed by the signature build AND both verify sides (at
     # scale: the persisted shingle/signature tables of an ingest stage).
     sh = docs.select(
-        "doc_id", _shingle_strs(F.col("text")).alias("shingles")
+        "doc_id", _shingle_strs("text").alias("shingles")
     ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     bands = _minhash_bands(_minhash_sig(ex))
@@ -1214,7 +1225,7 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh = docs.select(
-        "doc_id", _shingle_strs(F.col("text")).alias("shingles")
+        "doc_id", _shingle_strs("text").alias("shingles")
     ).cache()
 
     # Exact ground truth via shared-shingle equi-join.

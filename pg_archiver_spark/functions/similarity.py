@@ -42,6 +42,24 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of dot_expr — identical ops in identical order
+    (zip_with double-cast products, left-to-right aggregate fold), so
+    scores are bit-identical; parsed in ONE py4j call where the Column
+    form costs ~40 ms of lambda-construction round-trips per site
+    (r13, guide §7.3). CAST(0 AS DOUBLE) ≡ F.lit(0.0) — bare SQL
+    decimals would parse as DECIMAL, not double."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
@@ -2114,56 +2132,51 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array({maxs_sql}) AS mxs"),
     )
 
-    def _code(i):
-        # i is the 1-based dimension index column.
-        x = F.element_at("embedding", i.cast("int")).cast("double")
-        mn = F.element_at("mns", i.cast("int"))
-        mx = F.element_at("mxs", i.cast("int"))
-        return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
-            F.least(
-                F.lit(float(SQ_LEVELS - 1)),
-                F.floor((x - mn) * SQ_LEVELS / (mx - mn)),
-            ).cast("bigint")
-        )
-
-    def _decode(i):
-        mn = F.element_at("mns", i.cast("int"))
-        mx = F.element_at("mxs", i.cast("int"))
-        return F.when(mx == mn, mn).otherwise(
-            mn + (_code(i).cast("double") + 0.5) * (mx - mn) / SQ_LEVELS
-        )
-
-    idx = F.sequence(F.lit(1), F.lit(SQ_DIM))
-    coded = emb.crossJoin(F.broadcast(bounds)).select(
+    # r13 (guide §7.3, second pass): the per-dimension encode/decode
+    # transform lambdas were Column trees of ~50 nodes each — the two
+    # HOFs alone cost ~0.4 s of py4j lambda construction per bench
+    # pass. The identical arithmetic now parses from SQL text in one
+    # call per column. Literal discipline: CAST(.. AS DOUBLE) where the
+    # Column form used F.lit(float) — a bare SQL decimal would parse as
+    # DECIMAL and change the coercion; everything else is the same op
+    # tree (element_at / least / floor / CASE) in the same order, so
+    # codes and decoded values stay bit-identical (oracle-pinned).
+    _mn = "element_at(mns, CAST(i AS INT))"
+    _mx = "element_at(mxs, CAST(i AS INT))"
+    _x = "CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)"
+    code_sql = (
+        f"CASE WHEN {_mx} = {_mn} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(least(CAST({SQ_LEVELS - 1} AS DOUBLE), "
+        f"floor(({_x} - {_mn}) * {SQ_LEVELS} / ({_mx} - {_mn}))) "
+        f"AS BIGINT) END"
+    )
+    decode_sql = (
+        f"CASE WHEN {_mx} = {_mn} THEN {_mn} "
+        f"ELSE {_mn} + (CAST({code_sql} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" * ({_mx} - {_mn}) / {SQ_LEVELS} END"
+    )
+    coded = emb.crossJoin(F.broadcast(bounds)).selectExpr(
         "vec_id",
-        F.transform(idx, _code).alias("codes"),
-        F.transform(idx, _decode).alias("decoded"),
+        f"transform(sequence(1, {SQ_DIM}), i -> {code_sql}) AS codes",
+        f"transform(sequence(1, {SQ_DIM}), i -> {decode_sql}) AS decoded",
     )
     # r13: the QUERY norm is hoisted (folds once, broadcast); the
     # decoded vector's norm must still fold per row — it exists only
     # as an expression (3 HOF folds per row → 2, same op order →
-    # bit-identical).
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        norm_expr(F.col("embedding")).alias("q_nrm"),
+    # bit-identical). Scoring parses from the dot_sql/norm_sql twins
+    # (same fold, bit-identical — see dot_sql).
+    query = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb", f"{norm_sql('embedding')} AS q_nrm"
     )
     return (
         coded.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(query))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.aggregate(
-                F.transform(
-                    "codes", lambda c: F.abs(c - F.lit(127))
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("code_l1"),
-            F.round(
-                dot_expr(F.col("decoded"), F.col("q_emb"))
-                / (norm_expr(F.col("decoded")) * F.col("q_nrm")),
-                4,
-            ).alias("approx_cos"),
+            "aggregate(transform(codes, c -> abs(c - 127)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS code_l1",
+            f"round({dot_sql('decoded', 'q_emb')}"
+            f" / ({norm_sql('decoded')} * q_nrm), 4) AS approx_cos",
         )
         .orderBy(F.desc("approx_cos"), "vec_id")
         .limit(SQ_TOPK)
