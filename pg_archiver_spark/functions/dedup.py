@@ -1399,10 +1399,16 @@ def dedup_repeated_substring_spans(
             ).alias("pos", "wh"),
         )
     )
+    # "window occurs in ≥ 2 distinct docs" ⟺ MIN(doc_id) < MAX(doc_id):
+    # COUNT(DISTINCT doc_id) planned as a two-phase distinct aggregate
+    # (an extra exchange keyed (wh, doc_id) plus a whole aggregate
+    # level); MIN/MAX are single-phase and map-side combinable — at
+    # corpus scale the distinct expansion was a second full shuffle of
+    # the window stream (guide §2.3/§2.4). Value-identical filter set.
     rep = (
         wins.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") < F.col("d_max"))
         .select("wh")
     )
     r = wins.join(rep, "wh").select("doc_id", "pos")

@@ -1621,7 +1621,21 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "w")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dfr = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    # df = COUNT(*) over the per-(doc, term) tf frame — spelled as
+    # SUM(CASE WHEN tf >= 1 ...) (identical value: tf = COUNT(*) >= 1 on
+    # every row) so this branch CONSUMES the tf column. With count(*)
+    # Catalyst pruned the partial count from this branch's copy of the
+    # tf aggregate, making the two tf subtrees canonically different —
+    # the exchange could not be reused and the corpus scan + split +
+    # explode + panel semi-join ran TWICE (guide §2.4; plan evidence in
+    # plans/r13/sim_bm25_topk_{before,after}.txt: 2 Generate → 1 with
+    # ReusedExchange). NOTE: F.count("tf") would not work —
+    # NullPropagation rewrites count(non-nullable) back to count(1).
+    dfr = tf.groupBy("w").agg(
+        F.sum(F.when(F.col("tf") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("df")
+    )
     idf = (
         dfr.crossJoin(F.broadcast(stats))
         .select(
