@@ -64,6 +64,26 @@ LSH_BANDS = 12
 LSH_ROWS = 2
 
 
+def _shingles_sql(col: str = "text") -> str:
+    """SQL text of the long-hashed shingle expression over the named
+    column — see _shingles for semantics. Exposed separately so hot
+    construction paths can embed it in a selectExpr string (guide
+    §7.3: parsed text is ~1 py4j round-trip; the original Column
+    assembly was ~60)."""
+    toks = f"split({col}, ' ')"
+    xx = ", ".join(
+        f"element_at({toks}, i + {k})" if k else f"element_at({toks}, i)"
+        for k in range(SHINGLE_K)
+    )
+    return (
+        f"CASE WHEN size({toks}) < {SHINGLE_K}"
+        f" THEN CAST(array() AS array<bigint>)"
+        f" ELSE array_distinct(transform("
+        f"sequence(1, size({toks}) - {SHINGLE_K - 1}),"
+        f" i -> xxhash64({xx}))) END"
+    )
+
+
 def _shingles(text_col):
     """Distinct k-token shingles of a space-tokenized text column,
     HASHED to 64-bit longs (xxhash64 over the k token values).
@@ -81,20 +101,17 @@ def _shingles(text_col):
 
     Texts shorter than k tokens yield an empty shingle set (the naive
     sequence(1, n-k+1) would run DESCENDING for n < k and crash on
-    out-of-bounds element_at)."""
-    toks = F.split(text_col, " ")
-    return F.when(
-        F.size(toks) < SHINGLE_K, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-                lambda i: F.xxhash64(
-                    *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
-                ),
-            )
-        )
-    )
+    out-of-bounds element_at).
+
+    r13 (guide §7.3): parsed from SQL text — the _shingle_strs /
+    minhash treatment. ~60 Column-object py4j round-trips per call
+    collapse to one F.expr parse; the expression tree (and therefore
+    every value) is unchanged. Accepts the column NAME; a plain Column
+    (the original signature, still used by tests and several ops) is
+    unwrapped via its SQL text."""
+    if not isinstance(text_col, str):
+        text_col = text_col._jc.toString()
+    return F.expr(_shingles_sql(text_col))
 
 
 @register(
@@ -213,41 +230,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle frame feeds both join sides — cache it instead of
     # recomputing the (CPU-heavy) shingle construction per consumer. At
     # scale this is the materialized shingle table of a dedup stage.
+    # r13 (guide §7.3): the whole body parses from SQL text — the op's
+    # construction was ~770 py4j round-trips (~0.3 s/call, measured by
+    # cProfile: the time is socket latency, and bench/driver runs
+    # construct 6+ times per query) for identical expressions.
     sh = (
-        docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+        docs.selectExpr("doc_id", f"{_shingles_sql('text')} AS shingles")
+        .selectExpr("doc_id", "shingles", "size(shingles) AS n_sh")
         .cache()
     )
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    ex = sh.selectExpr("doc_id", "n_sh", "explode(shingles) AS shingle")
     hot = (
         ex.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .agg(F.expr("count(*) AS df"))
+        .filter(f"df > {MAX_SHINGLE_DF}")
         .select("shingle")
     )
     ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-    a = ex.select(
-        F.col("doc_id").alias("doc1"),
-        F.col("n_sh").alias("n1"),
-        "shingle",
-    )
-    b = ex.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("n_sh").alias("n2"),
-        "shingle",
-    )
+    a = ex.selectExpr("doc_id AS doc1", "n_sh AS n1", "shingle")
+    b = ex.selectExpr("doc_id AS doc2", "n_sh AS n2", "shingle")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter("doc1 < doc2")
         .groupBy("doc1", "doc2", "n1", "n2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
+        .agg(F.expr("count(*) AS n_common"))
     )
     return (
-        inter.withColumn("jaccard", F.round(jaccard, 3))
-        .filter(_jaccard_pred())
+        inter.selectExpr(
+            "*",
+            "round(CAST(n_common AS DOUBLE)"
+            " / (n1 + n2 - n_common), 3) AS jaccard",
+        )
+        .filter(
+            f"n_common * {JACCARD_T_DEN}"
+            f" >= (n1 + n2 - n_common) * {JACCARD_T_NUM}"
+        )
         .select("doc1", "doc2", "jaccard")
     )
 

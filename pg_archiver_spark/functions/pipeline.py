@@ -82,16 +82,20 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-
     # Cached: the gate feeds the dedup pair-join (both sides), the
     # survivors join, and the final agg — without it the tokenization
-    # expressions re-run once per consumer.
+    # expressions re-run once per consumer. r13 (guide §7.3): predicates
+    # and projection parse from SQL text (CAST(0.35 AS DOUBLE), not a
+    # bare decimal literal, to match the original F.lit float).
     quality = (
-        docs.filter((n_tokens >= 20) & (distinct_ratio >= 0.35))
-        .select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        docs.filter(
+            "size(split(text, ' ')) >= 20"
+            " AND CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' ')) >= CAST(0.35 AS DOUBLE)"
+        )
+        .selectExpr(
+            "doc_id", "lang", "text", "size(split(text, ' ')) AS n_tokens"
+        )
         .cache()
     )
 
@@ -103,47 +107,46 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MAX_SHINGLE_DF it carries ~no Jaccard signal and is dropped
     # BEFORE the join via a broadcast anti-join against the tiny hot
     # set (no-op on fixtures — cap >> fixture max df).
-    exploded = quality.select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
-    ).select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+    from pg_archiver_spark.functions.dedup import _shingles_sql
+
+    exploded = quality.selectExpr(
+        "doc_id", f"{_shingles_sql('text')} AS shingles"
+    ).selectExpr(
+        "doc_id", "size(shingles) AS n_sh", "explode(shingles) AS shingle"
     )
     hot = (
         exploded.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .agg(F.expr("count(*) AS df"))
+        .filter(f"df > {MAX_SHINGLE_DF}")
         .select("shingle")
     )
     ex = exploded.join(F.broadcast(hot), "shingle", "left_anti").cache()
-    a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
-    b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
+    a = ex.selectExpr("doc_id AS d1", "n_sh AS n1", "shingle")
+    b = ex.selectExpr("doc_id AS d2", "n_sh AS n2", "shingle")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
+        .filter("d1 < d2")
         .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
+        .agg(F.expr("count(*) AS n_common"))
     )
     losers = (
-        inter.filter(jaccard >= JACCARD_THRESHOLD)
-        .select(F.col("d2").alias("doc_id"))
+        inter.filter(
+            "CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)"
+            f" >= CAST({JACCARD_THRESHOLD} AS DOUBLE)"
+        )
+        .selectExpr("d2 AS doc_id")
         .distinct()
     )
     surviving = quality.join(losers, "doc_id", "left_anti")
 
     sampled = surviving.filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
-            "0", "1", "2", "3"
-        )
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1)"
+        " IN ('0', '1', '2', '3')"
     )
     return sampled.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.expr("(SUM(n_tokens) * 1000) DIV COUNT(*)").alias("avg_tokens_milli"),
+        F.expr("count(*) AS n_docs"),
+        F.expr("SUM(n_tokens) AS total_tokens"),
+        F.expr("(SUM(n_tokens) * 1000) DIV COUNT(*) AS avg_tokens_milli"),
     )
 
 
