@@ -4394,23 +4394,27 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: norms hoisted out of the |panel|·N scoring pass (3 HOF
     # folds per pair → 1; s_nrm·t_nrm preserves cosine_expr's multiply
     # order → bit-identical c4).
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm_expr(F.col("embedding"))
+    #
+    # r13 session 4 (guide §7.3): the whole body parses from SQL text —
+    # the Column form was ~1600 py4j round-trips (~0.4 s socket-bound
+    # construction per call on this box). Identical expression trees:
+    # CAST(k AS DOUBLE) literals where Column code used F.lit floats
+    # (bare SQL decimals would parse as DECIMAL), CASE WHEN without
+    # ELSE ≡ F.when without otherwise, and the window ORDER BY default
+    # null ordering matches Column .desc()/.asc().
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "*", f"{norm_sql('embedding')} AS nrm"
     )
     src = (
-        emb.filter(F.col("label") == 0)
+        emb.filter("label = 0")
         .orderBy("vec_id")
         .limit(BITEXT_PANEL)
-        .select(
-            F.col("vec_id").alias("src_id"),
-            F.col("embedding").alias("s_emb"),
-            F.col("nrm").alias("s_nrm"),
+        .selectExpr(
+            "vec_id AS src_id", "embedding AS s_emb", "nrm AS s_nrm"
         )
     )
-    tgt = emb.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("tgt_id"),
-        F.col("embedding").alias("t_emb"),
-        F.col("nrm").alias("t_nrm"),
+    tgt = emb.filter("label = 1").selectExpr(
+        "vec_id AS tgt_id", "embedding AS t_emb", "nrm AS t_nrm"
     )
     # r13 restructure (guide §2.4): the old graph referenced the
     # cosine-scoring `pairs` frame from FOUR subtrees (fwd agg, bwd
@@ -4422,101 +4426,59 @@ def sim_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by src_id (forward k-NN — 16-partition frames, shared by the
     # final rank/stat windows). Every value is computed by the same
     # expression as before; output verified row-identical.
-    pairs = tgt.crossJoin(F.broadcast(src)).select(
+    pairs = tgt.crossJoin(F.broadcast(src)).selectExpr(
         "src_id",
         "tgt_id",
-        F.round(
-            dot_expr(F.col("s_emb"), F.col("t_emb"))
-            / (F.col("s_nrm") * F.col("t_nrm"))
-            * 10000,
-            0,
-        )
-        .cast("long")
-        .alias("c4"),
+        f"CAST(round({dot_sql('s_emb', 't_emb')}"
+        " / (s_nrm * t_nrm) * 10000, 0) AS BIGINT) AS c4",
     )
-    w_b = Window.partitionBy("tgt_id").orderBy(
-        F.col("c4").desc(), F.col("src_id")
+    p_b = pairs.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY tgt_id"
+        " ORDER BY c4 DESC, src_id) AS rn_b",
+    ).selectExpr(
+        "*",
+        f"CAST(sum(CASE WHEN rn_b <= {BITEXT_K} THEN c4 END)"
+        " OVER (PARTITION BY tgt_id) AS BIGINT) AS dy",
+        f"CAST(sum(CASE WHEN rn_b <= {BITEXT_K} THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY tgt_id) AS BIGINT) AS ny",
     )
-    w_b_all = Window.partitionBy("tgt_id")
-    p_b = (
-        pairs.withColumn("rn_b", F.row_number().over(w_b))
-        .withColumn(
-            "dy",
-            F.sum(F.when(F.col("rn_b") <= BITEXT_K, F.col("c4")))
-            .over(w_b_all)
-            .cast("long"),
-        )
-        .withColumn(
-            "ny",
-            F.sum(F.when(F.col("rn_b") <= BITEXT_K, 1).otherwise(0))
-            .over(w_b_all)
-            .cast("long"),
-        )
+    p_f = p_b.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY src_id"
+        " ORDER BY c4 DESC, tgt_id) AS rn_f",
+    ).selectExpr(
+        "*",
+        f"CAST(sum(CASE WHEN rn_f <= {BITEXT_K} THEN c4 END)"
+        " OVER (PARTITION BY src_id) AS BIGINT) AS dx",
+        f"CAST(sum(CASE WHEN rn_f <= {BITEXT_K} THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY src_id) AS BIGINT) AS nx",
     )
-    w_f = Window.partitionBy("src_id").orderBy(
-        F.col("c4").desc(), F.col("tgt_id")
+    margins = p_f.filter("dx * ny + dy * nx > 0").selectExpr(
+        "src_id",
+        "tgt_id",
+        "c4",
+        "round(CAST(c4 AS DOUBLE)"
+        " / ((CAST(dx AS DOUBLE) / nx + CAST(dy AS DOUBLE) / ny)"
+        " / CAST(2 AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS marg",
     )
-    w_f_all = Window.partitionBy("src_id")
-    p_f = (
-        p_b.withColumn("rn_f", F.row_number().over(w_f))
-        .withColumn(
-            "dx",
-            F.sum(F.when(F.col("rn_f") <= BITEXT_K, F.col("c4")))
-            .over(w_f_all)
-            .cast("long"),
-        )
-        .withColumn(
-            "nx",
-            F.sum(F.when(F.col("rn_f") <= BITEXT_K, 1).otherwise(0))
-            .over(w_f_all)
-            .cast("long"),
-        )
-    )
-    margins = (
-        p_f.filter(
-            F.col("dx") * F.col("ny") + F.col("dy") * F.col("nx") > 0
-        )
-        .select(
-            "src_id",
-            "tgt_id",
-            "c4",
-            (
-                F.round(
-                    F.col("c4").cast("double")
-                    / (
-                        (
-                            F.col("dx").cast("double") / F.col("nx")
-                            + F.col("dy").cast("double") / F.col("ny")
-                        )
-                        / 2.0
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("marg"),
-        )
-    )
-    w_m = Window.partitionBy("src_id").orderBy(
-        F.col("marg").desc(), F.col("tgt_id")
-    )
-    w_s = Window.partitionBy("src_id")
     return (
-        margins.withColumn("rn", F.row_number().over(w_m))
-        .withColumn("n_scored", F.count("*").over(w_s).cast("long"))
-        .withColumn(
-            "n_above",
-            F.sum(
-                F.when(F.col("marg") >= BITEXT_MARGIN_THR, 1).otherwise(0)
-            )
-            .over(w_s)
-            .cast("long"),
+        margins.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY src_id"
+            " ORDER BY marg DESC, tgt_id) AS rn",
+            "CAST(count(*) OVER (PARTITION BY src_id) AS BIGINT)"
+            " AS n_scored",
+            f"CAST(sum(CASE WHEN marg >= CAST({BITEXT_MARGIN_THR} AS"
+            " DOUBLE) THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY src_id) AS BIGINT) AS n_above",
         )
-        .filter(F.col("rn") == 1)
-        .select(
+        .filter("rn = 1")
+        .selectExpr(
             "src_id",
-            F.col("tgt_id").alias("best_tgt"),
-            F.col("c4").alias("cos_e4"),
-            F.col("marg").alias("margin"),
+            "tgt_id AS best_tgt",
+            "c4 AS cos_e4",
+            "marg AS margin",
             "n_scored",
             "n_above",
         )
@@ -5081,16 +5043,22 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form re-cast and re-normed every corpus vector once per panel
     # query (16×). Same dot/(nrm_a·nrm_b) factors in the same order,
     # so the IEEE result is bit-identical.
-    embd = emb.select(
+    #
+    # r13 session 4 (guide §7.3): expressions parse from SQL text —
+    # the Column form was ~1400 py4j round-trips (~0.3 s socket-bound
+    # construction per call). Same expression trees, CAST literals
+    # where Column code used F.lit floats.
+    ids = ", ".join(str(i) for i in _KNN_BATCH_IDS)
+    embd = emb.selectExpr(
         "vec_id",
         "label",
-        F.col("embedding").cast("array<double>").alias("emb_d"),
-    ).withColumn("nrm", norm_expr(F.col("emb_d")))
-    q = embd.filter(F.col("vec_id").isin(*_KNN_BATCH_IDS)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("label").alias("q_label"),
-        F.col("nrm").alias("q_nrm"),
+        "CAST(embedding AS array<double>) AS emb_d",
+    ).selectExpr("*", f"{norm_sql('emb_d')} AS nrm")
+    q = embd.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS q_id",
+        "emb_d AS q_emb",
+        "label AS q_label",
+        "nrm AS q_nrm",
     )
     # r13 (guide §2.4): the corpus relevance count is a per-LABEL count
     # minus the query itself — a tiny label aggregate broadcast onto
@@ -5098,76 +5066,63 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings). Queries whose label is unique drop out (count 0),
     # exactly like the old inner join, so the -1 sentinel path via the
     # left join below is unchanged.
-    label_cnt = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    label_cnt = emb.groupBy("label").agg(F.expr("count(*) AS n_label"))
     relcnt = (
         q.join(F.broadcast(label_cnt), q["q_label"] == label_cnt["label"])
-        .select(
-            "q_id",
-            (F.col("n_label") - 1).cast("bigint").alias("n_corpus_rel"),
-        )
-        .filter(F.col("n_corpus_rel") > 0)
+        .selectExpr("q_id", "CAST(n_label - 1 AS BIGINT) AS n_corpus_rel")
+        .filter("n_corpus_rel > 0")
     )
     scored = (
         embd.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("vec_id != q_id")
+        .selectExpr(
             "q_id",
             "q_label",
             "vec_id",
             "label",
-            F.round(
-                dot_expr(F.col("emb_d"), F.col("q_emb"))
-                / (F.col("nrm") * F.col("q_nrm")),
-                4,
-            ).alias("sim"),
+            f"round({dot_sql('emb_d', 'q_emb')}"
+            " / (nrm * q_nrm), 4) AS sim",
         )
     )
-    w_q = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
-    topk = scored.withColumn("rnk", F.row_number().over(w_q)).filter(
-        F.col("rnk") <= NDCG_K
-    )
-    disc_arr = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    topk = scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY q_id"
+        " ORDER BY sim DESC, vec_id) AS rnk",
+    ).filter(f"rnk <= {NDCG_K}")
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
     dcg = topk.groupBy("q_id").agg(
-        F.sum(
-            F.when(
-                F.col("label") == F.col("q_label"),
-                F.element_at(disc_arr, F.col("rnk")),
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("dcg_milli"),
-        F.sum((F.col("label") == F.col("q_label")).cast("int"))
-        .cast("bigint")
-        .alias("n_rel_topk"),
+        F.expr(
+            "CAST(sum(CASE WHEN label = q_label"
+            f" THEN element_at(array({disc}), rnk)"
+            " ELSE 0 END) AS BIGINT) AS dcg_milli"
+        ),
+        F.expr(
+            "CAST(sum(CAST(label = q_label AS INT)) AS BIGINT)"
+            " AS n_rel_topk"
+        ),
     )
-    pre_arr = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    pre = ", ".join(str(p) for p in _NDCG_PREFIX)
     # LEFT join from the panel-complete dcg frame (ADVICE r12): a
     # panel query whose label is unique in the corpus has no relcnt
     # row; the inner join silently shrank the 16-row panel contract
     # instead of firing the documented -1 sentinel. n_corpus_rel
     # coalesces to 0 so the sentinel branch is reachable.
-    rel = F.coalesce(F.col("n_corpus_rel"), F.lit(0)).cast("bigint")
-    idcg = F.element_at(
-        pre_arr,
-        (F.least(rel, F.lit(NDCG_K)) + 1).cast("int"),
+    rel = "CAST(coalesce(n_corpus_rel, 0) AS BIGINT)"
+    idcg = (
+        f"element_at(array({pre}),"
+        f" CAST(least({rel}, {NDCG_K}) + 1 AS INT))"
     )
     return (
         dcg.join(F.broadcast(relcnt), "q_id", "left")
-        .select(
-            F.col("q_id").alias("query_id"),
-            rel.alias("n_corpus_rel"),
+        .selectExpr(
+            "q_id AS query_id",
+            f"{rel} AS n_corpus_rel",
             "n_rel_topk",
             "dcg_milli",
-            idcg.cast("bigint").alias("idcg_milli"),
-            (
-                F.round(
-                    F.when(rel == 0, F.lit(-1.0)).otherwise(
-                        F.col("dcg_milli").cast("double") / idcg
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("ndcg"),
+            f"CAST({idcg} AS BIGINT) AS idcg_milli",
+            f"round(CASE WHEN {rel} = 0 THEN CAST(-1.0 AS DOUBLE)"
+            f" ELSE CAST(dcg_milli AS DOUBLE) / {idcg} END, 6)"
+            " + CAST(0 AS DOUBLE) AS ndcg",
         )
         .orderBy("query_id")
     )
