@@ -1245,35 +1245,45 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _shingle_strs("text").alias("shingles")
     ).cache()
 
-    # Exact ground truth via shared-shingle equi-join.
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = ex.select(F.col("doc_id").alias("doc1"), "shingle")
-    b = ex.select(F.col("doc_id").alias("doc2"), "shingle")
-    shared = (
+    # Exact ground truth — the oracle's own `pairs` CTE topology
+    # (r13, guide §2.3/§2.4): per-pair |s1 ∩ s2| is COUNT(*) over the
+    # shared-shingle equi-join (shingle arrays are distinct by
+    # construction), with the set sizes riding the explode. The
+    # previous shape materialized DISTINCT shared pairs, re-joined the
+    # FULL string-shingle arrays onto both pair sides (two extra
+    # corpus-keyed exchanges whose rows each carried an entire shingle
+    # array), and built two hash sets per pair (array_intersect) —
+    # heavy per-pair work AND heavy exchange bytes that the aggregate
+    # form never creates.
+    exn = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = exn.selectExpr("doc_id AS doc1", "n_sh AS n1", "shingle")
+    b = exn.selectExpr("doc_id AS doc2", "n_sh AS n2", "shingle")
+    exact = (
         a.join(b, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1"))
-    sh2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2"))
-    exact = (
-        shared.join(sh1, "doc1")
-        .join(sh2, "doc2")
-        # integer-exact threshold (r12 sweep); r13: |A∪B| via the
-        # inclusion-exclusion identity (arrays are distinct) — one
-        # hash-set build per pair, identical counts.
-        .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")))
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count("*").alias("n_inter"))
+        # integer-exact threshold (r12 sweep), |A∪B| by
+        # inclusion-exclusion — identical filter set to the oracle's
+        # JACCARD_PRED_SQL.
         .filter(
             F.col("n_inter") * JACCARD_T_DEN
-            >= (F.size("s1") + F.size("s2") - F.col("n_inter"))
+            >= (F.col("n1") + F.col("n2") - F.col("n_inter"))
             * JACCARD_T_NUM
         )
         .select("doc1", "doc2")
     )
 
     # LSH candidates: the exact signature/band machinery of
-    # minhash_neardup, WITHOUT the verify step.
+    # minhash_neardup, WITHOUT the verify step. No pair-level DISTINCT
+    # here — a pair colliding in several bands is deduplicated by the
+    # per-pair aggregate below, which saves the extra exchange the
+    # standalone distinct() paid.
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     bands = _minhash_bands(_minhash_sig(ex))
     cand = (
         bands.select("band", "bucket", F.col("doc_id").alias("doc1"))
@@ -1283,14 +1293,33 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
-        .distinct()
     )
 
-    tp = cand.join(exact, ["doc1", "doc2"], "left_semi")
-    stats = (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
-        .crossJoin(F.broadcast(tp.agg(F.count("*").alias("n_tp"))))
+    # Single-lineage scalars (r13, guide §2.4): the old three-subtree
+    # form (exact.agg ⨯ cand.agg ⨯ (cand ⋈ exact).agg) recomputed the
+    # ENTIRE exact pipeline and the ENTIRE candidate pipeline twice
+    # each — the dominant cost of the op. Tag each pair with its
+    # origin, dedup per pair, and every count (including the TP
+    # intersection) falls out of ONE aggregate over pairs computed
+    # exactly once.
+    tagged = exact.select(
+        "doc1", "doc2", F.lit(1).alias("is_ex"), F.lit(0).alias("is_cand")
+    ).unionAll(
+        cand.select(
+            "doc1", "doc2", F.lit(0).alias("is_ex"), F.lit(1).alias("is_cand")
+        )
+    )
+    per_pair = tagged.groupBy("doc1", "doc2").agg(
+        F.max("is_ex").alias("is_ex"), F.max("is_cand").alias("is_cand")
+    )
+    # COALESCE(…, 0): a corpus with no pairs at all leaves the global
+    # aggregate's SUMs NULL where the old COUNT(*) forms returned 0.
+    stats = per_pair.agg(
+        F.coalesce(F.sum("is_ex"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("is_cand"), F.lit(0)).alias("n_cand"),
+        F.coalesce(
+            F.sum(F.col("is_ex") * F.col("is_cand")), F.lit(0)
+        ).alias("n_tp"),
     )
     return stats.select(
         F.col("n_exact").cast("bigint").alias("n_exact"),
