@@ -1243,68 +1243,74 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     or shuffle width. Salted-hash relabeling is task-retry-safe where
     rand() relabelings are not (G-sampling)."""
     orders = load(spark, sf_dir, "orders")
-    v = F.col("o_totalprice").cast("decimal(18,2)")
 
-    def band(salt: str):
-        return F.substring(
-            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(salt))), 1, 1
-        ).between("0", "7")
+    # r13 (guide §2.3/§7.3): two-step shape — the analytics_bootstrap_ci
+    # treatment. (a) Project ONE 0/1 indicator per salt so each row pays
+    # exactly 33 md5s: as 66 separate when(band, ...) aggregate children
+    # the hash expression was duplicated per (s_b, n_b) column pair, and
+    # the measured executor cost was ~4x the indicator form. (b) The
+    # whole body parses from SQL text — Column-object assembly of the
+    # 66-aggregate/32-replicate algebra was ~2.3 s of py4j round-trips
+    # per construction. Identical expressions, identical types (the
+    # CASE arms coerce int 0 to DECIMAL(18,2) exactly as the original
+    # when/otherwise did).
+    def _ind(salt: str, name: str) -> str:
+        return (
+            "CASE WHEN substring(md5(CONCAT(CAST(o_orderkey AS STRING),"
+            f" '{salt}')), 1, 1) BETWEEN '0' AND '7' THEN 1 ELSE 0 END"
+            f" AS {name}"
+        )
 
-    aggs = [
-        F.count("*").cast("bigint").alias("n_tot"),
-        F.sum(v).cast("decimal(18,2)").alias("s_tot"),
-        F.sum(F.when(band("_obs"), v).otherwise(F.lit(0)))
-        .cast("decimal(18,2)")
-        .alias("s_obs"),
-        F.sum(F.when(band("_obs"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_obs"),
+    # Fan the scan out before the hash-heavy projection (the
+    # analytics_bootstrap_ci treatment, guide §2.5 input-parallelism):
+    # the fixture is ONE parquet split, so the 33 salted md5s/row ran
+    # on a single task (jstack: one busy codegen stage-1 thread,
+    # ~7 s); at cluster scale the scan's own splits provide this
+    # parallelism and the repartition is dropped.
+    par = spark.sparkContext.defaultParallelism
+    base = orders.repartition(par).selectExpr(
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS v",
+        _ind("_obs", "i_obs"),
+        *[_ind(f"_p{b}", f"i{b}") for b in range(PERM_B)],
+    )
+    agg_exprs = [
+        "CAST(COUNT(*) AS BIGINT) AS n_tot",
+        "CAST(SUM(v) AS DECIMAL(18,2)) AS s_tot",
+        "CAST(SUM(CASE WHEN i_obs = 1 THEN v ELSE 0 END)"
+        " AS DECIMAL(18,2)) AS s_obs",
+        "CAST(SUM(i_obs) AS BIGINT) AS n_obs",
     ]
     for b in range(PERM_B):
-        aggs.append(
-            F.sum(F.when(band(f"_p{b}"), v).otherwise(F.lit(0)))
-            .cast("decimal(18,2)")
-            .alias(f"s{b}")
+        agg_exprs.append(
+            f"CAST(SUM(CASE WHEN i{b} = 1 THEN v ELSE 0 END)"
+            f" AS DECIMAL(18,2)) AS s{b}"
         )
-        aggs.append(
-            F.sum(F.when(band(f"_p{b}"), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"n{b}")
-        )
-    agg = orders.agg(*aggs)
+        agg_exprs.append(f"CAST(SUM(i{b}) AS BIGINT) AS n{b}")
+    agg = base.agg(*[F.expr(e) for e in agg_exprs])
     # diff_obs and every replicate diff are ROUNDed 6dp + 0.0 BEFORE
     # the extreme compare (r12 sweep): output and comparison both run
     # on engine-stable values (G13 double-output discipline).
-    obs = agg.withColumn(
-        "diff_obs",
-        F.round(
-            F.col("s_obs").cast("double") / F.col("n_obs")
-            - (F.col("s_tot") - F.col("s_obs")).cast("double")
-            / (F.col("n_tot") - F.col("n_obs")),
-            6,
-        )
-        + F.lit(0.0),
+    obs = agg.selectExpr(
+        "*",
+        "ROUND(CAST(s_obs AS DOUBLE) / n_obs"
+        " - CAST(s_tot - s_obs AS DOUBLE) / (n_tot - n_obs), 6)"
+        " + CAST(0.0 AS DOUBLE) AS diff_obs",
     )
-    extreme = None
-    for b in range(PERM_B):
-        diff_b = F.round(
-            F.col(f"s{b}").cast("double") / F.col(f"n{b}")
-            - (F.col("s_tot") - F.col(f"s{b}")).cast("double")
-            / (F.col("n_tot") - F.col(f"n{b}")),
-            6,
-        )
-        ind = F.when(F.abs(diff_b) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
-        extreme = ind if extreme is None else extreme + ind
-    return obs.select(
-        "n_tot", "n_obs", "diff_obs", extreme.cast("bigint").alias("n_extreme")
-    ).select(
+    extreme = " + ".join(
+        f"CASE WHEN ABS(ROUND(CAST(s{b} AS DOUBLE) / n{b}"
+        f" - CAST(s_tot - s{b} AS DOUBLE) / (n_tot - n{b}), 6))"
+        " >= ABS(diff_obs) THEN 1 ELSE 0 END"
+        for b in range(PERM_B)
+    )
+    return obs.selectExpr(
+        "n_tot", "n_obs", "diff_obs", f"CAST({extreme} AS BIGINT) AS n_extreme"
+    ).selectExpr(
         "n_tot",
         "n_obs",
         "diff_obs",
         "n_extreme",
-        F.expr(
-            f"CAST((n_extreme + 1) * 1000 DIV ({PERM_B} + 1) AS BIGINT)"
-        ).alias("p_permille"),
+        f"CAST((n_extreme + 1) * 1000 DIV ({PERM_B} + 1) AS BIGINT)"
+        " AS p_permille",
     )
 
 
