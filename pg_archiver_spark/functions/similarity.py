@@ -1633,25 +1633,36 @@ def sim_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cbs = _pq_trained_codebooks(spark, sf_dir)
 
-    e = F.col("embedding")
-
-    def dist(s: int, j: int) -> Column:
-        acc = None
-        for k in range(PQ_SUBDIM):
-            t = e[s * PQ_SUBDIM + k].cast("double") - F.lit(cbs[s][j][k])
-            sq = t * t
-            acc = sq if acc is None else acc + sq
-        return acc
-
-    cols = [F.col("vec_id")]
-    for s in range(PQ_SUBSPACES):
-        darr = F.array(*[dist(s, j) for j in range(PQ_CENTROIDS)])
-        cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1)
-            .cast("bigint")
-            .alias(f"code{s}".format(s=s))
+    # r13 (guide §7.3): the unrolled per-(subspace, centroid) literal
+    # distance sums were ~3000 Column-object py4j round-trips — at
+    # ~11 s/construction the largest build cost in the registry, paid
+    # on EVERY call (the driver constructs per pass). The identical
+    # distances now parse from SQL text as a fold over one codebook
+    # array literal per subspace. Bit-identity: the (x−y)·(x−y) terms
+    # are unchanged, and the fold's 0.0 + d0 + … + d7 equals the old
+    # unrolled d0 + … + d7 exactly (IEEE +0.0 is an identity on the
+    # non-negative squares) — pinned by the oracle hash at 3 SFs and
+    # the recall/MSE pytests. CAST('repr' AS DOUBLE) literals keep the
+    # exact trained doubles (a bare SQL decimal parses DECIMAL, which
+    # also round-trips, but the explicit cast makes the type certain).
+    def dists_sql(s: int) -> str:
+        cb = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+            for c in cbs[s]
         )
-    return emb.select(*cols).orderBy("vec_id")
+        sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        return (
+            f"transform({cb}, c -> aggregate(zip_with({sub}, c,"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
+        )
+
+    cols = ["vec_id"] + [
+        f"CAST(array_position({dists_sql(s)}, array_min({dists_sql(s)}))"
+        f" - 1 AS BIGINT) AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    ]
+    return emb.selectExpr(*cols).orderBy("vec_id")
 
 
 PQ_TOPK = 10
@@ -1939,25 +1950,34 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _ivfpq_residuals(emb, cents)
 
     # Residual PQ codes, inline (the encode pattern over res.v).
-    rv = F.col("v")
-
-    def rdist(s: int, j: int) -> Column:
-        acc = None
-        for k in range(PQ_SUBDIM):
-            t = rv[s * PQ_SUBDIM + k] - F.lit(rcbs[s][j][k])
-            sq = t * t
-            acc = sq if acc is None else acc + sq
-        return acc
-
-    code_cols = []
-    for s in range(PQ_SUBSPACES):
-        darr = F.array(*[rdist(s, j) for j in range(PQ_CENTROIDS)])
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1)
-            .cast("bigint")
-            .alias(f"code{s}")
+    # r13 (guide §7.3): SQL-texted like sim_vector_pq_encode — the
+    # unrolled rdist tree was ~3000 Column-object round-trips per
+    # construction; the fold over one codebook literal per subspace is
+    # bit-identical ((x−y)·(x−y) unchanged, 0.0 + d0 + … + d7 ≡
+    # d0 + … + d7 on non-negative squares). res.v is already DOUBLE
+    # (residual subtraction), so no element cast here — matching the
+    # original rv[k] - lit arithmetic exactly.
+    def rdists_sql(s: int) -> str:
+        cb = "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+            for c in rcbs[s]
         )
-    enc = res.select("vec_id", "cell", *code_cols)
+        sub = f"slice(v, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        return (
+            f"transform({cb}, c -> aggregate(zip_with({sub}, c,"
+            " (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
+        )
+
+    enc = res.selectExpr(
+        "vec_id",
+        "cell",
+        *[
+            f"CAST(array_position({rdists_sql(s)},"
+            f" array_min({rdists_sql(s)})) - 1 AS BIGINT) AS code{s}"
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
 
     # Query residual per probed cell -> per-cell literal LUT.
     probe_rows = (
@@ -1982,34 +2002,33 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + t * t
         return acc
 
-    lut_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.lit(lut_entry(c, s, j))
-                            for j in range(PQ_CENTROIDS)
-                        ]
-                    )
-                    for s in range(PQ_SUBSPACES)
-                ]
+    # r13 (guide §7.3): the cells×S×K LUT literal was assembled as
+    # nested F.array/F.lit Column objects and the 8-term ADC referenced
+    # it eight times — thousands of py4j round-trips per construction;
+    # identical literal tree (same 8-fold duplication the reused
+    # Column already produced in the plan) now parses from SQL text.
+    lut_sql = "array(%s)" % ", ".join(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)"
+            % ", ".join(
+                f"CAST({lut_entry(c, s, j)!r} AS DOUBLE)"
+                for j in range(PQ_CENTROIDS)
             )
-            for c in range(len(cents))
-        ]
+            for s in range(PQ_SUBSPACES)
+        )
+        for c in range(len(cents))
     )
     cand = enc.filter(
         (F.col("vec_id") != 0) & F.col("cell").isin(*probes)
     )
-    adc = None
-    for s in range(PQ_SUBSPACES):
-        term = F.element_at(
-            F.element_at(
-                F.element_at(lut_lit, F.col("cell") + 1), s + 1
-            ),
-            (F.col(f"code{s}") + 1).cast("int"),
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(element_at({lut_sql}, cell + 1),"
+            f" {s + 1}), CAST(code{s} + 1 AS INT))"
+            for s in range(PQ_SUBSPACES)
         )
-        adc = term if adc is None else adc + term
+    )
     # ADVICE r10 #3: rank on the NANO-QUANTIZED distance (the house
     # discipline ml_kmeans_lloyd uses for inertia) so the (dist,
     # vec_id) order survives any future op-order drift in the LUT /
