@@ -1298,12 +1298,21 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"path": [path], "n_rows": [n]})
 
         written = (
-            orders.repartition(4)
+            orders.repartition(spark.sparkContext.defaultParallelism)
             .mapInPandas(write_parts, "path string, n_rows long")
             .collect()  # bounded: one (path, count) row per partition
         )
         # Library-level spec check: the JVM avro reader must agree on
-        # every file's record count.
+        # every file's record count. r13 (guide §7.3): counted at the
+        # BLOCK level — hasNext() decodes each block header through
+        # DataFileStream (sync markers, codec, framing) and
+        # getBlockCount() is its record count, so the JVM reader still
+        # validates the container structure, but the driver loop is one
+        # py4j round-trip per BLOCK instead of per RECORD (the old
+        # reader.next() loop was ~2 py4j round-trips x |rows|: ~28 s at
+        # sf0.1, measured 0.56 s per 3000 records). Full per-value
+        # decode fidelity stays enforced by the oracle hash over the
+        # Python read-back below.
         jvm = spark._jvm
         jvm_total = 0
         for r in written:
@@ -1313,8 +1322,8 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             k = 0
             while reader.hasNext():
-                reader.next()
-                k += 1
+                k += reader.getBlockCount()
+                reader.nextBlock()
             reader.close()
             jvm_total += k
         py_total = sum(r["n_rows"] for r in written)
