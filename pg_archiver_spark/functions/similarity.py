@@ -4602,6 +4602,9 @@ def _nsw_oracle() -> str:
     )
 
 
+_NSW_EDGES_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NSW build + beam serve, returning the oracle's ``fin``
     frame: (q_id, vec_id, sim, rnk) — the final beam per panel query,
@@ -4626,30 +4629,40 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v_dst"),
         F.col("nrm").alias("n_dst"),
     )
-    w_src = Window.partitionBy("src").orderBy(
-        F.col("sim").desc(), F.col("dst")
-    )
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                dot_expr(F.col("v_src"), F.col("v_dst"))
-                / (F.col("n_src") * F.col("n_dst")),
-                4,
-            ).alias("sim"),
+    # r13: the checkpointed edge list is cached PER CORPUS like the
+    # IVF centroids / PQ codebooks it is built from (the ingest
+    # artifact: built once, served many times) — previously every call
+    # re-ran the within-cell quadratic build job (~4 s at sf0.1), so
+    # sim_ann_nsw_recall_eval rebuilt the graph sim_ann_nsw_beam had
+    # just built. Keyed by (applicationId, corpus) because the
+    # localCheckpoint blocks live in THIS session's executors.
+    ck = (spark.sparkContext.applicationId, _corpus_key(sf_dir))
+    edges = _NSW_EDGES_CACHE.get(ck)
+    if edges is None:
+        w_src = Window.partitionBy("src").orderBy(
+            F.col("sim").desc(), F.col("dst")
         )
-        .withColumn("rn", F.row_number().over(w_src))
-        .filter(F.col("rn") <= NSW_M)
-        .select("src", "dst")
-        # ingest artifact: built once, served many times — the serve
-        # rounds below reference it NSW_ROUNDS times and must not
-        # replay the within-cell build (the pretraining-e2e
-        # stage-boundary pattern)
-        .localCheckpoint(eager=True)
-    )
+        edges = (
+            a.join(b, "cell")
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot_expr(F.col("v_src"), F.col("v_dst"))
+                    / (F.col("n_src") * F.col("n_dst")),
+                    4,
+                ).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w_src))
+            .filter(F.col("rn") <= NSW_M)
+            .select("src", "dst")
+            # the serve rounds below reference it NSW_ROUNDS times and
+            # must not replay the within-cell build (the
+            # pretraining-e2e stage-boundary pattern)
+            .localCheckpoint(eager=True)
+        )
+        _NSW_EDGES_CACHE[ck] = edges
     entry = assigned.groupBy("cell").agg(
         F.min("vec_id").alias("entry_id")
     )
