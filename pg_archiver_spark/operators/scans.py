@@ -1695,12 +1695,16 @@ def maintenance_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
 
-    def one(name: str, cnt) -> DataFrame:
-        return spark.createDataFrame(
-            [(name,)], "constraint_name string"
-        ).withColumn("n_violations", F.lit(cnt).cast("long"))
-
-    # Single-pass conditional sums per table (one scan, many checks).
+    # r13 (guide §2.6): the checks were SEVEN sequential driver
+    # actions (.first()/.count() per check) — seven serial jobs at
+    # construction time, each paying full scan + job overhead
+    # (isolated ~5 s at sf0.1). Every check is now a 1-row lazy frame
+    # and the op returns ONE union plan: a single job whose
+    # independent check stages the scheduler runs concurrently.
+    # Same-table checks stay single-pass via stack() over one
+    # conditional-sum aggregate; values are identical (long counts,
+    # COALESCE 0 for the empty-table null-sum case the old `or 0`
+    # handled).
     li_pass = li.agg(
         F.sum(
             (F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull())
@@ -1715,7 +1719,13 @@ def maintenance_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_quantity").cast("double") <= 0).cast("long")).alias(
             "rng_quantity"
         ),
-    ).first()
+    ).selectExpr(
+        "stack(3,"
+        " 'nn_lineitem_keys', COALESCE(nn_keys, CAST(0 AS LONG)),"
+        " 'rng_lineitem_discount', COALESCE(rng_discount, CAST(0 AS LONG)),"
+        " 'rng_lineitem_quantity', COALESCE(rng_quantity, CAST(0 AS LONG))"
+        ") AS (constraint_name, n_violations)"
+    )
     o_pass = orders.agg(
         F.sum(
             (F.col("o_orderkey").isNull() | F.col("o_custkey").isNull())
@@ -1724,42 +1734,58 @@ def maintenance_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice").cast("double") <= 0).cast("long")).alias(
             "rng_total"
         ),
-    ).first()
-    pk_li = (
+    ).selectExpr(
+        "stack(2,"
+        " 'nn_orders_keys', COALESCE(nn_keys, CAST(0 AS LONG)),"
+        " 'rng_orders_totalprice', COALESCE(rng_total, CAST(0 AS LONG))"
+        ") AS (constraint_name, n_violations)"
+    )
+
+    def one(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count("*").cast("long").alias("n_violations")
+        ).selectExpr(
+            f"'{name}' AS constraint_name", "n_violations"
+        )
+
+    pk_li = one(
+        "pk_lineitem_unique",
         li.groupBy("l_orderkey", "l_linenumber")
         .count()
-        .filter(F.col("count") > 1)
-        .count()
+        .filter(F.col("count") > 1),
     )
-    pk_o = (
-        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    pk_o = one(
+        "pk_orders_unique",
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1),
     )
-    fk_li = li.join(
-        orders.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    ).count()
+    fk_li = one(
+        "fk_lineitem_orders",
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ),
+    )
     # No broadcast hint: customer scales linearly with SF, so forcing
     # a broadcast here would pin the wrong plan at 100 TB (r10 sweep of
     # explicit F.broadcast sites — the r4 corpus-growing-broadcast
     # class). Catalyst/AQE still broadcasts it at fixture scale from
     # size stats; at scale this is correctly a shuffled anti-join.
-    fk_o = orders.join(
-        customer.select("c_custkey"),
-        orders.o_custkey == F.col("c_custkey"),
-        "left_anti",
-    ).count()
+    fk_o = one(
+        "fk_orders_customer",
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
 
     out = (
-        one("fk_lineitem_orders", fk_li)
-        .unionByName(one("fk_orders_customer", fk_o))
-        .unionByName(one("nn_lineitem_keys", li_pass["nn_keys"] or 0))
-        .unionByName(one("nn_orders_keys", o_pass["nn_keys"] or 0))
-        .unionByName(one("pk_lineitem_unique", pk_li))
-        .unionByName(one("pk_orders_unique", pk_o))
-        .unionByName(one("rng_lineitem_discount", li_pass["rng_discount"] or 0))
-        .unionByName(one("rng_lineitem_quantity", li_pass["rng_quantity"] or 0))
-        .unionByName(one("rng_orders_totalprice", o_pass["rng_total"] or 0))
+        fk_li.unionByName(fk_o)
+        .unionByName(li_pass)
+        .unionByName(o_pass)
+        .unionByName(pk_li)
+        .unionByName(pk_o)
     )
     return out.orderBy("constraint_name")
 
