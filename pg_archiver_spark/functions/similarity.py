@@ -18,6 +18,8 @@ Search strategies:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -444,6 +446,20 @@ _IVF_TRAIN_ITERS = 20
 # served many times; per-query retraining would be the wrong shape at
 # any scale).
 _IVF_CENT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal for a trained value. repr() of a finite
+    double round-trips exactly through CAST(... AS DOUBLE); a
+    non-finite value (inf/nan from degenerate training input) would
+    repr as 'inf'/'nan', which CAST silently returns NULL for under
+    non-ANSI mode — wrong PQ codes with no error (ADVICE r13). Fail
+    loudly instead; the old F.lit path preserved such values, so this
+    guard restores parity on the only inputs where the SQL-text form
+    could diverge."""
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite trained codebook/LUT value: {x!r}")
+    return f"CAST({x!r} AS DOUBLE)"
 
 
 def _corpus_key(sf_dir: str) -> tuple:
@@ -1647,7 +1663,7 @@ def sim_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also round-trips, but the explicit cast makes the type certain).
     def dists_sql(s: int) -> str:
         cb = "array(%s)" % ", ".join(
-            "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+            "array(%s)" % ", ".join(_dlit(x) for x in c)
             for c in cbs[s]
         )
         sub = f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
@@ -1959,7 +1975,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # original rv[k] - lit arithmetic exactly.
     def rdists_sql(s: int) -> str:
         cb = "array(%s)" % ", ".join(
-            "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+            "array(%s)" % ", ".join(_dlit(x) for x in c)
             for c in rcbs[s]
         )
         sub = f"slice(v, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
@@ -2012,7 +2028,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         % ", ".join(
             "array(%s)"
             % ", ".join(
-                f"CAST({lut_entry(c, s, j)!r} AS DOUBLE)"
+                _dlit(lut_entry(c, s, j))
                 for j in range(PQ_CENTROIDS)
             )
             for s in range(PQ_SUBSPACES)
@@ -4637,6 +4653,13 @@ def _nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just built. Keyed by (applicationId, corpus) because the
     # localCheckpoint blocks live in THIS session's executors.
     ck = (spark.sparkContext.applicationId, _corpus_key(sf_dir))
+    # r14 (ADVICE r13): evict entries from other applicationIds — a
+    # stopped/replaced session's localCheckpoint blocks are gone, so
+    # those DataFrames can never be served again; without eviction the
+    # cache grows without bound across session restarts in one process
+    # and pins dead JVM references.
+    for stale in [k for k in _NSW_EDGES_CACHE if k[0] != ck[0]]:
+        del _NSW_EDGES_CACHE[stale]
     edges = _NSW_EDGES_CACHE.get(ck)
     if edges is None:
         w_src = Window.partitionBy("src").orderBy(

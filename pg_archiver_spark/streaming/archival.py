@@ -52,7 +52,19 @@ def _scoped_state_partitions(spark: SparkSession, default: str):
     replay-mismatch risk. Env-overridable (SPARK_GRAFT_STATE_PARTS) so
     the value can be re-A/B'd per box or sized with key cardinality on
     a cluster — at 100 TB this scales UP; the knob, not the value, is
-    the point."""
+    the point.
+
+    SERIAL-EXECUTION ASSUMPTION (ADVICE r13): this mutates the
+    session-global spark.sql.shuffle.partitions for the query's
+    duration, so any query PLANNED concurrently on the same
+    SparkSession inside that window would silently compile with the
+    streaming-tuned width. Every caller in this engine runs its
+    streaming query to completion (awaitTermination on availableNow)
+    before returning, and the driver/bench/tests invoke declared
+    queries strictly serially — the same contract
+    stream_state_timeout_sessions' inline knob has relied on since r8.
+    If an embedder ever plans queries concurrently, scope the conf via
+    a cloned session (spark.newSession()) instead."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
