@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pg_archiver_spark.catalog import load
+from pg_archiver_spark.catalog import load, load_spread
 from pg_archiver_spark.functions.dedup import _shingles
 from pg_archiver_spark.registry import register
 
@@ -139,9 +139,7 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is a small fraction of the corpus, so the join is bipartite
     and bounded (at 100 TB the benchmark side's exploded shingles are a
     broadcast- or bloom-filter-sized table, not a shuffle)."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     d = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select(
@@ -245,9 +243,7 @@ def pipeline_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
     the per-doc verdict is a groupBy on doc_id. Docs shorter than 13
     tokens produce zero grams (guarded empty array, the
     text_ngram_novelty_decay idiom) but still count in n_train."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.expr(
             f"CASE WHEN size(split(text,' ')) < {DECONTAM_NGRAM} "
@@ -426,9 +422,7 @@ def pipeline_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic, all-integer arithmetic, bit-deterministic cross-engine.
     The per-doc frames are the shared _decontam_frames helper (funnel
     stage 3 of pipeline_pretraining_e2e)."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     _d, dirty, kept = _decontam_frames(docs)
     k = kept.groupBy("lang").agg(
         F.count("*").alias("n_spans"),

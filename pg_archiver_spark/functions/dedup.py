@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pg_archiver_spark.catalog import load
+from pg_archiver_spark.catalog import load, load_spread
 from pg_archiver_spark.registry import register
 
 # 3-token shingles; SQL-oracle-verified threshold sits in the clean gap
@@ -224,9 +224,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the uncapped form instead risks a 10¹²-pair stage."""
     # Spread the CPU-heavy shingle construction across all cores (the
     # fixture is a single small parquet file → one scan task otherwise).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     # The shingle frame feeds both join sides — cache it instead of
     # recomputing the (CPU-heavy) shingle construction per consumer. At
     # scale this is the materialized shingle table of a dedup stage.
@@ -445,9 +443,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibility buys the hash-checked oracle here and the full
     candidate/precision oracle in pipeline_neardup_eval_pr.
     """
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     # Cached: consumed by the signature build AND both verify sides (at
     # scale: the persisted shingle/signature tables of an ingest stage).
     sh = docs.select(
@@ -902,9 +898,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     directional, A-in-B and B-in-A are different facts. At scale the
     LSH analogue swaps the pair join for minhash-bucket candidates
     exactly as minhash_neardup documents."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
         .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
@@ -1238,9 +1232,7 @@ def pipeline_neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so TP/precision/recall are exact integers
     (permille DIV) and the WHOLE report hash-checks; the sibling test
     additionally pins set algebra (TP ≤ both sides)."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", _shingle_strs("text").alias("shingles")
     ).cache()
@@ -1418,9 +1410,7 @@ def dedup_repeated_substring_spans(
     per-doc window partition. A production hot-window df cap slots in
     exactly like MAX_SHINGLE_DF in the Jaccard twin.
     """
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     # Short-doc filter BEFORE the generate (round-9 hardening, the
     # text_ngram_novelty_decay bug class): sequence(0, n-SPAN_K) runs
     # descending for n < SPAN_K and slice(...,0,..) raises. With the

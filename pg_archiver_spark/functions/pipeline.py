@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg_archiver_spark.catalog import load
+from pg_archiver_spark.catalog import load, load_spread
 from pg_archiver_spark.functions.dedup import (
     JACCARD_PRED_SQL,
     JACCARD_THRESHOLD,
@@ -79,9 +79,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-in LSH form at scale); (3) deterministic md5 ~25% sample;
     (4) per-language token yield report."""
     # Spread tokenize/shingle CPU across cores (single small source file).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     # Cached: the gate feeds the dedup pair-join (both sides), the
     # survivors join, and the final agg — without it the tokenization
     # expressions re-run once per consumer. r13 (guide §7.3): predicates
@@ -330,9 +328,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_HASHES,
     )
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "0", "1", "2"
     )
@@ -601,9 +597,7 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gopher_rep_flags,
     )
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "lang",

@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg_archiver_spark.catalog import load
+from pg_archiver_spark.catalog import fan_out, load
 from pg_archiver_spark.registry import register
 
 
@@ -1298,7 +1298,9 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"path": [path], "n_rows": [n]})
 
         written = (
-            orders.repartition(spark.sparkContext.defaultParallelism)
+            # r14: conditional fan-out — one container file per core at
+            # fixture scale (1 scan split), one per scan split at scale.
+            fan_out(spark, orders, sf_dir, "orders")
             .mapInPandas(write_parts, "path string, n_rows long")
             .collect()  # bounded: one (path, count) row per partition
         )
