@@ -729,34 +729,41 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .groupBy(edges.doc1.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the round's INPUT label alongside the propagated one so
+        # the convergence check below is a filter over the checkpointed
+        # frame instead of a shuffle join back against `labels` (r14,
+        # VERDICT r13 item 4: the per-round changed-count join was one
+        # of two shuffles per round that job overhead paid for).
         propagated = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
+            ).alias("new_label"),
+            F.col("label").alias("old_label"),
         )
         # Pointer jumping: label <- label's label. Every label value is
         # itself a doc_id in the frame, and at fixpoint the component
         # min is self-labeled, so the jump is the identity there — the
         # changed==0 convergence test below stays valid.
         parent = propagated.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            F.col("doc_id").alias("p_id"),
+            F.col("new_label").alias("p_label"),
         )
-        new_labels = (
-            propagated.join(parent, propagated.label == parent.p_id, "left")
+        jumped = (
+            propagated.join(
+                parent, propagated.new_label == parent.p_id, "left"
+            )
             .select(
                 "doc_id",
-                F.coalesce("p_label", "label").alias("label"),
+                F.coalesce("p_label", "new_label").alias("label"),
+                "old_label",
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            jumped.filter(F.col("label") != F.col("old_label")).count()
         )
-        labels = new_labels
+        labels = jumped.select("doc_id", "label")
         if changed == 0:
             converged = True
             break

@@ -400,8 +400,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with current ranks + one groupBy — both shuffle on node id, so a
     round costs two bounded shuffles regardless of scale; edges are
     deduped ONCE up front (bounded by |suppliers|×|parts|, not raw
-    lineitem), cached, and ranks are localCheckpoint'ed per round to
-    keep the lineage flat (same discipline as dedup.py's CC loop).
+    lineitem), cached, and ranks are localCheckpoint'ed every second
+    round to keep the lineage flat (same discipline as dedup.py's CC
+    loop) at half the job barriers.
     Output: top-20 nodes by rank, deterministic id tiebreak."""
     li = load(spark, sf_dir, "lineitem")
     sp = li.select("l_suppkey", "l_partkey").distinct()
@@ -422,7 +423,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # scalar: sizes the teleport term
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
@@ -434,13 +435,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # bipartite + undirected ⇒ every node has out-edges, so no
         # dangling-mass term; teleport keeps the total mass at 1.
-        ranks = nodes.join(contribs, "node", "left").select(
+        # The symmetric edge set also means every node RECEIVES mass
+        # (in-degree = out-degree > 0), so contribs covers the full
+        # node set and the old nodes-LEFT-JOIN-contribs re-attachment
+        # was the identity — dropped (r14, VERDICT r13 item 4: one
+        # fewer join per round; the oracle's LEFT JOIN never fires its
+        # NULL arm for the same reason, so results are unchanged).
+        ranks = contribs.select(
             "node",
             (
                 F.lit((1.0 - PR_DAMPING) / n_nodes)
-                + F.lit(PR_DAMPING) * F.coalesce("in_mass", F.lit(0.0))
+                + F.lit(PR_DAMPING) * F.col("in_mass")
             ).alias("rank"),
-        ).localCheckpoint()
+        )
+        # Cut lineage every SECOND round instead of every round (r14,
+        # VERDICT r13 item 4): a 2-round-deep plan is still flat (one
+        # linear join+agg chain on a cached edge frame), and halving
+        # the eager checkpoints halves the per-round job barriers; the
+        # final round stays lazy so its work fuses into the top-20
+        # action.
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint()
     # Round BEFORE ranking (the house float-score rule): mathematically
     # tied ranks (structurally symmetric nodes) must order by the node
     # tiebreak identically in both engines, not by last-ulp noise.
@@ -3367,18 +3382,21 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-hop BFS, matching how feature pipelines bound neighborhood
     blowup).
 
-    Spark side is the iterative FRONTIER join (Pregel superstep
-    shape): per level, frontier ⋈ edges → new nodes (anti-join against
-    visited), visited ∪= frontier — bounded iterations, flat lineage
-    (the dedup_cluster_cc loop contract). Here the edge list is the
-    TakeOrdered-capped TRI_EDGES frame, so every superstep runs on a
-    constant-size broadcastable frame; for a fact-sized edge list the
-    SAME loop shuffle-partitions on the frontier key — each level one
-    equi-join, state = |reached nodes|, never |paths|. The oracle
-    states BFS as a recursive CTE whose walk enumeration is safe ONLY
-    because of the depth cap — exactly why the Spark side iterates
-    frontiers instead (path-count explosion is the scale killer; the
-    docstring is the A/B).
+    The fact-sized work (distinct + pair agg + top-K) happens ONCE;
+    the edge list it yields is capped at TRI_EDGES = 60 rows BY SPEC
+    (the LIMIT is part of the query definition, exactly like
+    sql_recursive_reachability's edge frame), so the BFS itself is a
+    metadata-sized computation over ≤ 25 nodes at ANY corpus scale.
+    r14 (VERDICT r13 item 4, guide §2.6): the BFS therefore runs in
+    the driver over the collected 60-row edge list — the old
+    per-level frontier-join loop spent ~8 scheduled jobs (a count +
+    an anti-join round-trip per level) to traverse a graph that fits
+    in a Python dict; for a FACT-sized edge list the distributed
+    frontier join (per level: one equi-join shuffled on the frontier
+    key, state = |reached nodes|, never |paths|) remains the scale
+    shape, as dedup_cluster_cc demonstrates live. The oracle states
+    BFS as a recursive CTE whose walk enumeration is safe ONLY
+    because of the depth cap.
 
     Cited reference scope: README.md:88-102 (analytics over archived
     facts); graph topology shared with graph_triangle_count."""
@@ -3405,39 +3423,37 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_EDGES)
         .select("a", "b")
     )
-    undirected = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    try:
-        # bounded: 1-row BFS-root scalar
-        src = undirected.agg(F.min("a")).collect()[0][0]
-        dist = spark.createDataFrame(
-            [(src, 0)], "brand string, dist int"
-        ).cache()
-        frontier = dist
-        for level in range(1, BFS_MAX_DEPTH + 1):
-            nxt = (
-                frontier.join(
-                    undirected, frontier["brand"] == undirected["a"]
-                )
-                .select(F.col("b").alias("brand"), F.lit(level).alias("dist"))
-                .distinct()
-                .join(dist.select("brand"), "brand", "left_anti")
-                .cache()
-            )
-            if nxt.count() == 0:
-                break
-            dist = dist.union(nxt).cache()
-            frontier = nxt
-        out = (
-            dist.select("brand", F.col("dist").cast("bigint").alias("dist"))
-            .orderBy("dist", "brand")
-        )
-        # bounded: one row per brand (<= 25-value dimension)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        undirected.unpersist()
+    # bounded: the LIMIT above caps the edge frame at TRI_EDGES = 60
+    # rows regardless of corpus size (same justification as the
+    # sql_recursive_reachability collect).
+    edge_rows = edges.collect()
+    adj: dict[str, set[str]] = {}
+    for r in edge_rows:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    # Same semantics as the old distributed loop: source = smallest
+    # endpoint (MIN over the symmetrized edge list), levels 1..cap,
+    # min-dist per reached node; an empty edge list degenerates to the
+    # single (NULL, 0) source row, as the oracle's MIN(a) does.
+    src = min(adj) if adj else None
+    dist: dict[str | None, int] = {src: 0}
+    frontier = [src] if src is not None else []
+    for level in range(1, BFS_MAX_DEPTH + 1):
+        nxt = [
+            b
+            for a in frontier
+            for b in adj.get(a, ())
+            if b not in dist
+        ]
+        if not nxt:
+            break
+        frontier = sorted(set(nxt))
+        for b in frontier:
+            dist[b] = level
+    return spark.createDataFrame(
+        sorted(dist.items(), key=lambda kv: (kv[1], kv[0])),
+        "brand string, dist bigint",
+    )
 
 
 @register(
