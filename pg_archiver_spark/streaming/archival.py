@@ -64,16 +64,51 @@ def _scoped_state_partitions(spark: SparkSession, default: str):
     queries strictly serially — the same contract
     stream_state_timeout_sessions' inline knob has relied on since r8.
     If an embedder ever plans queries concurrently, scope the conf via
-    a cloned session (spark.newSession()) instead."""
+    a cloned session (spark.newSession()) instead.
+
+    r14 (VERDICT r13 item 1): also scopes the state-store PROVIDER via
+    SPARK_GRAFT_STATE_PROVIDER ("hdfs" | "rocksdb" | a full provider
+    class name; unset = leave the session default). The r13 RocksDB
+    rejection was adjudicated at fixture key cardinality, where the
+    in-memory HDFSBackedStateStore has nothing to spill; re-A/B'd at
+    262144 live keys / 1.05M sessions (tools/r14_state_ab.py, same
+    applyInPandasWithState topology): RocksDB 109.0-109.3 s at 32/64
+    partitions vs HDFS best 125.9 s at 32 (and HDFS degrades to 218 s
+    at 64 while RocksDB stays flat), with the HDFS provider holding
+    ~136 MB of state heap per 262k keys that RocksDB keeps off-heap.
+    At fixture cardinality HDFS remains fastest (no spill, lower
+    per-query provider init) — so the LOCAL default stays the session
+    provider (HDFS) and a cluster deployment at realistic cardinality
+    sets SPARK_GRAFT_STATE_PROVIDER=rocksdb and sizes
+    SPARK_GRAFT_STATE_PARTS with key cardinality."""
+    _PROVIDERS = {
+        "hdfs": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STATE_PARTS", default),
     )
+    provider = os.environ.get("SPARK_GRAFT_STATE_PROVIDER")
+    prev_provider = spark.conf.get(_PROVIDER_KEY, _PROVIDERS["hdfs"])
+    if provider:
+        spark.conf.set(
+            _PROVIDER_KEY, _PROVIDERS.get(provider.lower(), provider)
+        )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
 
 
 def _fresh_dir(*parts: str) -> str:
@@ -1201,13 +1236,12 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     # is no replay-mismatch risk. r13: the value is env-overridable
     # (SPARK_GRAFT_STATE_PARTS) so the knob can be re-A/B'd per box /
     # sized with key cardinality on a cluster without a code edit;
-    # the local default stays the measured optimum.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STATE_PARTS", "16"),
-    )
-    try:
+    # the local default stays the measured optimum. r14: routed through
+    # _scoped_state_partitions, which additionally scopes the state-
+    # store provider (SPARK_GRAFT_STATE_PROVIDER) — see its docstring
+    # for the 1.05M-session A/B that picks RocksDB at realistic key
+    # cardinality while HDFS stays the fixture-scale default.
+    with _scoped_state_partitions(spark, "16"):
         query = (
             sessions.writeStream.format("memory")
             .queryName("state_timeout_sink")
@@ -1217,8 +1251,6 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(
         """
         SELECT closed_by,
